@@ -1,0 +1,250 @@
+"""Flat preorder node table — the engine's per-document "DOM".
+
+Design note (SURVEY.md §1.4): the reference keeps a pointer-based
+``GumboNode`` tree (``gumbo_handle.h``, ``gumbo_node_iterator.h``).  We
+instead materialize the tree in **DFS-preorder structure-of-arrays**
+form so every reference traversal becomes interval arithmetic over
+numpy arrays:
+
+* DFS-preorder successor (``gumbo_node_iterator.h:158-195``)  ==  ``node_id + 1``
+* subtree of ``i``                                            ==  ``[i, subtree_end[i])``
+* reference ``children_t`` range (``gumbo_node_iterator.h:35-88``:
+  ``[first_child, dfs_next(last_child))``)                    ==  one interval
+* direct children                                             ==  ``parent[j] == i``
+* ``advance_until`` (``gumbo_node_iterator.h:268-275``)       ==  ``argmax(mask[i:])``
+
+Text extraction (``gumbo_text.h:23-58``) becomes O(1) per node after a
+prefix-sum precompute because text-like descendants contribute
+contiguously in preorder.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .parser.tags import TAG_IDS, TAG_NAMES, TAG_UNKNOWN
+
+# Node type codes — fixed closed enumeration, mirrors GumboNodeType as
+# listed by to_string(GumboNodeType) (reference gumbo_util.h:161-180).
+DOCUMENT = 0
+ELEMENT = 1
+TEXT = 2
+CDATA = 3
+COMMENT = 4
+WHITESPACE = 5
+TEMPLATE = 6
+
+NODE_TYPE_NAMES = ["Document", "Element", "Text", "CData", "Comment", "Whitespace", "Template"]
+
+# Types whose ``v.text.text`` flows into node_content_text (the
+# reference's default: branch returns v.text.text for every
+# non-element/non-document node — gumbo_text.h:55-57 — so CData,
+# Comment and Whitespace text IS included).
+_TEXTLIKE = (TEXT, CDATA, COMMENT, WHITESPACE)
+
+
+def to_string(node_type: int) -> str:
+    """Node-type display name (reference gumbo_util.h:161-180)."""
+    return NODE_TYPE_NAMES[node_type] if 0 <= node_type < len(NODE_TYPE_NAMES) else "Unknown"
+
+
+@dataclass
+class NodeTable:
+    """One parsed document as preorder structure-of-arrays."""
+
+    source: str                    # decoded document source (offset space)
+    type: np.ndarray               # int8
+    tag_id: np.ndarray             # int16; -1 for non-elements
+    tag_name: np.ndarray           # object; '' for non-elements
+    parent: np.ndarray             # int32; -1 for root document node
+    index_within_parent: np.ndarray  # int32
+    subtree_end: np.ndarray        # int32; preorder id one past subtree
+    text: np.ndarray               # object; decoded text for text-like
+    attrs: np.ndarray              # object; dict[str,str] | None
+    src_start: np.ndarray          # int64 source extent start
+    src_end: np.ndarray            # int64 source extent end (see note)
+    tag_start: np.ndarray          # int64 original_tag span start ('<')
+    tag_end: np.ndarray            # int64 original_tag span end (past '>')
+    endtag_start: np.ndarray       # int64 original_end_tag start; == endtag_end when implied
+    endtag_end: np.ndarray         # int64 original_end_tag end
+    parse_errors: int = 0
+
+    _ctext_joined: str | None = field(default=None, repr=False)
+    _ctext_off: np.ndarray | None = field(default=None, repr=False)
+
+    # ------------------------------------------------------------------
+    @property
+    def n(self) -> int:
+        return len(self.type)
+
+    def class_values(self) -> np.ndarray:
+        return self.attr_values("class")
+
+    def id_values(self) -> np.ndarray:
+        return self.attr_values("id")
+
+    def attr_values(self, name: str) -> np.ndarray:
+        """Per-node attribute value or None (gumbo_util.h:148-159)."""
+        out = np.empty(self.n, dtype=object)
+        attrs = self.attrs
+        for i in range(self.n):
+            a = attrs[i]
+            out[i] = a.get(name) if a is not None else None
+        return out
+
+    # -- traversal primitives ------------------------------------------
+    def subtree(self, i: int) -> tuple[int, int]:
+        """True subtree interval [i, subtree_end)."""
+        return i, int(self.subtree_end[i])
+
+    def dfs_next(self, i: int) -> int:
+        """DFS-preorder successor skipping the subtree of ``i``."""
+        return int(self.subtree_end[i])
+
+    def children_ids(self, i: int) -> np.ndarray:
+        """Direct child ids of node i, in order."""
+        lo, hi = self.subtree(i)
+        ids = np.nonzero(self.parent[lo:hi] == i)[0]
+        return ids + lo
+
+    def child_range_dfs(self, i: int) -> tuple[int, int]:
+        """Reference ``children_t`` / ``gumbo_child_range`` semantics
+        (gumbo_node_iterator.h:73-84, src/gumbo_pp.cpp:37-59):
+        ``[first_child, dfs_next(last_child))`` — the interval covers
+        all children AND the descendants of every child except the last
+        child's descendants.  Empty parent → degenerate [i+?, same).
+        """
+        kids = self.children_ids(i)
+        if len(kids) == 0:
+            return i + 1, i + 1
+        # preorder successor of the last child is last_child + 1, so the
+        # range covers every child plus the descendants of all children
+        # EXCEPT the last child's descendants.
+        return int(kids[0]), int(kids[-1]) + 1
+
+    def next_sibling(self, i: int) -> int:
+        """Next sibling id or -1 (correct semantics; the reference's
+        ``next_sibling`` at gumbo_node_iterator.h:131-145 reads the
+        parent's own index — a documented reference bug we do NOT
+        reproduce)."""
+        p = int(self.parent[i])
+        if p < 0:
+            return -1
+        j = int(self.subtree_end[i])
+        if j < self.n and int(self.parent[j]) == p:
+            return j
+        return -1
+
+    def first_match(self, mask: np.ndarray, start: int = 0) -> int:
+        """std::find_if over DFS order from ``start`` (anchored-iterator
+        semantics of ``it.begin()``: NOT bounded to the subtree —
+        gumbo_node_iterator.h:98-104, exploited by table_scrape.cpp:52).
+        Returns node id or -1."""
+        sub = mask[start:]
+        if not sub.any():
+            return -1
+        return start + int(np.argmax(sub))
+
+    def matches_in(self, mask: np.ndarray, lo: int, hi: int) -> np.ndarray:
+        ids = np.nonzero(mask[lo:hi])[0]
+        return ids + lo
+
+    # -- extraction (gumbo_text.h) -------------------------------------
+    def _ensure_ctext_index(self) -> None:
+        if self._ctext_off is not None:
+            return
+        # Text-like rows contribute contiguously in preorder, EXCEPT
+        # that the reference's recursion never descends into TEMPLATE
+        # nodes (gumbo_text.h:55-57 returns early) — exclude template
+        # subtrees from the joined stream.
+        contrib = np.zeros(self.n + 1, dtype=np.int64)
+        excluded = np.zeros(self.n + 1, dtype=np.int8)
+        tmpl = np.nonzero(self.type == TEMPLATE)[0]
+        for t in tmpl:
+            excluded[t + 1] += 1
+            excluded[self.subtree_end[t]] -= 1
+        excl = np.cumsum(excluded[:-1]) > 0
+        textlike = np.isin(self.type, _TEXTLIKE) & ~excl
+        parts: list[str] = []
+        off = 0
+        for i in range(self.n):
+            contrib[i] = off
+            if textlike[i]:
+                s = self.text[i]
+                parts.append(s)
+                off += len(s)
+        contrib[self.n] = off
+        self._ctext_joined = "".join(parts)
+        self._ctext_off = contrib
+
+    def content_text(self, i: int) -> str:
+        """node_content_text semantics (gumbo_text.h:23-58): recursive
+        child-order concat of text-like descendants' decoded text, no
+        separators/trimming; comment and whitespace text included."""
+        self._ensure_ctext_index()
+        if self.type[i] in _TEXTLIKE or self.type[i] == TEMPLATE:
+            return self.text[i]
+        lo, hi = self.subtree(i)
+        return self._ctext_joined[self._ctext_off[lo]: self._ctext_off[hi]]
+
+    def content_text_many(self, ids) -> list[str]:
+        self._ensure_ctext_index()
+        off = self._ctext_off
+        se = self.subtree_end
+        joined = self._ctext_joined
+        out = []
+        for i in ids:
+            if self.type[i] in _TEXTLIKE or self.type[i] == TEMPLATE:
+                out.append(self.text[i])
+            else:
+                out.append(joined[off[i]: off[se[i]]])
+        return out
+
+    def outer_text(self, i: int) -> str:
+        """node_outer_text (gumbo_text.h:60-76): raw source slice from
+        start of original_tag to end of original_end_tag; whole source
+        for the document; decoded text otherwise."""
+        t = self.type[i]
+        if t == ELEMENT:
+            return self.source[int(self.tag_start[i]): int(self.endtag_end[i])]
+        if t == DOCUMENT:
+            return self.source
+        return self.text[i]
+
+    def inner_text(self, i: int) -> str:
+        """node_inner_text (gumbo_text.h:78-108): raw source between the
+        tags.  Document case mirrors the reference quirk (§1.3 of
+        SURVEY.md): end offset of a text-like last child is its DECODED
+        length, not a source offset."""
+        t = self.type[i]
+        if t == ELEMENT:
+            return self.source[int(self.tag_end[i]): int(self.endtag_start[i])]
+        if t == DOCUMENT:
+            kids = self.children_ids(i)
+            if len(kids) == 0:
+                return ""
+            first, last = int(kids[0]), int(kids[-1])
+            return self.source[int(self.src_start[first]): self.node_end_offset(last)]
+        return self.text[i]
+
+    def node_start_offset(self, i: int) -> int:
+        return int(self.src_start[i])
+
+    def node_end_offset(self, i: int) -> int:
+        """Reference quirk preserved (gumbo_util.h:134-146): end offset
+        of a text-like node is strlen(decoded text), NOT a source
+        offset."""
+        if self.type[i] == ELEMENT or self.type[i] == DOCUMENT:
+            return int(self.src_end[i])
+        return len(self.text[i])
+
+    # -- batch concat helper -------------------------------------------
+    @staticmethod
+    def tag_to_id(name: str) -> int:
+        return TAG_IDS.get(name, TAG_UNKNOWN)
+
+    @staticmethod
+    def id_to_tag(tid: int) -> str:
+        return TAG_NAMES[tid] if 0 <= tid < len(TAG_NAMES) else ""

@@ -1,0 +1,1048 @@
+"""From-scratch WHATWG-HTML5-style parser → flat preorder node table.
+
+The reference (gumbo_pp) delegates parsing to Google's libgumbo
+(``src/gumbo_pp.cpp:29-31`` calls ``gumbo_parse_with_options``), whose
+semantics are the public WHATWG HTML5 parsing algorithm: an
+error-recovering tokenizer plus tree construction with implied
+``html/head/body``, void elements, rawtext/RCDATA content models,
+character-reference decoding in text and attribute values, foster
+parenting in tables, and per-node source spans
+(``start_pos``/``original_tag``/``original_end_tag``).
+
+This module re-implements the subset of that algorithm needed for
+byte-identical extraction parity on the golden corpus (FIXTURES.md §2)
+and Common-Crawl-style pages, spec-driven — NOT a code port.  Known,
+documented deviations from the full spec / libgumbo:
+
+* no active-formatting-element reconstruction or adoption agency
+  (misnested ``<b><i></b></i>`` closes eagerly instead of cloning);
+* ``<noscript>`` always parsed as a normal container;
+* foreign content (SVG/MathML) parsed as plain elements; ``<![CDATA[``
+  produces a CData node instead of a bogus comment;
+* implied elements get zero-length tag spans at their insertion
+  offset (libgumbo uses empty ``original_tag``);
+* offsets are indices into the *decoded* (UTF-8 → str, ``\r\n``/``\r``
+  normalized to ``\n``) source — identical to byte offsets for ASCII
+  documents.
+
+The output is a :class:`~gumbo_pp_spark.nodetable.NodeTable` in
+DFS-preorder structure-of-arrays form (SURVEY.md §1.4 mapping).
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+
+import numpy as np
+
+from ..nodetable import (
+    CDATA,
+    COMMENT,
+    DOCUMENT,
+    ELEMENT,
+    NodeTable,
+    TEMPLATE,
+    TEXT,
+    WHITESPACE,
+)
+from .tags import (
+    HEADINGS,
+    P_CLOSERS,
+    RAWTEXT_ELEMENTS,
+    RCDATA_ELEMENTS,
+    SCOPE_BOUNDARIES,
+    TABLE_SECTIONS,
+    TAG_IDS,
+    TAG_UNKNOWN,
+    VOID_ELEMENTS,
+)
+
+_WS = " \t\n\f\r"
+_WS_SET = frozenset(_WS)
+
+_TAG_NAME_RE = re.compile(r"[a-zA-Z][^\t\n\f\r />]*")
+_ATTR_NAME_RE = re.compile(r"[^ \t\n\f\r/>=]+")
+_UNQUOTED_VAL_RE = re.compile(r"[^ \t\n\f\r>]*")
+_RAWTEXT_CLOSE_RES: dict[str, re.Pattern] = {}
+
+# Insertion modes (subset of the WHATWG set sufficient for our corpus).
+(
+    INITIAL,
+    BEFORE_HTML,
+    BEFORE_HEAD,
+    IN_HEAD,
+    AFTER_HEAD,
+    IN_BODY,
+    IN_TABLE,
+    IN_TABLE_BODY,
+    IN_ROW,
+    IN_CELL,
+    AFTER_BODY,
+) = range(11)
+
+_TABLE_MODES = (IN_TABLE, IN_TABLE_BODY, IN_ROW)
+
+# "Special" category elements that abort the <li>/<dd>/<dt> implied-end
+# scan (WHATWG "in body": any special element other than address, div, p).
+_SPECIAL_LI_STOP = frozenset(
+    "applet area article aside base basefont bgsound blockquote body br "
+    "button caption center col colgroup details dir dl fieldset "
+    "figcaption figure footer form frame frameset h1 h2 h3 h4 h5 h6 head "
+    "header hgroup hr html iframe img input link listing main marquee "
+    "menu meta nav noembed noframes noscript object ol param plaintext "
+    "pre script section select source style summary table tbody td "
+    "template textarea tfoot th thead title tr track ul wbr".split()
+)
+
+
+def _rawtext_close_re(name: str) -> re.Pattern:
+    pat = _RAWTEXT_CLOSE_RES.get(name)
+    if pat is None:
+        pat = re.compile("</" + re.escape(name) + r"(?=[\t\n\f\r />]|$)", re.IGNORECASE)
+        _RAWTEXT_CLOSE_RES[name] = pat
+    return pat
+
+
+def _decode(raw: str) -> str:
+    # Character-reference decoding (named + numeric, legacy
+    # no-semicolon forms) — WHATWG reference tables via the stdlib.
+    if "&" in raw:
+        return _htmllib.unescape(raw)
+    return raw
+
+
+class _TreeBuilder:
+    """Builds an explicit tree (children lists) then flattens to
+    preorder; explicit children lists let foster parenting insert
+    *before* the table without breaking preorder numbering."""
+
+    __slots__ = (
+        "src", "n", "mode", "stack", "errors", "quirks",
+        "skip_newline", "foster", "ntype", "ntag", "nattrs", "ntext",
+        "nsrc0", "nsrc1", "ntag0", "ntag1", "nend0", "nend1",
+        "nchildren", "nparent", "html_id", "head_id", "body_id",
+    )
+
+    def __init__(self, src: str):
+        self.src = src
+        self.n = len(src)
+        self.mode = INITIAL
+        self.stack: list[int] = []
+        self.errors = 0
+        self.quirks = True  # no doctype → quirks (both reference docs)
+        self.skip_newline = False
+        self.foster = False
+        self.ntype: list[int] = []
+        self.ntag: list[str] = []
+        self.nattrs: list[dict | None] = []
+        self.ntext: list[str] = []
+        self.nsrc0: list[int] = []
+        self.nsrc1: list[int] = []
+        self.ntag0: list[int] = []
+        self.ntag1: list[int] = []
+        self.nend0: list[int] = []
+        self.nend1: list[int] = []
+        self.nchildren: list[list[int]] = []
+        self.nparent: list[int] = []
+        self.html_id = -1
+        self.head_id = -1
+        self.body_id = -1
+        self._new_node(DOCUMENT, "", None, "", 0, self.n)
+
+    # -- node store ----------------------------------------------------
+    def _new_node(self, ntype, tag, attrs, text, s0, s1, t0=0, t1=0, e0=0, e1=0) -> int:
+        nid = len(self.ntype)
+        self.ntype.append(ntype)
+        self.ntag.append(tag)
+        self.nattrs.append(attrs)
+        self.ntext.append(text)
+        self.nsrc0.append(s0)
+        self.nsrc1.append(s1)
+        self.ntag0.append(t0)
+        self.ntag1.append(t1)
+        self.nend0.append(e0)
+        self.nend1.append(e1)
+        self.nchildren.append([])
+        self.nparent.append(-1)
+        return nid
+
+    def _attach(self, nid: int, parent: int, before_table: int = -1) -> None:
+        kids = self.nchildren[parent]
+        if before_table >= 0 and before_table in kids:
+            kids.insert(kids.index(before_table), nid)
+        else:
+            kids.append(nid)
+        self.nparent[nid] = parent
+
+    def _current(self) -> int:
+        return self.stack[-1] if self.stack else 0
+
+    def _insert_target(self) -> tuple[int, int]:
+        """(parent, before_table_child) honoring foster parenting."""
+        if self.foster:
+            for k in range(len(self.stack) - 1, -1, -1):
+                if self.ntag[self.stack[k]] == "table":
+                    tbl = self.stack[k]
+                    par = self.nparent[tbl]
+                    if par >= 0:
+                        return par, tbl
+                    break
+        return self._current(), -1
+
+    # -- scope ----------------------------------------------------------
+    def _in_scope(self, name: str, extra: frozenset = frozenset()) -> bool:
+        for k in range(len(self.stack) - 1, -1, -1):
+            tag = self.ntag[self.stack[k]]
+            if tag == name:
+                return True
+            if tag in SCOPE_BOUNDARIES or tag in extra:
+                return False
+        return False
+
+    # -- implied structure ----------------------------------------------
+    def _ensure_html(self, pos: int) -> None:
+        if self.html_id < 0:
+            nid = self._new_node(ELEMENT, "html", {}, "", pos, self.n, pos, pos, self.n, self.n)
+            self._attach(nid, 0)
+            self.stack.append(nid)
+            self.html_id = nid
+            self.mode = BEFORE_HEAD
+
+    def _ensure_head(self, pos: int) -> None:
+        self._ensure_html(pos)
+        if self.head_id < 0:
+            nid = self._new_node(ELEMENT, "head", {}, "", pos, pos, pos, pos, pos, pos)
+            self._attach(nid, self.html_id)
+            self.stack.append(nid)
+            self.head_id = nid
+            self.mode = IN_HEAD
+
+    def _pop_head(self, pos: int, e0: int = -1, e1: int = -1) -> None:
+        if self.stack and self.stack[-1] == self.head_id:
+            self.stack.pop()
+        if self.head_id >= 0:
+            self.nsrc1[self.head_id] = pos if e1 < 0 else e1
+            if e0 >= 0:
+                self.nend0[self.head_id] = e0
+                self.nend1[self.head_id] = e1
+            else:
+                self.nend0[self.head_id] = self.nend1[self.head_id] = pos
+        self.mode = AFTER_HEAD
+
+    def _ensure_body(self, pos: int) -> None:
+        self._ensure_html(pos)
+        if self.head_id < 0:
+            self._ensure_head(pos)
+            self._pop_head(pos)
+        elif self.mode == IN_HEAD:
+            self._pop_head(pos)
+        if self.body_id < 0:
+            nid = self._new_node(ELEMENT, "body", {}, "", pos, self.n, pos, pos, self.n, self.n)
+            self._attach(nid, self.html_id)
+            self.stack.append(nid)
+            self.body_id = nid
+        self.mode = IN_BODY
+
+    # -- text insertion ---------------------------------------------------
+    def _insert_text(self, decoded: str, s0: int, s1: int, rawtextual: bool = False) -> None:
+        if not decoded:
+            return
+        parent, before = self._insert_target()
+        kids = self.nchildren[parent]
+        anchor = len(kids)
+        if before >= 0 and before in kids:
+            anchor = kids.index(before)
+        # merge with an immediately-preceding text node (the tokenizer's
+        # character buffer is only flushed by tree-mutating tokens;
+        # ignored tokens between two runs leave one text node).
+        if anchor > 0:
+            prev = kids[anchor - 1]
+            if self.ntype[prev] in (TEXT, WHITESPACE):
+                self.ntext[prev] += decoded
+                self.nsrc1[prev] = s1
+                if self.ntype[prev] == WHITESPACE and not all(c in _WS_SET for c in decoded):
+                    self.ntype[prev] = TEXT
+                return
+        ws = (not rawtextual) and all(c in _WS_SET for c in decoded)
+        nid = self._new_node(WHITESPACE if ws else TEXT, "", None, decoded, s0, s1)
+        self._attach(nid, parent, before if before >= 0 else -1)
+
+    # -- element insertion --------------------------------------------
+    def _insert_element(self, name, attrs, t0, t1, push=True) -> int:
+        parent, before = self._insert_target()
+        nid = self._new_node(ELEMENT, name, attrs, "", t0, t1 if not push else self.n, t0, t1, self.n, self.n)
+        self._attach(nid, parent, before)
+        if push:
+            self.stack.append(nid)
+        else:
+            self.nend0[nid] = self.nend1[nid] = t1
+        return nid
+
+    def _pop_until(self, name: str, pos: int, e0: int = -1, e1: int = -1) -> bool:
+        """Generate implied end tags and pop through the nearest ``name``.
+        The matched element gets the explicit end-tag span; implicitly
+        popped elements get a zero-length end span at ``pos`` (libgumbo
+        leaves original_end_tag empty for them)."""
+        names = [self.ntag[x] for x in self.stack]
+        if name not in names:
+            return False
+        while self.stack:
+            nid = self.stack.pop()
+            if self.ntag[nid] == name:
+                if e0 >= 0:
+                    self.nend0[nid], self.nend1[nid] = e0, e1
+                    self.nsrc1[nid] = e1
+                else:
+                    self.nend0[nid] = self.nend1[nid] = pos
+                    self.nsrc1[nid] = pos
+                return True
+            self.nend0[nid] = self.nend1[nid] = pos
+            self.nsrc1[nid] = pos
+        return False
+
+    def _reset_mode(self) -> None:
+        """WHATWG 'reset the insertion mode appropriately' (subset)."""
+        for k in range(len(self.stack) - 1, -1, -1):
+            tag = self.ntag[self.stack[k]]
+            if tag in ("td", "th"):
+                self.mode = IN_CELL
+                return
+            if tag == "tr":
+                self.mode = IN_ROW
+                return
+            if tag in TABLE_SECTIONS:
+                self.mode = IN_TABLE_BODY
+                return
+            if tag == "table":
+                self.mode = IN_TABLE
+                return
+            if tag == "head":
+                self.mode = IN_HEAD
+                return
+            if tag == "body":
+                self.mode = IN_BODY
+                return
+            if tag == "html":
+                self.mode = BEFORE_HEAD if self.head_id < 0 else (AFTER_HEAD if self.body_id < 0 else IN_BODY)
+                return
+        self.mode = IN_BODY
+
+    # ==================================================================
+    # token handlers
+    # ==================================================================
+    def handle_chars(self, raw: str, start: int) -> None:
+        if self.skip_newline:
+            self.skip_newline = False
+            if raw.startswith("\n"):
+                raw = raw[1:]
+                start += 1
+                if not raw:
+                    return
+        mode = self.mode
+        end = start + len(raw)
+        if mode in (INITIAL, BEFORE_HTML, BEFORE_HEAD):
+            stripped = raw.lstrip(_WS)
+            if not stripped:
+                return
+            k = len(raw) - len(stripped)
+            self._ensure_body(start + k)
+            decoded = _decode(stripped)
+            self._insert_text(decoded, start + k, end)
+            return
+        if mode in (IN_HEAD, AFTER_HEAD):
+            stripped = raw.lstrip(_WS)
+            k = len(raw) - len(stripped)
+            if k:
+                self._insert_text(raw[:k], start, start + k)
+            if stripped:
+                self._ensure_body(start + k)
+                self._insert_text(_decode(stripped), start + k, end)
+            return
+        if mode in _TABLE_MODES:
+            if all(c in _WS_SET for c in raw):
+                self._insert_text(raw, start, end)
+            else:
+                self.errors += 1
+                self.foster = True
+                self._insert_text(_decode(raw), start, end)
+                self.foster = False
+            return
+        if mode == AFTER_BODY:
+            if not all(c in _WS_SET for c in raw):
+                self.errors += 1
+                self.mode = IN_BODY
+            self._insert_text(_decode(raw), start, end)
+            return
+        # IN_BODY / IN_CELL
+        self._insert_text(_decode(raw), start, end)
+
+    # ------------------------------------------------------------------
+    def handle_start(self, name, attrs, self_closing, t0, t1) -> str | None:
+        """Returns 'rawtext'/'rcdata' if the tokenizer must switch
+        content model, else None."""
+        if name == "image":
+            name = "img"  # WHATWG "in body": image → img (parse error)
+            self.errors += 1
+        mode = self.mode
+        if mode == INITIAL:
+            self.mode = BEFORE_HTML
+            return self.handle_start(name, attrs, self_closing, t0, t1)
+        if mode == BEFORE_HTML:
+            if name == "html":
+                nid = self._new_node(ELEMENT, "html", attrs, "", t0, self.n, t0, t1, self.n, self.n)
+                self._attach(nid, 0)
+                self.stack.append(nid)
+                self.html_id = nid
+                self.mode = BEFORE_HEAD
+                return None
+            self._ensure_html(t0)
+            return self.handle_start(name, attrs, self_closing, t0, t1)
+        if mode == BEFORE_HEAD:
+            if name == "html":
+                self.errors += 1
+                return None
+            if name == "head":
+                nid = self._new_node(ELEMENT, "head", attrs, "", t0, self.n, t0, t1, self.n, self.n)
+                self._attach(nid, self.html_id)
+                self.stack.append(nid)
+                self.head_id = nid
+                self.mode = IN_HEAD
+                return None
+            self._ensure_head(t0)
+            return self.handle_start(name, attrs, self_closing, t0, t1)
+        if mode == IN_HEAD:
+            if name in ("base", "basefont", "bgsound", "link", "meta"):
+                self._insert_element(name, attrs, t0, t1, push=False)
+                return None
+            if name in RCDATA_ELEMENTS or name in RAWTEXT_ELEMENTS or name in ("noscript", "template"):
+                if name == "noscript":
+                    self._insert_element(name, attrs, t0, t1)
+                    return None
+                if name == "template":
+                    nid = self._insert_element(name, attrs, t0, t1)
+                    self.ntype[nid] = TEMPLATE
+                    return None
+                self._insert_element(name, attrs, t0, t1)
+                return "rcdata" if name in RCDATA_ELEMENTS else "rawtext"
+            if name == "head":
+                self.errors += 1
+                return None
+            self._pop_head(t0)
+            return self.handle_start(name, attrs, self_closing, t0, t1)
+        if mode == AFTER_HEAD:
+            if name == "body":
+                nid = self._new_node(ELEMENT, "body", attrs, "", t0, self.n, t0, t1, self.n, self.n)
+                self._attach(nid, self.html_id)
+                self.stack.append(nid)
+                self.body_id = nid
+                self.mode = IN_BODY
+                return None
+            if name in ("html", "head"):
+                self.errors += 1
+                return None
+            self._ensure_body(t0)
+            return self.handle_start(name, attrs, self_closing, t0, t1)
+        if mode in _TABLE_MODES:
+            return self._start_in_table(name, attrs, self_closing, t0, t1)
+        if mode == AFTER_BODY:
+            self.errors += 1
+            self.mode = IN_BODY
+            return self.handle_start(name, attrs, self_closing, t0, t1)
+        # IN_BODY / IN_CELL
+        return self._start_in_body(name, attrs, self_closing, t0, t1)
+
+    def _start_in_body(self, name, attrs, self_closing, t0, t1) -> str | None:
+        if name in ("html", "head", "body", "frame"):
+            self.errors += 1
+            return None
+        if self.mode == IN_CELL and name in (
+            "td", "th", "tr", "table", "caption", "col", "colgroup",
+        ) or (self.mode == IN_CELL and name in TABLE_SECTIONS):
+            # close the cell, reprocess in the row/section context
+            for cell in ("td", "th"):
+                if self._pop_until(cell, t0):
+                    break
+            self._reset_mode()
+            return self.handle_start(name, attrs, self_closing, t0, t1)
+        if self.mode != IN_CELL and name in ("td", "th", "tr", "col", "colgroup", "caption") and not self._in_scope("table"):
+            self.errors += 1  # table parts outside a table are ignored
+            return None
+        if name in P_CLOSERS and self._in_scope("p", frozenset({"button"})):
+            # quirks mode: <table> does NOT close an open <p>
+            if not (name == "table" and self.quirks):
+                self._pop_until("p", t0)
+        if name in HEADINGS:
+            if self.stack and self.ntag[self._current()] in HEADINGS:
+                self.errors += 1
+                self._pop_until(self.ntag[self._current()], t0)
+        elif name == "li":
+            self._close_list_item(("li",), t0)
+        elif name in ("dd", "dt"):
+            self._close_list_item(("dd", "dt"), t0)
+        elif name == "a":
+            if self._in_scope("a"):
+                self.errors += 1
+                self._pop_until("a", t0)
+        elif name in ("option", "optgroup"):
+            if self.stack and self.ntag[self._current()] == "option":
+                self._pop_until("option", t0)
+
+        if name in VOID_ELEMENTS:
+            self._insert_element(name, attrs, t0, t1, push=False)
+            return None
+        if name == "template":
+            nid = self._insert_element(name, attrs, t0, t1)
+            self.ntype[nid] = TEMPLATE
+            return None
+        self._insert_element(name, attrs, t0, t1)
+        if name == "table":
+            self.mode = IN_TABLE
+            return None
+        if name in ("pre", "listing", "textarea"):
+            self.skip_newline = True
+        if name in RAWTEXT_ELEMENTS:
+            return "rawtext"
+        if name in RCDATA_ELEMENTS:
+            return "rcdata"
+        return None
+
+    def _close_list_item(self, names: tuple, pos: int) -> None:
+        for k in range(len(self.stack) - 1, -1, -1):
+            tag = self.ntag[self.stack[k]]
+            if tag in names:
+                self._pop_until(tag, pos)
+                break
+            if tag in _SPECIAL_LI_STOP:
+                break
+        if self._in_scope("p", frozenset({"button"})):
+            self._pop_until("p", pos)
+
+    def _clear_to_table_context(self, stops: tuple, pos: int) -> None:
+        while self.stack and self.ntag[self._current()] not in stops and self.ntag[self._current()] != "html":
+            nid = self.stack.pop()
+            self.nend0[nid] = self.nend1[nid] = pos
+            self.nsrc1[nid] = pos
+
+    def _start_in_table(self, name, attrs, self_closing, t0, t1) -> str | None:
+        mode = self.mode
+        if mode == IN_TABLE:
+            if name in TABLE_SECTIONS:
+                self._clear_to_table_context(("table",), t0)
+                self._insert_element(name, attrs, t0, t1)
+                self.mode = IN_TABLE_BODY
+                return None
+            if name in ("td", "th", "tr"):
+                self.errors += 1
+                self._clear_to_table_context(("table",), t0)
+                nid = self._new_node(ELEMENT, "tbody", {}, "", t0, self.n, t0, t0, self.n, self.n)
+                parent, before = self._insert_target()
+                self._attach(nid, parent, before)
+                self.stack.append(nid)
+                self.mode = IN_TABLE_BODY
+                return self.handle_start(name, attrs, self_closing, t0, t1)
+            if name == "caption" or name == "colgroup":
+                self._clear_to_table_context(("table",), t0)
+                self._insert_element(name, attrs, t0, t1)
+                return None
+            if name == "col":
+                self._insert_element(name, attrs, t0, t1, push=False)
+                return None
+            if name == "table":
+                self.errors += 1
+                self._pop_until("table", t0)
+                self._reset_mode()
+                return self.handle_start(name, attrs, self_closing, t0, t1)
+            if name in ("style", "script"):
+                self._insert_element(name, attrs, t0, t1)
+                return "rawtext"
+            if name == "form":
+                self.errors += 1
+                self._insert_element(name, attrs, t0, t1, push=False)
+                return None
+            # anything else: foster-parented in-body processing
+            self.errors += 1
+            self.foster = True
+            saved = self.mode
+            self.mode = IN_BODY
+            r = self._start_in_body(name, attrs, self_closing, t0, t1)
+            if self.mode == IN_BODY:
+                self.mode = saved
+            self.foster = False
+            return r
+        if mode == IN_TABLE_BODY:
+            if name == "tr":
+                self._clear_to_table_context(("tbody", "thead", "tfoot", "table"), t0)
+                self._insert_element(name, attrs, t0, t1)
+                self.mode = IN_ROW
+                return None
+            if name in ("td", "th"):
+                self.errors += 1
+                self._clear_to_table_context(("tbody", "thead", "tfoot", "table"), t0)
+                nid = self._new_node(ELEMENT, "tr", {}, "", t0, self.n, t0, t0, self.n, self.n)
+                parent, before = self._insert_target()
+                self._attach(nid, parent, before)
+                self.stack.append(nid)
+                self.mode = IN_ROW
+                return self.handle_start(name, attrs, self_closing, t0, t1)
+            if name in TABLE_SECTIONS or name in ("caption", "col", "colgroup", "table"):
+                for sec in TABLE_SECTIONS:
+                    if self._pop_until(sec, t0):
+                        break
+                self.mode = IN_TABLE
+                return self.handle_start(name, attrs, self_closing, t0, t1)
+            self.mode = IN_TABLE
+            r = self.handle_start(name, attrs, self_closing, t0, t1)
+            if self.mode == IN_TABLE:
+                self.mode = IN_TABLE_BODY
+            return r
+        # IN_ROW
+        if name in ("td", "th"):
+            self._clear_to_table_context(("tr", "table"), t0)
+            self._insert_element(name, attrs, t0, t1)
+            self.mode = IN_CELL
+            return None
+        if name in ("tr", "caption", "col", "colgroup", "table") or name in TABLE_SECTIONS:
+            self._pop_until("tr", t0)
+            self.mode = IN_TABLE_BODY
+            return self.handle_start(name, attrs, self_closing, t0, t1)
+        self.mode = IN_TABLE
+        r = self.handle_start(name, attrs, self_closing, t0, t1)
+        if self.mode == IN_TABLE:
+            self.mode = IN_ROW
+        return r
+
+    # ------------------------------------------------------------------
+    def handle_end(self, name, t0, t1) -> None:
+        mode = self.mode
+        if mode in (INITIAL, BEFORE_HTML, BEFORE_HEAD):
+            if name in ("head", "body", "html", "br"):
+                self._ensure_head(t0)
+                self.handle_end(name, t0, t1)
+            else:
+                self.errors += 1
+            return
+        if mode == IN_HEAD:
+            if name == "head":
+                self._pop_head(t0, t0, t1)
+                return
+            if name in ("body", "html", "br"):
+                self._pop_head(t0)
+                self.handle_end(name, t0, t1)
+                return
+            if name in ("title", "style", "script", "noscript", "template"):
+                self._pop_until(name, t0, t0, t1)
+                return
+            self.errors += 1
+            return
+        if mode == AFTER_HEAD:
+            if name in ("body", "html", "br"):
+                self._ensure_body(t0)
+                self.handle_end(name, t0, t1)
+                return
+            self.errors += 1
+            return
+        if mode in _TABLE_MODES:
+            self._end_in_table(name, t0, t1)
+            return
+        if mode == AFTER_BODY:
+            if name == "html":
+                if self.html_id >= 0:
+                    self.nend0[self.html_id], self.nend1[self.html_id] = t0, t1
+                    self.nsrc1[self.html_id] = t1
+                return
+            self.errors += 1
+            self.mode = IN_BODY
+            self.handle_end(name, t0, t1)
+            return
+        # IN_BODY / IN_CELL
+        if name == "body":
+            if self.body_id >= 0:
+                # spec: do not pop; record the span, switch mode
+                self.nend0[self.body_id], self.nend1[self.body_id] = t0, t1
+                self.nsrc1[self.body_id] = t1
+                self.mode = AFTER_BODY
+            else:
+                self.errors += 1
+            return
+        if name == "html":
+            self.mode = AFTER_BODY
+            if self.body_id >= 0:
+                self.nsrc1[self.body_id] = t0
+                self.nend0[self.body_id] = self.nend1[self.body_id] = t0
+            self.handle_end(name, t0, t1)
+            return
+        if mode == IN_CELL and name in ("td", "th"):
+            if self._pop_until(name, t0, t0, t1):
+                self._reset_mode()
+            else:
+                self.errors += 1
+            return
+        if mode == IN_CELL and (name in ("table", "tr") or name in TABLE_SECTIONS):
+            for cell in ("td", "th"):
+                if self._pop_until(cell, t0):
+                    break
+            self._reset_mode()
+            self.handle_end(name, t0, t1)
+            return
+        if name == "p":
+            if self._in_scope("p", frozenset({"button"})):
+                self._pop_until("p", t0, t0, t1)
+            else:
+                # spec: synthesize an empty <p> then close it
+                self.errors += 1
+                nid = self._insert_element("p", {}, t0, t0)
+                self.stack.pop()
+                self.nend0[nid], self.nend1[nid] = t0, t1
+                self.nsrc1[nid] = t1
+            return
+        if name in HEADINGS:
+            # spec: an h1-h6 end tag closes the nearest open heading of
+            # ANY rank (</h2> closes an open <h3>)
+            target = None
+            for k in range(len(self.stack) - 1, -1, -1):
+                tag = self.ntag[self.stack[k]]
+                if tag in HEADINGS:
+                    target = tag
+                    break
+                if tag in SCOPE_BOUNDARIES:
+                    break
+            if target is None:
+                self.errors += 1
+            else:
+                self._pop_until(target, t0, t0, t1)
+            return
+        if name == "br":
+            self.errors += 1
+            self._insert_element("br", {}, t0, t1, push=False)
+            return
+        if not self._pop_until(name, t0, t0, t1):
+            self.errors += 1
+
+    def _stack_has(self, name: str) -> bool:
+        return any(self.ntag[x] == name for x in self.stack)
+
+    def _end_in_table(self, name, t0, t1) -> None:
+        mode = self.mode
+        if name == "table":
+            if mode == IN_ROW:
+                self._pop_until("tr", t0)
+            if self.mode != IN_TABLE:
+                for sec in TABLE_SECTIONS:
+                    if any(self.ntag[x] == sec for x in self.stack):
+                        self._pop_until(sec, t0)
+                        break
+            if self._pop_until("table", t0, t0, t1):
+                self._reset_mode()
+            else:
+                self.errors += 1
+            return
+        if mode == IN_TABLE_BODY and name in TABLE_SECTIONS:
+            if self._pop_until(name, t0, t0, t1):
+                self.mode = IN_TABLE
+            else:
+                self.errors += 1
+            return
+        if mode == IN_ROW and name == "tr":
+            if self._pop_until("tr", t0, t0, t1):
+                self.mode = IN_TABLE_BODY
+            else:
+                self.errors += 1
+            return
+        if mode == IN_ROW and name in TABLE_SECTIONS:
+            self._pop_until("tr", t0)
+            self.mode = IN_TABLE_BODY
+            self._end_in_table(name, t0, t1)
+            return
+        if name in ("body", "html", "td", "th", "tr", "caption", "col", "colgroup"):
+            self.errors += 1
+            return
+        # anything else: try generic close above the table (e.g. a
+        # foster-parented element); ignore if not open
+        if self._stack_has(name):
+            self._pop_until(name, t0, t0, t1)
+            self._reset_mode()
+        else:
+            self.errors += 1
+
+    # ------------------------------------------------------------------
+    def handle_comment(self, text, t0, t1) -> None:
+        if self.mode in (INITIAL, BEFORE_HTML):
+            nid = self._new_node(COMMENT, "", None, text, t0, t1)
+            self._attach(nid, 0)
+            return
+        if self.mode == AFTER_BODY and self.html_id >= 0:
+            nid = self._new_node(COMMENT, "", None, text, t0, t1)
+            self._attach(nid, self.html_id)
+            return
+        parent, before = self._insert_target()
+        nid = self._new_node(COMMENT, "", None, text, t0, t1)
+        self._attach(nid, parent, before)
+
+    def handle_cdata(self, text, t0, t1) -> None:
+        parent, before = self._insert_target()
+        nid = self._new_node(CDATA, "", None, text, t0, t1)
+        self._attach(nid, parent, before)
+
+    def handle_doctype(self, t0, t1, ok: bool) -> None:
+        if self.mode == INITIAL:
+            self.quirks = not ok
+            self.mode = BEFORE_HTML
+        else:
+            self.errors += 1
+
+    def handle_eof(self) -> None:
+        # ensure even empty/fragment input yields the implied skeleton
+        pos = self.n
+        if self.html_id < 0:
+            self._ensure_html(pos)
+        if self.head_id < 0:
+            self._ensure_head(pos)
+            self._pop_head(pos)
+        if self.body_id < 0:
+            self._ensure_body(pos)
+        # still-open elements keep their initialized spans: zero-length
+        # end-tag span at end-of-input, src extent to end-of-input
+        # (libgumbo leaves original_end_tag empty for them).
+        self.stack.clear()
+
+    # ==================================================================
+    def finalize(self) -> NodeTable:
+        # DFS flatten to preorder
+        total = len(self.ntype)
+        order = np.empty(total, dtype=np.int64)
+        subtree_end = np.empty(total, dtype=np.int32)
+        new_id = np.empty(total, dtype=np.int64)
+        parent_new = np.empty(total, dtype=np.int32)
+        iwp = np.empty(total, dtype=np.int32)
+        idx = 0
+        # iterative DFS with (build_id, parent_new_id, index_within_parent)
+        stack: list[tuple[int, int, int, bool]] = [(0, -1, 0, False)]
+        post: list[int] = []
+        while stack:
+            bid, pnew, k, done = stack.pop()
+            if done:
+                subtree_end[new_id[bid]] = idx
+                continue
+            nid = idx
+            idx += 1
+            order[nid] = bid
+            new_id[bid] = nid
+            parent_new[nid] = pnew
+            iwp[nid] = k
+            stack.append((bid, pnew, k, True))
+            kids = self.nchildren[bid]
+            for j in range(len(kids) - 1, -1, -1):
+                stack.append((kids[j], nid, j, False))
+        ntype = np.array([self.ntype[b] for b in order], dtype=np.int8)
+        tag_name = np.array([self.ntag[b] for b in order], dtype=object)
+        tag_id = np.array(
+            [TAG_IDS.get(self.ntag[b], TAG_UNKNOWN) if self.ntype[order[i]] in (ELEMENT, TEMPLATE) and self.ntag[b] else -1
+             for i, b in enumerate(order)],
+            dtype=np.int16,
+        )
+        text = np.array([self.ntext[b] for b in order], dtype=object)
+        attrs = np.array([self.nattrs[b] for b in order], dtype=object)
+        src_start = np.array([self.nsrc0[b] for b in order], dtype=np.int64)
+        src_end = np.array([self.nsrc1[b] for b in order], dtype=np.int64)
+        tag_start = np.array([self.ntag0[b] for b in order], dtype=np.int64)
+        tag_end = np.array([self.ntag1[b] for b in order], dtype=np.int64)
+        endtag_start = np.array([self.nend0[b] for b in order], dtype=np.int64)
+        endtag_end = np.array([self.nend1[b] for b in order], dtype=np.int64)
+        return NodeTable(
+            source=self.src,
+            type=ntype,
+            tag_id=tag_id,
+            tag_name=tag_name,
+            parent=parent_new,
+            index_within_parent=iwp,
+            subtree_end=subtree_end,
+            text=text,
+            attrs=attrs,
+            src_start=src_start,
+            src_end=src_end,
+            tag_start=tag_start,
+            tag_end=tag_end,
+            endtag_start=endtag_start,
+            endtag_end=endtag_end,
+            parse_errors=self.errors,
+        )
+
+
+# ======================================================================
+# tokenizer
+# ======================================================================
+def parse_html(source: str | bytes) -> NodeTable:
+    """Parse one HTML document into a preorder NodeTable.
+
+    Mirrors ``gumbo_range(html)`` (reference ``src/gumbo_pp.cpp:33-34``):
+    error-recovering HTML5 parse of the whole input, producing the
+    document node, implied structure, decoded text nodes, attribute
+    maps and per-node source spans.
+    """
+    if isinstance(source, (bytes, bytearray, memoryview)):
+        source = bytes(source).decode("utf-8", errors="replace")
+    # input-stream preprocessing: newline normalization
+    if "\r" in source:
+        source = source.replace("\r\n", "\n").replace("\r", "\n")
+    s = source
+    n = len(s)
+    tb = _TreeBuilder(s)
+    i = 0
+    while i < n:
+        lt = s.find("<", i)
+        if lt < 0:
+            tb.handle_chars(s[i:], i)
+            break
+        if lt > i:
+            tb.handle_chars(s[i:lt], i)
+        if lt + 1 >= n:
+            tb.handle_chars(s[lt:], lt)
+            break
+        c = s[lt + 1]
+        if c == "/":
+            m = _TAG_NAME_RE.match(s, lt + 2)
+            if m:
+                name = m.group(0).lower()
+                gt = s.find(">", m.end())
+                if gt < 0:
+                    tb.errors += 1
+                    break  # EOF inside tag: token ignored
+                tb.handle_end(name, lt, gt + 1)
+                i = gt + 1
+            elif s[lt + 2: lt + 3] == ">":
+                tb.errors += 1  # '</>' ignored entirely
+                i = lt + 3
+            else:
+                gt = s.find(">", lt + 2)  # bogus comment
+                if gt < 0:
+                    tb.handle_comment(s[lt + 2:], lt, n)
+                    break
+                tb.handle_comment(s[lt + 2: gt], lt, gt + 1)
+                i = gt + 1
+            continue
+        if c == "!":
+            if s.startswith("<!--", lt):
+                close = s.find("-->", lt + 4)
+                if close < 0:
+                    tb.handle_comment(s[lt + 4:], lt, n)
+                    break
+                tb.handle_comment(s[lt + 4: close], lt, close + 3)
+                i = close + 3
+            elif s.startswith("<![CDATA[", lt):
+                close = s.find("]]>", lt + 9)
+                if close < 0:
+                    tb.handle_cdata(s[lt + 9:], lt, n)
+                    break
+                tb.handle_cdata(s[lt + 9: close], lt, close + 3)
+                i = close + 3
+            elif s[lt + 2: lt + 9].lower() == "doctype":
+                gt = s.find(">", lt + 2)
+                if gt < 0:
+                    break
+                body = s[lt + 9: gt].strip().lower()
+                tb.handle_doctype(lt, gt + 1, ok=(body == "html"))
+                i = gt + 1
+            else:
+                gt = s.find(">", lt + 2)  # bogus comment
+                if gt < 0:
+                    tb.handle_comment(s[lt + 2:], lt, n)
+                    break
+                tb.handle_comment(s[lt + 2: gt], lt, gt + 1)
+                i = gt + 1
+            continue
+        if c == "?":
+            gt = s.find(">", lt + 2)  # bogus comment per spec
+            tb.errors += 1
+            if gt < 0:
+                tb.handle_comment(s[lt + 1:], lt, n)
+                break
+            tb.handle_comment(s[lt + 1: gt], lt, gt + 1)
+            i = gt + 1
+            continue
+        m = _TAG_NAME_RE.match(s, lt + 1)
+        if not m:
+            # '<' followed by neither letter nor markup: literal text
+            tb.handle_chars("<", lt)
+            i = lt + 1
+            continue
+        name = m.group(0).lower()
+        pos = m.end()
+        attrs: dict[str, str] = {}
+        self_closing = False
+        found_gt = False
+        while pos < n:
+            ch = s[pos]
+            if ch in _WS_SET:
+                pos += 1
+                continue
+            if ch == ">":
+                pos += 1
+                found_gt = True
+                break
+            if ch == "/":
+                if s.startswith("/>", pos):
+                    self_closing = True
+                    pos += 2
+                    found_gt = True
+                    break
+                pos += 1
+                continue
+            am = _ATTR_NAME_RE.match(s, pos)
+            if not am:
+                pos += 1
+                continue
+            aname = am.group(0).lower()
+            pos = am.end()
+            while pos < n and s[pos] in _WS_SET:
+                pos += 1
+            aval = ""
+            if pos < n and s[pos] == "=":
+                pos += 1
+                while pos < n and s[pos] in _WS_SET:
+                    pos += 1
+                if pos < n and (s[pos] == '"' or s[pos] == "'"):
+                    q = s[pos]
+                    endq = s.find(q, pos + 1)
+                    if endq < 0:
+                        endq = n
+                    aval = s[pos + 1: endq]
+                    pos = min(endq + 1, n)
+                else:
+                    vm = _UNQUOTED_VAL_RE.match(s, pos)
+                    aval = vm.group(0)
+                    pos = vm.end()
+            if aname not in attrs:  # duplicate attribute: first wins
+                attrs[aname] = _decode(aval)
+            else:
+                tb.errors += 1
+        if not found_gt:
+            tb.errors += 1
+            break  # EOF in tag
+        content_model = tb.handle_start(name, attrs, self_closing, lt, pos)
+        i = pos
+        if content_model in ("rawtext", "rcdata") and not self_closing:
+            mclose = _rawtext_close_re(name).search(s, i)
+            if mclose:
+                raw = s[i: mclose.start()]
+                if raw:
+                    if tb.skip_newline:
+                        tb.skip_newline = False
+                        if raw.startswith("\n"):
+                            raw = raw[1:]
+                    if raw:
+                        decoded = _decode(raw) if content_model == "rcdata" else raw
+                        tb._insert_text(decoded, i, mclose.start(), rawtextual=True)
+                gt = s.find(">", mclose.end())
+                if gt < 0:
+                    gt = n - 1
+                tb.handle_end(name, mclose.start(), gt + 1)
+                i = gt + 1
+            else:
+                raw = s[i:]
+                if raw:
+                    decoded = _decode(raw) if content_model == "rcdata" else raw
+                    tb._insert_text(decoded, i, n, rawtextual=True)
+                i = n
+    tb.handle_eof()
+    return tb.finalize()
