@@ -1,0 +1,134 @@
+"""Matcher-algebra tests — the reference's predicate families and
+combinators (gumbo_matchers.h; SURVEY.md §2.3) evaluated as masks."""
+
+import numpy as np
+
+from gumbo_pp_spark import parse_html
+from gumbo_pp_spark import matchers as m
+
+DOC = (
+    '<html><body>'
+    '<div class="hello">one</div>'
+    '<div class="hello world">two</div>'
+    '<p id="example" data-x="a-b">Ex &amp; more</p>'
+    '<a href="https://example.com/path">link</a>'
+    '<span lang="en-US">text</span>'
+    '<input disabled>'
+    "</body></html>"
+)
+
+
+def ids_of(nt, mask):
+    return list(np.nonzero(mask)[0])
+
+
+class TestCombinators:
+    def test_and_or_xor_not(self):
+        nt = parse_html(DOC)
+        div = m.tag.DIV(nt)
+        hello = m.class_type.is_("hello")(nt)
+        assert ids_of(nt, div & hello) == ids_of(nt, m.match_all(m.tag.DIV, m.class_type.is_("hello"))(nt))
+        both = m.tag.DIV | m.tag.P
+        assert (both(nt)).sum() == 3
+        only_one = m.tag.DIV ^ m.class_type.is_("hello")
+        # div.hello matches both → xor false there; div.hello-world → true
+        assert only_one(nt).sum() == 1
+        not_div = ~m.tag.DIV
+        assert ((not_div(nt)) & div).sum() == 0
+
+    def test_find_some(self):
+        nt = parse_html('<p id="example">x</p>')
+        i, hits = m.find_some(nt, m.tag.P, m.id_.is_("example"))
+        assert i >= 0
+        assert hits == [True, True]
+
+
+class TestTag:
+    def test_constants_and_types(self):
+        nt = parse_html(DOC)
+        assert m.tag.DIV(nt).sum() == 2
+        assert m.tag.types("div", "p")(nt).sum() == 3
+        assert m.tag.A(nt).sum() == 1
+
+    def test_template_never_matches_tag(self):
+        # reference quirk (gumbo_matchers.h:917-924): node type Template
+        # is not Element, so tag::TEMPLATE can't match
+        nt = parse_html("<body><template><b>x</b></template></body>")
+        assert m.tag.TEMPLATE(nt).sum() == 0
+
+    def test_where(self):
+        nt = parse_html(DOC)
+        got = m.tag.where(lambda names: np.array([n.startswith("d") for n in names]))(nt)
+        assert got.sum() == 2  # both divs
+
+
+class TestAttribute:
+    def test_exists_has(self):
+        nt = parse_html(DOC)
+        assert m.attribute.exists("href")(nt).sum() == 1
+        assert m.attribute.exists("nope", "href")(nt).sum() == 1
+        has = m.attribute.has()(nt)
+        assert has.sum() == 6
+        none = m.attribute.has_none()(nt)
+        assert (has & none).sum() == 0
+
+    def test_value_verbs(self):
+        nt = parse_html(DOC)
+        assert m.attribute.value.is_("class", "hello")(nt).sum() == 1
+        assert m.attribute.value.contains("href", "example.com")(nt).sum() == 1
+        assert m.attribute.value.starts_with("href", "https://")(nt).sum() == 1
+        assert m.attribute.value.ends_with("href", "/path")(nt).sum() == 1
+        # CSS |= prefix: en-US matches 'en', not 'e'
+        assert m.attribute.value.contains_prefix("lang", "en")(nt).sum() == 1
+        assert m.attribute.value.contains_prefix("lang", "e")(nt).sum() == 0
+        assert m.attribute.value.is_empty("disabled")(nt).sum() == 1
+        assert m.attribute.value.has_value("disabled")(nt).sum() == 0
+
+    def test_where_and_name_is(self):
+        nt = parse_html(DOC)
+        assert m.attribute.where(lambda k, v: k.startswith("data-"))(nt).sum() == 1
+        assert m.attribute.name.is_("disabled")(nt).sum() == 1
+
+
+class TestClassId:
+    def test_whole_value_equality(self):
+        nt = parse_html(DOC)
+        # class="hello world" must NOT match is("hello")
+        # (gumbo_matchers.h:466-476 — no CSS token splitting)
+        assert m.class_type.is_("hello")(nt).sum() == 1
+        assert m.class_type.is_("hello world")(nt).sum() == 1
+
+    def test_has_token_extension(self):
+        nt = parse_html(DOC)
+        assert m.class_type.has_token("hello")(nt).sum() == 2
+
+    def test_id(self):
+        nt = parse_html(DOC)
+        assert m.id_.is_("example")(nt).sum() == 1
+        assert m.id_.where(lambda v: v.startswith("ex"))(nt).sum() == 1
+
+
+class TestTextMatchers:
+    def test_content_text(self):
+        nt = parse_html(DOC)
+        # entity-decoded content text
+        assert m.content_text.contains("Ex & more")(nt).any()
+        p = nt.first_match((m.tag.P & m.content_text.starts_with("Ex"))(nt))
+        assert p >= 0
+        assert m.content_text.is_("link")(nt)[nt.first_match(m.tag.A(nt))]
+        assert m.content_text.ends_with("more")(nt)[p]
+        assert m.content_text.map(len, lambda n: n == len("Ex & more"))(nt)[p]
+
+    def test_inner_outer_text(self):
+        nt = parse_html(DOC)
+        p = nt.first_match(m.tag.P(nt))
+        # raw source, entities NOT decoded
+        assert m.inner_text.is_("Ex &amp; more")(nt)[p]
+        assert m.outer_text.starts_with('<p id="example"')(nt)[p]
+        assert m.outer_text.ends_with("</p>")(nt)[p]
+
+    def test_is_empty(self):
+        nt = parse_html("<div></div><p>x</p>")
+        d = nt.first_match(m.tag.DIV(nt))
+        assert m.content_text.is_empty(nt)[d]
+        assert m.inner_text.is_empty(nt)[d]
