@@ -1,0 +1,220 @@
+"""Arrow-batched parse → select → extract stage (the engine's core
+map operator; SURVEY.md §3 lifecycle E1-E3 at corpus scale).
+
+The reference runs parse (``gumbo_range``, src/gumbo_pp.cpp:33-34),
+query (std::find_if + matchers) and extraction (gumbo_text.h) per
+document, single-threaded.  Here the same three phases run inside a
+``mapInPandas`` stage: Spark streams Arrow batches of page rows into a
+Python worker, each document is parsed once into a preorder NodeTable,
+an extraction *program* (plain Python over numpy node arrays — the
+per-document work is vectorized columnar kernels, no per-node Python
+closures) emits the output columns, and results stream back as Arrow.
+
+Embarrassingly parallel across documents → map-only stage, no shuffle;
+Catalyst prunes the scan to exactly the input columns the stage needs
+(html + passthrough), verified in tests via ``.explain``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..nodetable import CDATA, COMMENT, ELEMENT, TEMPLATE, TEXT, WHITESPACE, NodeTable
+from ..parser.html5 import parse_html
+
+# Boilerplate chrome subtrees dropped by the flagship main-content
+# program — all tags are in the reference vocabulary
+# (gumbo_matchers.h:926-1077).
+BOILERPLATE_TAGS = frozenset(
+    "script style nav header footer aside form noscript iframe template "
+    "select option button svg".split()
+)
+
+_TEXTUAL = (TEXT, CDATA, WHITESPACE)
+
+
+# ----------------------------------------------------------------------
+# generic program runner
+# ----------------------------------------------------------------------
+def run_program(
+    df: DataFrame,
+    program: Callable[[NodeTable], dict],
+    out_fields: str,
+    passthrough: tuple[str, ...] = ("doc_id", "url"),
+    html_col: str = "html",
+) -> DataFrame:
+    """Run ``program`` over every page.  ``program(nt) -> dict`` of the
+    columns declared in ``out_fields`` (DDL fragment).  Passthrough
+    columns are carried unchanged; the input projection is pruned to
+    passthrough + html so parquet scans read only what is needed.
+    """
+    schema = ", ".join(
+        [*(f"{c} {t}" for c, t in _passthrough_types(df, passthrough)), out_fields]
+    )
+    out_names = [f.split()[0] for f in out_fields.split(", ")]
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {c: pdf[c].tolist() for c in passthrough}
+            outs: dict[str, list] = {c: [] for c in out_names}
+            for raw in pdf[html_col]:
+                nt = parse_html(raw)
+                res = program(nt)
+                for c in out_names:
+                    outs[c].append(res[c])
+            cols.update(outs)
+            yield pd.DataFrame(cols)
+
+    pruned = df.select(*passthrough, html_col)
+    return pruned.mapInPandas(fn, schema)
+
+
+def _passthrough_types(df: DataFrame, passthrough) -> list[tuple[str, str]]:
+    lut = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    return [(c, lut[c]) for c in passthrough]
+
+
+# ----------------------------------------------------------------------
+# kernel: boilerplate-stripped main text + spans
+# ----------------------------------------------------------------------
+def _excluded_mask(nt: NodeTable, bad_roots: np.ndarray) -> np.ndarray:
+    """Paint subtree intervals [i, subtree_end) of bad roots."""
+    diff = np.zeros(nt.n + 1, dtype=np.int32)
+    for r in bad_roots:
+        diff[r] += 1
+        diff[nt.subtree_end[r]] -= 1
+    return np.cumsum(diff[:-1]) > 0
+
+
+def main_text_program(nt: NodeTable) -> dict:
+    """Flagship extraction (SURVEY.md §7 M2): drop boilerplate chrome
+    subtrees and comments, keep remaining body text in document order
+    (content_text concatenation semantics — no separators), and emit
+    per-node span offsets into the raw source."""
+    body = nt.first_match((nt.tag_name == "body") & (nt.type == ELEMENT))
+    lo, hi = (0, nt.n) if body < 0 else nt.subtree(body)
+    is_el = (nt.type == ELEMENT) | (nt.type == TEMPLATE)
+    bad = np.nonzero(is_el & np.isin(nt.tag_name, tuple(BOILERPLATE_TAGS)))[0]
+    excl = _excluded_mask(nt, bad)
+    keep = np.zeros(nt.n, dtype=bool)
+    keep[lo:hi] = True
+    keep &= ~excl & np.isin(nt.type, _TEXTUAL)
+    ids = np.nonzero(keep)[0]
+    texts = [nt.text[i] for i in ids]
+    spans = [
+        {
+            "node_id": int(i),
+            "tag": str(nt.tag_name[nt.parent[i]]) if nt.parent[i] >= 0 else "",
+            "start": int(nt.src_start[i]),
+            "end": int(nt.src_end[i]),
+        }
+        for i in ids
+        if nt.type[i] == TEXT
+    ]
+    return {
+        "text": "".join(texts),
+        "spans": spans,
+        "n_nodes": int(nt.n),
+        "parse_errors": int(nt.parse_errors),
+    }
+
+
+MAIN_TEXT_FIELDS = (
+    "text string, spans array<struct<node_id:int,tag:string,start:bigint,end:bigint>>, "
+    "n_nodes int, parse_errors int"
+)
+
+
+def extract_main_text(df: DataFrame, passthrough=("doc_id", "url")) -> DataFrame:
+    return run_program(df, main_text_program, MAIN_TEXT_FIELDS, passthrough)
+
+
+# ----------------------------------------------------------------------
+# kernel: the reference table_scrape structural query at corpus scale
+# ----------------------------------------------------------------------
+def table_scrape_program(div_id: str) -> Callable[[NodeTable], dict]:
+    """tests/src/table_scrape.cpp:43-71 semantics: find
+    div#<id> → first tbody from there (anchored DFS, not subtree
+    bounded) → per-<tr> per-<td> content_text, comma-joined lines."""
+
+    def program(nt: NodeTable) -> dict:
+        ids = nt.id_values()
+        div_mask = (nt.tag_name == "div") & np.fromiter(
+            (v == div_id for v in ids), dtype=bool, count=nt.n
+        )
+        div = nt.first_match(div_mask)
+        if div < 0:
+            return {"csv": None}
+        tbody = nt.first_match(nt.tag_name == "tbody", start=div)
+        if tbody < 0:
+            return {"csv": None}
+        lines = []
+        lo, hi = nt.child_range_dfs(tbody)
+        tr_mask = nt.tag_name == "tr"
+        td_mask = nt.tag_name == "td"
+        for tr in nt.matches_in(tr_mask, lo, hi):
+            tlo, thi = nt.child_range_dfs(int(tr))
+            cells = nt.matches_in(td_mask, tlo, thi)
+            lines.append(",".join(nt.content_text_many(cells)))
+        return {"csv": "\n".join(lines) + "\n" if lines else ""}
+
+    return program
+
+
+def scrape_tables(df: DataFrame, div_id: str, passthrough=("doc_id", "url")) -> DataFrame:
+    return run_program(df, table_scrape_program(div_id), "csv string", passthrough)
+
+
+# ----------------------------------------------------------------------
+# kernel: selector-program extraction (first match / all matches)
+# ----------------------------------------------------------------------
+def select_first_program(
+    matcher,
+    projections: dict[str, str | Callable[[NodeTable, int], object]],
+) -> Callable[[NodeTable], dict]:
+    """First node matching ``matcher`` (std::find_if semantics), then
+    one output column per projection: 'content' | 'inner' | 'outer' |
+    'attr:<name>' | 'start' | 'end' | 'node_id' | callable(nt, i)."""
+
+    def project(nt: NodeTable, i: int, spec) -> object:
+        if callable(spec):
+            return spec(nt, i)
+        if spec == "content":
+            return nt.content_text(i)
+        if spec == "inner":
+            return nt.inner_text(i)
+        if spec == "outer":
+            return nt.outer_text(i)
+        if spec == "start":
+            return int(nt.src_start[i])
+        if spec == "end":
+            return int(nt.src_end[i])
+        if spec == "inner_start":
+            return int(nt.tag_end[i])
+        if spec == "inner_end":
+            return int(nt.endtag_start[i])
+        if spec == "node_id":
+            return int(i)
+        if spec.startswith("attr:"):
+            a = nt.attrs[i]
+            return a.get(spec[5:]) if a is not None else None
+        raise ValueError(spec)
+
+    def program(nt: NodeTable) -> dict:
+        i = nt.first_match(matcher(nt))
+        if i < 0:
+            return {c: None for c in projections}
+        return {c: project(nt, i, spec) for c, spec in projections.items()}
+
+    return program
+
+
+def count_matches_program(matcher) -> Callable[[NodeTable], dict]:
+    def program(nt: NodeTable) -> dict:
+        return {"n_matches": int(matcher(nt).sum())}
+
+    return program

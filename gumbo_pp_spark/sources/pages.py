@@ -1,0 +1,122 @@
+"""Pages-table synthesis (Common-Crawl-style input per BASELINE.json
+input_hint: ``(url, warc_ts, html, text, lang)``).
+
+There is no external HTML corpus in the sandbox, so pages are
+synthesized deterministically from the driver-generated ``documents``
+table.  The HTML construction is written as a **single SQL expression
+valid in both Spark SQL and DuckDB** — the same expression is embedded
+in ``oracle_sql()`` strings, so the DuckDB oracle can recompute the
+exact page bytes and the expected extraction output independently of
+any engine code (this is what makes the in-UDF parser's output
+oracle-checkable, FIXTURES.md §5).
+
+Template shape mirrors a typical CC page: chrome (nav/footer +
+conditional comment) around a main region (h1 + body paragraph),
+attribute-bearing anchors and class/id hooks for the matcher queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# -- shared SQL fragments (Spark SQL ∩ DuckDB dialect) -----------------
+# doc_id rendered once
+_ID = "CAST(doc_id AS STRING)"
+
+# HTML-escape of the document text (order matters: '&' first).  The
+# parser's entity decoder inverts this exactly, so content_text of the
+# body paragraph is byte-identical to the original `text` column.
+ESC_TEXT = "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+
+# page prefix up to and including the opening <p class="body"> tag —
+# kept as its own fragment so span oracles can take length() of it
+HTML_PREFIX = (
+    "'<html><head><title>Doc ' || " + _ID + " || '</title></head><body>'"
+    " || '<nav class=\"menu\"><ul><li>"
+    "<a href=\"https://site.example/' || " + _ID + " || '\">home</a></li></ul></nav>'"
+    " || '<div id=\"doc-' || " + _ID + " || '\" class=\"doc ' || lang || '\">'"
+    " || '<main><article><h1>Heading ' || " + _ID + " || '</h1>'"
+    " || '<p class=\"body\">'"
+)
+
+HTML_SUFFIX = (
+    "'</p>'"
+    " || CASE WHEN lang = 'en' THEN '<!--promoted-->' ELSE '' END"
+    " || '</article></main></div>'"
+    " || '<footer><p class=\"fine\">source ' || source || '</p></footer>'"
+    " || '</body></html>'"
+)
+
+HTML_EXPR = HTML_PREFIX + " || " + ESC_TEXT + " || " + HTML_SUFFIX
+
+URL_EXPR = "'https://' || source || '.example.com/doc/' || " + _ID
+
+# pages projection over a registered `documents` view (works verbatim
+# in Spark SQL and DuckDB)
+PAGES_SQL = (
+    "SELECT doc_id, "
+    + URL_EXPR + " AS url, "
+    + HTML_EXPR + " AS html_str, "
+    "text, lang, source, n_chars "
+    "FROM documents"
+)
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pages table from the documents table.
+
+    Columns: ``doc_id, url, warc_ts, html (binary), text, lang`` —
+    exactly the input_hint shape (plus doc_id/source for test joins).
+    """
+    load_documents(spark, sf_dir).createOrReplaceTempView("documents")
+    pages = spark.sql(PAGES_SQL)
+    return pages.selectExpr(
+        "doc_id",
+        "url",
+        "timestampadd(SECOND, CAST(doc_id AS INT), TIMESTAMP'2024-01-01 00:00:00') AS warc_ts",
+        "CAST(encode(html_str, 'UTF-8') AS BINARY) AS html",
+        "text",
+        "lang",
+        "source",
+    )
+
+
+def synth_pages_bench(
+    spark: SparkSession,
+    sf_dir: str,
+    replicate: int = 8,
+    paragraphs: int = 12,
+) -> DataFrame:
+    """Larger deterministic corpus for throughput runs: each document is
+    replicated ``replicate`` times with distinct urls, and the body
+    carries ``paragraphs`` paragraphs (≈5-40 KB pages).  Host skew is
+    real: one heavy host gets ~50% of pages (Zipf-ish head) so salting
+    is exercised.
+    """
+    load_documents(spark, sf_dir).createOrReplaceTempView("documents")
+    p_open = "'<p class=\"body\">'"
+    prefix_no_p = HTML_PREFIX.replace(p_open, "''")
+    return spark.sql(
+        f"""
+        SELECT
+          doc_id * 1000 + rep AS page_id,
+          'https://' || CASE WHEN rep % 2 = 0 THEN 'heavy-host'
+                             ELSE source END
+            || '.example.com/doc/' || CAST(doc_id AS STRING)
+            || '/' || CAST(rep AS STRING) AS url,
+          timestampadd(SECOND, CAST(doc_id AS INT),
+                       TIMESTAMP'2024-01-01 00:00:00') AS warc_ts,
+          CAST(encode(
+            {prefix_no_p}
+            || repeat({p_open} || {ESC_TEXT} || ' rep-'
+                      || CAST(rep AS STRING) || '</p>', {paragraphs})
+            || {HTML_SUFFIX}, 'UTF-8') AS BINARY) AS html,
+          text, lang, source
+        FROM documents
+        LATERAL VIEW explode(sequence(0, {replicate - 1})) t AS rep
+        """
+    )
