@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and a random-
+hyperplane LSH bucketed variant as the 100 TB scale path (bucket join
+instead of cross join).  All dot products run JVM-side via
+``zip_with``/``aggregate`` higher-order functions — no Python in the
+hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DOT_EXPR = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "0D, (acc, v) -> acc + v)"
+)
+NORM_EXPR = "sqrt(aggregate({a}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("norm", F.expr(NORM_EXPR.format(a=vec_col)))
+
+
+def cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    The query set is broadcast (small dim table pattern) so the scan of
+    the big side stays shuffle-free; the only wide exchange is the
+    final per-query top-k, which is a partial top-k per partition
+    under AQE.  Returns (query_id, neighbor_id, rank).
+    """
+    from pyspark.sql.window import Window
+
+    base = with_norm(df, vec_col).where(F.col("norm") > 0)
+    q = (
+        with_norm(queries, vec_col)
+        .where(F.col("norm") > 0)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    dot = DOT_EXPR.format(a=vec_col, b="q_vec")
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn("cos", F.expr(dot) / (F.col("norm") * F.col("q_norm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("bigint"),
+            F.col(id_col).cast("bigint").alias("neighbor_id"),
+            F.col("rank").cast("bigint"),
+        )
+    )
+
+
+def hyperplane_sketch_expr(dim: int, n_planes: int, vec_col: str = "embedding") -> str:
+    """Deterministic pseudo-random hyperplane LSH sketch as pure SQL:
+    plane p, coord i weight = sign from md5(p|i) parity (reproducible
+    everywhere, no RNG at runtime).  Returns an int bucket in
+    [0, 2^n_planes)."""
+    bits = []
+    for p in range(n_planes):
+        terms = f"""
+        aggregate(zip_with({vec_col}, sequence(0, {dim - 1}),
+          (x, i) -> CAST(x AS DOUBLE) *
+            (CASE WHEN (instr('0123456789abcdef', substr(md5('{p}|' || CAST(i AS STRING)), 1, 1)) - 1) % 2 = 0
+              THEN 1.0 ELSE -1.0 END)),
+          0D, (acc, v) -> acc + v)
+        """
+        bits.append(f"(CASE WHEN ({terms}) > 0 THEN {2 ** p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def lsh_cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    dim: int = 64,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate variant: candidates restricted to the query's LSH
+    bucket (equi-join on bucket → co-partitioned shuffle instead of a
+    cross join).  At 100 TB the bucket column is what you bucket/
+    cluster the table by, making the probe side a bucket-pruned scan.
+    """
+    from pyspark.sql.window import Window
+
+    sk = hyperplane_sketch_expr(dim, n_planes, vec_col)
+    base = with_norm(df, vec_col).where(F.col("norm") > 0).withColumn("bucket", F.expr(sk))
+    q = (
+        with_norm(queries, vec_col)
+        .where(F.col("norm") > 0)
+        .withColumn("bucket", F.expr(sk))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("norm").alias("q_norm"),
+            "bucket",
+        )
+    )
+    dot = DOT_EXPR.format(a=vec_col, b="q_vec")
+    scored = (
+        base.join(F.broadcast(q), "bucket")
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn("cos", F.expr(dot) / (F.col("norm") * F.col("q_norm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("bigint"),
+            F.col(id_col).cast("bigint").alias("neighbor_id"),
+            F.col("rank").cast("bigint"),
+        )
+    )

@@ -1,0 +1,84 @@
+"""Text analysis operators: quality scoring, language-ID heuristic,
+token counting, document fingerprinting.
+
+All pure ``pyspark.sql.functions`` / SQL expressions (JVM-side,
+whole-stage codegen); float ratios are emitted as e4-scaled BIGINTs so
+DuckDB oracles compare exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "is", "and", "of"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "de", "les"),
+}
+
+
+def _in_list(items: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in items)
+
+
+def quality_stats(df: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, avg_token_len_e4, stopword_ratio_e4,
+    alpha_ratio_e4) — length/punctuation/stopword heuristics used for
+    corpus quality filtering."""
+    stop = _in_list(STOPWORDS)
+    return df.selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+        # chars-in-words / n_tokens (separators = n_tokens - 1 spaces)
+        "CAST(round(10000.0 * (length(text) - size(split(text, ' ')) + 1)"
+        " / size(split(text, ' '))) AS BIGINT) AS avg_token_len_e4",
+        f"CAST(round(10000.0 * size(filter(split(text, ' '), w -> w IN ({stop})))"
+        " / size(split(text, ' '))) AS BIGINT) AS stopword_ratio_e4",
+        "CAST(round(10000.0 * length(regexp_replace(text, '[^a-z]', ''))"
+        " / length(text)) AS BIGINT) AS alpha_ratio_e4",
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID (n-gram-heuristic family): score per
+    language = marker-word hits; argmax with deterministic tie order
+    en > es > de > fr.  Heuristic operator — the correctness gate is
+    formula parity with the oracle, not real-world accuracy."""
+    scores = {
+        lang: f"size(filter(split({text_col}, ' '), w -> w IN ({_in_list(ws)})))"
+        for lang, ws in LANG_MARKERS.items()
+    }
+    case = (
+        f"CASE WHEN {scores['en']} >= {scores['es']} AND {scores['en']} >= {scores['de']}"
+        f" AND {scores['en']} >= {scores['fr']} THEN 'en'"
+        f" WHEN {scores['es']} >= {scores['de']} AND {scores['es']} >= {scores['fr']} THEN 'es'"
+        f" WHEN {scores['de']} >= {scores['fr']} THEN 'de'"
+        f" ELSE 'fr' END"
+    )
+    return df.selectExpr("CAST(doc_id AS BIGINT) AS doc_id", f"{case} AS pred_lang")
+
+
+def fingerprints(df: DataFrame) -> DataFrame:
+    """(doc_id, fp_md5, fp_winnow) — whole-document md5 plus a
+    winnowing-style rolling fingerprint: min md5 over character
+     8-grams sampled every 4 positions (robust to small suffix edits).
+    """
+    return df.selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        "md5(text) AS fp_md5",
+        "array_min(transform(sequence(1, greatest(length(text) - 7, 1), 4), "
+        "j -> md5(substring(text, j, 8)))) AS fp_winnow",
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, ws_tokens, word_tokens) — whitespace tokenization plus
+    a BPE-ish alnum-run count (regexp, JVM-side)."""
+    return df.selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        f"CAST(size(split({text_col}, ' +')) AS BIGINT) AS ws_tokens",
+        f"CAST(regexp_count({text_col}, '[a-z0-9]+') AS BIGINT) AS word_tokens",
+    )

@@ -62,6 +62,33 @@ PAGES_SQL = (
 )
 
 
+# table-scrape page family: the reference's tests/src/table_scrape.cpp
+# structural query re-expressed at corpus scale; real newlines between
+# structural blocks (chr(10)) pin whitespace-node insertion-mode
+# semantics through the DuckDB oracle
+TABLE_HTML_EXPR = (
+    "'<html>' || chr(10) || '<head><title>T' || " + _ID + " || '</title></head>'"
+    " || chr(10) || '<body>' || chr(10)"
+    " || '<div id=\"important_table\"><table><tbody>'"
+    " || '<tr><td>k</td><td>v</td></tr>'"
+    " || '<tr><td>lang</td><td>' || lang || '</td></tr>'"
+    " || '<tr><td>source</td><td>' || source || '</td></tr>'"
+    " || '<tr><td>chars</td><td>' || CAST(n_chars AS STRING) || '</td></tr>'"
+    " || '</tbody></table></div>' || chr(10) || '</body>' || chr(10) || '</html>'"
+)
+
+TABLE_PAGES_SQL = (
+    "SELECT doc_id, " + TABLE_HTML_EXPR + " AS html_str FROM documents"
+)
+
+
+def synth_table_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_documents(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(TABLE_PAGES_SQL).selectExpr(
+        "doc_id", "CAST(encode(html_str, 'UTF-8') AS BINARY) AS html"
+    )
+
+
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 

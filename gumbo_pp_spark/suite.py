@@ -1,0 +1,483 @@
+"""The engine's query suite: one entry per implemented operator
+(SURVEY.md §2 inventory + web-scale pipeline ops), each as a
+``(spark, sf_dir) -> DataFrame`` callable with a matching DuckDB oracle
+SQL string (driver contract, ``__spark_entry__.py``).
+
+Naming convention: every computed column is explicitly aliased and
+cast (BIGINT/STRING) identically on both sides — the driver's compare
+sorts columns by name and hashes values.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import textstats as T
+from .operators.extract import (
+    count_matches_program,
+    extract_main_text,
+    run_program,
+    scrape_tables,
+    select_first_program,
+)
+from .sources.pages import synth_pages, synth_table_pages
+from . import matchers as m
+
+# ----------------------------------------------------------------------
+# helpers
+# ----------------------------------------------------------------------
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# DuckDB word-3-gram shingles CTE (mirrors dedup.SHINGLE_EXPR)
+_DUCK_SHINGLES = (
+    "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+    "generate_series(1, len(string_split(text, ' ')) - 2), "
+    "j -> array_to_string(string_split(text, ' ')[j:j+2], ' ')))) AS sh "
+    "FROM documents WHERE len(string_split(text, ' ')) >= 3)"
+)
+
+
+def _duck_simhash_sql() -> str:
+    votes = []
+    sel = []
+    for j in range(16):
+        hexpos = 1 + j // 4
+        p = 2 ** (3 - j % 4)
+        v = f"(instr('0123456789abcdef', substr(md5(w), {hexpos}, 1)) - 1)"
+        bit = f"(CAST(floor({v} / {p}) AS BIGINT) % 2)"
+        votes.append(f"sum(2 * {bit} - 1) AS v{j}")
+        sel.append(f"(CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END)")
+    return (
+        "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), "
+        "votes AS (SELECT doc_id, " + ", ".join(votes) + " FROM w GROUP BY doc_id) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(" + " + ".join(sel) + " AS BIGINT) AS simhash FROM votes"
+    )
+
+
+def _duck_minhash_cte() -> str:
+    mh = ", ".join(
+        f"min(md5('{k}|' || sh)) AS mh{k}" for k in range(D.N_MINHASHES)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {bd} AS band, mh{2*bd} || mh{2*bd+1} AS bkey FROM sig"
+        for bd in range(D.N_BANDS)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END)" for k in range(D.N_MINHASHES)
+    )
+    return (
+        f"WITH {_DUCK_SHINGLES}, "
+        f"sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id), "
+        f"bands AS ({bands}), "
+        "cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id FROM bands x "
+        "JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id) "
+        f"SELECT CAST(a_id AS BIGINT) AS a, CAST(b_id AS BIGINT) AS b, CAST({eq} AS BIGINT) AS n_eq "
+        "FROM cand JOIN sig sa ON cand.a_id = sa.doc_id JOIN sig sb ON cand.b_id = sb.doc_id "
+        f"WHERE {eq} >= 4"
+    )
+
+
+# page-template fragments for oracle span arithmetic (sources/pages.py)
+_DUCK_ESC = "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+_DUCK_PREFIX_LEN = (
+    "length('<html><head><title>Doc ' || CAST(doc_id AS STRING) || '</title></head><body>'"
+    " || '<nav class=\"menu\"><ul><li><a href=\"https://site.example/' || CAST(doc_id AS STRING) || '\">home</a></li></ul></nav>'"
+    " || '<div id=\"doc-' || CAST(doc_id AS STRING) || '\" class=\"doc ' || lang || '\">'"
+    " || '<main><article><h1>Heading ' || CAST(doc_id AS STRING) || '</h1>'"
+    " || '<p class=\"body\">')"
+)
+
+
+# ----------------------------------------------------------------------
+# HTML parse/select/extract queries (exercise the in-UDF engine; the
+# oracle recomputes expected output from the deterministic template)
+# ----------------------------------------------------------------------
+def q_html_main_text(spark, sf_dir):
+    pages = synth_pages(spark, sf_dir)
+    out = extract_main_text(pages, passthrough=("doc_id",))
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), F.col("text").alias("main_text"))
+
+
+def q_html_title(spark, sf_dir):
+    pages = synth_pages(spark, sf_dir)
+    prog = select_first_program(m.tag.TITLE, {"title": "content"})
+    return run_program(pages, prog, "title string", passthrough=("doc_id",)) \
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "title")
+
+
+def q_html_anchor(spark, sf_dir):
+    pages = synth_pages(spark, sf_dir)
+    prog = select_first_program(m.tag.A, {"href": "attr:href", "anchor_text": "content"})
+    return run_program(pages, prog, "href string, anchor_text string", passthrough=("doc_id",)) \
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "href", "anchor_text")
+
+
+def q_html_node_count(spark, sf_dir):
+    pages = synth_pages(spark, sf_dir)
+    out = extract_main_text(pages, passthrough=("doc_id",))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.col("parse_errors").cast("bigint").alias("parse_errors"),
+    )
+
+
+def q_html_article_text(spark, sf_dir):
+    # content_text of <article> INCLUDES comment text
+    # (gumbo_text.h:23-58 default branch) — pinned via oracle
+    pages = synth_pages(spark, sf_dir)
+    prog = select_first_program(m.tag.ARTICLE, {"article_text": "content"})
+    return run_program(pages, prog, "article_text string", passthrough=("doc_id",)) \
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "article_text")
+
+
+def q_html_class_match(spark, sf_dir):
+    # whole-class-value equality (gumbo_matchers.h:466-476)
+    pages = synth_pages(spark, sf_dir)
+    prog = count_matches_program(m.class_type.is_("doc en"))
+    return run_program(pages, prog, "n_matches int", passthrough=("doc_id",)) \
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_matches").cast("bigint").alias("n_doc_en"),
+        )
+
+
+def q_html_spans(spark, sf_dir):
+    pages = synth_pages(spark, sf_dir)
+    prog = select_first_program(
+        m.tag.P & m.class_type.is_("body"),
+        {
+            "outer_start": "start",
+            "inner_start": "inner_start",
+            "inner_end": "inner_end",
+            "outer_end": "end",
+        },
+    )
+    out = run_program(
+        pages, prog,
+        "outer_start bigint, inner_start bigint, inner_end bigint, outer_end bigint",
+        passthrough=("doc_id",),
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "outer_start", "inner_start", "inner_end", "outer_end",
+    )
+
+
+def q_html_table_scrape(spark, sf_dir):
+    pages = synth_table_pages(spark, sf_dir)
+    return scrape_tables(pages, "important_table", passthrough=("doc_id",)) \
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "csv")
+
+
+def q_html_doc_content_text(spark, sf_dir):
+    # whole-document content_text incl. whitespace nodes: pins the
+    # before-head / after-head / after-body whitespace insertion modes
+    pages = synth_table_pages(spark, sf_dir)
+
+    def program(nt):
+        return {"doc_text": nt.content_text(0)}
+
+    return run_program(pages, program, "doc_text string", passthrough=("doc_id",)) \
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "doc_text")
+
+
+# ----------------------------------------------------------------------
+# corpus pipeline queries (dataset-level, pure DataFrame ops)
+# ----------------------------------------------------------------------
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, min_shared=5)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), min_equal=4)
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir))
+
+
+def q_ann_cosine(spark, sf_dir):
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return S.cosine_topk(emb, queries, k=3)
+
+
+def q_quality(spark, sf_dir):
+    return T.quality_stats(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return T.lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    return T.fingerprints(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    return T.token_counts(_docs(spark, sf_dir))
+
+
+# ----------------------------------------------------------------------
+# relational surface (scans/filters/agg/window/sort/limit — §2.5)
+# ----------------------------------------------------------------------
+def q_lineitem_agg(spark, sf_dir):
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") < F.lit("2025-06-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity")).cast("bigint").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice") * 100).cast("bigint").alias("sum_price_e2"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+def q_top_orders_per_segment(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    orders = _tbl(spark, sf_dir, "orders")
+    cust = _tbl(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == cust.c_custkey,
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("event_type"), F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value") * 100).cast("bigint").alias("sum_value_e2"),
+        )
+    )
+
+
+def q_events_sessions(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull(), 0)
+        .when(F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800, 1)
+        .otherwise(0),
+    ).withColumn("session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return flagged.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).cast("bigint").alias("dur_s"),
+    ).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("session_id").cast("bigint").alias("session_id"),
+        "n_events",
+        "dur_s",
+    )
+
+
+# ======================================================================
+# registry
+# ======================================================================
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "html_main_text": q_html_main_text,
+    "html_title": q_html_title,
+    "html_anchor": q_html_anchor,
+    "html_node_count": q_html_node_count,
+    "html_article_text": q_html_article_text,
+    "html_class_match": q_html_class_match,
+    "html_spans": q_html_spans,
+    "html_table_scrape": q_html_table_scrape,
+    "html_doc_content_text": q_html_doc_content_text,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "simhash": q_simhash,
+    "ann_cosine_topk": q_ann_cosine,
+    "text_quality": q_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprints": q_fingerprints,
+    "token_counts": q_token_counts,
+    "lineitem_agg": q_lineitem_agg,
+    "top_orders_per_segment": q_top_orders_per_segment,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+}
+
+ORACLES: dict[str, str] = {
+    "html_main_text": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "'Heading ' || CAST(doc_id AS STRING) || text AS main_text FROM documents"
+    ),
+    "html_title": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "'Doc ' || CAST(doc_id AS STRING) AS title FROM documents"
+    ),
+    "html_anchor": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "'https://site.example/' || CAST(doc_id AS STRING) AS href, "
+        "'home' AS anchor_text FROM documents"
+    ),
+    "html_node_count": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(CASE WHEN lang = 'en' THEN 22 ELSE 21 END AS BIGINT) AS n_nodes, "
+        "CAST(0 AS BIGINT) AS parse_errors FROM documents"
+    ),
+    "html_article_text": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "'Heading ' || CAST(doc_id AS STRING) || text || "
+        "CASE WHEN lang = 'en' THEN 'promoted' ELSE '' END AS article_text FROM documents"
+    ),
+    "html_class_match": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS n_doc_en FROM documents"
+    ),
+    "html_spans": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"CAST({_DUCK_PREFIX_LEN} - 16 AS BIGINT) AS outer_start, "
+        f"CAST({_DUCK_PREFIX_LEN} AS BIGINT) AS inner_start, "
+        f"CAST({_DUCK_PREFIX_LEN} + length({_DUCK_ESC}) AS BIGINT) AS inner_end, "
+        f"CAST({_DUCK_PREFIX_LEN} + length({_DUCK_ESC}) + 4 AS BIGINT) AS outer_end "
+        "FROM documents"
+    ),
+    "html_table_scrape": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "'k,v' || chr(10) || 'lang,' || lang || chr(10) || "
+        "'source,' || source || chr(10) || "
+        "'chars,' || CAST(n_chars AS STRING) || chr(10) AS csv FROM documents"
+    ),
+    "html_doc_content_text": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "'T' || CAST(doc_id AS STRING) || chr(10) || chr(10) || "
+        "'kvlang' || lang || 'source' || source || 'chars' || CAST(n_chars AS STRING) "
+        "|| chr(10) || chr(10) AS doc_text FROM documents"
+    ),
+    "dedup_exact": (
+        "SELECT substr(text, 1, 30) AS dup_key, CAST(min(doc_id) AS BIGINT) AS keep_id, "
+        "CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY substr(text, 1, 30)"
+    ),
+    "dedup_ngram_jaccard": (
+        f"WITH {_DUCK_SHINGLES}, "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+        "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared "
+        "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5) "
+        "SELECT CAST(a_id AS BIGINT) AS a, CAST(b_id AS BIGINT) AS b, "
+        "CAST(round(10000.0 * shared / (sa.n_sh + sb.n_sh - shared)) AS BIGINT) AS jaccard_e4 "
+        "FROM shared JOIN sizes sa ON shared.a_id = sa.doc_id "
+        "JOIN sizes sb ON shared.b_id = sb.doc_id "
+        "WHERE 1.0 * shared / (sa.n_sh + sb.n_sh - shared) >= 0.5"
+    ),
+    "dedup_minhash_lsh": _duck_minhash_cte(),
+    "simhash": _duck_simhash_sql(),
+    "ann_cosine_topk": (
+        "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+        "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm "
+        "FROM embeddings), "
+        "base AS (SELECT * FROM n WHERE norm > 0), "
+        "q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM base WHERE vec_id % 100 = 0), "
+        "scored AS (SELECT q.query_id, b.vec_id, "
+        "list_dot_product(b.v, q.qv) / (b.norm * q.qnorm) AS cos "
+        "FROM base b CROSS JOIN q WHERE b.vec_id <> q.query_id), "
+        "ranked AS (SELECT query_id, vec_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored) "
+        "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS neighbor_id, "
+        "CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3"
+    ),
+    "text_quality": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+        "CAST(round(10000.0 * (length(text) - len(string_split(text, ' ')) + 1) "
+        "/ len(string_split(text, ' '))) AS BIGINT) AS avg_token_len_e4, "
+        "CAST(round(10000.0 * len(list_filter(string_split(text, ' '), "
+        "w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for'))) "
+        "/ len(string_split(text, ' '))) AS BIGINT) AS stopword_ratio_e4, "
+        "CAST(round(10000.0 * length(regexp_replace(text, '[^a-z]', '', 'g')) "
+        "/ length(text)) AS BIGINT) AS alpha_ratio_e4 FROM documents"
+    ),
+    "lang_id": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CASE "
+        "WHEN len(list_filter(string_split(text, ' '), w -> w IN ('the','is','and','of'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','que'))) "
+        "AND len(list_filter(string_split(text, ' '), w -> w IN ('the','is','and','of'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('der','die','und','das'))) "
+        "AND len(list_filter(string_split(text, ' '), w -> w IN ('the','is','and','of'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('le','la','de','les'))) THEN 'en' "
+        "WHEN len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','que'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('der','die','und','das'))) "
+        "AND len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','que'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('le','la','de','les'))) THEN 'es' "
+        "WHEN len(list_filter(string_split(text, ' '), w -> w IN ('der','die','und','das'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('le','la','de','les'))) THEN 'de' "
+        "ELSE 'fr' END AS pred_lang FROM documents"
+    ),
+    "doc_fingerprints": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS fp_md5, "
+        "list_aggregate(list_transform(generate_series(1, greatest(length(text) - 7, 1), 4), "
+        "j -> md5(substr(text, j, 8))), 'min') AS fp_winnow FROM documents"
+    ),
+    "token_counts": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS ws_tokens, "
+        "CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS word_tokens "
+        "FROM documents"
+    ),
+    "lineitem_agg": (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty, "
+        "CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_price_e2, "
+        "CAST(count(*) AS BIGINT) AS n_rows "
+        "FROM lineitem WHERE l_shipdate < TIMESTAMP '2025-06-01' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    "top_orders_per_segment": (
+        "WITH j AS (SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey), "
+        "r AS (SELECT c_mktsegment, o_orderkey, row_number() OVER "
+        "(PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM j) "
+        "SELECT c_mktsegment, CAST(o_orderkey AS BIGINT) AS o_orderkey, "
+        "CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3"
+    ),
+    "events_hourly": (
+        "SELECT event_type, date_trunc('hour', ts) AS h, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_e2 "
+        "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+    ),
+    "events_sessions": (
+        "WITH flagged AS (SELECT user_id, event_id, ts, "
+        "CASE WHEN lag(ts) OVER w IS NULL THEN 0 "
+        "WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 THEN 1 "
+        "ELSE 0 END AS new_sess FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "sess AS (SELECT user_id, ts, sum(new_sess) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM flagged) "
+        "SELECT CAST(user_id AS BIGINT) AS user_id, CAST(session_id AS BIGINT) AS session_id, "
+        "CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS dur_s "
+        "FROM sess GROUP BY user_id, session_id"
+    ),
+}
