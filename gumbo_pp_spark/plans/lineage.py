@@ -1,0 +1,141 @@
+"""Per-partition checkpoint/lineage ledger with deterministic resume
+(BASELINE.json north_rule: "resumable from checkpoint with
+per-partition lineage + metrics, so a killed job resumes without
+re-parsing completed partitions").
+
+Design (SURVEY.md §4 c/d):
+
+* the corpus is split into ``n_splits`` stable work units by
+  ``pmod(xxhash64(url), n_splits)`` — url-hash splits are reproducible
+  across runs and clusters, unlike task/partition ids;
+* each run writes output under ``data/run=<run_id>/`` (its own
+  directory → a killed run can never corrupt committed data), then
+  atomically commits one ledger record per finished split
+  (``_ledger/split_<id>.json`` via tmp+rename);
+* resume = recompute pending as ``all_splits − committed`` and process
+  only those; readers union exactly the (split, run) pairs the ledger
+  committed, so partially-written uncommitted runs are invisible;
+* ledger records carry the per-partition metrics the bench reports
+  (rows, bytes, wall_ms, attempt).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class PartitionLedger:
+    """Atomic per-split commit records on a filesystem (works on any
+    rename-capable store; on object stores use a conditional-put
+    variant)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def committed(self) -> dict[int, dict]:
+        out: dict[int, dict] = {}
+        for fn in os.listdir(self.path):
+            if fn.startswith("split_") and fn.endswith(".json"):
+                with open(os.path.join(self.path, fn)) as f:
+                    rec = json.load(f)
+                out[int(rec["split_id"])] = rec
+        return out
+
+    def commit(self, rec: dict) -> None:
+        final = os.path.join(self.path, f"split_{rec['split_id']}.json")
+        tmp = final + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, final)  # atomic on POSIX
+
+
+def extract_with_resume(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    n_splits: int = 32,
+    max_splits_this_run: int | None = None,
+    passthrough: tuple[str, ...] = ("doc_id", "url"),
+) -> dict:
+    """Run the flagship extraction over all not-yet-committed splits.
+
+    ``max_splits_this_run`` exists for fault-injection tests (process
+    only K pending splits, as if the job were killed after K commits).
+    Returns run metrics.
+    """
+    from ..operators.extract import extract_main_text
+
+    ledger = PartitionLedger(os.path.join(out_dir, "_ledger"))
+    done = set(ledger.committed())
+    pending = [s for s in range(n_splits) if s not in done]
+    if max_splits_this_run is not None:
+        pending = pending[:max_splits_this_run]
+    if not pending:
+        return {"run_id": None, "splits_processed": 0, "skipped": len(done)}
+
+    run_id = uuid.uuid4().hex[:12]
+    t0 = time.time()
+    work = pages.withColumn(
+        "split_id", F.pmod(F.xxhash64("url"), F.lit(n_splits)).cast("int")
+    ).where(F.col("split_id").isin(pending))
+    out = extract_main_text(work, passthrough=(*passthrough, "split_id"))
+    data_dir = os.path.join(out_dir, "data", f"run={run_id}")
+    out.write.partitionBy("split_id").mode("error").parquet(data_dir)
+
+    # per-split metrics from the committed files (cheap: output only)
+    stats = (
+        spark.read.parquet(data_dir)
+        .groupBy("split_id")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.length("text")).alias("bytes"),
+        )
+        .collect()
+    )
+    wall_ms = int((time.time() - t0) * 1000)
+    by_split = {int(r["split_id"]): r for r in stats}
+    for s in pending:
+        r = by_split.get(s)
+        ledger.commit(
+            {
+                "split_id": s,
+                "run_id": run_id,
+                "status": "committed",
+                "rows": int(r["rows"]) if r else 0,
+                "bytes": int(r["bytes"]) if r and r["bytes"] is not None else 0,
+                "wall_ms": wall_ms,
+                "attempt": 1,
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+        )
+    return {
+        "run_id": run_id,
+        "splits_processed": len(pending),
+        "skipped": len(done),
+        "wall_ms": wall_ms,
+    }
+
+
+def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Union of exactly the ledger-committed (split, run) outputs —
+    uncommitted partial runs are invisible."""
+    ledger = PartitionLedger(os.path.join(out_dir, "_ledger"))
+    recs = ledger.committed()
+    if not recs:
+        raise FileNotFoundError(f"no committed splits under {out_dir}")
+    paths = sorted(
+        {
+            os.path.join(out_dir, "data", f"run={r['run_id']}", f"split_id={s}")
+            for s, r in recs.items()
+            if r["rows"] > 0
+        }
+    )
+    # basePath keeps run/split_id partition columns while reading only
+    # the committed leaf directories
+    return spark.read.option("basePath", os.path.join(out_dir, "data")).parquet(*paths)

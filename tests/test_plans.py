@@ -1,0 +1,103 @@
+"""Scale-mechanics tests: skew salting, size-balanced bins,
+checkpoint/lineage resume (SURVEY.md §7 M3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gumbo_pp_spark.plans.lineage import extract_with_resume, read_extracted
+from gumbo_pp_spark.plans.partitioning import salt_skewed_keys, size_balanced_bins
+from gumbo_pp_spark.sources.pages import synth_pages, synth_pages_bench
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # heavy-host corpus: ~50% of rows share one host
+    return synth_pages_bench(spark, SF_SMOKE, replicate=4, paragraphs=2).cache()
+
+
+class TestSalting:
+    def test_heavy_host_split_across_partitions(self, spark, skewed):
+        n = 16
+        total = skewed.count()
+        salted = salt_skewed_keys(skewed, n_partitions=n, skew_factor=2.0)
+        per_part = (
+            salted.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        max_load = max(r["count"] for r in per_part)
+        heavy_rows = skewed.where(F.col("url").contains("heavy-host")).count()
+        # unsalted, the heavy host (~half the corpus) lands in ONE
+        # partition; salted, the straggler is gone: no partition holds
+        # more than half the heavy key or 4x the mean
+        assert max_load < 0.5 * heavy_rows, f"max {max_load}, heavy {heavy_rows}"
+        assert max_load < 4.0 * total / n, f"max {max_load} of {total} in {n} parts"
+
+    def test_salts_only_heavy_keys(self, spark, skewed):
+        salted = salt_skewed_keys(skewed, n_partitions=16, skew_factor=2.0)
+        per_key = salted.groupBy("part_key").agg(F.countDistinct("salt").alias("s")).collect()
+        fanout = {r["part_key"]: r["s"] for r in per_key}
+        assert fanout["heavy-host.example.com"] > 1
+        light = [v for k, v in fanout.items() if k != "heavy-host.example.com"]
+        assert all(v == 1 for v in light)
+
+
+class TestSizeBins:
+    def test_bins_bounded_by_target(self, spark, skewed):
+        target = 512 * 1024
+        binned = size_balanced_bins(skewed, target_bytes=target)
+        per_bin = (
+            binned.groupBy("size_bin").agg(F.sum("doc_bytes").alias("b")).collect()
+        )
+        total = sum(r["b"] for r in per_bin)
+        # every bin under ~2x target (sub-binned oversize keys can halve
+        # unevenly); no empty-corpus degenerate plan
+        assert len(per_bin) >= total // (2 * target)
+        for r in per_bin:
+            assert r["b"] <= 2 * target, (r["size_bin"], r["b"])
+
+
+class TestLineageResume:
+    def test_kill_resume_no_reparse(self, spark, tmp_path):
+        out_dir = str(tmp_path / "extract_out")
+        pages = synth_pages(spark, SF_SMOKE)
+
+        # run 1 "dies" after committing 5 of 16 splits
+        r1 = extract_with_resume(spark, pages, out_dir, n_splits=16, max_splits_this_run=5)
+        assert r1["splits_processed"] == 5 and r1["skipped"] == 0
+
+        # run 2 resumes: processes ONLY the remaining 11
+        r2 = extract_with_resume(spark, pages, out_dir, n_splits=16)
+        assert r2["splits_processed"] == 11
+        assert r2["skipped"] == 5
+        assert r2["run_id"] != r1["run_id"]
+
+        # run 3 is a no-op
+        r3 = extract_with_resume(spark, pages, out_dir, n_splits=16)
+        assert r3["splits_processed"] == 0 and r3["skipped"] == 16
+
+        # committed union is complete, exactly-once, and byte-identical
+        got = read_extracted(spark, out_dir)
+        assert got.count() == 500
+        assert got.select("doc_id").distinct().count() == 500
+        joined = got.join(
+            pages.select("doc_id", F.col("text").alias("orig")), "doc_id"
+        ).collect()
+        for r in joined:
+            assert r.text == f"Heading {r.doc_id}{r.orig}"
+
+    def test_uncommitted_runs_invisible(self, spark, tmp_path):
+        import os
+
+        out_dir = str(tmp_path / "extract_out2")
+        pages = synth_pages(spark, SF_SMOKE)
+        extract_with_resume(spark, pages, out_dir, n_splits=8, max_splits_this_run=2)
+        # fake a partial run directory with no ledger commit
+        fake = os.path.join(out_dir, "data", "run=deadbeef", "split_id=7")
+        os.makedirs(fake, exist_ok=True)
+        got = read_extracted(spark, out_dir)
+        splits = {r["split_id"] for r in got.select("split_id").distinct().collect()}
+        assert 7 not in splits
