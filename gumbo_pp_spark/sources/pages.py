@@ -127,6 +127,8 @@ def synth_pages_bench(
     load_documents(spark, sf_dir).createOrReplaceTempView("documents")
     p_open = "'<p class=\"body\">'"
     prefix_no_p = HTML_PREFIX.replace(p_open, "''")
+    # each repeated paragraph closes itself — drop the suffix's own </p>
+    suffix = HTML_SUFFIX.replace("'</p>'", "''", 1)
     return spark.sql(
         f"""
         SELECT
@@ -141,7 +143,7 @@ def synth_pages_bench(
             {prefix_no_p}
             || repeat({p_open} || {ESC_TEXT} || ' rep-'
                       || CAST(rep AS STRING) || '</p>', {paragraphs})
-            || {HTML_SUFFIX}, 'UTF-8') AS BINARY) AS html,
+            || {suffix}, 'UTF-8') AS BINARY) AS html,
           text, lang, source
         FROM documents
         LATERAL VIEW explode(sequence(0, {replicate - 1})) t AS rep

@@ -1,0 +1,110 @@
+"""Multimodal binary-column plumbing + Structured Streaming ingest."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gumbo_pp_spark.operators.multimodal import (
+    audio_features,
+    decode_image,
+    image_features,
+    resize_images,
+    sample_frames,
+    synth_media,
+)
+from gumbo_pp_spark.sources.pages import synth_pages
+from gumbo_pp_spark.streaming.ingest import stream_extract, stream_hourly_counts
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synth_media(spark, SF_SMOKE).cache()
+
+
+class TestMultimodal:
+    def test_fake_decode_deterministic(self):
+        a = decode_image(b"payload", 16, 8)
+        b = decode_image(b"payload", 16, 8)
+        assert a.shape == (8, 16, 3) and a.dtype == np.uint8
+        assert (a == b).all()
+        assert not (a == decode_image(b"other", 16, 8)).all()
+
+    def test_image_features_schema_and_determinism(self, spark, media):
+        feats = image_features(media)
+        rows = feats.orderBy("media_id").collect()
+        n_images = media.where("kind = 'image'").count()
+        assert len(rows) == n_images
+        again = {r.media_id: r.phash for r in image_features(media).collect()}
+        for r in rows:
+            assert 0.0 <= r.mean_r <= 255.0
+            assert again[r.media_id] == r.phash
+            assert r.phash >= 0
+
+    def test_resize_batch_shape(self, spark, media):
+        thumbs = resize_images(media, out_w=8, out_h=8).collect()
+        for r in thumbs:
+            assert len(bytes(r.thumb)) == 8 * 8 * 3
+
+    def test_frame_sampling_explodes(self, spark, media):
+        frames = sample_frames(media, every_ms=250)
+        per_vid = frames.groupBy("media_id").count()
+        joined = per_vid.join(
+            media.where("kind = 'video'").select("media_id", "duration_ms"), "media_id"
+        ).collect()
+        assert joined
+        for r in joined:
+            assert r["count"] == -(-r.duration_ms // 250)
+
+    def test_audio_features(self, spark, media):
+        rows = audio_features(media).collect()
+        assert rows
+        for r in rows:
+            assert 0.0 < r.rms < 1.0
+            assert 0.0 <= r.zcr <= 1.0
+
+
+class TestStreaming:
+    def test_stream_extract_matches_batch(self, spark, tmp_path):
+        from gumbo_pp_spark.operators.extract import extract_main_text
+
+        pages = synth_pages(spark, SF_SMOKE).limit(50)
+        src = str(tmp_path / "in")
+        pages.select("doc_id", "url", "html").write.parquet(src)
+        out_dir = str(tmp_path / "out")
+        q = stream_extract(
+            spark,
+            src,
+            "doc_id bigint, url string, html binary",
+            out_dir,
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out_dir).select("doc_id", "text")
+        batch = extract_main_text(pages, passthrough=("doc_id",)).select("doc_id", "text")
+        assert got.count() == 50
+        assert got.exceptAll(batch).count() == 0
+
+    def test_stream_windowed_counts(self, spark, tmp_path):
+        ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(200)
+        src = str(tmp_path / "ev")
+        ev.write.parquet(src)
+        agg = stream_hourly_counts(
+            spark, src,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("hourly_counts")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # append mode only emits closed windows; correctness of totals is
+        # the batch oracle's job (events_hourly) — here we assert the
+        # streaming plan runs with watermark + window and yields rows or
+        # cleanly none (all windows still open within watermark)
+        got = spark.sql("SELECT * FROM hourly_counts")
+        assert got.columns == ["start", "end", "event_type", "n"]
