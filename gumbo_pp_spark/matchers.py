@@ -202,6 +202,15 @@ class _AttrValueNS:
         return Matcher(lambda nt: _obj_eq(nt.attr_values(name), ("",)), f"attribute::value::is_empty({name})")
 
     @staticmethod
+    def is_null(name: str) -> Matcher:
+        """Parity verb for attribute::value::is_null
+        (gumbo_matchers.h:418-423, value pointer null).  libgumbo
+        materializes "" (never a null pointer) for valueless
+        attributes, and so does our parser — on any parsed tree this
+        matcher is constant-false, preserved for API parity."""
+        return Matcher(lambda nt: np.zeros(nt.n, dtype=bool), f"attribute::value::is_null({name})")
+
+    @staticmethod
     def has_value(name: str) -> Matcher:
         return Matcher(
             lambda nt: _obj_pred(nt.attr_values(name), lambda v: v != ""),

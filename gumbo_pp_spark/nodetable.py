@@ -159,23 +159,20 @@ class NodeTable:
         # that the reference's recursion never descends into TEMPLATE
         # nodes (gumbo_text.h:55-57 returns early) — exclude template
         # subtrees from the joined stream.
-        contrib = np.zeros(self.n + 1, dtype=np.int64)
-        excluded = np.zeros(self.n + 1, dtype=np.int8)
-        tmpl = np.nonzero(self.type == TEMPLATE)[0]
-        for t in tmpl:
-            excluded[t + 1] += 1
-            excluded[self.subtree_end[t]] -= 1
-        excl = np.cumsum(excluded[:-1]) > 0
-        textlike = np.isin(self.type, _TEXTLIKE) & ~excl
-        parts: list[str] = []
-        off = 0
-        for i in range(self.n):
-            contrib[i] = off
-            if textlike[i]:
-                s = self.text[i]
-                parts.append(s)
-                off += len(s)
-        contrib[self.n] = off
+        t = self.type
+        textlike = (t >= TEXT) & (t <= WHITESPACE)  # codes 2..5
+        if (t == TEMPLATE).any():
+            excluded = np.zeros(self.n + 1, dtype=np.int8)
+            for tm in np.nonzero(t == TEMPLATE)[0]:
+                excluded[tm + 1] += 1
+                excluded[self.subtree_end[tm]] -= 1
+            textlike &= ~(np.cumsum(excluded[:-1]) > 0)
+        parts = self.text[textlike].tolist()
+        lens = np.zeros(self.n, dtype=np.int64)
+        lens[textlike] = [len(s) for s in parts]
+        contrib = np.empty(self.n + 1, dtype=np.int64)
+        contrib[0] = 0
+        np.cumsum(lens, out=contrib[1:])
         self._ctext_joined = "".join(parts)
         self._ctext_off = contrib
 

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 
 from ..nodetable import CDATA, COMMENT, ELEMENT, TEMPLATE, TEXT, WHITESPACE, NodeTable
 from ..parser.html5 import parse_html
+from ..parser.tags import TAG_IDS, TAG_UNKNOWN
 
 # Boilerplate chrome subtrees dropped by the flagship main-content
 # program — all tags are in the reference vocabulary
@@ -33,6 +34,9 @@ BOILERPLATE_TAGS = frozenset(
     "script style nav header footer aside form noscript iframe template "
     "select option button svg".split()
 )
+# int16 tag-id comparisons beat object-string compares in the hot path
+_BOILERPLATE_IDS = np.array(sorted(TAG_IDS[t] for t in BOILERPLATE_TAGS), dtype=np.int16)
+_BODY_ID = TAG_IDS["body"]
 
 _TEXTUAL = (TEXT, CDATA, WHITESPACE)
 
@@ -95,16 +99,18 @@ def main_text_program(nt: NodeTable) -> dict:
     subtrees and comments, keep remaining body text in document order
     (content_text concatenation semantics — no separators), and emit
     per-node span offsets into the raw source."""
-    body = nt.first_match((nt.tag_name == "body") & (nt.type == ELEMENT))
+    body_mask = nt.tag_id == _BODY_ID
+    body = int(np.argmax(body_mask)) if body_mask.any() else -1
     lo, hi = (0, nt.n) if body < 0 else nt.subtree(body)
-    is_el = (nt.type == ELEMENT) | (nt.type == TEMPLATE)
-    bad = np.nonzero(is_el & np.isin(nt.tag_name, tuple(BOILERPLATE_TAGS)))[0]
-    excl = _excluded_mask(nt, bad)
-    keep = np.zeros(nt.n, dtype=bool)
-    keep[lo:hi] = True
-    keep &= ~excl & np.isin(nt.type, _TEXTUAL)
+    bad = np.nonzero(np.isin(nt.tag_id, _BOILERPLATE_IDS))[0]
+    t = nt.type
+    keep = (t == TEXT) | (t == WHITESPACE) | (t == CDATA)
+    keep[:lo] = False
+    keep[hi:] = False
+    if len(bad):
+        keep &= ~_excluded_mask(nt, bad)
     ids = np.nonzero(keep)[0]
-    texts = [nt.text[i] for i in ids]
+    texts = nt.text[ids].tolist()
     spans = [
         {
             "node_id": int(i),

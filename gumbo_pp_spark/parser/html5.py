@@ -120,9 +120,13 @@ class _TreeBuilder:
     __slots__ = (
         "src", "n", "mode", "stack", "errors", "quirks",
         "skip_newline", "foster", "ntype", "ntag", "nattrs", "ntext",
-        "nsrc0", "nsrc1", "ntag0", "ntag1", "nend0", "nend1",
-        "nchildren", "nparent", "html_id", "head_id", "body_id",
+        "nspan", "nchildren", "nparent", "niwp", "preorder_ok",
+        "html_id", "head_id", "body_id",
     )
+
+    # nspan layout: 6 int64 slots per node in one flat list —
+    # [src_start, src_end, tag_start, tag_end, endtag_start, endtag_end]
+    _S0, _S1, _T0, _T1, _E0, _E1 = range(6)
 
     def __init__(self, src: str):
         self.src = src
@@ -137,14 +141,13 @@ class _TreeBuilder:
         self.ntag: list[str] = []
         self.nattrs: list[dict | None] = []
         self.ntext: list[str] = []
-        self.nsrc0: list[int] = []
-        self.nsrc1: list[int] = []
-        self.ntag0: list[int] = []
-        self.ntag1: list[int] = []
-        self.nend0: list[int] = []
-        self.nend1: list[int] = []
+        self.nspan: list[int] = []
         self.nchildren: list[list[int]] = []
         self.nparent: list[int] = []
+        self.niwp: list[int] = []
+        # creation order == preorder unless a foster insert places a
+        # node BEFORE existing siblings; tracked for the fast finalize
+        self.preorder_ok = True
         self.html_id = -1
         self.head_id = -1
         self.body_id = -1
@@ -157,21 +160,21 @@ class _TreeBuilder:
         self.ntag.append(tag)
         self.nattrs.append(attrs)
         self.ntext.append(text)
-        self.nsrc0.append(s0)
-        self.nsrc1.append(s1)
-        self.ntag0.append(t0)
-        self.ntag1.append(t1)
-        self.nend0.append(e0)
-        self.nend1.append(e1)
+        self.nspan.extend((s0, s1, t0, t1, e0, e1))
         self.nchildren.append([])
         self.nparent.append(-1)
+        self.niwp.append(0)
         return nid
 
     def _attach(self, nid: int, parent: int, before_table: int = -1) -> None:
         kids = self.nchildren[parent]
         if before_table >= 0 and before_table in kids:
             kids.insert(kids.index(before_table), nid)
+            self.preorder_ok = False
+            for j, k in enumerate(kids):
+                self.niwp[k] = j
         else:
+            self.niwp[nid] = len(kids)
             kids.append(nid)
         self.nparent[nid] = parent
 
@@ -222,12 +225,14 @@ class _TreeBuilder:
         if self.stack and self.stack[-1] == self.head_id:
             self.stack.pop()
         if self.head_id >= 0:
-            self.nsrc1[self.head_id] = pos if e1 < 0 else e1
+            sp = self.nspan
+            base = 6 * self.head_id
+            sp[base + 1] = pos if e1 < 0 else e1
             if e0 >= 0:
-                self.nend0[self.head_id] = e0
-                self.nend1[self.head_id] = e1
+                sp[base + 4] = e0
+                sp[base + 5] = e1
             else:
-                self.nend0[self.head_id] = self.nend1[self.head_id] = pos
+                sp[base + 4] = sp[base + 5] = pos
         self.mode = AFTER_HEAD
 
     def _ensure_body(self, pos: int) -> None:
@@ -260,11 +265,11 @@ class _TreeBuilder:
             prev = kids[anchor - 1]
             if self.ntype[prev] in (TEXT, WHITESPACE):
                 self.ntext[prev] += decoded
-                self.nsrc1[prev] = s1
-                if self.ntype[prev] == WHITESPACE and not all(c in _WS_SET for c in decoded):
+                self.nspan[6 * prev + 1] = s1
+                if self.ntype[prev] == WHITESPACE and decoded.strip(_WS):
                     self.ntype[prev] = TEXT
                 return
-        ws = (not rawtextual) and all(c in _WS_SET for c in decoded)
+        ws = (not rawtextual) and not decoded.strip(_WS)
         nid = self._new_node(WHITESPACE if ws else TEXT, "", None, decoded, s0, s1)
         self._attach(nid, parent, before if before >= 0 else -1)
 
@@ -276,7 +281,8 @@ class _TreeBuilder:
         if push:
             self.stack.append(nid)
         else:
-            self.nend0[nid] = self.nend1[nid] = t1
+            base = 6 * nid
+            self.nspan[base + 4] = self.nspan[base + 5] = t1
         return nid
 
     def _pop_until(self, name: str, pos: int, e0: int = -1, e1: int = -1) -> bool:
@@ -284,21 +290,27 @@ class _TreeBuilder:
         The matched element gets the explicit end-tag span; implicitly
         popped elements get a zero-length end span at ``pos`` (libgumbo
         leaves original_end_tag empty for them)."""
-        names = [self.ntag[x] for x in self.stack]
-        if name not in names:
+        stk = self.stack
+        ntag = self.ntag
+        for k in range(len(stk) - 1, -1, -1):
+            if ntag[stk[k]] == name:
+                break
+        else:
             return False
-        while self.stack:
-            nid = self.stack.pop()
-            if self.ntag[nid] == name:
+        sp = self.nspan
+        while stk:
+            nid = stk.pop()
+            base = 6 * nid
+            if ntag[nid] == name:
                 if e0 >= 0:
-                    self.nend0[nid], self.nend1[nid] = e0, e1
-                    self.nsrc1[nid] = e1
+                    sp[base + 4], sp[base + 5] = e0, e1
+                    sp[base + 1] = e1
                 else:
-                    self.nend0[nid] = self.nend1[nid] = pos
-                    self.nsrc1[nid] = pos
+                    sp[base + 4] = sp[base + 5] = pos
+                    sp[base + 1] = pos
                 return True
-            self.nend0[nid] = self.nend1[nid] = pos
-            self.nsrc1[nid] = pos
+            sp[base + 4] = sp[base + 5] = pos
+            sp[base + 1] = pos
         return False
 
     def _reset_mode(self) -> None:
@@ -332,6 +344,13 @@ class _TreeBuilder:
     # token handlers
     # ==================================================================
     def handle_chars(self, raw: str, start: int) -> None:
+        if "\x00" in raw:
+            # WHATWG "in body": U+0000 character tokens are parse
+            # errors and are ignored
+            self.errors += 1
+            raw = raw.replace("\x00", "")
+            if not raw:
+                return
         if self.skip_newline:
             self.skip_newline = False
             if raw.startswith("\n"):
@@ -521,8 +540,9 @@ class _TreeBuilder:
     def _clear_to_table_context(self, stops: tuple, pos: int) -> None:
         while self.stack and self.ntag[self._current()] not in stops and self.ntag[self._current()] != "html":
             nid = self.stack.pop()
-            self.nend0[nid] = self.nend1[nid] = pos
-            self.nsrc1[nid] = pos
+            base = 6 * nid
+            self.nspan[base + 4] = self.nspan[base + 5] = pos
+            self.nspan[base + 1] = pos
 
     def _start_in_table(self, name, attrs, self_closing, t0, t1) -> str | None:
         mode = self.mode
@@ -648,8 +668,9 @@ class _TreeBuilder:
         if mode == AFTER_BODY:
             if name == "html":
                 if self.html_id >= 0:
-                    self.nend0[self.html_id], self.nend1[self.html_id] = t0, t1
-                    self.nsrc1[self.html_id] = t1
+                    base = 6 * self.html_id
+                    self.nspan[base + 4], self.nspan[base + 5] = t0, t1
+                    self.nspan[base + 1] = t1
                 return
             self.errors += 1
             self.mode = IN_BODY
@@ -659,8 +680,9 @@ class _TreeBuilder:
         if name == "body":
             if self.body_id >= 0:
                 # spec: do not pop; record the span, switch mode
-                self.nend0[self.body_id], self.nend1[self.body_id] = t0, t1
-                self.nsrc1[self.body_id] = t1
+                base = 6 * self.body_id
+                self.nspan[base + 4], self.nspan[base + 5] = t0, t1
+                self.nspan[base + 1] = t1
                 self.mode = AFTER_BODY
             else:
                 self.errors += 1
@@ -668,8 +690,9 @@ class _TreeBuilder:
         if name == "html":
             self.mode = AFTER_BODY
             if self.body_id >= 0:
-                self.nsrc1[self.body_id] = t0
-                self.nend0[self.body_id] = self.nend1[self.body_id] = t0
+                base = 6 * self.body_id
+                self.nspan[base + 1] = t0
+                self.nspan[base + 4] = self.nspan[base + 5] = t0
             self.handle_end(name, t0, t1)
             return
         if mode == IN_CELL and name in ("td", "th"):
@@ -693,8 +716,9 @@ class _TreeBuilder:
                 self.errors += 1
                 nid = self._insert_element("p", {}, t0, t0)
                 self.stack.pop()
-                self.nend0[nid], self.nend1[nid] = t0, t1
-                self.nsrc1[nid] = t1
+                base = 6 * nid
+                self.nspan[base + 4], self.nspan[base + 5] = t0, t1
+                self.nspan[base + 1] = t1
             return
         if name in HEADINGS:
             # spec: an h1-h6 end tag closes the nearest open heading of
@@ -808,47 +832,69 @@ class _TreeBuilder:
 
     # ==================================================================
     def finalize(self) -> NodeTable:
-        # DFS flatten to preorder
         total = len(self.ntype)
-        order = np.empty(total, dtype=np.int64)
-        subtree_end = np.empty(total, dtype=np.int32)
-        new_id = np.empty(total, dtype=np.int64)
-        parent_new = np.empty(total, dtype=np.int32)
-        iwp = np.empty(total, dtype=np.int32)
-        idx = 0
-        # iterative DFS with (build_id, parent_new_id, index_within_parent)
-        stack: list[tuple[int, int, int, bool]] = [(0, -1, 0, False)]
-        post: list[int] = []
-        while stack:
-            bid, pnew, k, done = stack.pop()
-            if done:
-                subtree_end[new_id[bid]] = idx
-                continue
-            nid = idx
-            idx += 1
-            order[nid] = bid
-            new_id[bid] = nid
-            parent_new[nid] = pnew
-            iwp[nid] = k
-            stack.append((bid, pnew, k, True))
-            kids = self.nchildren[bid]
-            for j in range(len(kids) - 1, -1, -1):
-                stack.append((kids[j], nid, j, False))
-        ntype = np.array([self.ntype[b] for b in order], dtype=np.int8)
-        tag_name = np.array([self.ntag[b] for b in order], dtype=object)
-        tag_id = np.array(
-            [TAG_IDS.get(self.ntag[b], TAG_UNKNOWN) if self.ntype[order[i]] in (ELEMENT, TEMPLATE) and self.ntag[b] else -1
-             for i, b in enumerate(order)],
-            dtype=np.int16,
-        )
-        text = np.array([self.ntext[b] for b in order], dtype=object)
-        attrs = np.array([self.nattrs[b] for b in order], dtype=object)
-        src_start = np.array([self.nsrc0[b] for b in order], dtype=np.int64)
-        src_end = np.array([self.nsrc1[b] for b in order], dtype=np.int64)
-        tag_start = np.array([self.ntag0[b] for b in order], dtype=np.int64)
-        tag_end = np.array([self.ntag1[b] for b in order], dtype=np.int64)
-        endtag_start = np.array([self.nend0[b] for b in order], dtype=np.int64)
-        endtag_end = np.array([self.nend1[b] for b in order], dtype=np.int64)
+        if self.preorder_ok:
+            # fast path: creation order IS preorder (the only
+            # out-of-order mutation is a foster before-insert) —
+            # subtree_end falls out of one reverse pass over the
+            # children lists, everything else converts directly.
+            order = range(total)
+            parent_new = np.fromiter(self.nparent, dtype=np.int32, count=total)
+            iwp = np.fromiter(self.niwp, dtype=np.int32, count=total)
+            se = list(range(1, total + 1))
+            nch = self.nchildren
+            for i in range(total - 1, -1, -1):
+                kids = nch[i]
+                if kids:
+                    se[i] = se[kids[-1]]
+            subtree_end = np.fromiter(se, dtype=np.int32, count=total)
+            ntype = np.fromiter(self.ntype, dtype=np.int8, count=total)
+            tag_name = np.array(self.ntag, dtype=object)
+            text = np.array(self.ntext, dtype=object)
+            attrs = np.empty(total, dtype=object)
+            attrs[:] = self.nattrs
+            spans = np.array(self.nspan, dtype=np.int64).reshape(total, 6)
+            src_start, src_end = spans[:, 0], spans[:, 1]
+            tag_start, tag_end = spans[:, 2], spans[:, 3]
+            endtag_start, endtag_end = spans[:, 4], spans[:, 5]
+        else:
+            # general path: DFS flatten to preorder
+            order_arr = np.empty(total, dtype=np.int64)
+            subtree_end = np.empty(total, dtype=np.int32)
+            new_id = np.empty(total, dtype=np.int64)
+            parent_new = np.empty(total, dtype=np.int32)
+            iwp = np.empty(total, dtype=np.int32)
+            idx = 0
+            stack: list[tuple[int, int, int, bool]] = [(0, -1, 0, False)]
+            while stack:
+                bid, pnew, k, done = stack.pop()
+                if done:
+                    subtree_end[new_id[bid]] = idx
+                    continue
+                nid = idx
+                idx += 1
+                order_arr[nid] = bid
+                new_id[bid] = nid
+                parent_new[nid] = pnew
+                iwp[nid] = k
+                stack.append((bid, pnew, k, True))
+                kids = self.nchildren[bid]
+                for j in range(len(kids) - 1, -1, -1):
+                    stack.append((kids[j], nid, j, False))
+            order = order_arr.tolist()
+            ntype = np.array([self.ntype[b] for b in order], dtype=np.int8)
+            tag_name = np.array([self.ntag[b] for b in order], dtype=object)
+            text = np.array([self.ntext[b] for b in order], dtype=object)
+            attrs = np.empty(total, dtype=object)
+            attrs[:] = [self.nattrs[b] for b in order]
+            spans = np.array(self.nspan, dtype=np.int64).reshape(total, 6)[order]
+            src_start, src_end = spans[:, 0], spans[:, 1]
+            tag_start, tag_end = spans[:, 2], spans[:, 3]
+            endtag_start, endtag_end = spans[:, 4], spans[:, 5]
+        is_tagged = (ntype == ELEMENT) | (ntype == TEMPLATE)
+        tag_id = np.full(total, -1, dtype=np.int16)
+        get = TAG_IDS.get
+        tag_id[is_tagged] = [get(t, TAG_UNKNOWN) for t in tag_name[is_tagged]]
         return NodeTable(
             source=self.src,
             type=ntype,

@@ -1,0 +1,65 @@
+"""spark-submit entry point for the flagship extraction pipeline.
+
+Packaging (north_rule: "run via spark-submit --py-files"):
+
+    cd /root/repo && zip -qr /tmp/gumbo_pp_spark.zip gumbo_pp_spark
+    spark-submit --master local[32] \
+        --py-files /tmp/gumbo_pp_spark.zip \
+        jobs/extract_job.py \
+        --pages <pages parquet dir> --out <output dir> \
+        [--n-splits 256] [--salt] [--size-bins]
+
+Resumable: re-running with the same --out skips ledger-committed
+splits (plans/lineage.py).  The output is readable via
+``gumbo_pp_spark.plans.lineage.read_extracted``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="input pages parquet dir")
+    ap.add_argument("--out", required=True, help="output dir (data + ledger)")
+    ap.add_argument("--n-splits", type=int, default=256)
+    ap.add_argument("--salt", action="store_true", help="salt skewed hosts first")
+    ap.add_argument("--size-bins", action="store_true", help="byte-balanced repartition")
+    ap.add_argument("--max-splits", type=int, default=None, help="fault-injection/test cap")
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("gumbo-extract")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(64 << 20))
+        .getOrCreate()
+    )
+
+    from gumbo_pp_spark.plans.lineage import extract_with_resume
+    from gumbo_pp_spark.plans.partitioning import salt_skewed_keys, size_balanced_bins
+
+    pages = spark.read.parquet(args.pages)
+    if args.salt:
+        pages = salt_skewed_keys(pages)
+    if args.size_bins:
+        pages = size_balanced_bins(pages)
+
+    passthrough = ("doc_id", "url") if "doc_id" in pages.columns else ("url",)
+    metrics = extract_with_resume(
+        spark,
+        pages.select(*passthrough, "html"),
+        args.out,
+        n_splits=args.n_splits,
+        max_splits_this_run=args.max_splits,
+        passthrough=passthrough,
+    )
+    print(json.dumps(metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
