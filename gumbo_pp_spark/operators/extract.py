@@ -50,27 +50,51 @@ def run_program(
     out_fields: str,
     passthrough: tuple[str, ...] = ("doc_id", "url"),
     html_col: str = "html",
+    stage_metrics: bool = False,
 ) -> DataFrame:
     """Run ``program`` over every page.  ``program(nt) -> dict`` of the
     columns declared in ``out_fields`` (DDL fragment).  Passthrough
     columns are carried unchanged; the input projection is pruned to
     passthrough + html so parquet scans read only what is needed.
+    ``stage_metrics`` appends per-document ``parse_us``/``kernel_us``
+    timing columns (feeds the lineage ledger's per-stage breakdown).
     """
     schema = ", ".join(
         [*(f"{c} {t}" for c, t in _passthrough_types(df, passthrough)), out_fields]
     )
+    if stage_metrics:
+        schema += ", parse_us bigint, kernel_us bigint"
     out_names = [f.split()[0] for f in out_fields.split(", ")]
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+
+        clk = _time.perf_counter
         for pdf in batches:
             cols: dict[str, list] = {c: pdf[c].tolist() for c in passthrough}
             outs: dict[str, list] = {c: [] for c in out_names}
-            for raw in pdf[html_col]:
-                nt = parse_html(raw)
-                res = program(nt)
-                for c in out_names:
-                    outs[c].append(res[c])
+            parse_us: list[int] = []
+            kernel_us: list[int] = []
+            if stage_metrics:
+                for raw in pdf[html_col]:
+                    t0 = clk()
+                    nt = parse_html(raw)
+                    t1 = clk()
+                    res = program(nt)
+                    t2 = clk()
+                    parse_us.append(int((t1 - t0) * 1e6))
+                    kernel_us.append(int((t2 - t1) * 1e6))
+                    for c in out_names:
+                        outs[c].append(res[c])
+            else:
+                for raw in pdf[html_col]:
+                    res = program(parse_html(raw))
+                    for c in out_names:
+                        outs[c].append(res[c])
             cols.update(outs)
+            if stage_metrics:
+                cols["parse_us"] = parse_us
+                cols["kernel_us"] = kernel_us
             yield pd.DataFrame(cols)
 
     pruned = df.select(*passthrough, html_col)
@@ -135,8 +159,12 @@ MAIN_TEXT_FIELDS = (
 )
 
 
-def extract_main_text(df: DataFrame, passthrough=("doc_id", "url")) -> DataFrame:
-    return run_program(df, main_text_program, MAIN_TEXT_FIELDS, passthrough)
+def extract_main_text(
+    df: DataFrame, passthrough=("doc_id", "url"), stage_metrics: bool = False
+) -> DataFrame:
+    return run_program(
+        df, main_text_program, MAIN_TEXT_FIELDS, passthrough, stage_metrics=stage_metrics
+    )
 
 
 # ----------------------------------------------------------------------

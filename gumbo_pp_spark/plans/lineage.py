@@ -84,7 +84,7 @@ def extract_with_resume(
     work = pages.withColumn(
         "split_id", F.pmod(F.xxhash64("url"), F.lit(n_splits)).cast("int")
     ).where(F.col("split_id").isin(pending))
-    out = extract_main_text(work, passthrough=(*passthrough, "split_id"))
+    out = extract_main_text(work, passthrough=(*passthrough, "split_id"), stage_metrics=True)
     data_dir = os.path.join(out_dir, "data", f"run={run_id}")
     out.write.partitionBy("split_id").mode("error").parquet(data_dir)
 
@@ -95,6 +95,9 @@ def extract_with_resume(
         .agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum(F.length("text")).alias("bytes"),
+            F.sum("parse_us").alias("parse_us"),
+            F.sum("kernel_us").alias("kernel_us"),
+            F.sum("parse_errors").alias("parse_errors"),
         )
         .collect()
     )
@@ -109,6 +112,9 @@ def extract_with_resume(
                 "status": "committed",
                 "rows": int(r["rows"]) if r else 0,
                 "bytes": int(r["bytes"]) if r and r["bytes"] is not None else 0,
+                "parse_ms": int(r["parse_us"] / 1000) if r else 0,
+                "kernel_ms": int(r["kernel_us"] / 1000) if r else 0,
+                "parse_errors": int(r["parse_errors"]) if r else 0,
                 "wall_ms": wall_ms,
                 "attempt": 1,
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

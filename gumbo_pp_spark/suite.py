@@ -175,6 +175,24 @@ def q_html_spans(spark, sf_dir):
     )
 
 
+def q_html_selector_ir(spark, sf_dir):
+    # serializable selector program (selector.py) driving the
+    # content_text matcher family end-to-end: count of nodes whose
+    # recursive content text ends with the en-only comment text —
+    # matches the comment node itself (its text IS its content_text,
+    # gumbo_text.h:55-57), <article>, <main> and the doc div, iff lang='en'
+    from .selector import compile_selector
+
+    pages = synth_pages(spark, sf_dir)
+    sel = compile_selector(["content_ends_with", "promoted"])
+    prog = count_matches_program(sel)
+    return run_program(pages, prog, "n_matches int", passthrough=("doc_id",)) \
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_matches").cast("bigint").alias("n_promoted"),
+        )
+
+
 def q_html_table_scrape(spark, sf_dir):
     pages = synth_table_pages(spark, sf_dir)
     return scrape_tables(pages, "important_table", passthrough=("doc_id",)) \
@@ -216,6 +234,27 @@ def q_ann_cosine(spark, sf_dir):
     emb = _tbl(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
     return S.cosine_topk(emb, queries, k=3)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    # rows-only (no shared xor spelling between engines): near-dup
+    # pairs by simhash hamming distance over banded candidates
+    return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=2)
+
+
+def q_ann_lsh(spark, sf_dir):
+    # rows-only (approximate by design): bucketed ANN scale path
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return S.lsh_cosine_topk(emb, queries, k=3, dim=64, n_planes=4)
+
+
+def q_multimodal_features(spark, sf_dir):
+    # rows-only (stubbed decode is engine-deterministic, not
+    # SQL-reproducible): image feature extraction over binary media
+    from .operators.multimodal import image_features, synth_media
+
+    return image_features(synth_media(spark, sf_dir))
 
 
 def q_quality(spark, sf_dir):
@@ -315,8 +354,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_article_text": q_html_article_text,
     "html_class_match": q_html_class_match,
     "html_spans": q_html_spans,
+    "html_selector_ir": q_html_selector_ir,
     "html_table_scrape": q_html_table_scrape,
     "html_doc_content_text": q_html_doc_content_text,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_lsh_topk": q_ann_lsh,
+    "multimodal_image_features": q_multimodal_features,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash,
@@ -366,6 +409,11 @@ ORACLES: dict[str, str] = {
         f"CAST({_DUCK_PREFIX_LEN} AS BIGINT) AS inner_start, "
         f"CAST({_DUCK_PREFIX_LEN} + length({_DUCK_ESC}) AS BIGINT) AS inner_end, "
         f"CAST({_DUCK_PREFIX_LEN} + length({_DUCK_ESC}) + 4 AS BIGINT) AS outer_end "
+        "FROM documents"
+    ),
+    "html_selector_ir": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(CASE WHEN lang = 'en' THEN 4 ELSE 0 END AS BIGINT) AS n_promoted "
         "FROM documents"
     ),
     "html_table_scrape": (
