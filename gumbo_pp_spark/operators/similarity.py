@@ -66,6 +66,47 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_expr: str = "vec_id % 16",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cos_e6) with
+    a < b and cosine ≥ threshold.
+
+    Candidates are blocked by ``block_expr`` (at 100 TB the block key
+    would be an LSH bucket — see :func:`hyperplane_sketch_expr`; the
+    default modulus block keeps the demo oracle-reproducible), then
+    scored with a JVM-side dot product.  Cosine is emitted e6-scaled so
+    the DuckDB oracle compares exactly.
+    """
+    base = with_norm(df, vec_col).where(F.col("norm") > 0).withColumn(
+        "block", F.expr(block_expr)
+    )
+    a = base.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+        F.col("norm").alias("na"), "block",
+    )
+    b = base.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+        F.col("norm").alias("nb"), "block",
+    )
+    dot = DOT_EXPR.format(a="va", b="vb")
+    return (
+        a.join(b, ["block"])
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cos", F.expr(dot) / (F.col("na") * F.col("nb")))
+        .where(F.col("cos") >= threshold)
+        .select(
+            F.col("a").cast("bigint"),
+            F.col("b").cast("bigint"),
+            F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_e6"),
+        )
+    )
+
+
 def hyperplane_sketch_expr(dim: int, n_planes: int, vec_col: str = "embedding") -> str:
     """Deterministic pseudo-random hyperplane LSH sketch as pure SQL:
     plane p, coord i weight = sign from md5(p|i) parity (reproducible

@@ -257,6 +257,12 @@ def q_multimodal_features(spark, sf_dir):
     return image_features(synth_media(spark, sf_dir))
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    # embedding-cosine near-dup pairs (threshold tuned to the synthetic
+    # random-vector corpus: max pairwise cosine ≈ 0.44)
+    return S.cosine_near_dup_pairs(_tbl(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
 def q_quality(spark, sf_dir):
     return T.quality_stats(_docs(spark, sf_dir))
 
@@ -365,6 +371,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash,
     "simhash": q_simhash,
     "ann_cosine_topk": q_ann_cosine,
+    "embedding_near_dup": q_embedding_near_dup,
     "text_quality": q_quality,
     "lang_id": q_lang_id,
     "doc_fingerprints": q_fingerprints,
@@ -459,6 +466,17 @@ ORACLES: dict[str, str] = {
         "(PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored) "
         "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS neighbor_id, "
         "CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3"
+    ),
+    "embedding_near_dup": (
+        "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+        "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm, "
+        "vec_id % 16 AS block FROM embeddings), "
+        "base AS (SELECT * FROM n WHERE norm > 0), "
+        "p AS (SELECT a.vec_id AS a, b.vec_id AS b, "
+        "list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos "
+        "FROM base a JOIN base b ON a.block = b.block AND a.vec_id < b.vec_id) "
+        "SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, "
+        "CAST(round(cos * 1000000) AS BIGINT) AS cos_e6 FROM p WHERE cos >= 0.35"
     ),
     "text_quality": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "

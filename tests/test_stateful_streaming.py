@@ -1,0 +1,30 @@
+"""Stateful streaming dedup (applyInPandasWithState): duplicates across
+micro-batches are dropped via per-bucket state."""
+
+from gumbo_pp_spark.sources.pages import synth_pages
+from gumbo_pp_spark.streaming.stateful import stream_dedup_urls
+
+from .conftest import SF_SMOKE
+
+
+def test_stream_dedup_first_seen_only(spark, tmp_path):
+    pages = synth_pages(spark, SF_SMOKE).select("doc_id", "url").limit(100)
+    src = str(tmp_path / "in")
+    # two file drops with full overlap: every url appears twice
+    pages.write.parquet(src)
+    pages.write.mode("append").parquet(src)
+    assert spark.read.parquet(src).count() == 200
+
+    out = stream_dedup_urls(spark, src, "doc_id bigint, url string")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("deduped_urls")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM deduped_urls")
+    assert got.count() == 100
+    assert got.select("url").distinct().count() == 100
