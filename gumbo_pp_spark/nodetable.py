@@ -124,6 +124,22 @@ class NodeTable:
         # EXCEPT the last child's descendants.
         return int(kids[0]), int(kids[-1]) + 1
 
+    def last_sibling(self, i: int) -> int:
+        """Last child of i's parent (gumbo_node_iterator.h:147-156)."""
+        p = int(self.parent[i])
+        if p < 0:
+            return i
+        kids = self.children_ids(p)
+        return int(kids[-1])
+
+    def node_attribute_value(self, i: int, name: str) -> str:
+        """Named attribute value, '' if absent or non-element
+        (gumbo_util.h:148-159)."""
+        a = self.attrs[i]
+        if not a:
+            return ""
+        return a.get(name, "") or ""
+
     def next_sibling(self, i: int) -> int:
         """Next sibling id or -1 (correct semantics; the reference's
         ``next_sibling`` at gumbo_node_iterator.h:131-145 reads the

@@ -475,13 +475,24 @@ class _TreeBuilder:
         if name in ("html", "head", "body", "frame"):
             self.errors += 1
             return None
-        if self.mode == IN_CELL and name in (
-            "td", "th", "tr", "table", "caption", "col", "colgroup",
-        ) or (self.mode == IN_CELL and name in TABLE_SECTIONS):
+        if self.mode == IN_CELL and (
+            name in ("td", "th", "tr", "caption", "col", "colgroup")
+            or name in TABLE_SECTIONS
+        ):
             # close the cell, reprocess in the row/section context
+            # (a <table> start tag is NOT here: tables nest inside cells)
             for cell in ("td", "th"):
                 if self._pop_until(cell, t0):
                     break
+            self._reset_mode()
+            return self.handle_start(name, attrs, self_closing, t0, t1)
+        if (
+            name in ("caption", "col", "colgroup", "td", "th", "tr")
+            or name in TABLE_SECTIONS
+        ) and self._in_scope("caption", frozenset({"table"})) and self.ntag[self._current()] != "table":
+            # table-structure start tag while inside <caption>: close the
+            # caption and reprocess in the table context
+            self._pop_until("caption", t0)
             self._reset_mode()
             return self.handle_start(name, attrs, self_closing, t0, t1)
         if self.mode != IN_CELL and name in ("td", "th", "tr", "col", "colgroup", "caption") and not self._in_scope("table"):
@@ -561,7 +572,14 @@ class _TreeBuilder:
                 self.stack.append(nid)
                 self.mode = IN_TABLE_BODY
                 return self.handle_start(name, attrs, self_closing, t0, t1)
-            if name == "caption" or name == "colgroup":
+            if name == "caption":
+                self._clear_to_table_context(("table",), t0)
+                self._insert_element(name, attrs, t0, t1)
+                # "in caption" approximated by in-body; table-structure
+                # tags and </caption> close it (see _start_in_body)
+                self.mode = IN_BODY
+                return None
+            if name == "colgroup":
                 self._clear_to_table_context(("table",), t0)
                 self._insert_element(name, attrs, t0, t1)
                 return None
@@ -742,6 +760,8 @@ class _TreeBuilder:
             return
         if not self._pop_until(name, t0, t0, t1):
             self.errors += 1
+        elif name == "caption":
+            self._reset_mode()
 
     def _stack_has(self, name: str) -> bool:
         return any(self.ntag[x] == name for x in self.stack)

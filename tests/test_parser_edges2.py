@@ -1,0 +1,175 @@
+"""Second edge-semantics corpus (FIXTURES.md G4+ continuation):
+tables/sections/select paths, entity edge cases, bogus markup,
+document-structure recovery."""
+
+import numpy as np
+
+from gumbo_pp_spark import parse_html
+from gumbo_pp_spark.nodetable import COMMENT, ELEMENT, TEXT, WHITESPACE
+
+
+def first(nt, mask, start=0):
+    i = nt.first_match(mask, start)
+    assert i >= 0
+    return i
+
+
+class TestTables:
+    def test_nested_table(self):
+        nt = parse_html(
+            "<table><tr><td><table><tr><td>inner</td></tr></table>outer</td></tr></table>"
+        )
+        tds = np.nonzero(nt.tag_name == "td")[0]
+        assert len(tds) == 2
+        outer_td = int(tds[0])
+        assert nt.content_text(outer_td) == "innerouter"
+        inner_td = int(tds[1])
+        assert nt.content_text(inner_td) == "inner"
+
+    def test_caption_and_colgroup(self):
+        nt = parse_html(
+            "<table><caption>cap</caption><colgroup><col><col></colgroup>"
+            "<tbody><tr><td>x</td></tr></tbody></table>"
+        )
+        cap = first(nt, nt.tag_name == "caption")
+        assert nt.content_text(cap) == "cap"
+        cols = np.nonzero(nt.tag_name == "col")[0]
+        assert len(cols) == 2
+        cg = first(nt, nt.tag_name == "colgroup")
+        assert all(nt.parent[c] == cg for c in cols)
+        tbl = first(nt, nt.tag_name == "table")
+        assert nt.parent[cap] == tbl
+
+    def test_thead_tfoot_sections(self):
+        nt = parse_html(
+            "<table><thead><tr><th>h</th></tr></thead>"
+            "<tbody><tr><td>b</td></tr></tbody>"
+            "<tfoot><tr><td>f</td></tr></tfoot></table>"
+        )
+        for sec in ("thead", "tbody", "tfoot"):
+            s = first(nt, nt.tag_name == sec)
+            assert nt.tag_name[nt.parent[s]] == "table"
+        th = first(nt, nt.tag_name == "th")
+        assert nt.content_text(th) == "h"
+
+    def test_tr_closes_tr(self):
+        nt = parse_html("<table><tbody><tr><td>a<tr><td>b</tbody></table>")
+        trs = np.nonzero(nt.tag_name == "tr")[0]
+        assert len(trs) == 2
+        assert [nt.content_text(int(t)) for t in trs] == ["a", "b"]
+
+
+class TestSelectAndForms:
+    def test_select_options(self):
+        nt = parse_html('<select><option value="1">one<option value="2">two</select>')
+        opts = np.nonzero(nt.tag_name == "option")[0]
+        assert len(opts) == 2
+        assert [nt.content_text(int(o)) for o in opts] == ["one", "two"]
+
+    def test_form_container(self):
+        nt = parse_html('<form action="/x"><input name="q"><button>go</button></form>')
+        f = first(nt, nt.tag_name == "form")
+        assert nt.attrs[f]["action"] == "/x"
+        inp = first(nt, nt.tag_name == "input")
+        assert nt.parent[inp] == f
+
+
+class TestEntities:
+    def test_numeric_refs(self):
+        nt = parse_html("<p>&#65;&#x42;&#67</p>")  # legacy no-semicolon last
+        p = first(nt, nt.tag_name == "p")
+        assert nt.content_text(p) == "ABC"
+
+    def test_named_no_semicolon_legacy(self):
+        nt = parse_html("<p>a &amp b</p>")
+        p = first(nt, nt.tag_name == "p")
+        assert nt.content_text(p) == "a & b"
+
+    def test_unknown_entity_literal(self):
+        nt = parse_html("<p>&notanentity;</p>")
+        p = first(nt, nt.tag_name == "p")
+        # &not is a legacy named ref → WHATWG decodes the prefix
+        assert nt.content_text(p) == "¬anentity;"
+
+    def test_bare_ampersand(self):
+        nt = parse_html("<p>fish & chips</p>")
+        p = first(nt, nt.tag_name == "p")
+        assert nt.content_text(p) == "fish & chips"
+
+
+class TestBogusMarkup:
+    def test_processing_instruction_is_bogus_comment(self):
+        nt = parse_html('<body><?php echo "x"; ?>text</body>')
+        c = first(nt, nt.type == COMMENT)
+        assert nt.text[c].startswith("?php")
+        body = first(nt, nt.tag_name == "body")
+        assert nt.content_text(body) == '?php echo "x"; ?text'
+
+    def test_bang_bogus_comment(self):
+        nt = parse_html("<body><!x y>after</body>")
+        c = first(nt, nt.type == COMMENT)
+        assert nt.text[c] == "x y"
+
+    def test_lt_before_nonletter_is_text(self):
+        nt = parse_html("<p>1 < 2 and 3 <4</p>")
+        p = first(nt, nt.tag_name == "p")
+        assert nt.content_text(p) == "1 < 2 and 3 <4"
+
+    def test_unclosed_quote_attr_runs_to_eof(self):
+        nt = parse_html('<div id="x>y</div><p>z</p>')
+        # the quoted value swallows the rest; EOF inside a tag means the
+        # tag token is never emitted (spec: eof-in-tag parse error)
+        assert (nt.tag_name == "div").sum() == 0
+        assert nt.parse_errors >= 1
+
+
+class TestStructureRecovery:
+    def test_double_body_ignored(self):
+        nt = parse_html("<body>a</body><body>b</body>")
+        assert (nt.tag_name == "body").sum() == 1
+
+    def test_content_after_html_close(self):
+        nt = parse_html("<html><body>a</body></html>trailing")
+        body = first(nt, nt.tag_name == "body")
+        assert nt.content_text(body) == "atrailing"
+
+    def test_head_only_document(self):
+        nt = parse_html("<head><meta charset='utf-8'></head>")
+        names = [nt.tag_name[i] for i in range(nt.n) if nt.type[i] == ELEMENT]
+        assert names == ["html", "head", "meta", "body"]
+
+    def test_heading_cross_rank_close(self):
+        nt = parse_html("<h2>title</h3><p>x</p>")
+        h2 = first(nt, nt.tag_name == "h2")
+        assert nt.content_text(h2) == "title"
+        p = first(nt, nt.tag_name == "p")
+        assert nt.parent[p] == nt.parent[h2]
+
+    def test_stray_end_br_inserts_br(self):
+        nt = parse_html("<p>a</br>b</p>")
+        assert (nt.tag_name == "br").sum() == 1
+
+    def test_definition_list_implied_ends(self):
+        nt = parse_html("<dl><dt>t1<dd>d1<dt>t2<dd>d2</dl>")
+        dts = np.nonzero(nt.tag_name == "dt")[0]
+        dds = np.nonzero(nt.tag_name == "dd")[0]
+        assert len(dts) == 2 and len(dds) == 2
+        assert [nt.content_text(int(i)) for i in dts] == ["t1", "t2"]
+        assert [nt.content_text(int(i)) for i in dds] == ["d1", "d2"]
+
+    def test_anchor_reopen(self):
+        nt = parse_html('<a href="1">one<a href="2">two</a>')
+        anchors = np.nonzero(nt.tag_name == "a")[0]
+        assert len(anchors) == 2
+        assert [nt.content_text(int(a)) for a in anchors] == ["one", "two"]
+
+
+class TestTraversalHelpers:
+    def test_last_sibling_and_attr_value(self):
+        nt = parse_html('<div><i>a</i><b>b</b><u c="v">c</u></div>')
+        i_ = nt.first_match(nt.tag_name == "i")
+        u = nt.first_match(nt.tag_name == "u")
+        assert nt.last_sibling(i_) == u
+        assert nt.node_attribute_value(u, "c") == "v"
+        assert nt.node_attribute_value(u, "missing") == ""
+        assert nt.node_attribute_value(i_ + 1, "c") == ""  # text node

@@ -1,0 +1,66 @@
+"""Physical-plan assertions (.explain) — the 100 TB checklist: small
+sides broadcast, aggregates map-side partial, filters and projections
+pushed to the parquet scan, no stray shuffles in the map-only stage."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gumbo_pp_spark.operators.dedup import exact_dedup, minhash_signatures
+from gumbo_pp_spark.operators.extract import extract_main_text
+from gumbo_pp_spark.operators.similarity import cosine_topk
+from gumbo_pp_spark.suite import q_lineitem_agg, q_top_orders_per_segment
+
+from .conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+class TestPlans:
+    def test_cosine_topk_broadcasts_queries(self, spark):
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        out = cosine_topk(emb, emb.where(F.col("vec_id") % 100 == 0), k=3)
+        plan = plan_of(out)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        # the big side is never shuffled before the join
+        assert plan.index("Broadcast") < len(plan)
+
+    def test_exact_dedup_partial_agg(self, spark, docs):
+        plan = plan_of(exact_dedup(docs))
+        # two HashAggregates around one exchange = map-side combine
+        assert plan.count("HashAggregate") >= 2
+        assert "partial_min" in plan or "partial_count" in plan
+
+    def test_minhash_partial_agg(self, spark, docs):
+        plan = plan_of(minhash_signatures(docs))
+        assert "partial_min" in plan
+
+    def test_broadcast_dim_join(self, spark):
+        plan = plan_of(q_top_orders_per_segment(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan
+
+    def test_filter_pushdown_to_scan(self, spark):
+        plan = plan_of(q_lineitem_agg(spark, SF_SMOKE))
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+
+    def test_extract_stage_is_map_only(self, spark):
+        pages = spark.createDataFrame(
+            [(1, "u", bytearray(b"<p>x</p>"))], "doc_id long, url string, html binary"
+        )
+        plan = plan_of(extract_main_text(pages))
+        assert "Exchange" not in plan  # no shuffle anywhere in the stage
+
+    def test_extract_readschema_pruned(self, spark, tmp_path, docs):
+        from gumbo_pp_spark.sources.pages import synth_pages
+
+        path = str(tmp_path / "p.parquet")
+        synth_pages(spark, SF_SMOKE).write.parquet(path)
+        out = extract_main_text(spark.read.parquet(path))
+        line = [ln for ln in plan_of(out).splitlines() if "ReadSchema" in ln][0]
+        assert "html" in line and "text" not in line and "lang" not in line
