@@ -83,6 +83,14 @@ _RAWTEXT_CLOSE_RES: dict[str, re.Pattern] = {}
 
 _TABLE_MODES = (IN_TABLE, IN_TABLE_BODY, IN_ROW)
 
+# Active formatting elements (WHATWG §13.2.4.3): reconstructed after
+# implied closes so misnested formatting wraps subsequent content.
+_FORMATTING = frozenset("a b big code em font i nobr s small strike strong tt u".split())
+# formatting-list scope markers
+_AFE_MARKERS = frozenset("td th caption applet object marquee template".split())
+# void/start tags that reconstruct formatting before insertion
+_RECONSTRUCT_VOIDS = frozenset("area br embed img keygen wbr input".split())
+
 # "Special" category elements that abort the <li>/<dd>/<dt> implied-end
 # scan (WHATWG "in body": any special element other than address, div, p).
 _SPECIAL_LI_STOP = frozenset(
@@ -121,7 +129,7 @@ class _TreeBuilder:
         "src", "n", "mode", "stack", "errors", "quirks",
         "skip_newline", "foster", "ntype", "ntag", "nattrs", "ntext",
         "nspan", "nchildren", "nparent", "niwp", "preorder_ok",
-        "html_id", "head_id", "body_id",
+        "html_id", "head_id", "body_id", "afe",
     )
 
     # nspan layout: 6 int64 slots per node in one flat list —
@@ -151,6 +159,9 @@ class _TreeBuilder:
         self.html_id = -1
         self.head_id = -1
         self.body_id = -1
+        # active formatting elements: [tag, attrs, t0, t1, node_id] or
+        # None (scope marker)
+        self.afe: list = []
         self._new_node(DOCUMENT, "", None, "", 0, self.n)
 
     # -- node store ----------------------------------------------------
@@ -253,6 +264,8 @@ class _TreeBuilder:
     def _insert_text(self, decoded: str, s0: int, s1: int, rawtextual: bool = False) -> None:
         if not decoded:
             return
+        if not rawtextual and self.afe and self.mode in (IN_BODY, IN_CELL):
+            self._reconstruct_formatting()
         parent, before = self._insert_target()
         kids = self.nchildren[parent]
         anchor = len(kids)
@@ -285,6 +298,46 @@ class _TreeBuilder:
             self.nspan[base + 4] = self.nspan[base + 5] = t1
         return nid
 
+    def _reconstruct_formatting(self) -> None:
+        """WHATWG 'reconstruct the active formatting elements': reopen
+        (clone) every post-marker entry whose element is no longer on
+        the stack, oldest first.  Clones keep the ORIGINAL tag spans
+        (the spec clones the original token; libgumbo does the same)."""
+        afe = self.afe
+        if not afe:
+            return
+        stack = self.stack
+        # fast path: last entry open (or marker) → nothing to do
+        last = afe[-1]
+        if last is None or last[4] in stack:
+            return
+        # find first stale entry after the last marker/open entry
+        i = len(afe) - 1
+        while i > 0:
+            prev = afe[i - 1]
+            if prev is None or prev[4] in stack:
+                break
+            i -= 1
+        for k in range(i, len(afe)):
+            tag, attrs, t0, t1, _ = afe[k]
+            nid = self._new_node(ELEMENT, tag, attrs, "", t0, self.n, t0, t1, self.n, self.n)
+            parent, before = self._insert_target()
+            self._attach(nid, parent, before)
+            self.stack.append(nid)
+            afe[k][4] = nid
+
+    def _afe_remove(self, nid: int) -> None:
+        for k in range(len(self.afe) - 1, -1, -1):
+            e = self.afe[k]
+            if e is not None and e[4] == nid:
+                del self.afe[k]
+                return
+
+    def _afe_clear_to_marker(self) -> None:
+        while self.afe:
+            if self.afe.pop() is None:
+                return
+
     def _pop_until(self, name: str, pos: int, e0: int = -1, e1: int = -1) -> bool:
         """Generate implied end tags and pop through the nearest ``name``.
         The matched element gets the explicit end-tag span; implicitly
@@ -308,6 +361,10 @@ class _TreeBuilder:
                 else:
                     sp[base + 4] = sp[base + 5] = pos
                     sp[base + 1] = pos
+                if name in _FORMATTING:
+                    self._afe_remove(nid)
+                elif name in ("td", "th", "caption"):
+                    self._afe_clear_to_marker()
                 return True
             sp[base + 4] = sp[base + 5] = pos
             sp[base + 1] = pos
@@ -512,11 +569,30 @@ class _TreeBuilder:
             self._close_list_item(("dd", "dt"), t0)
         elif name == "a":
             if self._in_scope("a"):
+                # approximation of the adoption agency's simple case:
+                # close the open <a> and drop its formatting entry
                 self.errors += 1
                 self._pop_until("a", t0)
         elif name in ("option", "optgroup"):
             if self.stack and self.ntag[self._current()] == "option":
                 self._pop_until("option", t0)
+
+        # WHATWG: character tokens, formatting tags, several voids and
+        # "any other start tag" reconstruct active formatting first;
+        # block-level groups (P_CLOSERS, headings, li/dd/dt, rawtext)
+        # do not
+        if self.afe and (
+            name in _FORMATTING
+            or name in _RECONSTRUCT_VOIDS
+            or (
+                name not in P_CLOSERS
+                and name not in HEADINGS
+                and name not in VOID_ELEMENTS
+                and name not in RAWTEXT_ELEMENTS
+                and name not in ("li", "dd", "dt", "option", "optgroup", "template", "textarea")
+            )
+        ):
+            self._reconstruct_formatting()
 
         if name in VOID_ELEMENTS:
             self._insert_element(name, attrs, t0, t1, push=False)
@@ -525,7 +601,9 @@ class _TreeBuilder:
             nid = self._insert_element(name, attrs, t0, t1)
             self.ntype[nid] = TEMPLATE
             return None
-        self._insert_element(name, attrs, t0, t1)
+        nid = self._insert_element(name, attrs, t0, t1)
+        if name in _FORMATTING:
+            self.afe.append([name, attrs, t0, t1, nid])
         if name == "table":
             self.mode = IN_TABLE
             return None
@@ -575,6 +653,7 @@ class _TreeBuilder:
             if name == "caption":
                 self._clear_to_table_context(("table",), t0)
                 self._insert_element(name, attrs, t0, t1)
+                self.afe.append(None)  # formatting-scope marker
                 # "in caption" approximated by in-body; table-structure
                 # tags and </caption> close it (see _start_in_body)
                 self.mode = IN_BODY
@@ -638,6 +717,7 @@ class _TreeBuilder:
         if name in ("td", "th"):
             self._clear_to_table_context(("tr", "table"), t0)
             self._insert_element(name, attrs, t0, t1)
+            self.afe.append(None)  # formatting-scope marker
             self.mode = IN_CELL
             return None
         if name in ("tr", "caption", "col", "colgroup", "table") or name in TABLE_SECTIONS:
