@@ -279,6 +279,34 @@ def q_token_counts(spark, sf_dir):
     return T.token_counts(_docs(spark, sf_dir))
 
 
+def q_host_stats(spark, sf_dir):
+    # host-level corpus stats over the pages table (the salting key's
+    # real-world aggregation path)
+    pages = synth_pages(spark, sf_dir)
+    return (
+        pages.withColumn("host", F.regexp_extract("url", "https?://([^/]+)", 1))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+            F.sum(F.length("html")).cast("bigint").alias("html_bytes"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+    )
+
+
+def q_top_terms(spark, sf_dir):
+    # corpus top-20 terms: explode → count → global top-k with
+    # deterministic tiebreak (classic shuffle+limit path)
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(20)
+    )
+
+
 # ----------------------------------------------------------------------
 # relational surface (scans/filters/agg/window/sort/limit — §2.5)
 # ----------------------------------------------------------------------
@@ -376,6 +404,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "doc_fingerprints": q_fingerprints,
     "token_counts": q_token_counts,
+    "host_stats": q_host_stats,
+    "top_terms": q_top_terms,
     "lineitem_agg": q_lineitem_agg,
     "top_orders_per_segment": q_top_orders_per_segment,
     "events_hourly": q_events_hourly,
@@ -509,6 +539,23 @@ ORACLES: dict[str, str] = {
         "CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS ws_tokens, "
         "CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS word_tokens "
         "FROM documents"
+    ),
+    "host_stats": (
+        "WITH pages AS (SELECT doc_id, source || '.example.com' AS host, "
+        "length(" + _DUCK_PREFIX_LEN.replace("length(", "", 1)[:-1] + " || "
+        + _DUCK_ESC + " || '</p>'"
+        " || CASE WHEN lang = 'en' THEN '<!--promoted-->' ELSE '' END"
+        " || '</article></main></div>'"
+        " || '<footer><p class=\"fine\">source ' || source || '</p></footer>'"
+        " || '</body></html>') AS html_len FROM documents) "
+        "SELECT host, CAST(count(*) AS BIGINT) AS n_pages, "
+        "CAST(sum(html_len) AS BIGINT) AS html_bytes, "
+        "CAST(min(doc_id) AS BIGINT) AS first_doc FROM pages GROUP BY host"
+    ),
+    "top_terms": (
+        "WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents) "
+        "SELECT term, CAST(count(*) AS BIGINT) AS n FROM w "
+        "GROUP BY term ORDER BY n DESC, term LIMIT 20"
     ),
     "lineitem_agg": (
         "SELECT l_returnflag, l_linestatus, "
