@@ -1,0 +1,64 @@
+"""Adversarial-input robustness: the extract stage must recover from
+arbitrary hostile bytes without crashing a task (error-recovering
+parse is the whole point of the Gumbo model)."""
+
+import numpy as np
+import pytest
+
+from gumbo_pp_spark import parse_html
+from gumbo_pp_spark.operators.extract import extract_main_text, main_text_program
+
+
+ADVERSARIAL = [
+    b"",                                     # empty
+    b"<div><b>unclosed everything",
+    b"\xff\xfe garbage \x00 <p>x",           # invalid UTF-8 + NUL
+    b"<table><tr><td>cell",                  # unclosed table
+    b"<" * 2000,                             # pathological '<' run
+    ("<div>" * 3000 + "deep").encode(),       # 3000-deep nesting
+    b"<p>" + b"&amp;" * 5000 + b"</p>",      # entity storm
+    b"<!--" + b"x" * 100000,                  # unterminated comment
+    b"<script>" + b"if(a<b){}" * 1000,        # unterminated rawtext
+    b"<a href='" + b"y" * 100000 + b"'>x</a>",  # huge attribute
+    bytes(range(256)) * 64,                   # binary noise
+    "<div>日本語テキスト&#x1F600;</div>".encode(),  # non-ASCII + supplementary
+]
+
+
+class TestParserRobustness:
+    @pytest.mark.parametrize("raw", ADVERSARIAL, ids=range(len(ADVERSARIAL)))
+    def test_parse_never_raises(self, raw):
+        nt = parse_html(raw)
+        assert nt.n >= 4  # document + implied skeleton
+        # invariants hold even on garbage
+        for i in range(1, nt.n):
+            assert 0 <= nt.parent[i] < i
+            assert i < nt.subtree_end[i] <= nt.subtree_end[nt.parent[i]]
+        main_text_program(nt)  # kernel must not crash either
+
+    def test_deep_nesting_iterative(self):
+        nt = parse_html("<div>" * 10000 + "bottom")
+        assert (nt.tag_name == "div").sum() == 10000
+        assert nt.content_text(0) == "bottom"
+
+    def test_huge_document_1mb(self):
+        body = ("<p>" + "word " * 200 + "</p>") * 1000
+        nt = parse_html(f"<html><body>{body}</body></html>")
+        assert (nt.tag_name == "p").sum() == 1000
+        assert len(nt.content_text(0)) == 1000 * 200 * 5
+
+    def test_supplementary_plane_entity(self):
+        nt = parse_html("<p>&#x1F600;</p>")
+        p = nt.first_match(nt.tag_name == "p")
+        assert nt.content_text(p) == "\U0001F600"
+
+
+class TestSparkAdversarial:
+    def test_extract_stage_survives_batch(self, spark):
+        rows = [(i, f"u{i}", bytearray(raw)) for i, raw in enumerate(ADVERSARIAL)]
+        df = spark.createDataFrame(rows, "doc_id long, url string, html binary")
+        got = extract_main_text(df).collect()
+        assert len(got) == len(ADVERSARIAL)
+        for r in got:
+            assert r.n_nodes >= 4
+            assert r.text is not None
