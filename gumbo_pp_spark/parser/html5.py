@@ -14,8 +14,10 @@ byte-identical extraction parity on the golden corpus (FIXTURES.md §2)
 and Common-Crawl-style pages, spec-driven — NOT a code port.  Known,
 documented deviations from the full spec / libgumbo:
 
-* no active-formatting-element reconstruction or adoption agency
-  (misnested ``<b><i></b></i>`` closes eagerly instead of cloning);
+* active-formatting-element reconstruction is implemented (clones
+  across implied closes, scope markers at cells/captions), but the
+  full adoption-agency reparenting loop is not — misnested block/
+  formatting interleavings keep text order yet may differ in shape;
 * ``<noscript>`` always parsed as a normal container;
 * foreign content (SVG/MathML) parsed as plain elements; ``<![CDATA[``
   produces a CData node instead of a bogus comment;
@@ -129,7 +131,7 @@ class _TreeBuilder:
         "src", "n", "mode", "stack", "errors", "quirks",
         "skip_newline", "foster", "ntype", "ntag", "nattrs", "ntext",
         "nspan", "nchildren", "nparent", "niwp", "preorder_ok",
-        "html_id", "head_id", "body_id", "afe",
+        "html_id", "head_id", "body_id", "afe", "open_p",
     )
 
     # nspan layout: 6 int64 slots per node in one flat list —
@@ -162,6 +164,7 @@ class _TreeBuilder:
         # active formatting elements: [tag, attrs, t0, t1, node_id] or
         # None (scope marker)
         self.afe: list = []
+        self.open_p = 0  # open <p> elements (gates the in-scope walk)
         self._new_node(DOCUMENT, "", None, "", 0, self.n)
 
     # -- node store ----------------------------------------------------
@@ -266,7 +269,11 @@ class _TreeBuilder:
             return
         if not rawtextual and self.afe and self.mode in (IN_BODY, IN_CELL):
             self._reconstruct_formatting()
-        parent, before = self._insert_target()
+        if self.foster:
+            parent, before = self._insert_target()
+        else:
+            parent = self.stack[-1] if self.stack else 0
+            before = -1
         kids = self.nchildren[parent]
         anchor = len(kids)
         if before >= 0 and before in kids:
@@ -283,19 +290,51 @@ class _TreeBuilder:
                     self.ntype[prev] = TEXT
                 return
         ws = (not rawtextual) and not decoded.strip(_WS)
-        nid = self._new_node(WHITESPACE if ws else TEXT, "", None, decoded, s0, s1)
-        self._attach(nid, parent, before if before >= 0 else -1)
+        # inlined node creation (hot path)
+        nid = len(self.ntype)
+        self.ntype.append(WHITESPACE if ws else TEXT)
+        self.ntag.append("")
+        self.nattrs.append(None)
+        self.ntext.append(decoded)
+        self.nspan.extend((s0, s1, 0, 0, 0, 0))
+        self.nchildren.append([])
+        self.nparent.append(parent)
+        if before >= 0:
+            self.niwp.append(0)
+            self._attach(nid, parent, before)
+        else:
+            self.niwp.append(anchor)
+            kids.append(nid)
 
     # -- element insertion --------------------------------------------
     def _insert_element(self, name, attrs, t0, t1, push=True) -> int:
-        parent, before = self._insert_target()
-        nid = self._new_node(ELEMENT, name, attrs, "", t0, t1 if not push else self.n, t0, t1, self.n, self.n)
-        self._attach(nid, parent, before)
+        # inlined node creation (hot path)
+        nid = len(self.ntype)
+        self.ntype.append(ELEMENT)
+        self.ntag.append(name)
+        self.nattrs.append(attrs)
+        self.ntext.append("")
+        n = self.n
+        if push:
+            self.nspan.extend((t0, n, t0, t1, n, n))
+        else:
+            self.nspan.extend((t0, t1, t0, t1, t1, t1))
+        self.nchildren.append([])
+        if name == "p":
+            self.open_p += 1
+        if self.foster:
+            self.nparent.append(-1)
+            self.niwp.append(0)
+            parent, before = self._insert_target()
+            self._attach(nid, parent, before)
+        else:
+            parent = self.stack[-1] if self.stack else 0
+            kids = self.nchildren[parent]
+            self.nparent.append(parent)
+            self.niwp.append(len(kids))
+            kids.append(nid)
         if push:
             self.stack.append(nid)
-        else:
-            base = 6 * nid
-            self.nspan[base + 4] = self.nspan[base + 5] = t1
         return nid
 
     def _reconstruct_formatting(self) -> None:
@@ -353,6 +392,8 @@ class _TreeBuilder:
         sp = self.nspan
         while stk:
             nid = stk.pop()
+            if ntag[nid] == "p":
+                self.open_p -= 1
             base = 6 * nid
             if ntag[nid] == name:
                 if e0 >= 0:
@@ -555,7 +596,7 @@ class _TreeBuilder:
         if self.mode != IN_CELL and name in ("td", "th", "tr", "col", "colgroup", "caption") and not self._in_scope("table"):
             self.errors += 1  # table parts outside a table are ignored
             return None
-        if name in P_CLOSERS and self._in_scope("p", frozenset({"button"})):
+        if name in P_CLOSERS and self.open_p > 0 and self._in_scope("p", frozenset({"button"})):
             # quirks mode: <table> does NOT close an open <p>
             if not (name == "table" and self.quirks):
                 self._pop_until("p", t0)
@@ -623,12 +664,14 @@ class _TreeBuilder:
                 break
             if tag in _SPECIAL_LI_STOP:
                 break
-        if self._in_scope("p", frozenset({"button"})):
+        if self.open_p > 0 and self._in_scope("p", frozenset({"button"})):
             self._pop_until("p", pos)
 
     def _clear_to_table_context(self, stops: tuple, pos: int) -> None:
         while self.stack and self.ntag[self._current()] not in stops and self.ntag[self._current()] != "html":
             nid = self.stack.pop()
+            if self.ntag[nid] == "p":
+                self.open_p -= 1
             base = 6 * nid
             self.nspan[base + 4] = self.nspan[base + 5] = pos
             self.nspan[base + 1] = pos
@@ -807,13 +850,14 @@ class _TreeBuilder:
             self.handle_end(name, t0, t1)
             return
         if name == "p":
-            if self._in_scope("p", frozenset({"button"})):
+            if self.open_p > 0 and self._in_scope("p", frozenset({"button"})):
                 self._pop_until("p", t0, t0, t1)
             else:
                 # spec: synthesize an empty <p> then close it
                 self.errors += 1
                 nid = self._insert_element("p", {}, t0, t0)
                 self.stack.pop()
+                self.open_p -= 1
                 base = 6 * nid
                 self.nspan[base + 4], self.nspan[base + 5] = t0, t1
                 self.nspan[base + 1] = t1
