@@ -74,6 +74,52 @@ def fingerprints(df: DataFrame) -> DataFrame:
     )
 
 
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, norm_text) — training-data normalization pass:
+    lowercase, strip non-alphanumerics to spaces, collapse whitespace,
+    trim.  Pure regexp (JVM-side, oracle-identical in RE2)."""
+    return df.selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        f"trim(regexp_replace(regexp_replace(lower({text_col}), "
+        "'[^a-z0-9 ]', ' '), ' +', ' ')) AS norm_text",
+    )
+
+
+# backslash-free regexes: identical behavior in Spark (Java regex) and
+# DuckDB (RE2) and immune to SQL string-literal escape differences
+PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+PII_PHONE = "[+]?[0-9][0-9() -]{7,}[0-9]"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, clean_text, n_emails, n_phones) — redact emails and
+    phone-number-like runs before a corpus leaves the pipeline."""
+    return df.selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        f"regexp_replace(regexp_replace({text_col}, '{PII_EMAIL}', '<EMAIL>'), "
+        f"'{PII_PHONE}', '<PHONE>') AS clean_text",
+        f"CAST(regexp_count({text_col}, '{PII_EMAIL}') AS BIGINT) AS n_emails",
+        f"CAST(regexp_count({text_col}, '{PII_PHONE}') AS BIGINT) AS n_phones",
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    min_tokens: int = 50,
+    min_stopword_ratio_e4: int = 200,
+    min_alpha_ratio_e4: int = 7000,
+) -> DataFrame:
+    """The corpus quality gate: keep documents passing all thresholds.
+    Returns (doc_id, n_tokens) of survivors — the typical first filter
+    of a training-data pipeline (runs before dedup/extraction)."""
+    stats = quality_stats(df)
+    return stats.where(
+        (stats.n_tokens >= min_tokens)
+        & (stats.stopword_ratio_e4 >= min_stopword_ratio_e4)
+        & (stats.alpha_ratio_e4 >= min_alpha_ratio_e4)
+    ).select("doc_id", "n_tokens")
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, ws_tokens, word_tokens) — whitespace tokenization plus
     a BPE-ish alnum-run count (regexp, JVM-side)."""

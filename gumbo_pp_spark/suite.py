@@ -271,6 +271,28 @@ def q_lang_id(spark, sf_dir):
     return T.lang_id(_docs(spark, sf_dir))
 
 
+def q_normalize_text(spark, sf_dir):
+    return T.normalize_text(_docs(spark, sf_dir))
+
+
+def q_scrub_pii(spark, sf_dir):
+    # synthesize PII deterministically so redaction is observable
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || CAST(doc_id AS STRING) "
+        "|| '@mail.example.org now' "
+        "WHEN doc_id % 3 = 1 THEN text || ' call +1 (555) 010-' "
+        "|| substr(CAST(10000 + doc_id AS STRING), 2, 4) || ' today' "
+        "ELSE text END AS text",
+    )
+    return T.scrub_pii(docs)
+
+
+def q_quality_filter(spark, sf_dir):
+    return T.quality_filter(_docs(spark, sf_dir), min_tokens=40,
+                            min_stopword_ratio_e4=100, min_alpha_ratio_e4=7000)
+
+
 def q_fingerprints(spark, sf_dir):
     return T.fingerprints(_docs(spark, sf_dir))
 
@@ -402,6 +424,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "text_quality": q_quality,
     "lang_id": q_lang_id,
+    "normalize_text": q_normalize_text,
+    "scrub_pii": q_scrub_pii,
+    "quality_filter": q_quality_filter,
     "doc_fingerprints": q_fingerprints,
     "token_counts": q_token_counts,
     "host_stats": q_host_stats,
@@ -528,6 +553,34 @@ ORACLES: dict[str, str] = {
         "AND len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','que'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('le','la','de','les'))) THEN 'es' "
         "WHEN len(list_filter(string_split(text, ' '), w -> w IN ('der','die','und','das'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('le','la','de','les'))) THEN 'de' "
         "ELSE 'fr' END AS pred_lang FROM documents"
+    ),
+    "normalize_text": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), "
+        "' +', ' ', 'g')) AS norm_text FROM documents"
+    ),
+    "scrub_pii": (
+        "WITH d AS (SELECT doc_id, CASE "
+        "WHEN doc_id % 3 = 0 THEN text || ' contact user' || CAST(doc_id AS STRING) || '@mail.example.org now' "
+        "WHEN doc_id % 3 = 1 THEN text || ' call +1 (555) 010-' || substr(CAST(10000 + doc_id AS STRING), 2, 4) || ' today' "
+        "ELSE text END AS text FROM documents) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}', '<EMAIL>', 'g'), "
+        "'[+]?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g') AS clean_text, "
+        "CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}')) AS BIGINT) AS n_emails, "
+        "CAST(len(regexp_extract_all(text, '[+]?[0-9][0-9() -]{7,}[0-9]')) AS BIGINT) AS n_phones "
+        "FROM d"
+    ),
+    "quality_filter": (
+        "WITH s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+        "CAST(round(10000.0 * len(list_filter(string_split(text, ' '), "
+        "w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for'))) "
+        "/ len(string_split(text, ' '))) AS BIGINT) AS stop_e4, "
+        "CAST(round(10000.0 * length(regexp_replace(text, '[^a-z]', '', 'g')) "
+        "/ length(text)) AS BIGINT) AS alpha_e4 FROM documents) "
+        "SELECT doc_id, n_tokens FROM s "
+        "WHERE n_tokens >= 40 AND stop_e4 >= 100 AND alpha_e4 >= 7000"
     ),
     "doc_fingerprints": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS fp_md5, "

@@ -86,14 +86,16 @@ class TestStreaming:
         assert got.count() == 50
         assert got.exceptAll(batch).count() == 0
 
-    def test_stream_windowed_counts(self, spark, tmp_path):
-        ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(200)
+    def test_stream_windowed_counts_match_batch(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
         src = str(tmp_path / "ev")
         ev.write.parquet(src)
-        agg = stream_hourly_counts(
-            spark, src,
-            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
-        )
+        agg = stream_hourly_counts(spark, src, (
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        ), watermark="2 hours")
         q = (
             agg.writeStream.format("memory")
             .queryName("hourly_counts")
@@ -102,9 +104,19 @@ class TestStreaming:
             .start()
         )
         q.awaitTermination(120)
-        # append mode only emits closed windows; correctness of totals is
-        # the batch oracle's job (events_hourly) — here we assert the
-        # streaming plan runs with watermark + window and yields rows or
-        # cleanly none (all windows still open within watermark)
-        got = spark.sql("SELECT * FROM hourly_counts")
-        assert got.columns == ["start", "end", "event_type", "n"]
+        got = spark.sql("SELECT start, event_type, n FROM hourly_counts")
+        # append mode emits only windows closed by the watermark: every
+        # emitted window must match the batch aggregation exactly
+        batch = (
+            ev.groupBy(F.date_trunc("hour", "ts").alias("start"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert got.count() > 0  # events span many hours → windows closed
+        assert got.exceptAll(batch).count() == 0
+        # everything except the watermark tail was emitted
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        import datetime
+
+        cutoff = max_ts - datetime.timedelta(hours=3)
+        expected_closed = batch.where(F.col("start") < cutoff)
+        assert got.count() >= expected_closed.count()
