@@ -1,0 +1,66 @@
+"""End-to-end training-corpus pipeline — the composition the engine
+exists for: pages → extract main text → quality gate → exact+near
+dedup → PII scrub → fingerprint.
+
+Every stage is one of the engine's operators; the composition is a
+single lazy DataFrame plan (Catalyst sees the whole pipeline), with
+the parse stage map-only and every join either broadcast or
+band-bucketed.  At 10^12 pages each stage's shuffle key is documented
+on the operator itself (SURVEY.md §4, BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .operators.dedup import exact_dedup, minhash_lsh_pairs
+from .operators.extract import extract_main_text
+from .operators.textstats import quality_filter, scrub_pii
+
+
+def build_training_corpus(
+    pages: DataFrame,
+    min_tokens: int = 20,
+    min_alpha_ratio_e4: int = 6000,
+    near_dup_min_equal: int = 7,
+) -> DataFrame:
+    """pages(doc_id,url,html) → deduped, scrubbed, fingerprinted corpus
+    (doc_id, url, clean_text, n_tokens, fp_md5).
+
+    Order matters at scale: extraction first (it is the expensive
+    map-only stage and reduces bytes ~10x), the cheap quality gate
+    next (drops rows before any shuffle), then exact dedup (one
+    digest shuffle), then MinHash-LSH near-dup (band-bucketed joins on
+    the survivors only), PII scrub and fingerprints last (map-only).
+    """
+    extracted = extract_main_text(pages, passthrough=("doc_id", "url"))
+    docs = extracted.select("doc_id", "url", F.col("text"))
+
+    kept = quality_filter(
+        docs, min_tokens=min_tokens,
+        min_stopword_ratio_e4=0, min_alpha_ratio_e4=min_alpha_ratio_e4,
+    ).select("doc_id")
+    docs = docs.join(kept, "doc_id")
+
+    # exact dedup: keep the minimum doc_id of each content group
+    keepers = exact_dedup(docs, key_expr="md5(text)").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    docs = docs.join(keepers, "doc_id")
+
+    # near-dup: drop the higher doc_id of every confident pair
+    pairs = minhash_lsh_pairs(docs, min_equal=near_dup_min_equal)
+    losers = pairs.select(F.col("b").alias("doc_id")).distinct()
+    docs = docs.join(losers, "doc_id", "left_anti")
+
+    scrubbed = scrub_pii(docs).select("doc_id", "clean_text")
+    return (
+        docs.join(scrubbed, "doc_id")
+        .select(
+            "doc_id",
+            "url",
+            "clean_text",
+            F.size(F.split("clean_text", " ")).cast("bigint").alias("n_tokens"),
+            F.md5("clean_text").alias("fp_md5"),
+        )
+    )
