@@ -377,6 +377,20 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_props_json(spark, sf_dir):
+    # JSON scalar functions over the semi-structured props column
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
 def q_events_sessions(spark, sf_dir):
     from pyspark.sql.window import Window
 
@@ -434,6 +448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_agg": q_lineitem_agg,
     "top_orders_per_segment": q_top_orders_per_segment,
     "events_hourly": q_events_hourly,
+    "events_props_json": q_events_props_json,
     "events_sessions": q_events_sessions,
 }
 
@@ -631,6 +646,12 @@ ORACLES: dict[str, str] = {
         "CAST(count(*) AS BIGINT) AS n, "
         "CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_e2 "
         "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+    ),
+    "events_props_json": (
+        "SELECT event_type, "
+        "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
+        "CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type"
     ),
     "events_sessions": (
         "WITH flagged AS (SELECT user_id, event_id, ts, "
