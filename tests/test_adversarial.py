@@ -62,3 +62,23 @@ class TestSparkAdversarial:
         for r in got:
             assert r.n_nodes >= 4
             assert r.text is not None
+
+    def test_empty_partitions_and_empty_input(self, spark):
+        df = spark.createDataFrame([], "doc_id long, url string, html binary")
+        assert extract_main_text(df.repartition(4)).count() == 0
+        one = spark.createDataFrame(
+            [(1, "u", bytearray(b"<p>x</p>"))], "doc_id long, url string, html binary"
+        ).repartition(8)  # 7 empty partitions
+        rows = extract_main_text(one).collect()
+        assert len(rows) == 1 and rows[0].text == "x"
+
+    def test_multi_megabyte_document_through_arrow(self, spark):
+        body = ("<p>" + "tok " * 300 + "</p>") * 2000  # ~2.5 MB
+        html = f"<html><body><main>{body}</main></body></html>".encode()
+        df = spark.createDataFrame(
+            [(1, "u", bytearray(html))], "doc_id long, url string, html binary"
+        )
+        r = extract_main_text(df).collect()[0]
+        assert len(r.text) == 2000 * 300 * 4
+        assert r.n_nodes > 4000
+        assert len(r.spans) == 2000
