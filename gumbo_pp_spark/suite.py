@@ -175,6 +175,27 @@ def q_html_spans(spark, sf_dir):
     )
 
 
+def q_html_outer_inner(spark, sf_dir):
+    # raw-source slice extraction (node_outer_text/node_inner_text,
+    # gumbo_text.h:60-108) at corpus scale: outer of the doc div,
+    # inner of the footer paragraph
+    pages = synth_pages(spark, sf_dir)
+    prog_div = select_first_program(
+        m.tag.DIV & m.attribute.value.starts_with("id", "doc-"),
+        {"div_outer": "outer"},
+    )
+    prog_fine = select_first_program(
+        m.tag.P & m.class_type.is_("fine"), {"fine_inner": "inner"}
+    )
+
+    def program(nt):
+        return {**prog_div(nt), **prog_fine(nt)}
+
+    return run_program(pages, program, "div_outer string, fine_inner string",
+                       passthrough=("doc_id",)) \
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "div_outer", "fine_inner")
+
+
 def q_html_selector_ir(spark, sf_dir):
     # serializable selector program (selector.py) driving the
     # content_text matcher family end-to-end: count of nodes whose
@@ -424,6 +445,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_article_text": q_html_article_text,
     "html_class_match": q_html_class_match,
     "html_spans": q_html_spans,
+    "html_outer_inner": q_html_outer_inner,
     "html_selector_ir": q_html_selector_ir,
     "html_table_scrape": q_html_table_scrape,
     "html_doc_content_text": q_html_doc_content_text,
@@ -487,6 +509,15 @@ ORACLES: dict[str, str] = {
         f"CAST({_DUCK_PREFIX_LEN} + length({_DUCK_ESC}) AS BIGINT) AS inner_end, "
         f"CAST({_DUCK_PREFIX_LEN} + length({_DUCK_ESC}) + 4 AS BIGINT) AS outer_end "
         "FROM documents"
+    ),
+    "html_outer_inner": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "'<div id=\"doc-' || CAST(doc_id AS STRING) || '\" class=\"doc ' || lang || '\">'"
+        " || '<main><article><h1>Heading ' || CAST(doc_id AS STRING) || '</h1>'"
+        " || '<p class=\"body\">' || " + _DUCK_ESC + " || '</p>'"
+        " || CASE WHEN lang = 'en' THEN '<!--promoted-->' ELSE '' END"
+        " || '</article></main>' || '</div>' AS div_outer, "
+        "'source ' || source AS fine_inner FROM documents"
     ),
     "html_selector_ir": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
