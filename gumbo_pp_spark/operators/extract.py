@@ -23,9 +23,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..nodetable import CDATA, COMMENT, ELEMENT, TEMPLATE, TEXT, WHITESPACE, NodeTable
+from ..nodetable import CDATA, TEXT, WHITESPACE, NodeTable
 from ..parser.html5 import parse_html
-from ..parser.tags import TAG_IDS, TAG_UNKNOWN
+from ..parser.tags import TAG_IDS
 
 # Boilerplate chrome subtrees dropped by the flagship main-content
 # program — all tags are in the reference vocabulary

@@ -87,9 +87,8 @@ _TABLE_MODES = (IN_TABLE, IN_TABLE_BODY, IN_ROW)
 
 # Active formatting elements (WHATWG §13.2.4.3): reconstructed after
 # implied closes so misnested formatting wraps subsequent content.
+# Scope markers are pushed at td/th/caption insertion sites.
 _FORMATTING = frozenset("a b big code em font i nobr s small strike strong tt u".split())
-# formatting-list scope markers
-_AFE_MARKERS = frozenset("td th caption applet object marquee template".split())
 # void/start tags that reconstruct formatting before insertion
 _RECONSTRUCT_VOIDS = frozenset("area br embed img keygen wbr input".split())
 
