@@ -322,6 +322,70 @@ def select_first_program(
     return program
 
 
+NODES_FIELDS = (
+    "node_id int, parent_id int, subtree_end int, node_type tinyint, "
+    "tag string, attrs map<string,string>, text string, "
+    "index_within_parent int, src_start bigint, src_end bigint"
+)
+
+
+def explode_nodes(df: DataFrame, passthrough: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """Surface the per-document preorder node table as ROWS — the
+    dataset level of SURVEY.md §2's mappings: every traversal/query
+    becomes plain DataFrame algebra (subtree containment = range
+    predicates on node_id/subtree_end, direct children =
+    parent_id equality, first match = min(node_id) per doc).
+
+    Debug/interop surface; the in-UDF kernels remain the fast path.
+    """
+    import pyarrow as pa
+
+    pt_types = _passthrough_types(df, passthrough)
+    schema = ", ".join([*(f"{c} {t}" for c, t in pt_types), NODES_FIELDS])
+    n_pt = len(passthrough)
+
+    def fn(batches):
+        for rb in batches:
+            htmls = rb.column(n_pt)
+            pt_vals: list[list] = [[] for _ in range(n_pt)]
+            node_id, parent_id, subtree_end, ntype = [], [], [], []
+            tag, attrs, text, iwp, s0, s1 = [], [], [], [], [], []
+            for row, raw in enumerate(htmls):
+                nt = parse_html(raw.as_py())
+                for j in range(n_pt):
+                    pt_vals[j].extend([rb.column(j)[row].as_py()] * nt.n)
+                node_id.append(np.arange(nt.n, dtype=np.int32))
+                parent_id.append(nt.parent)
+                subtree_end.append(nt.subtree_end)
+                ntype.append(nt.type)
+                tag.extend(nt.tag_name.tolist())
+                attrs.extend(a if a else None for a in nt.attrs)
+                text.extend(nt.text.tolist())
+                iwp.append(nt.index_within_parent)
+                s0.append(nt.src_start)
+                s1.append(nt.src_end)
+            cols = [pa.array(v) for v in pt_vals]
+            cols += [
+                pa.array(np.concatenate(node_id) if node_id else np.array([], np.int32)),
+                pa.array(np.concatenate(parent_id) if parent_id else np.array([], np.int32)),
+                pa.array(np.concatenate(subtree_end) if subtree_end else np.array([], np.int32)),
+                pa.array(np.concatenate(ntype) if ntype else np.array([], np.int8)),
+                pa.array(tag, pa.string()),
+                pa.array(attrs, pa.map_(pa.string(), pa.string())),
+                pa.array(text, pa.string()),
+                pa.array(np.concatenate(iwp) if iwp else np.array([], np.int32)),
+                pa.array(np.concatenate(s0) if s0 else np.array([], np.int64)),
+                pa.array(np.concatenate(s1) if s1 else np.array([], np.int64)),
+            ]
+            names = [*(c for c, _ in pt_types), "node_id", "parent_id", "subtree_end",
+                     "node_type", "tag", "attrs", "text", "index_within_parent",
+                     "src_start", "src_end"]
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    pruned = df.select(*passthrough, "html")
+    return pruned.mapInArrow(fn, schema)
+
+
 def count_matches_program(matcher) -> Callable[[NodeTable], dict]:
     def program(nt: NodeTable) -> dict:
         return {"n_matches": int(matcher(nt).sum())}

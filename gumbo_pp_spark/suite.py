@@ -19,6 +19,7 @@ from .operators import similarity as S
 from .operators import textstats as T
 from .operators.extract import (
     count_matches_program,
+    explode_nodes,
     extract_main_text,
     run_program,
     scrape_tables,
@@ -218,6 +219,48 @@ def q_html_table_scrape(spark, sf_dir):
     pages = synth_table_pages(spark, sf_dir)
     return scrape_tables(pages, "important_table", passthrough=("doc_id",)) \
         .select(F.col("doc_id").cast("bigint").alias("doc_id"), "csv")
+
+
+def q_html_tag_histogram(spark, sf_dir):
+    # dataset-level node table: parse → explode → SQL aggregation over
+    # nodes (the [D] level of SURVEY.md §2 mappings)
+    pages = synth_pages(spark, sf_dir)
+    nodes = explode_nodes(pages, passthrough=("doc_id",))
+    return (
+        nodes.where(F.col("tag") != "")
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def q_html_first_div_content(spark, sf_dir):
+    # first-match + content_text expressed entirely DATASET-level over
+    # the exploded node table (SURVEY.md §2.2: std::find_if ≡ min
+    # node_id; subtree ≡ interval containment; content_text ≡ ordered
+    # string-agg of text-like rows in the interval)
+    pages = synth_pages(spark, sf_dir)
+    explode_nodes(pages, passthrough=("doc_id",)).createOrReplaceTempView("nodes")
+    return spark.sql(
+        """
+        WITH first_div AS (
+          SELECT doc_id, min(node_id) AS div_id
+          FROM nodes WHERE tag = 'div' GROUP BY doc_id),
+        div_span AS (
+          SELECT n.doc_id, n.node_id AS div_id, n.subtree_end AS div_end
+          FROM nodes n JOIN first_div f
+            ON n.doc_id = f.doc_id AND n.node_id = f.div_id),
+        inside AS (
+          SELECT t.doc_id, t.node_id, t.text
+          FROM nodes t JOIN div_span d
+            ON t.doc_id = d.doc_id
+           AND t.node_id >= d.div_id AND t.node_id < d.div_end
+          WHERE t.node_type BETWEEN 2 AND 5)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               concat_ws('', transform(array_sort(collect_list(struct(node_id, text))),
+                                        s -> s.text)) AS div_text
+        FROM inside GROUP BY doc_id
+        """
+    )
 
 
 def q_html_doc_content_text(spark, sf_dir):
@@ -445,6 +488,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_article_text": q_html_article_text,
     "html_class_match": q_html_class_match,
     "html_spans": q_html_spans,
+    "html_tag_histogram": q_html_tag_histogram,
+    "html_first_div_content": q_html_first_div_content,
     "html_outer_inner": q_html_outer_inner,
     "html_selector_ir": q_html_selector_ir,
     "html_table_scrape": q_html_table_scrape,
@@ -509,6 +554,19 @@ ORACLES: dict[str, str] = {
         f"CAST({_DUCK_PREFIX_LEN} + length({_DUCK_ESC}) AS BIGINT) AS inner_end, "
         f"CAST({_DUCK_PREFIX_LEN} + length({_DUCK_ESC}) + 4 AS BIGINT) AS outer_end "
         "FROM documents"
+    ),
+    "html_tag_histogram": (
+        "WITH c AS (SELECT count(*) AS total FROM documents) "
+        "SELECT t.tag, CAST(t.m * c.total AS BIGINT) AS n FROM c, "
+        "(VALUES ('html', 1), ('head', 1), ('title', 1), ('body', 1), "
+        "('nav', 1), ('ul', 1), ('li', 1), ('a', 1), ('div', 1), "
+        "('main', 1), ('article', 1), ('h1', 1), ('p', 2), ('footer', 1)"
+        ") AS t(tag, m)"
+    ),
+    "html_first_div_content": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "'Heading ' || CAST(doc_id AS STRING) || text || "
+        "CASE WHEN lang = 'en' THEN 'promoted' ELSE '' END AS div_text FROM documents"
     ),
     "html_outer_inner": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
