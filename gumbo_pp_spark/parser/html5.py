@@ -494,12 +494,37 @@ class _TreeBuilder:
         self._insert_text(_decode(raw), start, end)
 
     # ------------------------------------------------------------------
+    def _merge_root_attrs(self, target: int, attrs: dict) -> None:
+        """Duplicate <html>/<body> start tags merge attributes the
+        existing element lacks (WHATWG 'in body' html/body rules)."""
+        if target >= 0 and attrs:
+            existing = self.nattrs[target]
+            if existing is not None:
+                for k, v in attrs.items():
+                    if k not in existing:
+                        existing[k] = v
+
+    def _in_foreign_content(self) -> bool:
+        for nid in reversed(self.stack):
+            if self.ntag[nid] in ("svg", "math"):
+                return True
+        return False
+
     def handle_start(self, name, attrs, self_closing, t0, t1) -> str | None:
         """Returns 'rawtext'/'rcdata' if the tokenizer must switch
         content model, else None."""
         if name == "image":
             name = "img"  # WHATWG "in body": image → img (parse error)
             self.errors += 1
+        # foreign content (SVG/MathML) honors the self-closing flag —
+        # a '<svg .../>' icon must NOT swallow the rest of the page
+        if self_closing and self.mode in (IN_BODY, IN_CELL, AFTER_HEAD, IN_HEAD) and (
+            name in ("svg", "math") or self._in_foreign_content()
+        ):
+            if self.mode in (AFTER_HEAD,):
+                self._ensure_body(t0)
+            self._insert_element(name, attrs, t0, t1, push=False)
+            return None
         mode = self.mode
         if mode == INITIAL:
             self.mode = BEFORE_HTML
@@ -517,6 +542,7 @@ class _TreeBuilder:
         if mode == BEFORE_HEAD:
             if name == "html":
                 self.errors += 1
+                self._merge_root_attrs(self.html_id, attrs)
                 return None
             if name == "head":
                 nid = self._new_node(ELEMENT, "head", attrs, "", t0, self.n, t0, t1, self.n, self.n)
@@ -556,6 +582,8 @@ class _TreeBuilder:
                 return None
             if name in ("html", "head"):
                 self.errors += 1
+                if name == "html":
+                    self._merge_root_attrs(self.html_id, attrs)
                 return None
             self._ensure_body(t0)
             return self.handle_start(name, attrs, self_closing, t0, t1)
@@ -571,6 +599,12 @@ class _TreeBuilder:
     def _start_in_body(self, name, attrs, self_closing, t0, t1) -> str | None:
         if name in ("html", "head", "body", "frame"):
             self.errors += 1
+            # spec: duplicate <html>/<body> merge missing attributes
+            # into the existing element
+            if name == "html":
+                self._merge_root_attrs(self.html_id, attrs)
+            elif name == "body":
+                self._merge_root_attrs(self.body_id, attrs)
             return None
         if self.mode == IN_CELL and (
             name in ("td", "th", "tr", "caption", "col", "colgroup")

@@ -173,3 +173,47 @@ class TestTraversalHelpers:
         assert nt.node_attribute_value(u, "c") == "v"
         assert nt.node_attribute_value(u, "missing") == ""
         assert nt.node_attribute_value(i_ + 1, "c") == ""  # text node
+
+
+class TestForeignContent:
+    def test_self_closing_svg_does_not_swallow(self):
+        nt = parse_html('<body><svg viewBox="0 0 1 1"/><p>after</p></body>')
+        svg = first(nt, nt.tag_name == "svg")
+        assert nt.subtree_end[svg] == svg + 1  # empty, closed
+        p = first(nt, nt.tag_name == "p")
+        assert nt.parent[p] == nt.parent[svg]
+        assert nt.content_text(p) == "after"
+
+    def test_self_closing_inside_svg(self):
+        nt = parse_html('<svg><circle r="1"/><rect/></svg><p>y</p>')
+        c = first(nt, nt.tag_name == "circle")
+        assert nt.subtree_end[c] == c + 1
+        svg = first(nt, nt.tag_name == "svg")
+        p = first(nt, nt.tag_name == "p")
+        assert not (svg <= p < nt.subtree_end[svg])
+
+    def test_main_text_survives_svg_icon(self):
+        from gumbo_pp_spark.operators.extract import main_text_program
+
+        nt = parse_html('<body><svg class="icon"/><main><p>keep me</p></main></body>')
+        assert main_text_program(nt)["text"] == "keep me"
+
+    def test_html_self_closing_still_ignored(self):
+        # in HTML (non-foreign) content the spec IGNORES the flag
+        nt = parse_html("<div/>inside</div>after")
+        div = first(nt, nt.tag_name == "div")
+        assert nt.content_text(div) == "inside"
+
+
+class TestDuplicateRootMerging:
+    def test_body_attrs_merged(self):
+        nt = parse_html('<body class="a"><body class="b" id="x">t</body>')
+        body = first(nt, nt.tag_name == "body")
+        assert nt.attrs[body]["class"] == "a"  # first wins
+        assert nt.attrs[body]["id"] == "x"     # missing attr merged
+
+    def test_html_attrs_merged(self):
+        nt = parse_html('<html lang="en"><html dir="ltr"><body>t</body></html>')
+        h = first(nt, nt.tag_name == "html")
+        assert nt.attrs[h]["lang"] == "en"
+        assert nt.attrs[h]["dir"] == "ltr"
