@@ -263,7 +263,10 @@ def main() -> None:
         print(json.dumps(stage_extract(args.master, args.pages)))
         return
 
-    pages_dir = os.path.join("/tmp", f"gumbo_bench_pages_{os.path.basename(SF_DIR)}")
+    pages_dir = os.path.join(
+        "/tmp",
+        f"gumbo_bench_pages_{os.path.basename(SF_DIR)}_r{REPLICATE}p{PARAGRAPHS}",
+    )
     if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
         prepare_pages(pages_dir)
 
