@@ -167,6 +167,18 @@ class NodeTable:
         ids = np.nonzero(mask[lo:hi])[0]
         return ids + lo
 
+    def iter_matches(self, mask: np.ndarray, start: int = 0):
+        """daw::find_iterator analogue (used table_scrape.cpp:54-62):
+        lazily yield successive matching node ids in DFS order."""
+        i = start
+        n = self.n
+        while i < n:
+            i = self.first_match(mask, i)
+            if i < 0:
+                return
+            yield i
+            i += 1
+
     # -- extraction (gumbo_text.h) -------------------------------------
     def _ensure_ctext_index(self) -> None:
         if self._ctext_off is not None:

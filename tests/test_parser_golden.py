@@ -326,3 +326,14 @@ class TestAnchoredTraversal:
         u = nt.next_sibling(b)
         assert nt.tag_name[u] == "u"
         assert nt.next_sibling(u) == -1
+
+
+class TestFindIterator:
+    def test_iter_matches_lazy_successive(self):
+        nt = parse_html(G3)
+        trs = list(nt.iter_matches(nt.tag_name == "tr"))
+        assert len(trs) == 3
+        assert trs == sorted(trs)
+        # anchored: start past the first match
+        rest = list(nt.iter_matches(nt.tag_name == "tr", start=trs[0] + 1))
+        assert rest == trs[1:]

@@ -101,3 +101,38 @@ class TestLineageResume:
         got = read_extracted(spark, out_dir)
         splits = {r["split_id"] for r in got.select("split_id").distinct().collect()}
         assert 7 not in splits
+
+
+class TestSizeBinsOversized:
+    def test_oversized_key_split_across_subbins(self, spark):
+        from pyspark.sql import functions as F
+
+        # one host carries far more bytes than the target bin size
+        rows = [(f"https://big.example/{i}", bytearray(b"x" * 5000)) for i in range(200)]
+        rows += [(f"https://h{i}.example/x", bytearray(b"y" * 100)) for i in range(20)]
+        df = spark.createDataFrame(rows, "url string, html binary")
+        binned = size_balanced_bins(df, target_bytes=100_000)
+        big = binned.where(F.col("part_key") == "big.example")
+        n_bins = big.select("size_bin").distinct().count()
+        assert n_bins == 10  # 1,000,000 bytes / 100,000 target
+        per_bin = big.groupBy("size_bin").agg(F.sum("doc_bytes").alias("b")).collect()
+        for r in per_bin:
+            assert r["b"] <= 2 * 100_000
+
+
+class TestLedgerMetrics:
+    def test_per_stage_metrics_recorded(self, spark, tmp_path):
+        from gumbo_pp_spark.plans.lineage import PartitionLedger
+
+        out_dir = str(tmp_path / "m")
+        pages = synth_pages(spark, SF_SMOKE).limit(64)
+        extract_with_resume(spark, pages, out_dir, n_splits=4)
+        recs = PartitionLedger(f"{out_dir}/_ledger").committed()
+        assert len(recs) == 4
+        for rec in recs.values():
+            for field in ("rows", "bytes", "parse_ms", "kernel_ms",
+                          "parse_errors", "wall_ms", "attempt", "run_id",
+                          "committed_at", "status"):
+                assert field in rec, field
+        assert sum(r["rows"] for r in recs.values()) == 64
+        assert sum(r["parse_ms"] for r in recs.values()) >= 0
