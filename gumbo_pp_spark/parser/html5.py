@@ -376,6 +376,76 @@ class _TreeBuilder:
             if self.afe.pop() is None:
                 return
 
+    def _adoption_agency(self, name: str, t0: int, t1: int) -> bool:
+        """Simplified single-iteration adoption agency (WHATWG
+        §13.2.6.4.7) for a formatting end tag: when a special
+        'furthest block' sits above the formatting element, the block
+        is adopted by the common ancestor and the formatting element is
+        cloned around the block's children — so text after the end tag
+        stays INSIDE the block, as the spec requires.  Returns True if
+        the token was handled."""
+        afe = self.afe
+        fe_idx = None
+        for k in range(len(afe) - 1, -1, -1):
+            e = afe[k]
+            if e is None:
+                break
+            if e[0] == name:
+                fe_idx = k
+                break
+        if fe_idx is None:
+            return False  # no active entry → generic end-tag handling
+        fe_nid = afe[fe_idx][4]
+        stack = self.stack
+        if fe_nid not in stack:
+            del afe[fe_idx]  # stale entry: parse error, ignore token
+            self.errors += 1
+            return True
+        si = stack.index(fe_nid)
+        fb_i = None
+        for j in range(si + 1, len(stack)):
+            tag = self.ntag[stack[j]]
+            if tag in _SPECIAL_LI_STOP or tag in ("address", "div", "p"):
+                fb_i = j
+                break
+        if fb_i is None:
+            # no furthest block: pop through FE (entry removed there)
+            self._pop_until(name, t0, t0, t1)
+            return True
+        fb_nid = stack[fb_i]
+        ca_nid = stack[si - 1] if si > 0 else 0
+        # 1. the common ancestor adopts the furthest block
+        old_parent = self.nparent[fb_nid]
+        if old_parent >= 0 and fb_nid in self.nchildren[old_parent]:
+            self.nchildren[old_parent].remove(fb_nid)
+        self._attach(fb_nid, ca_nid)
+        # 2. clone FE around the block's current children
+        e = afe[fe_idx]
+        clone = self._new_node(ELEMENT, name, e[1], "", e[2], t1, e[2], e[3], t0, t1)
+        kids = self.nchildren[fb_nid]
+        self.nchildren[clone] = kids
+        for c in kids:
+            self.nparent[c] = clone
+        self.nchildren[fb_nid] = []
+        self._attach(clone, fb_nid)
+        # 3. close FE and everything between it and the block (implied)
+        base = 6 * fe_nid
+        self.nspan[base + 4], self.nspan[base + 5] = t0, t1
+        self.nspan[base + 1] = t1
+        for j in range(fb_i - 1, si - 1, -1):
+            nid2 = stack.pop(j)
+            if nid2 != fe_nid:
+                b2 = 6 * nid2
+                self.nspan[b2 + 4] = self.nspan[b2 + 5] = t0
+                self.nspan[b2 + 1] = t0
+                if self.ntag[nid2] == "p":
+                    self.open_p -= 1
+        # the clone takes over the formatting entry (reconstruction
+        # reopens it for content following inside the block)
+        afe[fe_idx] = [name, e[1], e[2], e[3], clone]
+        self.preorder_ok = False  # reparenting broke creation order
+        return True
+
     def _pop_until(self, name: str, pos: int, e0: int = -1, e1: int = -1) -> bool:
         """Generate implied end tags and pop through the nearest ``name``.
         The matched element gets the explicit end-tag span; implicitly
@@ -914,6 +984,8 @@ class _TreeBuilder:
         if name == "br":
             self.errors += 1
             self._insert_element("br", {}, t0, t1, push=False)
+            return
+        if name in _FORMATTING and self._adoption_agency(name, t0, t1):
             return
         if not self._pop_until(name, t0, t0, t1):
             self.errors += 1

@@ -217,3 +217,36 @@ class TestDuplicateRootMerging:
         h = first(nt, nt.tag_name == "html")
         assert nt.attrs[h]["lang"] == "en"
         assert nt.attrs[h]["dir"] == "ltr"
+
+
+class TestAdoptionAgency:
+    def test_text_after_formatting_end_stays_in_block(self):
+        # WHATWG adoption agency: </b> with <p> as furthest block —
+        # ' y' remains INSIDE the paragraph, wrapped by a reconstructed b
+        nt = parse_html("<body><b><p>x</b> y</p></body>")
+        p = first(nt, nt.tag_name == "p")
+        assert nt.content_text(p) == "x y"
+        bs = np.nonzero(nt.tag_name == "b")[0]
+        assert len(bs) == 3  # original, adoption clone, reconstruction
+        assert [nt.content_text(int(b)) for b in bs] == ["", "x", " y"]
+
+    def test_anchor_div_adoption(self):
+        nt = parse_html('<body><a href="1">t<div>d</a>e</div></body>')
+        div = first(nt, nt.tag_name == "div")
+        assert nt.content_text(div) == "de"
+        # the adopted clone carries the original attributes
+        a_in_div = [i for i in np.nonzero(nt.tag_name == "a")[0] if nt.parent[i] == div]
+        assert a_in_div and nt.attrs[a_in_div[0]]["href"] == "1"
+
+    def test_preorder_still_well_nested_after_adoption(self):
+        nt = parse_html("<body><b><i><p>x</b></i> tail</p></body>")
+        for i in range(1, nt.n):
+            par = nt.parent[i]
+            assert 0 <= par < i
+            assert i < nt.subtree_end[i] <= nt.subtree_end[par]
+
+    def test_stale_formatting_end_tag_ignored(self):
+        # entry exists but element left the stack via a cell boundary
+        nt = parse_html("<table><tr><td><b>x</td></tr></table></b>after")
+        body = first(nt, nt.tag_name == "body")
+        assert "after" in nt.content_text(body)
