@@ -81,7 +81,8 @@ _RAWTEXT_CLOSE_RES: dict[str, re.Pattern] = {}
     IN_ROW,
     IN_CELL,
     AFTER_BODY,
-) = range(11)
+    IN_SELECT,
+) = range(12)
 
 _TABLE_MODES = (IN_TABLE, IN_TABLE_BODY, IN_ROW)
 
@@ -484,6 +485,9 @@ class _TreeBuilder:
         """WHATWG 'reset the insertion mode appropriately' (subset)."""
         for k in range(len(self.stack) - 1, -1, -1):
             tag = self.ntag[self.stack[k]]
+            if tag == "select":
+                self.mode = IN_SELECT
+                return
             if tag in ("td", "th"):
                 self.mode = IN_CELL
                 return
@@ -659,12 +663,52 @@ class _TreeBuilder:
             return self.handle_start(name, attrs, self_closing, t0, t1)
         if mode in _TABLE_MODES:
             return self._start_in_table(name, attrs, self_closing, t0, t1)
+        if mode == IN_SELECT:
+            return self._start_in_select(name, attrs, self_closing, t0, t1)
         if mode == AFTER_BODY:
             self.errors += 1
             self.mode = IN_BODY
             return self.handle_start(name, attrs, self_closing, t0, t1)
         # IN_BODY / IN_CELL
         return self._start_in_body(name, attrs, self_closing, t0, t1)
+
+    def _start_in_select(self, name, attrs, self_closing, t0, t1) -> str | None:
+        """WHATWG 'in select' (subset): only option/optgroup content is
+        honored; form controls and table structure break out of the
+        select; anything else is ignored."""
+        if name == "option":
+            if self.ntag[self._current()] == "option":
+                self._pop_until("option", t0)
+            self._insert_element(name, attrs, t0, t1)
+            return None
+        if name == "optgroup":
+            if self.ntag[self._current()] == "option":
+                self._pop_until("option", t0)
+            if self.ntag[self._current()] == "optgroup":
+                self._pop_until("optgroup", t0)
+            self._insert_element(name, attrs, t0, t1)
+            return None
+        if name == "hr":
+            if self.ntag[self._current()] in ("option", "optgroup"):
+                self._pop_until(self.ntag[self._current()], t0)
+            self._insert_element(name, attrs, t0, t1, push=False)
+            return None
+        if name in ("select", "input", "keygen", "textarea") or name in (
+            "caption", "table", "tbody", "tfoot", "thead", "tr", "td", "th",
+        ):
+            # parse error: close the select, reprocess (except a
+            # duplicate <select>, which just closes it)
+            self.errors += 1
+            self._pop_until("select", t0)
+            self._reset_mode()
+            if name == "select":
+                return None
+            return self.handle_start(name, attrs, self_closing, t0, t1)
+        if name in ("script", "template"):
+            self._insert_element(name, attrs, t0, t1)
+            return "rawtext" if name == "script" else None
+        self.errors += 1  # anything else: ignored
+        return None
 
     def _start_in_body(self, name, attrs, self_closing, t0, t1) -> str | None:
         if name in ("html", "head", "body", "frame"):
@@ -750,6 +794,9 @@ class _TreeBuilder:
             self.afe.append([name, attrs, t0, t1, nid])
         if name == "table":
             self.mode = IN_TABLE
+            return None
+        if name == "select":
+            self.mode = IN_SELECT
             return None
         if name in ("pre", "listing", "textarea"):
             self.skip_newline = True
@@ -908,6 +955,19 @@ class _TreeBuilder:
             return
         if mode in _TABLE_MODES:
             self._end_in_table(name, t0, t1)
+            return
+        if mode == IN_SELECT:
+            if name in ("option", "optgroup"):
+                if not self._pop_until(name, t0, t0, t1):
+                    self.errors += 1
+                return
+            if name == "select":
+                if self._pop_until("select", t0, t0, t1):
+                    self._reset_mode()
+                else:
+                    self.errors += 1
+                return
+            self.errors += 1  # anything else: ignored
             return
         if mode == AFTER_BODY:
             if name == "html":

@@ -250,3 +250,46 @@ class TestAdoptionAgency:
         nt = parse_html("<table><tr><td><b>x</td></tr></table></b>after")
         body = first(nt, nt.tag_name == "body")
         assert "after" in nt.content_text(body)
+
+
+class TestInSelect:
+    def test_stray_tags_in_select_ignored(self):
+        nt = parse_html("<select><option>a<div>ignored</div><option>b</select><p>y</p>")
+        assert (nt.tag_name == "div").sum() == 0
+        opts = np.nonzero(nt.tag_name == "option")[0]
+        # 'ignored' text still flows into the open option (chars are
+        # inserted in select mode; only the tags are dropped)
+        assert [nt.content_text(int(o)) for o in opts] == ["aignored", "b"]
+        p = first(nt, nt.tag_name == "p")
+        assert nt.content_text(p) == "y"
+
+    def test_optgroup_closes_option(self):
+        nt = parse_html(
+            "<select><optgroup label='g1'><option>a<optgroup label='g2'><option>b</select>"
+        )
+        ogs = np.nonzero(nt.tag_name == "optgroup")[0]
+        assert len(ogs) == 2
+        sel = first(nt, nt.tag_name == "select")
+        assert all(nt.parent[o] == sel for o in ogs)
+
+    def test_nested_select_closes(self):
+        # spec: a <select> start tag inside a select acts as </select>
+        # and the token itself is dropped — exactly one select element
+        nt = parse_html("<select><option>a<select><option>b</select>")
+        sels = np.nonzero(nt.tag_name == "select")[0]
+        assert len(sels) == 1
+        sel = int(sels[0])
+        opts = np.nonzero(nt.tag_name == "option")[0]
+        in_sel = [o for o in opts if sel <= o < nt.subtree_end[sel]]
+        assert len(in_sel) == 1  # 'b' lands outside the closed select
+
+    def test_input_breaks_out_of_select(self):
+        nt = parse_html("<select><option>a<input name='q'></select>x")
+        inp = first(nt, nt.tag_name == "input")
+        sel = first(nt, nt.tag_name == "select")
+        assert not (sel <= inp < nt.subtree_end[sel])
+
+    def test_table_tag_breaks_out(self):
+        nt = parse_html("<table><tr><td><select><option>o<tr><td>next")
+        trs = np.nonzero(nt.tag_name == "tr")[0]
+        assert len(trs) == 2
