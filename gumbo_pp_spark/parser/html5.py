@@ -122,6 +122,53 @@ def _decode(raw: str) -> str:
     return raw
 
 
+_CHARREF_RE = re.compile(r"&(#[0-9]+;?|#[xX][0-9a-fA-F]+;?|[a-zA-Z][a-zA-Z0-9]*;?)")
+
+
+def _decode_attr(raw: str) -> str:
+    """Attribute-value character-reference decoding.
+
+    Differs from text decoding in one WHATWG rule (tokenizer
+    'character reference in attribute value' + libgumbo): a legacy
+    named reference WITHOUT a semicolon is NOT decoded when followed
+    by ``=`` or an alphanumeric — so ``href="?a=1&not=2"`` keeps
+    ``&not`` literal instead of becoming U+00AC."""
+    if "&" not in raw:
+        return raw
+    out = []
+    pos = 0
+    for m in _CHARREF_RE.finditer(raw):
+        out.append(raw[pos: m.start()])
+        ref = m.group(1)
+        if ref.startswith("#") or ref.endswith(";"):
+            out.append(_htmllib.unescape(m.group(0)))
+        else:
+            # maximal name run with no semicolon: a partial-prefix
+            # legacy match is always followed by an alphanumeric
+            # (spec: not decoded in attributes); a full match is
+            # decoded unless '=' follows
+            nxt = raw[m.end(): m.end() + 1]
+            if nxt != "=" and ref in _html5_refs():
+                out.append(_html5_refs()[ref])
+            else:
+                out.append(m.group(0))
+        pos = m.end()
+    out.append(raw[pos:])
+    return "".join(out)
+
+
+_HTML5_REFS = None
+
+
+def _html5_refs():
+    global _HTML5_REFS
+    if _HTML5_REFS is None:
+        from html.entities import html5
+
+        _HTML5_REFS = html5
+    return _HTML5_REFS
+
+
 class _TreeBuilder:
     """Builds an explicit tree (children lists) then flattens to
     preorder; explicit children lists let foster parenting insert
@@ -1368,7 +1415,7 @@ def parse_html(source: str | bytes) -> NodeTable:
                     aval = vm.group(0)
                     pos = vm.end()
             if aname not in attrs:  # duplicate attribute: first wins
-                attrs[aname] = _decode(aval)
+                attrs[aname] = _decode_attr(aval)
             else:
                 tb.errors += 1
         if not found_gt:

@@ -293,3 +293,33 @@ class TestInSelect:
         nt = parse_html("<table><tr><td><select><option>o<tr><td>next")
         trs = np.nonzero(nt.tag_name == "tr")[0]
         assert len(trs) == 2
+
+
+class TestAttributeCharRefs:
+    def test_legacy_ref_before_equals_kept(self):
+        # WHATWG attribute rule: &not followed by '=' stays literal
+        nt = parse_html('<a href="?a=1&not=2&copy=3">x</a>')
+        a = first(nt, nt.tag_name == "a")
+        assert nt.attrs[a]["href"] == "?a=1&not=2&copy=3"
+
+    def test_legacy_ref_before_alnum_kept(self):
+        nt = parse_html('<a href="?x=&notit">x</a>')
+        a = first(nt, nt.tag_name == "a")
+        assert nt.attrs[a]["href"] == "?x=&notit"
+
+    def test_full_refs_still_decoded_in_attrs(self):
+        nt = parse_html('<a href="a&amp;b" title="&copy; &#65;&lt;">x</a>')
+        a = first(nt, nt.tag_name == "a")
+        assert nt.attrs[a]["href"] == "a&b"
+        assert nt.attrs[a]["title"] == "© A<"
+
+    def test_legacy_ref_at_value_end_decoded(self):
+        nt = parse_html('<span title="5 &not">x</span>')
+        s = first(nt, nt.tag_name == "span")
+        assert nt.attrs[s]["title"] == "5 ¬"
+
+    def test_text_still_decodes_legacy_prefix(self):
+        # in TEXT the prefix rule differs: &notit -> ¬it (parse error)
+        nt = parse_html("<p>&notit</p>")
+        p = first(nt, nt.tag_name == "p")
+        assert nt.content_text(p) == "¬it"
