@@ -14,13 +14,15 @@ byte-identical extraction parity on the golden corpus (FIXTURES.md §2)
 and Common-Crawl-style pages, spec-driven — NOT a code port.  Known,
 documented deviations from the full spec / libgumbo:
 
-* active-formatting-element reconstruction is implemented (clones
-  across implied closes, scope markers at cells/captions), but the
-  full adoption-agency reparenting loop is not — misnested block/
-  formatting interleavings keep text order yet may differ in shape;
+* active-formatting reconstruction and a single-iteration adoption
+  agency are implemented (clones across implied closes, furthest-block
+  adoption); the spec's 8-iteration outer/3-iteration inner AAA loop
+  is simplified — deeply pathological misnesting may differ in shape
+  while keeping text order;
 * ``<noscript>`` always parsed as a normal container;
-* foreign content (SVG/MathML) parsed as plain elements; ``<![CDATA[``
-  produces a CData node instead of a bogus comment;
+* foreign content (SVG/MathML) parsed as plain elements with
+  self-closing honored; ``<![CDATA[`` produces a CData node instead of
+  a bogus comment;
 * implied elements get zero-length tag spans at their insertion
   offset (libgumbo uses empty ``original_tag``);
 * offsets are indices into the *decoded* (UTF-8 → str, ``\r\n``/``\r``
