@@ -52,16 +52,29 @@ def shingles(df: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, min_shared: int = 5) -> DataFrame:
+def ngram_jaccard_pairs(
+    df: DataFrame, threshold: float = 0.5, min_shared: int = 5, df_cap: int = 64
+) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs.
 
-    Candidate pairs = docs sharing ≥ ``min_shared`` shingles (the
-    blocking prefilter keeps the self-join from going quadratic);
-    jaccard = shared / (|A| + |B| - shared) ≥ threshold.
-    Returns (a, b, jaccard_e4) with a < b, jaccard scaled to int so the
-    oracle compare is exact.
+    Shingles appearing in more than ``df_cap`` documents are dropped
+    before the self-join (boilerplate stopword-shingles): one shingle
+    shared by 10^6 docs would otherwise create a 10^12-row join
+    partition.  The capped shingle set defines both the candidate join
+    AND the per-doc sizes, so jaccard stays a true Jaccard over the
+    filtered universe.  Candidate pairs = docs sharing ≥ ``min_shared``
+    capped shingles; jaccard = shared / (|A| + |B| - shared) ≥
+    threshold.  Returns (a, b, jaccard_e4) with a < b, jaccard scaled
+    to int so the oracle compare is exact.
     """
     sh = shingles(df)
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= df_cap)
+        .select("sh")
+    )
+    sh = sh.join(rare, "sh")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -102,11 +115,18 @@ def minhash_signatures(df: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(df: DataFrame, min_equal: int = 4) -> DataFrame:
+def minhash_lsh_pairs(df: DataFrame, min_equal: int = 4, bucket_cap: int = 64) -> DataFrame:
     """MinHash banding: candidates share at least one band (2
     consecutive minhashes equal); survivors need ≥ ``min_equal`` of the
     8 minhashes equal (estimated Jaccard ≥ min_equal/8).
     Returns (a, b, n_eq).
+
+    Band buckets holding more than ``bucket_cap`` docs are dropped
+    before the self-join: a boilerplate-dominated bucket of 10^5 docs
+    would otherwise emit 10^10 candidate rows in one shuffle
+    partition.  A pair inside an over-full bucket is still found via
+    any of its other (non-degenerate) bands — the standard LSH
+    hot-bucket mitigation.
     """
     sig = minhash_signatures(df).cache()
     bands = None
@@ -117,6 +137,13 @@ def minhash_lsh_pairs(df: DataFrame, min_equal: int = 4) -> DataFrame:
             F.concat(F.col(f"mh{2 * bd}"), F.col(f"mh{2 * bd + 1}")).alias("bkey"),
         )
         bands = part if bands is None else bands.unionAll(part)
+    small = (
+        bands.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where(F.col("bn") <= bucket_cap)
+        .select("band", "bkey")
+    )
+    bands = bands.join(small, ["band", "bkey"])
     x = bands.alias("x")
     y = bands.alias("y")
     cand = (
@@ -146,50 +173,82 @@ def minhash_lsh_pairs(df: DataFrame, min_equal: int = 4) -> DataFrame:
     )
 
 
-def _simhash_bit_sql(j: int) -> str:
-    """SQL for bit j of a 16-bit simhash vote, shared Spark/DuckDB
-    dialect: hex-digit of md5 → int via instr, then floor-div/mod."""
-    hexpos = 1 + j // 4
-    p = 2 ** (3 - j % 4)
-    v = f"(instr('0123456789abcdef', substr(md5(w), {hexpos}, 1)) - 1)"
-    return f"(CAST(floor({v} / {p}) AS BIGINT) % 2)"
+SIMHASH_BITS = 63  # top bit left clear so the value fits signed int64
+SIMHASH_BANDS = 3  # pigeonhole: hamming <= 2 differences -> 1 equal band
+_BAND_WIDTH = SIMHASH_BITS // SIMHASH_BANDS  # 21 bits per band
 
 
-def simhash16_sql(text_col: str = "text") -> str:
-    """Spark-SQL expression computing a 16-bit simhash of the word
-    multiset of ``text_col`` (bit = majority vote of md5 bits)."""
-    bits = []
-    for j in range(16):
-        bit = _simhash_bit_sql(j)
-        vote = f"aggregate(split({text_col}, ' '), 0L, (acc, w) -> acc + 2 * {bit} - 1)"
-        bits.append(f"(CASE WHEN {vote} > 0 THEN {2 ** j} ELSE 0 END)")
-    return "(" + " + ".join(bits) + ")"
+def simhash63_sql(text_col: str = "text") -> str:
+    """Spark-SQL expression computing a 63-bit simhash of the word
+    multiset of ``text_col``: bit j = majority vote of bit j of
+    md5(word).  ONE md5 per word (the hash array is materialized by
+    ``transform`` once), then a single aggregate pass folds all 63
+    per-bit votes via a 63-slot accumulator array — no per-bit
+    re-hashing."""
+    # bit j of hex digest h: digit = instr(hexmap, substr(h, 1 + j/4)),
+    # bit = (digit >> (3 - j%4)) & 1
+    bit = (
+        "pmod(shiftright(instr('0123456789abcdef', "
+        "substr(h, 1 + CAST(j / 4 AS INT), 1)) - 1, 3 - pmod(j, 4)), 2)"
+    )
+    votes = (
+        f"aggregate(transform(split({text_col}, ' '), w -> md5(w)), "
+        f"array_repeat(0L, {SIMHASH_BITS}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}), "
+        f"(a, j) -> a + 2 * {bit} - 1))"
+    )
+    return (
+        f"aggregate(zip_with({votes}, sequence(0, {SIMHASH_BITS - 1}), "
+        "(v, j) -> IF(v > 0, shiftleft(1L, j), 0L)), 0L, (acc, x) -> acc + x)"
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash bigint).  Near-dup pairs at scale: group by
-    rotated bit-bands of the fingerprint, verify survivors with
-    ``bit_count(a ^ b) <= r`` (xor+popcount are JVM intrinsics)."""
+    """(doc_id, simhash bigint) — 63-bit fingerprint.  Near-dup pairs
+    at scale: group by bit-bands of the fingerprint, verify survivors
+    with ``bit_count(a ^ b) <= r`` (xor+popcount are JVM intrinsics)."""
     return df.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.expr(simhash16_sql(text_col)).cast("bigint").alias("simhash"),
+        F.expr(simhash63_sql(text_col)).cast("bigint").alias("simhash"),
     )
 
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 2) -> DataFrame:
-    """Spark-side near-dup join on simhash (not oracle-gated: DuckDB
-    lacks a shared xor operator spelling).  Bands the 16-bit space on
-    the high byte so equal-prefix candidates co-locate in one shuffle.
+    """Near-dup pairs by simhash hamming distance.
+
+    Candidates come from ``SIMHASH_BANDS`` = 3 band tables of 21 bits
+    each: a pair with hamming ≤ 2 differs in at most 2 bands, so by
+    pigeonhole at least one band matches exactly — the banded join
+    finds EVERY such pair (no recall loss vs all-pairs), while each
+    shuffle key is a 21-bit band value instead of a cross join.
+    Band extraction uses exact integer floor-div (the hash is
+    non-negative by construction), never float math.
     """
     s = simhash(df)
-    a = s.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"),
-                 (F.col("simhash") / 256).cast("int").alias("band"))
-    b = s.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"),
-                 (F.col("simhash") / 256).cast("int").alias("band"))
+
+    def _bands(idc: str, hc: str) -> DataFrame:
+        parts = []
+        for bd in range(SIMHASH_BANDS):
+            lo = bd * _BAND_WIDTH
+            parts.append(
+                s.select(
+                    F.col("doc_id").alias(idc),
+                    F.col("simhash").alias(hc),
+                    F.lit(bd).alias("band"),
+                    F.expr(f"pmod(simhash div {2 ** lo}, {2 ** _BAND_WIDTH})").alias("bkey"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    a = _bands("a", "ha")
+    b = _bands("b", "hb")
     return (
-        a.join(b, ["band"])
+        a.join(b, ["band", "bkey"])
         .where(F.col("a") < F.col("b"))
-        .withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+        .select("a", "b", F.expr("bit_count(ha ^ hb)").cast("bigint").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
+        .distinct()
     )

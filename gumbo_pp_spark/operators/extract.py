@@ -64,7 +64,11 @@ def run_program(
     )
     if stage_metrics:
         schema += ", parse_us bigint, kernel_us bigint"
-    out_names = [f.split()[0] for f in out_fields.split(", ")]
+    # real DDL parse (a naive ', ' split breaks on nested struct/decimal
+    # types like 'array<struct<a: int, b: int>>')
+    from pyspark.sql.types import StructType
+
+    out_names = StructType.fromDDL(out_fields).fieldNames()
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import time as _time
@@ -122,7 +126,14 @@ def main_text_program(nt: NodeTable) -> dict:
     """Flagship extraction (SURVEY.md §7 M2): drop boilerplate chrome
     subtrees and comments, keep remaining body text in document order
     (content_text concatenation semantics — no separators), and emit
-    per-node span offsets into the raw source."""
+    per-node span offsets.
+
+    SPAN OFFSET CONTRACT: ``start``/``end`` index the PARSER INPUT
+    STRING — ``html.decode('utf-8', 'replace')`` with ``\\r\\n``/``\\r``
+    normalized to ``\\n`` (WHATWG input-stream preprocessing) — NOT the
+    raw bytes.  For ASCII pages without CR they coincide with byte
+    offsets; consumers slicing original bytes on a non-ASCII/CRLF page
+    must apply the same decode+normalize first."""
     body_mask = nt.tag_id == _BODY_ID
     body = int(np.argmax(body_mask)) if body_mask.any() else -1
     lo, hi = (0, nt.n) if body < 0 else nt.subtree(body)
@@ -165,7 +176,11 @@ def extract_main_text(
     """Flagship stage on the Arrow fast path: ``mapInArrow`` with fully
     vectorized output construction (span struct arrays built from
     concatenated numpy columns + offsets — no per-row dict conversion;
-    ~25-30% over the generic pandas runner on the bench corpus)."""
+    ~25-30% over the generic pandas runner on the bench corpus).
+
+    Output ``spans`` follow :func:`main_text_program`'s offset
+    contract: indices into the decoded, newline-normalized parser
+    input, not the raw ``html`` bytes."""
     import pyarrow as pa
 
     pt_types = _passthrough_types(df, passthrough)

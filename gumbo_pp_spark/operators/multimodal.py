@@ -30,14 +30,16 @@ MEDIA_SCHEMA = (
 
 
 def _keystream(payload: bytes, n: int) -> np.ndarray:
-    """Deterministic uint8 stream from an md5-CTR over the payload."""
-    out = bytearray()
-    counter = 0
-    seed = hashlib.md5(payload).digest()
-    while len(out) < n:
-        out += hashlib.md5(seed + counter.to_bytes(4, "big")).digest()
-        counter += 1
-    return np.frombuffer(bytes(out[:n]), dtype=np.uint8)
+    """Deterministic uint8 stream from an md5-CTR over the payload.
+
+    The chain is hex-string based (block c = md5(md5hex(payload) ||
+    '|' || str(c)), bytes = hex pairs) so a SQL oracle can recompute it
+    with VARCHAR md5 in any engine — DuckDB 1.0 has no BLOB md5."""
+    seed = hashlib.md5(payload).hexdigest()
+    blocks = []
+    for c in range(-(-n // 16)):
+        blocks.append(hashlib.md5(f"{seed}|{c}".encode()).hexdigest())
+    return np.frombuffer(bytes.fromhex("".join(blocks))[:n], dtype=np.uint8)
 
 
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
@@ -61,8 +63,10 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(doc_id AS BIGINT) AS media_id",
         "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind",
         "CAST(encode(text, 'UTF-8') AS BINARY) AS payload",
-        "CAST(16 + (n_chars % 8) * 4 AS INT) AS width",
-        "CAST(16 + (n_chars % 5) * 4 AS INT) AS height",
+        # multiples of 8 -> the 8x8 phash grid has EQUAL block sizes,
+        # keeping the feature math integer-exact (oracle-reproducible)
+        "CAST(16 + (n_chars % 8) * 8 AS INT) AS width",
+        "CAST(16 + (n_chars % 5) * 8 AS INT) AS height",
         "CAST(8000 AS INT) AS sample_rate",
         "CAST(200 + (n_chars % 10) * 100 AS INT) AS duration_ms",
         "'fake' AS codec",
@@ -70,40 +74,53 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def image_features(df: DataFrame) -> DataFrame:
-    """Per-image features via Arrow batches: channel means and an
-    8x8 average-hash (phash-style) packed into a BIGINT."""
+    """Per-image features via Arrow batches: per-channel SUMS (integer
+    — exact, so the SQL oracle reproduces them bit-for-bit; a mean is
+    one division away) and an 8x8 average-hash packed into a BIGINT.
+
+    phash rule (all-integer): grid cell = sum of (r+g+b) over an equal
+    h/8 × w/8 pixel block; bit i set iff 2*grid[i] > (s31 + s32) where
+    s31/s32 are the two middle values of the sorted grid (the median×2
+    — avoids float division).  Bit 63 kept clear for signed int64."""
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, means, phashes = [], [], []
+            ids, sums, npx, phashes = [], [], [], []
             for mid, payload, w, h in zip(
                 pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
             ):
-                img = decode_image(bytes(payload), int(w), int(h))
+                w, h = int(w), int(h)
+                img = decode_image(bytes(payload), w, h).astype(np.int64)
                 ids.append(mid)
-                means.append(img.reshape(-1, 3).mean(axis=0))
-                gray = img.mean(axis=2)
-                # downsample to 8x8 by block mean, threshold at median
-                ys = np.array_split(np.arange(gray.shape[0]), 8)
-                xs = np.array_split(np.arange(gray.shape[1]), 8)
-                grid = np.array([[gray[np.ix_(y, x)].mean() for x in xs] for y in ys])
-                bits = (grid > np.median(grid)).astype(np.uint64).ravel()
-                # top bit kept clear so the value fits signed int64
+                sums.append(img.reshape(-1, 3).sum(axis=0))
+                npx.append(w * h)
+                # equal 8x8 blocks (w, h are multiples of 8 by contract)
+                grid = (
+                    img.sum(axis=2)
+                    .reshape(8, h // 8, 8, w // 8)
+                    .sum(axis=(1, 3))
+                    .ravel()
+                )
+                srt = np.sort(grid)
+                med2 = int(srt[31]) + int(srt[32])
+                bits = (2 * grid > med2).astype(np.uint64)
                 phashes.append(int((bits[:63] << np.arange(63, dtype=np.uint64)).sum()))
-            mm = np.array(means) if means else np.zeros((0, 3))
+            ss = np.array(sums, dtype=np.int64) if sums else np.zeros((0, 3), dtype=np.int64)
             yield pd.DataFrame(
                 {
                     "media_id": ids,
-                    "mean_r": mm[:, 0] if len(ids) else [],
-                    "mean_g": mm[:, 1] if len(ids) else [],
-                    "mean_b": mm[:, 2] if len(ids) else [],
+                    "sum_r": ss[:, 0] if len(ids) else [],
+                    "sum_g": ss[:, 1] if len(ids) else [],
+                    "sum_b": ss[:, 2] if len(ids) else [],
+                    "n_px": npx,
                     "phash": phashes,
                 }
             )
 
     src = df.where("kind = 'image'").select("media_id", "payload", "width", "height")
     return src.mapInPandas(
-        fn, "media_id bigint, mean_r double, mean_g double, mean_b double, phash bigint"
+        fn,
+        "media_id bigint, sum_r bigint, sum_g bigint, sum_b bigint, n_px bigint, phash bigint",
     )
 
 

@@ -107,21 +107,32 @@ def cosine_near_dup_pairs(
     )
 
 
+def plane_signs(p: int, dim: int) -> list[float]:
+    """Deterministic ±1 weights of hyperplane ``p``: sign = parity of
+    the first hex digit of md5('<p>|<i>') — computed ONCE here at plan
+    time, never at runtime (the round-1 version evaluated 256 md5 calls
+    per row; the signs are constants and belong in the plan)."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{p}|{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+        for i in range(dim)
+    ]
+
+
 def hyperplane_sketch_expr(dim: int, n_planes: int, vec_col: str = "embedding") -> str:
-    """Deterministic pseudo-random hyperplane LSH sketch as pure SQL:
-    plane p, coord i weight = sign from md5(p|i) parity (reproducible
-    everywhere, no RNG at runtime).  Returns an int bucket in
+    """Random-hyperplane LSH sketch as pure SQL: the ±1 sign matrix is
+    emitted as array literals, so the per-row work is one zip_with dot
+    product per plane (JVM-side, no hashing).  Returns an int bucket in
     [0, 2^n_planes)."""
     bits = []
     for p in range(n_planes):
-        terms = f"""
-        aggregate(zip_with({vec_col}, sequence(0, {dim - 1}),
-          (x, i) -> CAST(x AS DOUBLE) *
-            (CASE WHEN (instr('0123456789abcdef', substr(md5('{p}|' || CAST(i AS STRING)), 1, 1)) - 1) % 2 = 0
-              THEN 1.0 ELSE -1.0 END)),
-          0D, (acc, v) -> acc + v)
-        """
-        bits.append(f"(CASE WHEN ({terms}) > 0 THEN {2 ** p} ELSE 0 END)")
+        lits = ", ".join(f"{s}D" for s in plane_signs(p, dim))
+        dot = (
+            f"aggregate(zip_with({vec_col}, array({lits}), "
+            "(x, s) -> CAST(x AS DOUBLE) * s), 0D, (acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {2 ** p} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
 
 
@@ -133,11 +144,17 @@ def lsh_cosine_topk(
     n_planes: int = 6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate variant: candidates restricted to the query's LSH
     bucket (equi-join on bucket → co-partitioned shuffle instead of a
     cross join).  At 100 TB the bucket column is what you bucket/
     cluster the table by, making the probe side a bucket-pruned scan.
+
+    ``multiprobe`` additionally probes every bucket at hamming
+    distance 1 from the query's bucket (flip each of the ``n_planes``
+    bits) — the standard multi-probe LSH recall boost that costs
+    ``n_planes`` extra probe rows per query instead of more tables.
     """
     from pyspark.sql.window import Window
 
@@ -154,6 +171,9 @@ def lsh_cosine_topk(
             "bucket",
         )
     )
+    if multiprobe:
+        probes = ", ".join(f"bucket ^ {2 ** p}" for p in range(n_planes))
+        q = q.withColumn("bucket", F.explode(F.expr(f"array(bucket, {probes})")))
     dot = DOT_EXPR.format(a=vec_col, b="q_vec")
     scored = (
         base.join(F.broadcast(q), "bucket")
@@ -168,5 +188,38 @@ def lsh_cosine_topk(
             F.col("query_id").cast("bigint"),
             F.col(id_col).cast("bigint").alias("neighbor_id"),
             F.col("rank").cast("bigint"),
+        )
+    )
+
+
+def lsh_recall_vs_exact(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    dim: int = 64,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Measured recall@k of the LSH path against the exact baseline —
+    one row (n_queries, n_exact, n_hit, recall_e4).  This is the
+    metric that gates an ANN rollout at scale; both sides are
+    deterministic so the oracle recomputes it bit-for-bit."""
+    exact = cosine_topk(df, queries, k=k, vec_col=vec_col, id_col=id_col)
+    approx = lsh_cosine_topk(
+        df, queries, k=k, dim=dim, n_planes=n_planes, vec_col=vec_col, id_col=id_col
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.agg(
+            F.countDistinct("query_id").alias("nq"),
+            F.count(F.lit(1)).alias("n_exact"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            F.col("nq").cast("bigint").alias("n_queries"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.round(F.col("n_hit") * 10000.0 / F.col("n_exact")).cast("bigint").alias("recall_e4"),
         )
     )

@@ -88,19 +88,28 @@ def extract_with_resume(
     data_dir = os.path.join(out_dir, "data", f"run={run_id}")
     out.write.partitionBy("split_id").mode("error").parquet(data_dir)
 
-    # per-split metrics from the committed files (cheap: output only)
-    stats = (
-        spark.read.parquet(data_dir)
-        .groupBy("split_id")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(F.length("text")).alias("bytes"),
-            F.sum("parse_us").alias("parse_us"),
-            F.sum("kernel_us").alias("kernel_us"),
-            F.sum("parse_errors").alias("parse_errors"),
+    # per-split metrics from the committed files (cheap: output only).
+    # Guarded: when EVERY pending split was empty (reachable on resume
+    # with max_splits_this_run or a sparse corpus vs n_splits) the
+    # write leaves a schemaless empty dir and the read raises — commit
+    # zero-row ledger records instead of crashing every future resume.
+    try:
+        stats = (
+            spark.read.parquet(data_dir)
+            .groupBy("split_id")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.length("text")).alias("bytes"),
+                F.sum("parse_us").alias("parse_us"),
+                F.sum("kernel_us").alias("kernel_us"),
+                F.sum("parse_errors").alias("parse_errors"),
+            )
+            .collect()
         )
-        .collect()
-    )
+    except Exception as exc:  # AnalysisException: unable to infer schema
+        if "infer schema" not in str(exc) and "PATH_NOT_FOUND" not in str(exc):
+            raise
+        stats = []
     wall_ms = int((time.time() - t0) * 1000)
     by_split = {int(r["split_id"]): r for r in stats}
     for s in pending:

@@ -19,7 +19,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-HOST_EXPR = "parse_url(url, 'HOST')"
+# try_parse_url: plain parse_url THROWS on malformed urls under ANSI
+# mode (guaranteed input at crawl scale); the NULL it returns is then
+# coalesced to a sentinel because a NULL key would break the plan maps
+# built below (F.create_map rejects null keys; null lookups leave the
+# salt/bin columns null).
+HOST_EXPR = "coalesce(try_parse_url(url, 'HOST'), '__null__')"
 
 
 def salt_skewed_keys(
@@ -71,46 +76,51 @@ def size_balanced_bins(
 ) -> DataFrame:
     """Repartition so each partition carries ≈``target_bytes`` of html.
 
-    Pass 1 aggregates bytes per key (small); the driver packs keys into
-    bins greedily (first-fit decreasing); keys bigger than a bin are
-    split by row-hash across ``ceil(bytes/target)`` sub-bins.  Pass 2
-    applies the broadcast bin map as the shuffle key.  Arrow batches
-    inside the parse UDF then see bounded byte budgets regardless of
-    document-size heavy tails.
+    Scale-safe plan (no whole-key-set collect — at CC scale there are
+    ~10^8 hosts and a driver-side FFD over all of them is a bottleneck):
+
+    * pass 1 aggregates bytes per key (map-side combined, JVM);
+    * only the HEAVY TAIL (keys with ≥ ``target_bytes``) is collected —
+      a tiny set by Zipf's law — and each heavy key is split by row
+      hash across ``ceil(bytes/target)`` dedicated bins;
+    * the light majority is never collected: light keys are hashed into
+      ``ceil(light_bytes/target)`` bins (one extra 1-row aggregate for
+      the total).  Expected spread of hashed byte-sums over bins is
+      tight because every key in them is < target_bytes.
+
+    Arrow batches inside the parse UDF then see bounded byte budgets
+    regardless of document-size heavy tails.
     """
     keyed = df.withColumn("part_key", F.expr(key_expr)).withColumn(
         "doc_bytes", F.expr(bytes_expr).cast("bigint")
     )
-    totals = (
-        keyed.groupBy("part_key").agg(F.sum("doc_bytes").alias("b")).collect()
-    )
-    open_bins: list[list[int]] = []  # [bin_id, remaining_capacity]
-    assign: dict[str, tuple[int, int]] = {}  # key -> (first_bin, n_subbins)
-    next_bin = 0
-    for r in sorted(totals, key=lambda r: -r["b"]):
-        b, k = int(r["b"]), r["part_key"]
-        if b >= target_bytes:
-            # oversized key: split across ceil(b/target) dedicated bins
-            n_sub = -(-b // target_bytes)
-            assign[k] = (next_bin, n_sub)
-            next_bin += n_sub
-            continue
-        for ob in open_bins:
-            if ob[1] >= b:
-                ob[1] -= b
-                assign[k] = (ob[0], 1)
-                break
-        else:
-            open_bins.append([next_bin, target_bytes - b])
-            assign[k] = (next_bin, 1)
-            next_bin += 1
-    first = F.create_map(*[F.lit(x) for k, (f0, _) in assign.items() for x in (k, f0)])
-    nsub = F.create_map(*[F.lit(x) for k, (_, ns) in assign.items() for x in (k, ns)])
-    binned = keyed.withColumn(
-        "size_bin",
-        (
-            first[F.col("part_key")]
-            + F.pmod(F.xxhash64("url"), nsub[F.col("part_key")])
-        ).cast("int"),
-    )
+    totals = keyed.groupBy("part_key").agg(F.sum("doc_bytes").alias("b"))
+    # one job: light byte total + the (small) heavy-key list together
+    plan_row = totals.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("b") < target_bytes, F.col("b"))), F.lit(0)
+        ).alias("light_total"),
+        F.collect_list(
+            F.when(F.col("b") >= target_bytes, F.struct("part_key", "b"))
+        ).alias("heavy"),
+    ).collect()[0]
+    heavy_rows = plan_row["heavy"]
+    n_light_bins = max(1, -(-int(plan_row["light_total"]) // target_bytes))
+    assign: dict[str, tuple[int, int]] = {}  # heavy key -> (first_bin, n_subbins)
+    next_bin = n_light_bins
+    for r in sorted(heavy_rows, key=lambda r: -r["b"]):
+        n_sub = -(-int(r["b"]) // target_bytes)
+        assign[r["part_key"]] = (next_bin, n_sub)
+        next_bin += n_sub
+    light_bin = F.pmod(F.xxhash64("part_key"), F.lit(n_light_bins))
+    if assign:
+        first = F.create_map(*[F.lit(x) for k, (f0, _) in assign.items() for x in (k, f0)])
+        nsub = F.create_map(*[F.lit(x) for k, (_, ns) in assign.items() for x in (k, ns)])
+        bin_col = F.when(
+            first[F.col("part_key")].isNotNull(),
+            first[F.col("part_key")] + F.pmod(F.xxhash64("url"), nsub[F.col("part_key")]),
+        ).otherwise(light_bin)
+    else:
+        bin_col = light_bin
+    binned = keyed.withColumn("size_bin", bin_col.cast("int"))
     return binned.repartition(max(next_bin, 1), "size_bin")

@@ -49,20 +49,34 @@ _DUCK_SHINGLES = (
 
 
 def _duck_simhash_sql() -> str:
+    # 63-bit mirror of dedup.simhash63_sql (bit j = majority vote of
+    # bit j of md5(word); hex-digit bit extraction, exact int math)
     votes = []
     sel = []
-    for j in range(16):
+    for j in range(D.SIMHASH_BITS):
         hexpos = 1 + j // 4
         p = 2 ** (3 - j % 4)
         v = f"(instr('0123456789abcdef', substr(md5(w), {hexpos}, 1)) - 1)"
         bit = f"(CAST(floor({v} / {p}) AS BIGINT) % 2)"
         votes.append(f"sum(2 * {bit} - 1) AS v{j}")
-        sel.append(f"(CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END)")
+        sel.append(f"(CASE WHEN v{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)")
     return (
         "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), "
         "votes AS (SELECT doc_id, " + ", ".join(votes) + " FROM w GROUP BY doc_id) "
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
         "CAST(" + " + ".join(sel) + " AS BIGINT) AS simhash FROM votes"
+    )
+
+
+def _duck_simhash_pairs_sql(max_hamming: int = 2) -> str:
+    # all-pairs xor+popcount — the banded Spark join is exact for
+    # hamming <= 2 by pigeonhole, so the two sides agree bit-for-bit
+    return (
+        f"WITH s AS ({_duck_simhash_sql()}) "
+        "SELECT CAST(x.doc_id AS BIGINT) AS a, CAST(y.doc_id AS BIGINT) AS b, "
+        "CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming "
+        "FROM s x JOIN s y ON x.doc_id < y.doc_id "
+        f"WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}"
     )
 
 
@@ -81,11 +95,110 @@ def _duck_minhash_cte() -> str:
         f"WITH {_DUCK_SHINGLES}, "
         f"sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id), "
         f"bands AS ({bands}), "
-        "cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id FROM bands x "
-        "JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id) "
+        # mirror of dedup.minhash_lsh_pairs bucket_cap=64
+        "small AS (SELECT band, bkey FROM bands GROUP BY band, bkey HAVING count(*) <= 64), "
+        "bandsf AS (SELECT b.* FROM bands b JOIN small USING (band, bkey)), "
+        "cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id FROM bandsf x "
+        "JOIN bandsf y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id) "
         f"SELECT CAST(a_id AS BIGINT) AS a, CAST(b_id AS BIGINT) AS b, CAST({eq} AS BIGINT) AS n_eq "
         "FROM cand JOIN sig sa ON cand.a_id = sa.doc_id JOIN sig sb ON cand.b_id = sb.doc_id "
         f"WHERE {eq} >= 4"
+    )
+
+
+_DUCK_EXACT_TOPK = (
+    "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+    "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm "
+    "FROM embeddings), "
+    "base AS (SELECT * FROM n WHERE norm > 0), "
+    "q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM base WHERE vec_id % 100 = 0), "
+    "scored AS (SELECT q.query_id, b.vec_id, "
+    "list_dot_product(b.v, q.qv) / (b.norm * q.qnorm) AS cos "
+    "FROM base b CROSS JOIN q WHERE b.vec_id <> q.query_id), "
+    "ranked AS (SELECT query_id, vec_id, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored) "
+    "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS neighbor_id, "
+    "CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3"
+)
+
+
+def _duck_lsh_topk_sql(k: int = 3, dim: int = 64, n_planes: int = 4) -> str:
+    # mirror of similarity.lsh_cosine_topk (precomputed literal signs,
+    # multi-probe over the n_planes hamming-1 buckets)
+    bucket_terms = []
+    for p in range(n_planes):
+        lits = ", ".join(str(s) for s in S.plane_signs(p, dim))
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]) > 0 THEN {2 ** p} ELSE 0 END)"
+        )
+    bucket = "(" + " + ".join(bucket_terms) + ")"
+    probes = ", ".join(f"xor(bucket, {2 ** p})" for p in range(n_planes))
+    return (
+        "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+        "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm "
+        "FROM embeddings), "
+        f"base AS (SELECT vec_id, v, norm, {bucket} AS bucket FROM n WHERE norm > 0), "
+        "q0 AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, bucket "
+        "FROM base WHERE vec_id % 100 = 0), "
+        f"q AS (SELECT query_id, qv, qnorm, unnest([bucket, {probes}]) AS bucket FROM q0), "
+        "scored AS (SELECT q.query_id, b.vec_id, "
+        "list_dot_product(b.v, q.qv) / (b.norm * q.qnorm) AS cos "
+        "FROM base b JOIN q ON b.bucket = q.bucket WHERE b.vec_id <> q.query_id), "
+        "ranked AS (SELECT query_id, vec_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored) "
+        "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS neighbor_id, "
+        f"CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= {k}"
+    )
+
+
+def _duck_lsh_recall_sql() -> str:
+    return (
+        f"WITH exact AS ({_DUCK_EXACT_TOPK}), approx AS ({_duck_lsh_topk_sql()}), "
+        "hit AS (SELECT count(*) AS n_hit FROM exact e "
+        "WHERE EXISTS (SELECT 1 FROM approx a "
+        "WHERE a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)) "
+        "SELECT CAST(count(DISTINCT e.query_id) AS BIGINT) AS n_queries, "
+        "CAST(count(*) AS BIGINT) AS n_exact, "
+        "CAST((SELECT n_hit FROM hit) AS BIGINT) AS n_hit, "
+        "CAST(round((SELECT n_hit FROM hit) * 10000.0 / count(*)) AS BIGINT) AS recall_e4 "
+        "FROM exact e"
+    )
+
+
+def _duck_multimodal_sql() -> str:
+    # mirror of multimodal.image_features over multimodal.synth_media:
+    # the md5-CTR keystream is a hex-string chain (block c =
+    # md5(md5(text) || '|' || c)), all feature math integer-exact
+    blk = "md5(seed || '|' || CAST((k // 16) AS VARCHAR))"
+    bv = (
+        f"(16 * (instr('0123456789abcdef', substr({blk}, 1 + 2 * (k % 16), 1)) - 1) "
+        f"+ instr('0123456789abcdef', substr({blk}, 2 + 2 * (k % 16), 1)) - 1)"
+    )
+    return (
+        "WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id, md5(text) AS seed, "
+        "16 + (n_chars % 8) * 8 AS w, 16 + (n_chars % 5) * 8 AS h "
+        "FROM documents WHERE doc_id % 3 = 0), "
+        "idx AS (SELECT media_id, seed, w, h, "
+        "unnest(generate_series(0, w * h * 3 - 1)) AS k FROM m), "
+        f"b AS (SELECT media_id, w, h, k % 3 AS ch, (k // 3) AS p, {bv} AS bv FROM idx), "
+        "chan AS (SELECT media_id, "
+        "sum(CASE WHEN ch = 0 THEN bv ELSE 0 END) AS sum_r, "
+        "sum(CASE WHEN ch = 1 THEN bv ELSE 0 END) AS sum_g, "
+        "sum(CASE WHEN ch = 2 THEN bv ELSE 0 END) AS sum_b "
+        "FROM b GROUP BY media_id), "
+        "grid AS (SELECT media_id, "
+        "((p // w) // (h // 8)) * 8 + ((p % w) // (w // 8)) AS i, sum(bv) AS gsum "
+        "FROM b GROUP BY media_id, i), "
+        "med AS (SELECT media_id, sum(CASE WHEN rn IN (32, 33) THEN gsum ELSE 0 END) AS med2 "
+        "FROM (SELECT media_id, gsum, row_number() OVER "
+        "(PARTITION BY media_id ORDER BY gsum) AS rn FROM grid) GROUP BY media_id), "
+        "ph AS (SELECT g.media_id, sum(CASE WHEN 2 * gsum > med2 AND i < 63 "
+        "THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS phash "
+        "FROM grid g JOIN med USING (media_id) GROUP BY g.media_id) "
+        "SELECT m.media_id, CAST(sum_r AS BIGINT) AS sum_r, "
+        "CAST(sum_g AS BIGINT) AS sum_g, CAST(sum_b AS BIGINT) AS sum_b, "
+        "CAST(m.w * m.h AS BIGINT) AS n_px, CAST(ph.phash AS BIGINT) AS phash "
+        "FROM m JOIN chan USING (media_id) JOIN ph USING (media_id)"
     )
 
 
@@ -301,21 +414,30 @@ def q_ann_cosine(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    # rows-only (no shared xor spelling between engines): near-dup
-    # pairs by simhash hamming distance over banded candidates
+    # near-dup pairs by simhash hamming distance over 3-band candidates
+    # (exact for hamming<=2 by pigeonhole → matches the all-pairs oracle)
     return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=2)
 
 
 def q_ann_lsh(spark, sf_dir):
-    # rows-only (approximate by design): bucketed ANN scale path
+    # bucketed ANN scale path (deterministic hyperplane signs +
+    # multi-probe — fully oracle-reproducible)
     emb = _tbl(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
     return S.lsh_cosine_topk(emb, queries, k=3, dim=64, n_planes=4)
 
 
+def q_ann_lsh_recall(spark, sf_dir):
+    # measured recall@k of the LSH path vs the exact baseline — the
+    # ANN rollout gate, recomputed bit-for-bit by the oracle
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return S.lsh_recall_vs_exact(emb, queries, k=3, dim=64, n_planes=4)
+
+
 def q_multimodal_features(spark, sf_dir):
-    # rows-only (stubbed decode is engine-deterministic, not
-    # SQL-reproducible): image feature extraction over binary media
+    # integer-exact features over the hex-chain fake decode → the
+    # DuckDB oracle recomputes the keystream and features bit-for-bit
     from .operators.multimodal import image_features, synth_media
 
     return image_features(synth_media(spark, sf_dir))
@@ -496,6 +618,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_doc_content_text": q_html_doc_content_text,
     "simhash_pairs": q_simhash_pairs,
     "ann_lsh_topk": q_ann_lsh,
+    "ann_lsh_recall": q_ann_lsh_recall,
     "multimodal_image_features": q_multimodal_features,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -600,9 +723,12 @@ ORACLES: dict[str, str] = {
     ),
     "dedup_ngram_jaccard": (
         f"WITH {_DUCK_SHINGLES}, "
-        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+        # mirror of dedup.ngram_jaccard_pairs df_cap=64
+        "rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 64), "
+        "shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)), "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id), "
         "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared "
-        "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id "
+        "FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id "
         "GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5) "
         "SELECT CAST(a_id AS BIGINT) AS a, CAST(b_id AS BIGINT) AS b, "
         "CAST(round(10000.0 * shared / (sa.n_sh + sb.n_sh - shared)) AS BIGINT) AS jaccard_e4 "
@@ -612,20 +738,11 @@ ORACLES: dict[str, str] = {
     ),
     "dedup_minhash_lsh": _duck_minhash_cte(),
     "simhash": _duck_simhash_sql(),
-    "ann_cosine_topk": (
-        "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
-        "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm "
-        "FROM embeddings), "
-        "base AS (SELECT * FROM n WHERE norm > 0), "
-        "q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM base WHERE vec_id % 100 = 0), "
-        "scored AS (SELECT q.query_id, b.vec_id, "
-        "list_dot_product(b.v, q.qv) / (b.norm * q.qnorm) AS cos "
-        "FROM base b CROSS JOIN q WHERE b.vec_id <> q.query_id), "
-        "ranked AS (SELECT query_id, vec_id, row_number() OVER "
-        "(PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored) "
-        "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS neighbor_id, "
-        "CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3"
-    ),
+    "simhash_pairs": _duck_simhash_pairs_sql(),
+    "ann_cosine_topk": _DUCK_EXACT_TOPK,
+    "ann_lsh_topk": _duck_lsh_topk_sql(),
+    "ann_lsh_recall": _duck_lsh_recall_sql(),
+    "multimodal_image_features": _duck_multimodal_sql(),
     "embedding_near_dup": (
         "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
         "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm, "

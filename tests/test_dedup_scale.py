@@ -1,0 +1,137 @@
+"""Scale-defect regression tests from the round-1 verdict: hot-shingle
+df cap, LSH band-bucket cap, 63-bit simhash banding completeness, and
+plan-safety of the partitioning helpers on malformed urls."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gumbo_pp_spark.operators import dedup as D
+from gumbo_pp_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def hot_docs(spark):
+    # 30 docs all sharing one boilerplate sentence (one hot shingle
+    # family), plus 2 true near-dup pairs with distinctive content
+    rows = []
+    boiler = "all rights reserved by the site"
+    for i in range(30):
+        rows.append((i, f"unique{i} alpha{i} beta{i} gamma{i} {boiler}"))
+    rows.append((100, "the quick brown fox jumps over the lazy dog today"))
+    rows.append((101, "the quick brown fox jumps over the lazy dog today"))
+    return spark.createDataFrame(rows, "doc_id bigint, text string").cache()
+
+
+class TestHotShingleCaps:
+    def test_df_cap_bounds_join_candidates(self, spark, hot_docs):
+        sh = D.shingles(hot_docs)
+        capped = sh.join(
+            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= 10).select("sh"),
+            "sh",
+        )
+        # the boilerplate shingles (df=30) are gone from the join input
+        assert capped.groupBy("sh").count().agg(F.max("count")).collect()[0][0] <= 10
+        # and the true pair still survives end-to-end
+        pairs = D.ngram_jaccard_pairs(hot_docs, threshold=0.5, min_shared=5, df_cap=10)
+        got = {(r.a, r.b) for r in pairs.collect()}
+        assert (100, 101) in got
+        # no pair is built from boilerplate alone
+        assert all(a >= 100 for a, b in got)
+
+    def test_minhash_bucket_cap_drops_degenerate_buckets(self, spark, hot_docs):
+        # with a tiny cap, the boilerplate-dominated band buckets (30
+        # docs) are dropped; the identical pair still shares all its
+        # (2-doc) buckets and survives
+        pairs = D.minhash_lsh_pairs(hot_docs, min_equal=4, bucket_cap=5)
+        got = {(r.a, r.b) for r in pairs.collect()}
+        assert (100, 101) in got
+        for a, b in got:
+            assert a >= 100, "boilerplate-only pair leaked through the cap"
+
+
+class TestSimhash63:
+    def test_single_md5_pass_shape(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+             (3, "totally different words here")],
+            "doc_id bigint, text string",
+        )
+        rows = {r.doc_id: r.simhash for r in D.simhash(df).collect()}
+        assert rows[1] == rows[2]
+        assert rows[1] != rows[3]
+        for v in rows.values():
+            assert 0 <= v < 2 ** 63  # sign bit clear by construction
+
+    def test_banded_pairs_equal_brute_force(self, spark):
+        # deliberately similar docs: hamming<=2 pairs must ALL be found
+        # by the 3-band join (pigeonhole guarantee), none missed
+        base = "w%d " * 40
+        rows = [(i, (base % tuple(range(40))) + f"tail{i % 4}") for i in range(24)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        s = {r.doc_id: r.simhash for r in D.simhash(df).collect()}
+        brute = {
+            (a, b)
+            for a in s for b in s
+            if a < b and bin(s[a] ^ s[b]).count("1") <= 2
+        }
+        banded = {(r.a, r.b) for r in D.simhash_pairs(df, max_hamming=2).collect()}
+        assert banded == brute
+        assert brute, "fixture produced no near pairs — weaken the tails"
+
+
+class TestLshSketch:
+    def test_no_runtime_md5_in_sketch(self):
+        expr = S.hyperplane_sketch_expr(dim=8, n_planes=3)
+        assert "md5" not in expr  # signs are plan-time literals now
+
+    def test_multiprobe_recall_not_worse(self, spark, tmp_path):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(120)]
+        emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>").cache()
+        q = emb.where(F.col("vec_id") % 40 == 0)
+        single = S.lsh_cosine_topk(emb, q, k=3, dim=16, n_planes=4, multiprobe=False)
+        multi = S.lsh_cosine_topk(emb, q, k=3, dim=16, n_planes=4, multiprobe=True)
+        exact = S.cosine_topk(emb, q, k=3)
+        ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+        hit_single = len(ex & {(r.query_id, r.neighbor_id) for r in single.collect()})
+        hit_multi = len(ex & {(r.query_id, r.neighbor_id) for r in multi.collect()})
+        assert hit_multi >= hit_single
+
+
+class TestPartitioningNullKeys:
+    def test_malformed_urls_do_not_crash_plans(self, spark):
+        from gumbo_pp_spark.plans.partitioning import salt_skewed_keys, size_balanced_bins
+
+        rows = [("not a url at all", bytearray(b"x" * 100))] * 8
+        rows += [(f"https://ok.example/{i}", bytearray(b"y" * 100)) for i in range(8)]
+        df = spark.createDataFrame(rows, "url string, html binary")
+        assert salt_skewed_keys(df, n_partitions=4).count() == 16
+        binned = size_balanced_bins(df, target_bytes=400)
+        assert binned.count() == 16
+        assert binned.where(F.col("size_bin").isNull()).count() == 0
+
+    def test_light_keys_not_collected_heavy_tail_only(self, spark):
+        # many light keys + one heavy: plan must produce dedicated bins
+        # for the heavy key and hash the light ones without per-key maps
+        from gumbo_pp_spark.plans.partitioning import size_balanced_bins
+
+        rows = [(f"https://h{i}.example/x", bytearray(b"a" * 50)) for i in range(400)]
+        rows += [(f"https://big.example/{i}", bytearray(b"b" * 5000)) for i in range(100)]
+        df = spark.createDataFrame(rows, "url string, html binary")
+        binned = size_balanced_bins(df, target_bytes=100_000)
+        big_bins = {
+            r.size_bin for r in binned.where("part_key = 'big.example'")
+            .select("size_bin").distinct().collect()
+        }
+        light_bins = {
+            r.size_bin for r in binned.where("part_key != 'big.example'")
+            .select("size_bin").distinct().collect()
+        }
+        assert len(big_bins) == 5  # 500k / 100k dedicated sub-bins
+        assert big_bins.isdisjoint(light_bins)
+        per_bin = binned.groupBy("size_bin").agg(F.sum("doc_bytes").alias("b")).collect()
+        for r in per_bin:
+            assert r["b"] <= 2 * 100_000

@@ -38,7 +38,8 @@ class TestMultimodal:
         assert len(rows) == n_images
         again = {r.media_id: r.phash for r in image_features(media).collect()}
         for r in rows:
-            assert 0.0 <= r.mean_r <= 255.0
+            assert 0 <= r.sum_r <= 255 * r.n_px
+            assert r.n_px > 0
             assert again[r.media_id] == r.phash
             assert r.phash >= 0
 

@@ -120,6 +120,26 @@ class TestSizeBinsOversized:
             assert r["b"] <= 2 * 100_000
 
 
+class TestEmptySplitResume:
+    def test_all_pending_splits_empty_commits_zero_rows(self, spark, tmp_path):
+        # sparse corpus vs n_splits: some splits hold zero pages; a
+        # resume run whose pending set is ALL-empty must commit
+        # zero-row ledger records instead of crashing on the schemaless
+        # output directory (round-1 ADVICE lineage.py finding)
+        from gumbo_pp_spark.plans.lineage import PartitionLedger
+
+        out_dir = str(tmp_path / "sparse")
+        empty = synth_pages(spark, SF_SMOKE).limit(0)
+        r1 = extract_with_resume(spark, empty, out_dir, n_splits=8)
+        assert r1["splits_processed"] == 8
+        recs = PartitionLedger(f"{out_dir}/_ledger").committed()
+        assert len(recs) == 8
+        assert all(r["rows"] == 0 for r in recs.values())
+        # and the follow-up run sees them committed (no crash loop)
+        r2 = extract_with_resume(spark, empty, out_dir, n_splits=8)
+        assert r2["splits_processed"] == 0 and r2["skipped"] == 8
+
+
 class TestLedgerMetrics:
     def test_per_stage_metrics_recorded(self, spark, tmp_path):
         from gumbo_pp_spark.plans.lineage import PartitionLedger

@@ -14,8 +14,9 @@ def test_every_oracle_has_a_query():
 def test_rows_only_queries_are_intentional():
     # queries without oracles get a weaker rows-only check — keep the
     # list explicit so additions are conscious decisions
+    # round 2: every suite query is oracle-gated — keep it that way
     rows_only = set(QUERIES) - set(ORACLES)
-    assert rows_only == {"simhash_pairs", "ann_lsh_topk", "multimodal_image_features"}
+    assert rows_only == set()
 
 
 def test_driver_module_exports():
