@@ -38,6 +38,12 @@ TEMPLATE = 6
 
 NODE_TYPE_NAMES = ["Document", "Element", "Text", "CData", "Comment", "Whitespace", "Template"]
 
+# Element namespaces (GumboNamespaceEnum analogue).
+NS_HTML = 0
+NS_SVG = 1
+NS_MATHML = 2
+NS_NAMES = ["html", "svg", "math"]
+
 # Types whose ``v.text.text`` flows into node_content_text (the
 # reference's default: branch returns v.text.text for every
 # non-element/non-document node — gumbo_text.h:55-57 — so CData,
@@ -70,6 +76,12 @@ class NodeTable:
     endtag_start: np.ndarray       # int64 original_end_tag start; == endtag_end when implied
     endtag_end: np.ndarray         # int64 original_end_tag end
     parse_errors: int = 0
+    # element namespace (GumboNamespaceEnum analogue): 0=HTML 1=SVG
+    # 2=MathML; None (legacy constructors) means all-HTML
+    ns: np.ndarray | None = None
+    # parse-error detail records [(code, offset), ...] — mirrors the
+    # reference errors() vector (gumbo_node_iterator.h:247-249)
+    error_records: list = field(default_factory=list)
 
     _ctext_joined: str | None = field(default=None, repr=False)
     _ctext_off: np.ndarray | None = field(default=None, repr=False)

@@ -45,17 +45,25 @@ from ..nodetable import (
     COMMENT,
     DOCUMENT,
     ELEMENT,
+    NS_HTML,
+    NS_MATHML,
+    NS_SVG,
     NodeTable,
     TEMPLATE,
     TEXT,
     WHITESPACE,
 )
 from .tags import (
+    FOREIGN_BREAKOUT,
     HEADINGS,
+    MATHML_TEXT_IP,
     P_CLOSERS,
     RAWTEXT_ELEMENTS,
     RCDATA_ELEMENTS,
     SCOPE_BOUNDARIES,
+    SVG_ATTR_CASE,
+    SVG_HTML_IP,
+    SVG_TAG_CASE,
     TABLE_SECTIONS,
     TAG_IDS,
     TAG_UNKNOWN,
@@ -179,8 +187,8 @@ class _TreeBuilder:
     __slots__ = (
         "src", "n", "mode", "stack", "errors", "quirks",
         "skip_newline", "foster", "ntype", "ntag", "nattrs", "ntext",
-        "nspan", "nchildren", "nparent", "niwp", "preorder_ok",
-        "html_id", "head_id", "body_id", "afe", "open_p",
+        "nspan", "nchildren", "nparent", "niwp", "nns", "preorder_ok",
+        "html_id", "head_id", "body_id", "afe", "open_p", "has_foreign",
     )
 
     # nspan layout: 6 int64 slots per node in one flat list —
@@ -204,6 +212,9 @@ class _TreeBuilder:
         self.nchildren: list[list[int]] = []
         self.nparent: list[int] = []
         self.niwp: list[int] = []
+        self.nns: list[int] = []
+        # fast-path flag: no svg/math seen → foreign dispatch skipped
+        self.has_foreign = False
         # creation order == preorder unless a foster insert places a
         # node BEFORE existing siblings; tracked for the fast finalize
         self.preorder_ok = True
@@ -217,7 +228,7 @@ class _TreeBuilder:
         self._new_node(DOCUMENT, "", None, "", 0, self.n)
 
     # -- node store ----------------------------------------------------
-    def _new_node(self, ntype, tag, attrs, text, s0, s1, t0=0, t1=0, e0=0, e1=0) -> int:
+    def _new_node(self, ntype, tag, attrs, text, s0, s1, t0=0, t1=0, e0=0, e1=0, ns=NS_HTML) -> int:
         nid = len(self.ntype)
         self.ntype.append(ntype)
         self.ntag.append(tag)
@@ -227,7 +238,14 @@ class _TreeBuilder:
         self.nchildren.append([])
         self.nparent.append(-1)
         self.niwp.append(0)
+        self.nns.append(ns)
         return nid
+
+    def _detach(self, nid: int) -> None:
+        p = self.nparent[nid]
+        if p >= 0 and nid in self.nchildren[p]:
+            self.nchildren[p].remove(nid)
+        self.nparent[nid] = -1
 
     def _attach(self, nid: int, parent: int, before_table: int = -1) -> None:
         kids = self.nchildren[parent]
@@ -258,13 +276,91 @@ class _TreeBuilder:
 
     # -- scope ----------------------------------------------------------
     def _in_scope(self, name: str, extra: frozenset = frozenset()) -> bool:
+        nns = self.nns
         for k in range(len(self.stack) - 1, -1, -1):
-            tag = self.ntag[self.stack[k]]
-            if tag == name:
-                return True
-            if tag in SCOPE_BOUNDARIES or tag in extra:
+            nid = self.stack[k]
+            tag = self.ntag[nid]
+            if nns[nid] == NS_HTML:
+                if tag == name:
+                    return True
+                if tag in SCOPE_BOUNDARIES or tag in extra:
+                    return False
+            elif self._is_foreign_boundary(nid):
                 return False
         return False
+
+    def _node_in_scope(self, target: int) -> bool:
+        """'has element in scope' for a specific node (identity)."""
+        nns = self.nns
+        for k in range(len(self.stack) - 1, -1, -1):
+            nid = self.stack[k]
+            if nid == target:
+                return True
+            if nns[nid] == NS_HTML:
+                if self.ntag[nid] in SCOPE_BOUNDARIES:
+                    return False
+            elif self._is_foreign_boundary(nid):
+                return False
+        return False
+
+    def _is_foreign_boundary(self, nid: int) -> bool:
+        """MathML text IPs + annotation-xml + SVG HTML IPs are scope
+        boundaries AND 'special' category members."""
+        tag = self.ntag[nid]
+        if self.nns[nid] == NS_MATHML:
+            return tag in MATHML_TEXT_IP or tag == "annotation-xml"
+        return tag in SVG_HTML_IP
+
+    def _is_special(self, nid: int) -> bool:
+        """WHATWG 'special' element category (ns-aware)."""
+        tag = self.ntag[nid]
+        if self.nns[nid] == NS_HTML:
+            return tag in _SPECIAL_LI_STOP or tag in ("address", "div", "p")
+        return self._is_foreign_boundary(nid)
+
+    # -- foreign-content dispatch ----------------------------------------
+    def _is_mtext_ip(self, nid: int) -> bool:
+        return self.nns[nid] == NS_MATHML and self.ntag[nid] in MATHML_TEXT_IP
+
+    def _is_html_ip(self, nid: int) -> bool:
+        ns = self.nns[nid]
+        tag = self.ntag[nid]
+        if ns == NS_SVG and tag in SVG_HTML_IP:
+            return True
+        if ns == NS_MATHML and tag == "annotation-xml":
+            enc = (self.nattrs[nid] or {}).get("encoding", "").lower()
+            return enc in ("text/html", "application/xhtml+xml")
+        return False
+
+    def _use_foreign(self, kind: str, name: str | None = None) -> bool:
+        """WHATWG §13.2.6 tree-construction dispatcher: True → the
+        token is processed by the foreign-content rules."""
+        stk = self.stack
+        if not stk:
+            return False
+        nid = stk[-1]  # adjusted current node (no fragment context here)
+        if self.nns[nid] == NS_HTML:
+            return False
+        if self._is_mtext_ip(nid):
+            if kind == "chars":
+                return False
+            if kind == "start" and name not in ("mglyph", "malignmark"):
+                return False
+        if (
+            self.nns[nid] == NS_MATHML
+            and self.ntag[nid] == "annotation-xml"
+            and kind == "start"
+            and name == "svg"
+        ):
+            return False
+        if self._is_html_ip(nid) and kind in ("chars", "start"):
+            return False
+        return True
+
+    def _cdata_allowed(self) -> bool:
+        """Tokenizer rule: ``<![CDATA[`` is a CDATA section only when
+        the adjusted current node is not in the HTML namespace."""
+        return bool(self.stack) and self.nns[self.stack[-1]] != NS_HTML
 
     # -- implied structure ----------------------------------------------
     def _ensure_html(self, pos: int) -> None:
@@ -313,10 +409,13 @@ class _TreeBuilder:
         self.mode = IN_BODY
 
     # -- text insertion ---------------------------------------------------
-    def _insert_text(self, decoded: str, s0: int, s1: int, rawtextual: bool = False) -> None:
+    def _insert_text(
+        self, decoded: str, s0: int, s1: int, rawtextual: bool = False,
+        reconstruct: bool = True,
+    ) -> None:
         if not decoded:
             return
-        if not rawtextual and self.afe and self.mode in (IN_BODY, IN_CELL):
+        if reconstruct and not rawtextual and self.afe and self.mode != IN_SELECT:
             self._reconstruct_formatting()
         if self.foster:
             parent, before = self._insert_target()
@@ -347,6 +446,7 @@ class _TreeBuilder:
         self.ntext.append(decoded)
         self.nspan.extend((s0, s1, 0, 0, 0, 0))
         self.nchildren.append([])
+        self.nns.append(NS_HTML)
         self.nparent.append(parent)
         if before >= 0:
             self.niwp.append(0)
@@ -356,7 +456,7 @@ class _TreeBuilder:
             kids.append(nid)
 
     # -- element insertion --------------------------------------------
-    def _insert_element(self, name, attrs, t0, t1, push=True) -> int:
+    def _insert_element(self, name, attrs, t0, t1, push=True, ns=NS_HTML) -> int:
         # inlined node creation (hot path)
         nid = len(self.ntype)
         self.ntype.append(ELEMENT)
@@ -369,6 +469,7 @@ class _TreeBuilder:
         else:
             self.nspan.extend((t0, t1, t0, t1, t1, t1))
         self.nchildren.append([])
+        self.nns.append(ns)
         if name == "p":
             self.open_p += 1
         if self.foster:
@@ -426,74 +527,154 @@ class _TreeBuilder:
             if self.afe.pop() is None:
                 return
 
+    def _close_implied(self, nid: int, pos: int) -> None:
+        """Zero-length end-tag span at ``pos`` for an implicitly closed
+        element (libgumbo leaves original_end_tag empty)."""
+        base = 6 * nid
+        self.nspan[base + 4] = self.nspan[base + 5] = pos
+        self.nspan[base + 1] = pos
+        if self.ntag[nid] == "p" and self.nns[nid] == NS_HTML:
+            self.open_p -= 1
+
     def _adoption_agency(self, name: str, t0: int, t1: int) -> bool:
-        """Simplified single-iteration adoption agency (WHATWG
-        §13.2.6.4.7) for a formatting end tag: when a special
-        'furthest block' sits above the formatting element, the block
-        is adopted by the common ancestor and the formatting element is
-        cloned around the block's children — so text after the end tag
-        stays INSIDE the block, as the spec requires.  Returns True if
-        the token was handled."""
-        afe = self.afe
-        fe_idx = None
-        for k in range(len(afe) - 1, -1, -1):
-            e = afe[k]
-            if e is None:
-                break
-            if e[0] == name:
-                fe_idx = k
-                break
-        if fe_idx is None:
-            return False  # no active entry → generic end-tag handling
-        fe_nid = afe[fe_idx][4]
+        """Full WHATWG adoption agency algorithm (§13.2.6.4.7): the
+        8-iteration outer loop and the inner node-lifting loop with the
+        >3 active-formatting ejection rule.  The round-1 single-pass
+        version left the formatting clone off the open-element stack,
+        so following text reconstructed a spurious wrapper; the spec's
+        SECOND outer iteration is what closes the clone (no furthest
+        block remains), putting post-end-tag text directly in the block
+        — verified against the public html5lib reference implementation
+        (tests/conformance goldens).  Returns False → caller falls
+        through to the 'any other end tag' rules."""
         stack = self.stack
-        if fe_nid not in stack:
-            del afe[fe_idx]  # stale entry: parse error, ignore token
-            self.errors += 1
-            return True
-        si = stack.index(fe_nid)
-        fb_i = None
-        for j in range(si + 1, len(stack)):
-            tag = self.ntag[stack[j]]
-            if tag in _SPECIAL_LI_STOP or tag in ("address", "div", "p"):
-                fb_i = j
-                break
-        if fb_i is None:
-            # no furthest block: pop through FE (entry removed there)
-            self._pop_until(name, t0, t0, t1)
-            return True
-        fb_nid = stack[fb_i]
-        ca_nid = stack[si - 1] if si > 0 else 0
-        # 1. the common ancestor adopts the furthest block
-        old_parent = self.nparent[fb_nid]
-        if old_parent >= 0 and fb_nid in self.nchildren[old_parent]:
-            self.nchildren[old_parent].remove(fb_nid)
-        self._attach(fb_nid, ca_nid)
-        # 2. clone FE around the block's current children
-        e = afe[fe_idx]
-        clone = self._new_node(ELEMENT, name, e[1], "", e[2], t1, e[2], e[3], t0, t1)
-        kids = self.nchildren[fb_nid]
-        self.nchildren[clone] = kids
-        for c in kids:
-            self.nparent[c] = clone
-        self.nchildren[fb_nid] = []
-        self._attach(clone, fb_nid)
-        # 3. close FE and everything between it and the block (implied)
-        base = 6 * fe_nid
-        self.nspan[base + 4], self.nspan[base + 5] = t0, t1
-        self.nspan[base + 1] = t1
-        for j in range(fb_i - 1, si - 1, -1):
-            nid2 = stack.pop(j)
-            if nid2 != fe_nid:
-                b2 = 6 * nid2
-                self.nspan[b2 + 4] = self.nspan[b2 + 5] = t0
-                self.nspan[b2 + 1] = t0
-                if self.ntag[nid2] == "p":
-                    self.open_p -= 1
-        # the clone takes over the formatting entry (reconstruction
-        # reopens it for content following inside the block)
-        afe[fe_idx] = [name, e[1], e[2], e[3], clone]
-        self.preorder_ok = False  # reparenting broke creation order
+        afe = self.afe
+        # step 1: current node is <name> (HTML ns) and not in AFE → pop
+        if stack:
+            cur = stack[-1]
+            if (
+                self.ntag[cur] == name
+                and self.nns[cur] == NS_HTML
+                and not any(e is not None and e[4] == cur for e in afe)
+            ):
+                self._pop_until(name, t0, t0, t1)
+                return True
+        for _outer in range(8):
+            # formatting element: last same-name entry after last marker
+            fe_idx = None
+            for k in range(len(afe) - 1, -1, -1):
+                e = afe[k]
+                if e is None:
+                    break
+                if e[0] == name:
+                    fe_idx = k
+                    break
+            if fe_idx is None:
+                return False  # act as "any other end tag"
+            entry = afe[fe_idx]
+            fe = entry[4]
+            if fe not in stack:
+                self.errors += 1  # stale entry: drop it, ignore token
+                del afe[fe_idx]
+                return True
+            if not self._node_in_scope(fe):
+                self.errors += 1
+                return True
+            if stack[-1] != fe:
+                self.errors += 1  # parse error; continue anyway
+            si = stack.index(fe)
+            fb_i = None
+            for j in range(si + 1, len(stack)):
+                if self._is_special(stack[j]):
+                    fb_i = j
+                    break
+            if fb_i is None:
+                # no furthest block: pop through FE, drop its entry
+                while True:
+                    nid = stack.pop()
+                    if nid == fe:
+                        base = 6 * nid
+                        self.nspan[base + 4], self.nspan[base + 5] = t0, t1
+                        self.nspan[base + 1] = t1
+                        break
+                    self._close_implied(nid, t0)
+                del afe[fe_idx]
+                return True
+            fb = stack[fb_i]
+            ca = stack[si - 1] if si > 0 else 0
+            bookmark = fe_idx
+            last_node = fb
+            node_i = fb_i
+            inner = 0
+            while True:
+                inner += 1
+                node_i -= 1
+                node = stack[node_i]
+                if node == fe:
+                    break
+                nai = None
+                for k in range(len(afe) - 1, -1, -1):
+                    e2 = afe[k]
+                    if e2 is not None and e2[4] == node:
+                        nai = k
+                        break
+                if inner > 3 and nai is not None:
+                    del afe[nai]
+                    if nai < bookmark:
+                        bookmark -= 1
+                    nai = None
+                if nai is None:
+                    stack.pop(node_i)
+                    self._close_implied(node, t0)
+                    continue
+                # clone node; the clone replaces it in AFE and on the
+                # stack (clones keep the original token's tag span)
+                e2 = afe[nai]
+                clone = self._new_node(
+                    ELEMENT, e2[0], dict(e2[1]) if e2[1] else {}, "",
+                    e2[2], self.n, e2[2], e2[3], self.n, self.n,
+                )
+                afe[nai] = [e2[0], e2[1], e2[2], e2[3], clone]
+                stack[node_i] = clone
+                self._close_implied(node, t0)
+                if last_node == fb:
+                    bookmark = nai + 1
+                self._detach(last_node)
+                self._attach(last_node, clone)
+                last_node = clone
+            # step 14: common ancestor adopts last_node (foster-aware)
+            self._detach(last_node)
+            if self.ntag[ca] in ("table", "tbody", "tfoot", "thead", "tr"):
+                saved = self.foster
+                self.foster = True
+                parent, before = self._insert_target()
+                self.foster = saved
+                self._attach(last_node, parent, before)
+            else:
+                self._attach(last_node, ca)
+            # steps 15-17: clone FE around the furthest block's children
+            clone2 = self._new_node(
+                ELEMENT, entry[0], dict(entry[1]) if entry[1] else {}, "",
+                entry[2], self.n, entry[2], entry[3], self.n, self.n,
+            )
+            kids = self.nchildren[fb]
+            self.nchildren[clone2] = kids
+            for c in kids:
+                self.nparent[c] = clone2
+            self.nchildren[fb] = []
+            self._attach(clone2, fb)
+            # step 18: AFE — remove FE's entry, insert the clone's at
+            # the bookmark (html5lib-faithful index handling)
+            cur_idx = afe.index(entry)
+            del afe[cur_idx]
+            afe.insert(min(bookmark, len(afe)), [entry[0], entry[1], entry[2], entry[3], clone2])
+            # step 19: stack — remove FE, insert clone below the block
+            stack.remove(fe)
+            base = 6 * fe
+            self.nspan[base + 4], self.nspan[base + 5] = t0, t1
+            self.nspan[base + 1] = t1
+            stack.insert(stack.index(fb) + 1, clone2)
+            self.preorder_ok = False  # reparenting broke creation order
         return True
 
     def _pop_until(self, name: str, pos: int, e0: int = -1, e1: int = -1) -> bool:
@@ -523,7 +704,7 @@ class _TreeBuilder:
                     sp[base + 1] = pos
                 if name in _FORMATTING:
                     self._afe_remove(nid)
-                elif name in ("td", "th", "caption"):
+                elif name in ("td", "th", "caption", "applet", "marquee", "object"):
                     self._afe_clear_to_marker()
                 return True
             sp[base + 4] = sp[base + 5] = pos
@@ -561,9 +742,90 @@ class _TreeBuilder:
         self.mode = IN_BODY
 
     # ==================================================================
-    # token handlers
+    # token handlers — thin dispatchers (WHATWG §13.2.6: tokens go to
+    # the foreign-content rules when the adjusted current node is a
+    # foreign element outside an integration point; ``has_foreign``
+    # keeps the all-HTML fast path branch-free)
     # ==================================================================
     def handle_chars(self, raw: str, start: int) -> None:
+        if self.has_foreign and self._use_foreign("chars"):
+            self._foreign_chars(raw, start)
+            return
+        self._chars_html(raw, start)
+
+    def handle_start(self, name, attrs, self_closing, t0, t1) -> str | None:
+        if self.has_foreign and self._use_foreign("start", name):
+            return self._foreign_start(name, attrs, self_closing, t0, t1)
+        return self._start_html(name, attrs, self_closing, t0, t1)
+
+    def handle_end(self, name, t0, t1) -> None:
+        if self.has_foreign and self._use_foreign("end", name):
+            self._foreign_end(name, t0, t1)
+            return
+        self._end_html(name, t0, t1)
+
+    # -- foreign-content rules -----------------------------------------
+    def _foreign_chars(self, raw: str, start: int) -> None:
+        if "\x00" in raw:
+            self.errors += 1  # foreign content: U+0000 → U+FFFD
+            raw = raw.replace("\x00", "�")
+        self._insert_text(_decode(raw), start, start + len(raw), reconstruct=False)
+
+    def _foreign_start(self, name, attrs, self_closing, t0, t1) -> str | None:
+        if name in FOREIGN_BREAKOUT or (
+            name == "font" and ({"color", "face", "size"} & attrs.keys())
+        ):
+            # breakout tag: pop foreign elements back to HTML content /
+            # an integration point, then reprocess the token
+            self.errors += 1
+            stk = self.stack
+            while stk:
+                nid = stk[-1]
+                if (
+                    self.nns[nid] == NS_HTML
+                    or self._is_mtext_ip(nid)
+                    or self._is_html_ip(nid)
+                ):
+                    break
+                stk.pop()
+                self._close_implied(nid, t0)
+            return self.handle_start(name, attrs, self_closing, t0, t1)
+        ns = self.nns[self.stack[-1]]
+        if ns == NS_SVG:
+            name = SVG_TAG_CASE.get(name, name)
+            if attrs:
+                attrs = {SVG_ATTR_CASE.get(k, k): v for k, v in attrs.items()}
+        elif ns == NS_MATHML and attrs and "definitionurl" in attrs:
+            attrs = {
+                ("definitionURL" if k == "definitionurl" else k): v
+                for k, v in attrs.items()
+            }
+        self._insert_element(name, attrs, t0, t1, push=not self_closing, ns=ns)
+        return None
+
+    def _foreign_end(self, name, t0, t1) -> None:
+        stk = self.stack
+        if stk and self.ntag[stk[-1]].lower() != name:
+            self.errors += 1
+        i = len(stk) - 1
+        while i > 0:
+            nid = stk[i]
+            if self.ntag[nid].lower() == name:
+                while len(stk) > i:
+                    popped = stk.pop()
+                    if popped == nid:
+                        base = 6 * popped
+                        self.nspan[base + 4], self.nspan[base + 5] = t0, t1
+                        self.nspan[base + 1] = t1
+                    else:
+                        self._close_implied(popped, t0)
+                return
+            i -= 1
+            if self.nns[stk[i]] == NS_HTML:
+                self._end_html(name, t0, t1)
+                return
+
+    def _chars_html(self, raw: str, start: int) -> None:
         if "\x00" in raw:
             # WHATWG "in body": U+0000 character tokens are parse
             # errors and are ignored
@@ -599,13 +861,24 @@ class _TreeBuilder:
                 self._insert_text(_decode(stripped), start + k, end)
             return
         if mode in _TABLE_MODES:
+            # foster-parent only when the CURRENT node is table context;
+            # with a foster-inserted element open (e.g. <table><b>bold)
+            # the in-body rules insert straight into that element
+            in_table_ctx = self.ntag[self._current()] in (
+                "table", "tbody", "tfoot", "thead", "tr",
+            )
             if all(c in _WS_SET for c in raw):
                 self._insert_text(raw, start, end)
+            elif not in_table_ctx:
+                self._insert_text(_decode(raw), start, end)
             else:
                 self.errors += 1
                 self.foster = True
                 self._insert_text(_decode(raw), start, end)
                 self.foster = False
+            return
+        if mode == IN_SELECT:
+            self._insert_text(_decode(raw), start, end, reconstruct=False)
             return
         if mode == AFTER_BODY:
             if not all(c in _WS_SET for c in raw):
@@ -627,27 +900,9 @@ class _TreeBuilder:
                     if k not in existing:
                         existing[k] = v
 
-    def _in_foreign_content(self) -> bool:
-        for nid in reversed(self.stack):
-            if self.ntag[nid] in ("svg", "math"):
-                return True
-        return False
-
-    def handle_start(self, name, attrs, self_closing, t0, t1) -> str | None:
-        """Returns 'rawtext'/'rcdata' if the tokenizer must switch
-        content model, else None."""
-        if name == "image":
-            name = "img"  # WHATWG "in body": image → img (parse error)
-            self.errors += 1
-        # foreign content (SVG/MathML) honors the self-closing flag —
-        # a '<svg .../>' icon must NOT swallow the rest of the page
-        if self_closing and self.mode in (IN_BODY, IN_CELL, AFTER_HEAD, IN_HEAD) and (
-            name in ("svg", "math") or self._in_foreign_content()
-        ):
-            if self.mode in (AFTER_HEAD,):
-                self._ensure_body(t0)
-            self._insert_element(name, attrs, t0, t1, push=False)
-            return None
+    def _start_html(self, name, attrs, self_closing, t0, t1) -> str | None:
+        """HTML-content start-tag rules.  Returns 'rawtext'/'rcdata' if
+        the tokenizer must switch content model, else None."""
         mode = self.mode
         if mode == INITIAL:
             self.mode = BEFORE_HTML
@@ -680,7 +935,7 @@ class _TreeBuilder:
             if name in ("base", "basefont", "bgsound", "link", "meta"):
                 self._insert_element(name, attrs, t0, t1, push=False)
                 return None
-            if name in RCDATA_ELEMENTS or name in RAWTEXT_ELEMENTS or name in ("noscript", "template"):
+            if name in ("title", "style", "script", "noframes", "noscript", "template"):
                 if name == "noscript":
                     self._insert_element(name, attrs, t0, t1)
                     return None
@@ -742,9 +997,7 @@ class _TreeBuilder:
                 self._pop_until(self.ntag[self._current()], t0)
             self._insert_element(name, attrs, t0, t1, push=False)
             return None
-        if name in ("select", "input", "keygen", "textarea") or name in (
-            "caption", "table", "tbody", "tfoot", "thead", "tr", "td", "th",
-        ):
+        if name in ("select", "input", "keygen", "textarea"):
             # parse error: close the select, reprocess (except a
             # duplicate <select>, which just closes it)
             self.errors += 1
@@ -753,6 +1006,16 @@ class _TreeBuilder:
             if name == "select":
                 return None
             return self.handle_start(name, attrs, self_closing, t0, t1)
+        if name in ("caption", "table", "tbody", "tfoot", "thead", "tr", "td", "th"):
+            # table-structure tags break out ONLY for a select nested in
+            # a table ("in select in table"); a bare select ignores them
+            if self._stack_has("table"):
+                self.errors += 1
+                self._pop_until("select", t0)
+                self._reset_mode()
+                return self.handle_start(name, attrs, self_closing, t0, t1)
+            self.errors += 1
+            return None
         if name in ("script", "template"):
             self._insert_element(name, attrs, t0, t1)
             return "rawtext" if name == "script" else None
@@ -760,6 +1023,9 @@ class _TreeBuilder:
         return None
 
     def _start_in_body(self, name, attrs, self_closing, t0, t1) -> str | None:
+        if name == "image":
+            name = "img"  # WHATWG "in body": image → img (parse error)
+            self.errors += 1
         if name in ("html", "head", "body", "frame"):
             self.errors += 1
             # spec: duplicate <html>/<body> merge missing attributes
@@ -805,11 +1071,35 @@ class _TreeBuilder:
         elif name in ("dd", "dt"):
             self._close_list_item(("dd", "dt"), t0)
         elif name == "a":
-            if self._in_scope("a"):
-                # approximation of the adoption agency's simple case:
-                # close the open <a> and drop its formatting entry
+            # an <a> with an active formatting entry runs the adoption
+            # agency for "a", then force-drops the old element from
+            # both lists (WHATWG "in body" a rule)
+            a_entry = None
+            for k in range(len(self.afe) - 1, -1, -1):
+                e = self.afe[k]
+                if e is None:
+                    break
+                if e[0] == "a":
+                    a_entry = e
+                    break
+            if a_entry is not None:
                 self.errors += 1
-                self._pop_until("a", t0)
+                self._adoption_agency("a", t0, t0)
+                if a_entry in self.afe:
+                    self.afe.remove(a_entry)
+                if a_entry[4] in self.stack:
+                    self.stack.remove(a_entry[4])
+                    self._close_implied(a_entry[4], t0)
+        elif name == "nobr":
+            if self._in_scope("nobr"):
+                self.errors += 1
+                self._adoption_agency("nobr", t0, t0)
+        elif name == "button":
+            if self._in_scope("button"):
+                # spec: a nested <button> closes the open one first
+                self.errors += 1
+                self._pop_until("button", t0)
+                return self.handle_start(name, attrs, self_closing, t0, t1)
         elif name in ("option", "optgroup"):
             if self.stack and self.ntag[self._current()] == "option":
                 self._pop_until("option", t0)
@@ -831,6 +1121,26 @@ class _TreeBuilder:
         ):
             self._reconstruct_formatting()
 
+        if name in ("applet", "marquee", "object"):
+            # formatting-scope marker containers (WHATWG in-body rule)
+            self._insert_element(name, attrs, t0, t1)
+            self.afe.append(None)
+            return None
+        if name in ("svg", "math"):
+            # foreign-content root: subsequent tokens dispatch to the
+            # foreign rules until the subtree closes / breaks out
+            ns = NS_SVG if name == "svg" else NS_MATHML
+            if attrs:
+                if ns == NS_SVG:
+                    attrs = {SVG_ATTR_CASE.get(k, k): v for k, v in attrs.items()}
+                elif "definitionurl" in attrs:
+                    attrs = {
+                        ("definitionURL" if k == "definitionurl" else k): v
+                        for k, v in attrs.items()
+                    }
+            self._insert_element(name, attrs, t0, t1, push=not self_closing, ns=ns)
+            self.has_foreign = True
+            return None
         if name in VOID_ELEMENTS:
             self._insert_element(name, attrs, t0, t1, push=False)
             return None
@@ -973,12 +1283,12 @@ class _TreeBuilder:
         return r
 
     # ------------------------------------------------------------------
-    def handle_end(self, name, t0, t1) -> None:
+    def _end_html(self, name, t0, t1) -> None:
         mode = self.mode
         if mode in (INITIAL, BEFORE_HTML, BEFORE_HEAD):
             if name in ("head", "body", "html", "br"):
                 self._ensure_head(t0)
-                self.handle_end(name, t0, t1)
+                self._end_html(name, t0, t1)
             else:
                 self.errors += 1
             return
@@ -988,7 +1298,7 @@ class _TreeBuilder:
                 return
             if name in ("body", "html", "br"):
                 self._pop_head(t0)
-                self.handle_end(name, t0, t1)
+                self._end_html(name, t0, t1)
                 return
             if name in ("title", "style", "script", "noscript", "template"):
                 self._pop_until(name, t0, t0, t1)
@@ -998,7 +1308,7 @@ class _TreeBuilder:
         if mode == AFTER_HEAD:
             if name in ("body", "html", "br"):
                 self._ensure_body(t0)
-                self.handle_end(name, t0, t1)
+                self._end_html(name, t0, t1)
                 return
             self.errors += 1
             return
@@ -1027,7 +1337,7 @@ class _TreeBuilder:
                 return
             self.errors += 1
             self.mode = IN_BODY
-            self.handle_end(name, t0, t1)
+            self._end_html(name, t0, t1)
             return
         # IN_BODY / IN_CELL
         if name == "body":
@@ -1046,7 +1356,7 @@ class _TreeBuilder:
                 base = 6 * self.body_id
                 self.nspan[base + 1] = t0
                 self.nspan[base + 4] = self.nspan[base + 5] = t0
-            self.handle_end(name, t0, t1)
+            self._end_html(name, t0, t1)
             return
         if mode == IN_CELL and name in ("td", "th"):
             if self._pop_until(name, t0, t0, t1):
@@ -1059,7 +1369,7 @@ class _TreeBuilder:
                 if self._pop_until(cell, t0):
                     break
             self._reset_mode()
-            self.handle_end(name, t0, t1)
+            self._end_html(name, t0, t1)
             return
         if name == "p":
             if self.open_p > 0 and self._in_scope("p", frozenset({"button"})):
@@ -1094,12 +1404,33 @@ class _TreeBuilder:
             self.errors += 1
             self._insert_element("br", {}, t0, t1, push=False)
             return
+        if name in ("applet", "marquee", "object"):
+            if self._in_scope(name):
+                self._pop_until(name, t0, t0, t1)  # clears AFE to marker
+            else:
+                self.errors += 1
+            return
         if name in _FORMATTING and self._adoption_agency(name, t0, t1):
             return
-        if not self._pop_until(name, t0, t0, t1):
-            self.errors += 1
-        elif name == "caption":
-            self._reset_mode()
+        if name == "caption":
+            if self._pop_until("caption", t0, t0, t1):
+                self._reset_mode()
+            else:
+                self.errors += 1
+            return
+        # "any other end tag": walk the stack for a same-name HTML
+        # element; a SPECIAL element found first aborts (token ignored)
+        # instead of popping through it (WHATWG in-body any-other-end-tag)
+        stk = self.stack
+        for k in range(len(stk) - 1, -1, -1):
+            nid = stk[k]
+            if self.ntag[nid] == name and self.nns[nid] == NS_HTML:
+                self._pop_until(name, t0, t0, t1)
+                return
+            if self._is_special(nid):
+                self.errors += 1
+                return
+        self.errors += 1
 
     def _stack_has(self, name: str) -> bool:
         return any(self.ntag[x] == name for x in self.stack)
@@ -1199,6 +1530,11 @@ class _TreeBuilder:
             order = range(total)
             parent_new = np.fromiter(self.nparent, dtype=np.int32, count=total)
             iwp = np.fromiter(self.niwp, dtype=np.int32, count=total)
+            ns_arr = (
+                np.fromiter(self.nns, dtype=np.int8, count=total)
+                if self.has_foreign
+                else np.zeros(total, dtype=np.int8)
+            )
             se = list(range(1, total + 1))
             nch = self.nchildren
             for i in range(total - 1, -1, -1):
@@ -1241,6 +1577,7 @@ class _TreeBuilder:
                     stack.append((kids[j], nid, j, False))
             order = order_arr.tolist()
             ntype = np.array([self.ntype[b] for b in order], dtype=np.int8)
+            ns_arr = np.array([self.nns[b] for b in order], dtype=np.int8)
             tag_name = np.array([self.ntag[b] for b in order], dtype=object)
             text = np.array([self.ntext[b] for b in order], dtype=object)
             attrs = np.empty(total, dtype=object)
@@ -1270,6 +1607,7 @@ class _TreeBuilder:
             endtag_start=endtag_start,
             endtag_end=endtag_end,
             parse_errors=self.errors,
+            ns=ns_arr,
         )
 
 
@@ -1333,7 +1671,10 @@ def parse_html(source: str | bytes) -> NodeTable:
                     break
                 tb.handle_comment(s[lt + 4: close], lt, close + 3)
                 i = close + 3
-            elif s.startswith("<![CDATA[", lt):
+            elif s.startswith("<![CDATA[", lt) and tb._cdata_allowed():
+                # CDATA sections exist only in foreign content (adjusted
+                # current node not in the HTML namespace); in HTML
+                # content '<![CDATA[' is a bogus comment like any '<!'
                 close = s.find("]]>", lt + 9)
                 if close < 0:
                     tb.handle_cdata(s[lt + 9:], lt, n)

@@ -1,0 +1,72 @@
+"""html5lib-tests "tree construction" serialization of a NodeTable.
+
+Produces the public fixture format used by the html5lib-tests corpus
+(``#document`` sections: ``| <tag>``, indented children, quoted text,
+``<!-- comments -->``), so the parser can be conformance-checked
+against externally generated golden trees (tests/conformance).
+
+Convention notes (documented divergences from the html5lib printer):
+
+* adjacent text-like nodes (Text/Whitespace/CData) are merged into one
+  quoted run — the engine keeps CDATA sections as distinct nodes
+  (GumboNodeType parity) while html5lib merges them into text;
+* template contents print under a ``content`` line like html5lib, but
+  the engine parents children directly under the template node;
+* doctype lines are not emitted (the engine records quirks mode only,
+  as the reference exposes no doctype node).
+"""
+
+from __future__ import annotations
+
+from ..nodetable import (
+    CDATA,
+    COMMENT,
+    ELEMENT,
+    NS_NAMES,
+    TEMPLATE,
+    TEXT,
+    WHITESPACE,
+    NodeTable,
+)
+
+_TEXTLIKE = (TEXT, CDATA, WHITESPACE)
+
+
+def serialize_tree(nt: NodeTable) -> str:
+    """Serialize to html5lib-tests #document format (without the
+    leading '#document' header)."""
+    lines: list[str] = []
+
+    def emit(depth: int, s: str) -> None:
+        lines.append("| " + "  " * depth + s)
+
+    def walk(node: int, depth: int) -> None:
+        kids = nt.children_ids(node).tolist()
+        i = 0
+        while i < len(kids):
+            c = kids[i]
+            t = nt.type[c]
+            if t in _TEXTLIKE:
+                run = [nt.text[c]]
+                while i + 1 < len(kids) and nt.type[kids[i + 1]] in _TEXTLIKE:
+                    i += 1
+                    run.append(nt.text[kids[i]])
+                emit(depth, '"' + "".join(run) + '"')
+            elif t == COMMENT:
+                emit(depth, f"<!-- {nt.text[c]} -->")
+            elif t in (ELEMENT, TEMPLATE):
+                ns = int(nt.ns[c]) if nt.ns is not None else 0
+                prefix = "" if ns == 0 else NS_NAMES[ns] + " "
+                emit(depth, f"<{prefix}{nt.tag_name[c]}>")
+                attrs = nt.attrs[c] or {}
+                for k in sorted(attrs):
+                    emit(depth + 1, f'{k}="{attrs[k]}"')
+                if t == TEMPLATE:
+                    emit(depth + 1, "content")
+                    walk(c, depth + 2)
+                else:
+                    walk(c, depth + 1)
+            i += 1
+
+    walk(0, 0)
+    return "\n".join(lines)

@@ -37,6 +37,59 @@ TAG_NAMES = [
 TAG_IDS: dict[str, int] = {name: i for i, name in enumerate(TAG_NAMES)}
 TAG_UNKNOWN = len(TAG_NAMES)
 
+# SVG tag-name case adjustments (WHATWG "parsing tokens in foreign
+# content"); the DOM carries the camelCase form, the tag-id dictionary
+# stays lowercase (gumbo's normalized tagnames are lowercase — the
+# camelCase alias maps to the same id where one exists).
+SVG_TAG_CASE: dict[str, str] = {
+    t.lower(): t
+    for t in (
+        "altGlyph altGlyphDef altGlyphItem animateColor animateMotion "
+        "animateTransform clipPath feBlend feColorMatrix "
+        "feComponentTransfer feComposite feConvolveMatrix "
+        "feDiffuseLighting feDisplacementMap feDistantLight feDropShadow "
+        "feFlood feFuncA feFuncB feFuncG feFuncR feGaussianBlur feImage "
+        "feMerge feMergeNode feMorphology feOffset fePointLight "
+        "feSpecularLighting feSpotLight feTile feTurbulence "
+        "foreignObject glyphRef linearGradient radialGradient textPath"
+    ).split()
+}
+for _lower, _camel in SVG_TAG_CASE.items():
+    if _lower in TAG_IDS:
+        TAG_IDS[_camel] = TAG_IDS[_lower]
+
+# SVG attribute case adjustments (same spec section).
+SVG_ATTR_CASE: dict[str, str] = {
+    a.lower(): a
+    for a in (
+        "attributeName attributeType baseFrequency baseProfile calcMode "
+        "clipPathUnits diffuseConstant edgeMode filterUnits glyphRef "
+        "gradientTransform gradientUnits kernelMatrix kernelUnitLength "
+        "keyPoints keySplines keyTimes lengthAdjust limitingConeAngle "
+        "markerHeight markerUnits markerWidth maskContentUnits maskUnits "
+        "numOctaves pathLength patternContentUnits patternTransform "
+        "patternUnits pointsAtX pointsAtY pointsAtZ preserveAlpha "
+        "preserveAspectRatio primitiveUnits refX refY repeatCount "
+        "repeatDur requiredExtensions requiredFeatures specularConstant "
+        "specularExponent spreadMethod startOffset stdDeviation "
+        "stitchTiles surfaceScale systemLanguage tableValues targetX "
+        "targetY textLength viewBox viewTarget xChannelSelector "
+        "yChannelSelector zoomAndPan"
+    ).split()
+}
+
+# Start tags that break out of foreign (SVG/MathML) content back into
+# HTML parsing (WHATWG foreign-content rules; <font> only with a
+# color/face/size attribute).
+FOREIGN_BREAKOUT = frozenset(
+    "b big blockquote body br center code dd div dl dt em embed h1 h2 "
+    "h3 h4 h5 h6 head hr i img li listing menu meta nobr ol p pre ruby "
+    "s small span strong strike sub sup table tt u ul var".split()
+)
+
+MATHML_TEXT_IP = frozenset({"mi", "mo", "mn", "ms", "mtext"})
+SVG_HTML_IP = frozenset({"foreignObject", "desc", "title"})
+
 # HTML void elements (no end tag ever).
 VOID_ELEMENTS = frozenset(
     "area base basefont bgsound br col embed frame hr img input keygen "

@@ -89,6 +89,47 @@ def synth_table_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# misnested-formatting page family: the adoption-agency pattern
+# (<b>..<p>..</b>text</p>) on every page — pins the full AAA tree shape
+# (clone inside the block, tail text a direct child of the block)
+# through the DuckDB oracle
+MISNESTED_HTML_EXPR = (
+    "'<html><head><title>M' || " + _ID + " || '</title></head><body>'"
+    " || '<b>B' || " + _ID + " || '<p>P' || " + _ID + " || '</b>' || "
+    + ESC_TEXT + " || '</p><div>after</div>'"
+    " || '</body></html>'"
+)
+
+
+def synth_misnested_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_documents(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT doc_id, " + MISNESTED_HTML_EXPR + " AS html_str FROM documents"
+    ).selectExpr("doc_id", "CAST(encode(html_str, 'UTF-8') AS BINARY) AS html")
+
+
+# foreign-content page family: SVG (self-closing, case-adjusted attrs,
+# HTML integration point via foreignObject) + MathML (text integration
+# point via mi, annotation-xml with encoding=text/html)
+FOREIGN_HTML_EXPR = (
+    "'<html><head><title>F' || " + _ID + " || '</title></head><body><p>pre</p>'"
+    " || '<svg viewbox=\"0 0 10 10\"><circle r=\"1\"/><text>S' || " + _ID + " || '</text>'"
+    " || '<foreignObject><div class=\"fo\">' || " + ESC_TEXT
+    + " || '</div></foreignObject></svg>'"
+    " || '<math><mi>x' || " + _ID + " || '</mi>"
+    "<annotation-xml encoding=\"text/html\"><p class=\"ax\">A' || " + _ID
+    + " || '</p></annotation-xml></math>'"
+    " || '<p>post</p></body></html>'"
+)
+
+
+def synth_foreign_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_documents(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT doc_id, " + FOREIGN_HTML_EXPR + " AS html_str FROM documents"
+    ).selectExpr("doc_id", "CAST(encode(html_str, 'UTF-8') AS BINARY) AS html")
+
+
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 

@@ -376,6 +376,93 @@ def q_html_first_div_content(spark, sf_dir):
     )
 
 
+def q_html_misnested(spark, sf_dir):
+    # full adoption-agency tree shape (<b>B<p>P</b>tail</p>): the clone
+    # wraps only the block's pre-end-tag children, the tail text is a
+    # DIRECT child of the block, and no third <b> is reconstructed
+    from .sources.pages import synth_misnested_pages
+
+    pages = synth_misnested_pages(spark, sf_dir)
+
+    def program(nt):
+        import numpy as np
+
+        p_ids = np.nonzero(nt.tag_name == "p")[0]
+        b_ids = np.nonzero(nt.tag_name == "b")[0]
+        p = int(p_ids[0]) if len(p_ids) else -1
+        tail = ""
+        if p >= 0:
+            kids = nt.children_ids(p)
+            texts = [nt.text[int(k)] for k in kids if nt.type[int(k)] == 2]
+            tail = "".join(texts)
+        return {
+            "p_text": nt.content_text(p) if p >= 0 else "",
+            "n_b": int(len(b_ids)),
+            "clone_text": nt.content_text(int(b_ids[1])) if len(b_ids) > 1 else "",
+            "tail_text": tail,
+        }
+
+    return run_program(
+        pages, program,
+        "p_text string, n_b int, clone_text string, tail_text string",
+        passthrough=("doc_id",),
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "p_text",
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "clone_text",
+        "tail_text",
+    )
+
+
+def q_html_foreign_content(spark, sf_dir):
+    # SVG/MathML namespaces, attribute case adjustment (viewbox →
+    # viewBox), HTML integration points (foreignObject children are
+    # HTML-ns; annotation-xml encoding=text/html likewise), MathML text
+    # integration points (mi content parses as HTML)
+    from .nodetable import NS_MATHML, NS_SVG
+    from .sources.pages import synth_foreign_pages
+
+    pages = synth_foreign_pages(spark, sf_dir)
+
+    def program(nt):
+        import numpy as np
+
+        svg_mask = nt.tag_name == "svg"
+        svg = int(np.argmax(svg_mask)) if svg_mask.any() else -1
+        classes = nt.class_values()
+        fo_div = -1
+        ax_p = -1
+        for i in range(nt.n):
+            if classes[i] == "fo" and fo_div < 0:
+                fo_div = i
+            elif classes[i] == "ax" and ax_p < 0:
+                ax_p = i
+        mi_mask = nt.tag_name == "mi"
+        mi = int(np.argmax(mi_mask)) if mi_mask.any() else -1
+        return {
+            "svg_viewbox": nt.node_attribute_value(svg, "viewBox") if svg >= 0 else "",
+            "svg_text": nt.content_text(svg) if svg >= 0 else "",
+            "fo_div_text": nt.content_text(fo_div) if fo_div >= 0 else "",
+            "mi_text": nt.content_text(mi) if mi >= 0 else "",
+            "ax_text": nt.content_text(ax_p) if ax_p >= 0 else "",
+            "n_svg_ns": int((nt.ns == NS_SVG).sum()),
+            "n_math_ns": int((nt.ns == NS_MATHML).sum()),
+        }
+
+    return run_program(
+        pages, program,
+        "svg_viewbox string, svg_text string, fo_div_text string, "
+        "mi_text string, ax_text string, n_svg_ns int, n_math_ns int",
+        passthrough=("doc_id",),
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "svg_viewbox", "svg_text", "fo_div_text", "mi_text", "ax_text",
+        F.col("n_svg_ns").cast("bigint").alias("n_svg_ns"),
+        F.col("n_math_ns").cast("bigint").alias("n_math_ns"),
+    )
+
+
 def q_html_doc_content_text(spark, sf_dir):
     # whole-document content_text incl. whitespace nodes: pins the
     # before-head / after-head / after-body whitespace insertion modes
@@ -616,6 +703,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_selector_ir": q_html_selector_ir,
     "html_table_scrape": q_html_table_scrape,
     "html_doc_content_text": q_html_doc_content_text,
+    "html_misnested": q_html_misnested,
+    "html_foreign_content": q_html_foreign_content,
     "simhash_pairs": q_simhash_pairs,
     "ann_lsh_topk": q_ann_lsh,
     "ann_lsh_recall": q_ann_lsh_recall,
@@ -716,6 +805,23 @@ ORACLES: dict[str, str] = {
         "'T' || CAST(doc_id AS STRING) || chr(10) || chr(10) || "
         "'kvlang' || lang || 'source' || source || 'chars' || CAST(n_chars AS STRING) "
         "|| chr(10) || chr(10) AS doc_text FROM documents"
+    ),
+    "html_misnested": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "'P' || CAST(doc_id AS STRING) || text AS p_text, "
+        "CAST(2 AS BIGINT) AS n_b, "
+        "'P' || CAST(doc_id AS STRING) AS clone_text, "
+        "text AS tail_text FROM documents"
+    ),
+    "html_foreign_content": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "'0 0 10 10' AS svg_viewbox, "
+        "'S' || CAST(doc_id AS STRING) || text AS svg_text, "
+        "text AS fo_div_text, "
+        "'x' || CAST(doc_id AS STRING) AS mi_text, "
+        "'A' || CAST(doc_id AS STRING) AS ax_text, "
+        "CAST(4 AS BIGINT) AS n_svg_ns, "
+        "CAST(3 AS BIGINT) AS n_math_ns FROM documents"
     ),
     "dedup_exact": (
         "SELECT substr(text, 1, 30) AS dup_key, CAST(min(doc_id) AS BIGINT) AS keep_id, "

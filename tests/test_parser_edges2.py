@@ -222,13 +222,19 @@ class TestDuplicateRootMerging:
 class TestAdoptionAgency:
     def test_text_after_formatting_end_stays_in_block(self):
         # WHATWG adoption agency: </b> with <p> as furthest block —
-        # ' y' remains INSIDE the paragraph, wrapped by a reconstructed b
+        # ' y' remains INSIDE the paragraph but NOT inside any b (the
+        # outer loop's 2nd iteration closes the clone; round-1's
+        # single-pass version wrongly reconstructed a third <b>).
+        # Verified against the html5lib reference implementation.
         nt = parse_html("<body><b><p>x</b> y</p></body>")
         p = first(nt, nt.tag_name == "p")
         assert nt.content_text(p) == "x y"
         bs = np.nonzero(nt.tag_name == "b")[0]
-        assert len(bs) == 3  # original, adoption clone, reconstruction
-        assert [nt.content_text(int(b)) for b in bs] == ["", "x", " y"]
+        assert len(bs) == 2  # original + adoption clone, no third
+        assert [nt.content_text(int(b)) for b in bs] == ["", "x"]
+        # ' y' is a direct child of <p>
+        ys = [i for i in range(nt.n) if nt.text[i] == " y"]
+        assert ys and nt.parent[ys[0]] == p
 
     def test_anchor_div_adoption(self):
         nt = parse_html('<body><a href="1">t<div>d</a>e</div></body>')
