@@ -78,6 +78,11 @@ _ATTR_NAME_RE = re.compile(r"[^ \t\n\f\r/>=]+")
 _UNQUOTED_VAL_RE = re.compile(r"[^ \t\n\f\r>]*")
 _RAWTEXT_CLOSE_RES: dict[str, re.Pattern] = {}
 
+# whole-end-tag regex: one C-level call replaces name-match + find('>')
+# (an end tag's "attributes" are parsed and discarded per spec; the
+# naive [^>]* matches the char-stepper's historical behavior)
+_END_TAG_RE = re.compile(r"</([a-zA-Z][^\t\n\f\r />]*)[^>]*>")
+
 # Insertion modes (subset of the WHATWG set sufficient for our corpus).
 (
     INITIAL,
@@ -102,6 +107,11 @@ _TABLE_MODES = (IN_TABLE, IN_TABLE_BODY, IN_ROW)
 _FORMATTING = frozenset("a b big code em font i nobr s small strike strong tt u".split())
 # void/start tags that reconstruct formatting before insertion
 _RECONSTRUCT_VOIDS = frozenset("area br embed img keygen wbr input".split())
+# hoisted scope-extra sets (frozenset literals in call sites allocate per call)
+_BUTTON_SCOPE = frozenset({"button"})
+# table-part start tags handled by the cell/caption/stray-part rules
+_TABLEISH = frozenset("td th tr caption col colgroup tbody thead tfoot".split())
+_TABLE_SCOPE = frozenset({"table"})
 
 # "Special" category elements that abort the <li>/<dd>/<dt> implied-end
 # scan (WHATWG "in body": any special element other than address, div, p).
@@ -187,8 +197,12 @@ class _TreeBuilder:
     __slots__ = (
         "src", "n", "mode", "stack", "errors", "quirks",
         "skip_newline", "foster", "ntype", "ntag", "nattrs", "ntext",
-        "nspan", "nchildren", "nparent", "niwp", "nns", "preorder_ok",
+        "nspan", "nchildren", "nparent", "niwp", "nns", "ntid", "preorder_ok",
         "html_id", "head_id", "body_id", "afe", "open_p", "has_foreign",
+        # bound-method caches for the per-node hot path (9 container
+        # appends per node; one attribute lookup each instead of two)
+        "_ap_type", "_ap_tag", "_ap_attrs", "_ap_text", "_ex_span",
+        "_ap_kids", "_ap_parent", "_ap_iwp", "_ap_ns", "_ap_tid",
     )
 
     # nspan layout: 6 int64 slots per node in one flat list —
@@ -213,8 +227,19 @@ class _TreeBuilder:
         self.nparent: list[int] = []
         self.niwp: list[int] = []
         self.nns: list[int] = []
+        self.ntid: list[int] = []  # tag id computed at insert time
         # fast-path flag: no svg/math seen → foreign dispatch skipped
         self.has_foreign = False
+        self._ap_type = self.ntype.append
+        self._ap_tag = self.ntag.append
+        self._ap_attrs = self.nattrs.append
+        self._ap_text = self.ntext.append
+        self._ex_span = self.nspan.extend
+        self._ap_kids = self.nchildren.append
+        self._ap_parent = self.nparent.append
+        self._ap_iwp = self.niwp.append
+        self._ap_ns = self.nns.append
+        self._ap_tid = self.ntid.append
         # creation order == preorder unless a foster insert places a
         # node BEFORE existing siblings; tracked for the fast finalize
         self.preorder_ok = True
@@ -230,15 +255,18 @@ class _TreeBuilder:
     # -- node store ----------------------------------------------------
     def _new_node(self, ntype, tag, attrs, text, s0, s1, t0=0, t1=0, e0=0, e1=0, ns=NS_HTML) -> int:
         nid = len(self.ntype)
-        self.ntype.append(ntype)
-        self.ntag.append(tag)
-        self.nattrs.append(attrs)
-        self.ntext.append(text)
-        self.nspan.extend((s0, s1, t0, t1, e0, e1))
-        self.nchildren.append([])
-        self.nparent.append(-1)
-        self.niwp.append(0)
-        self.nns.append(ns)
+        self._ap_type(ntype)
+        self._ap_tag(tag)
+        self._ap_attrs(attrs)
+        self._ap_text(text)
+        self._ex_span((s0, s1, t0, t1, e0, e1))
+        self._ap_kids([])
+        self._ap_parent(-1)
+        self._ap_iwp(0)
+        self._ap_ns(ns)
+        self._ap_tid(
+            TAG_IDS.get(tag, TAG_UNKNOWN) if (ntype == ELEMENT or ntype == TEMPLATE) else -1
+        )
         return nid
 
     def _detach(self, nid: int) -> None:
@@ -440,48 +468,50 @@ class _TreeBuilder:
         ws = (not rawtextual) and not decoded.strip(_WS)
         # inlined node creation (hot path)
         nid = len(self.ntype)
-        self.ntype.append(WHITESPACE if ws else TEXT)
-        self.ntag.append("")
-        self.nattrs.append(None)
-        self.ntext.append(decoded)
-        self.nspan.extend((s0, s1, 0, 0, 0, 0))
-        self.nchildren.append([])
-        self.nns.append(NS_HTML)
-        self.nparent.append(parent)
+        self._ap_type(WHITESPACE if ws else TEXT)
+        self._ap_tag("")
+        self._ap_attrs(None)
+        self._ap_text(decoded)
+        self._ex_span((s0, s1, 0, 0, 0, 0))
+        self._ap_kids([])
+        self._ap_ns(NS_HTML)
+        self._ap_tid(-1)
+        self._ap_parent(parent)
         if before >= 0:
-            self.niwp.append(0)
+            self._ap_iwp(0)
             self._attach(nid, parent, before)
         else:
-            self.niwp.append(anchor)
+            self._ap_iwp(anchor)
             kids.append(nid)
 
     # -- element insertion --------------------------------------------
     def _insert_element(self, name, attrs, t0, t1, push=True, ns=NS_HTML) -> int:
         # inlined node creation (hot path)
         nid = len(self.ntype)
-        self.ntype.append(ELEMENT)
-        self.ntag.append(name)
-        self.nattrs.append(attrs)
-        self.ntext.append("")
+        self._ap_type(ELEMENT)
+        self._ap_tag(name)
+        self._ap_attrs(attrs)
+        self._ap_text("")
         n = self.n
         if push:
-            self.nspan.extend((t0, n, t0, t1, n, n))
+            self._ex_span((t0, n, t0, t1, n, n))
         else:
-            self.nspan.extend((t0, t1, t0, t1, t1, t1))
-        self.nchildren.append([])
-        self.nns.append(ns)
+            self._ex_span((t0, t1, t0, t1, t1, t1))
+        self._ap_kids([])
+        self._ap_ns(ns)
+        self._ap_tid(TAG_IDS.get(name, TAG_UNKNOWN))
         if name == "p":
             self.open_p += 1
         if self.foster:
-            self.nparent.append(-1)
-            self.niwp.append(0)
+            self._ap_parent(-1)
+            self._ap_iwp(0)
             parent, before = self._insert_target()
             self._attach(nid, parent, before)
         else:
             parent = self.stack[-1] if self.stack else 0
             kids = self.nchildren[parent]
-            self.nparent.append(parent)
-            self.niwp.append(len(kids))
+            self._ap_parent(parent)
+            self._ap_iwp(len(kids))
             kids.append(nid)
         if push:
             self.stack.append(nid)
@@ -684,6 +714,25 @@ class _TreeBuilder:
         leaves original_end_tag empty for them)."""
         stk = self.stack
         ntag = self.ntag
+        # fast path: the current node IS the target (the overwhelmingly
+        # common well-nested case — one pop, no scan)
+        if stk and ntag[stk[-1]] == name:
+            nid = stk.pop()
+            if name == "p":
+                self.open_p -= 1
+            sp = self.nspan
+            base = 6 * nid
+            if e0 >= 0:
+                sp[base + 4], sp[base + 5] = e0, e1
+                sp[base + 1] = e1
+            else:
+                sp[base + 4] = sp[base + 5] = pos
+                sp[base + 1] = pos
+            if name in _FORMATTING:
+                self._afe_remove(nid)
+            elif name in ("td", "th", "caption", "applet", "marquee", "object"):
+                self._afe_clear_to_marker()
+            return True
         for k in range(len(stk) - 1, -1, -1):
             if ntag[stk[k]] == name:
                 break
@@ -842,6 +891,9 @@ class _TreeBuilder:
                     return
         mode = self.mode
         end = start + len(raw)
+        if mode == IN_BODY or mode == IN_CELL:  # hot path first
+            self._insert_text(_decode(raw), start, end)
+            return
         if mode in (INITIAL, BEFORE_HTML, BEFORE_HEAD):
             stripped = raw.lstrip(_WS)
             if not stripped:
@@ -904,6 +956,8 @@ class _TreeBuilder:
         """HTML-content start-tag rules.  Returns 'rawtext'/'rcdata' if
         the tokenizer must switch content model, else None."""
         mode = self.mode
+        if mode == IN_BODY or mode == IN_CELL:  # hot path first
+            return self._start_in_body(name, attrs, self_closing, t0, t1)
         if mode == INITIAL:
             self.mode = BEFORE_HTML
             return self.handle_start(name, attrs, self_closing, t0, t1)
@@ -1035,30 +1089,25 @@ class _TreeBuilder:
             elif name == "body":
                 self._merge_root_attrs(self.body_id, attrs)
             return None
-        if self.mode == IN_CELL and (
-            name in ("td", "th", "tr", "caption", "col", "colgroup")
-            or name in TABLE_SECTIONS
-        ):
-            # close the cell, reprocess in the row/section context
-            # (a <table> start tag is NOT here: tables nest inside cells)
-            for cell in ("td", "th"):
-                if self._pop_until(cell, t0):
-                    break
-            self._reset_mode()
-            return self.handle_start(name, attrs, self_closing, t0, t1)
-        if (
-            name in ("caption", "col", "colgroup", "td", "th", "tr")
-            or name in TABLE_SECTIONS
-        ) and self._in_scope("caption", frozenset({"table"})) and self.ntag[self._current()] != "table":
-            # table-structure start tag while inside <caption>: close the
-            # caption and reprocess in the table context
-            self._pop_until("caption", t0)
-            self._reset_mode()
-            return self.handle_start(name, attrs, self_closing, t0, t1)
-        if self.mode != IN_CELL and name in ("td", "th", "tr", "col", "colgroup", "caption") and not self._in_scope("table"):
-            self.errors += 1  # table parts outside a table are ignored
-            return None
-        if name in P_CLOSERS and self.open_p > 0 and self._in_scope("p", frozenset({"button"})):
+        if name in _TABLEISH:  # one gate for the three table-part rules
+            if self.mode == IN_CELL:
+                # close the cell, reprocess in the row/section context
+                # (a <table> start tag is NOT here: tables nest in cells)
+                for cell in ("td", "th"):
+                    if self._pop_until(cell, t0):
+                        break
+                self._reset_mode()
+                return self.handle_start(name, attrs, self_closing, t0, t1)
+            if self._in_scope("caption", _TABLE_SCOPE) and self.ntag[self._current()] != "table":
+                # table-structure start tag while inside <caption>: close
+                # the caption and reprocess in the table context
+                self._pop_until("caption", t0)
+                self._reset_mode()
+                return self.handle_start(name, attrs, self_closing, t0, t1)
+            if not self._in_scope("table"):
+                self.errors += 1  # table parts outside a table: ignored
+                return None
+        if name in P_CLOSERS and self.open_p > 0 and self._in_scope("p", _BUTTON_SCOPE):
             # quirks mode: <table> does NOT close an open <p>
             if not (name == "table" and self.quirks):
                 self._pop_until("p", t0)
@@ -1173,7 +1222,7 @@ class _TreeBuilder:
                 break
             if tag in _SPECIAL_LI_STOP:
                 break
-        if self.open_p > 0 and self._in_scope("p", frozenset({"button"})):
+        if self.open_p > 0 and self._in_scope("p", _BUTTON_SCOPE):
             self._pop_until("p", pos)
 
     def _clear_to_table_context(self, stops: tuple, pos: int) -> None:
@@ -1285,60 +1334,61 @@ class _TreeBuilder:
     # ------------------------------------------------------------------
     def _end_html(self, name, t0, t1) -> None:
         mode = self.mode
-        if mode in (INITIAL, BEFORE_HTML, BEFORE_HEAD):
-            if name in ("head", "body", "html", "br"):
-                self._ensure_head(t0)
-                self._end_html(name, t0, t1)
-            else:
-                self.errors += 1
-            return
-        if mode == IN_HEAD:
-            if name == "head":
-                self._pop_head(t0, t0, t1)
-                return
-            if name in ("body", "html", "br"):
-                self._pop_head(t0)
-                self._end_html(name, t0, t1)
-                return
-            if name in ("title", "style", "script", "noscript", "template"):
-                self._pop_until(name, t0, t0, t1)
-                return
-            self.errors += 1
-            return
-        if mode == AFTER_HEAD:
-            if name in ("body", "html", "br"):
-                self._ensure_body(t0)
-                self._end_html(name, t0, t1)
-                return
-            self.errors += 1
-            return
-        if mode in _TABLE_MODES:
-            self._end_in_table(name, t0, t1)
-            return
-        if mode == IN_SELECT:
-            if name in ("option", "optgroup"):
-                if not self._pop_until(name, t0, t0, t1):
-                    self.errors += 1
-                return
-            if name == "select":
-                if self._pop_until("select", t0, t0, t1):
-                    self._reset_mode()
+        if mode != IN_BODY and mode != IN_CELL:  # hot path guard
+            if mode in (INITIAL, BEFORE_HTML, BEFORE_HEAD):
+                if name in ("head", "body", "html", "br"):
+                    self._ensure_head(t0)
+                    self._end_html(name, t0, t1)
                 else:
                     self.errors += 1
                 return
-            self.errors += 1  # anything else: ignored
-            return
-        if mode == AFTER_BODY:
-            if name == "html":
-                if self.html_id >= 0:
-                    base = 6 * self.html_id
-                    self.nspan[base + 4], self.nspan[base + 5] = t0, t1
-                    self.nspan[base + 1] = t1
+            if mode == IN_HEAD:
+                if name == "head":
+                    self._pop_head(t0, t0, t1)
+                    return
+                if name in ("body", "html", "br"):
+                    self._pop_head(t0)
+                    self._end_html(name, t0, t1)
+                    return
+                if name in ("title", "style", "script", "noscript", "template"):
+                    self._pop_until(name, t0, t0, t1)
+                    return
+                self.errors += 1
                 return
-            self.errors += 1
-            self.mode = IN_BODY
-            self._end_html(name, t0, t1)
-            return
+            if mode == AFTER_HEAD:
+                if name in ("body", "html", "br"):
+                    self._ensure_body(t0)
+                    self._end_html(name, t0, t1)
+                    return
+                self.errors += 1
+                return
+            if mode in _TABLE_MODES:
+                self._end_in_table(name, t0, t1)
+                return
+            if mode == IN_SELECT:
+                if name in ("option", "optgroup"):
+                    if not self._pop_until(name, t0, t0, t1):
+                        self.errors += 1
+                    return
+                if name == "select":
+                    if self._pop_until("select", t0, t0, t1):
+                        self._reset_mode()
+                    else:
+                        self.errors += 1
+                    return
+                self.errors += 1  # anything else: ignored
+                return
+            if mode == AFTER_BODY:
+                if name == "html":
+                    if self.html_id >= 0:
+                        base = 6 * self.html_id
+                        self.nspan[base + 4], self.nspan[base + 5] = t0, t1
+                        self.nspan[base + 1] = t1
+                    return
+                self.errors += 1
+                self.mode = IN_BODY
+                self._end_html(name, t0, t1)
+                return
         # IN_BODY / IN_CELL
         if name == "body":
             if self.body_id >= 0:
@@ -1372,7 +1422,7 @@ class _TreeBuilder:
             self._end_html(name, t0, t1)
             return
         if name == "p":
-            if self.open_p > 0 and self._in_scope("p", frozenset({"button"})):
+            if self.open_p > 0 and self._in_scope("p", _BUTTON_SCOPE):
                 self._pop_until("p", t0, t0, t1)
             else:
                 # spec: synthesize an empty <p> then close it
@@ -1528,21 +1578,19 @@ class _TreeBuilder:
             # subtree_end falls out of one reverse pass over the
             # children lists, everything else converts directly.
             order = range(total)
-            parent_new = np.fromiter(self.nparent, dtype=np.int32, count=total)
-            iwp = np.fromiter(self.niwp, dtype=np.int32, count=total)
-            ns_arr = (
-                np.fromiter(self.nns, dtype=np.int8, count=total)
-                if self.has_foreign
-                else np.zeros(total, dtype=np.int8)
-            )
+            parent_new = np.array(self.nparent, dtype=np.int32)
+            iwp = np.array(self.niwp, dtype=np.int32)
+            # int8 columns: bytes(list) is a C conversion, frombuffer a view
+            ns_arr = np.frombuffer(bytes(self.nns), dtype=np.int8)
             se = list(range(1, total + 1))
             nch = self.nchildren
             for i in range(total - 1, -1, -1):
                 kids = nch[i]
                 if kids:
                     se[i] = se[kids[-1]]
-            subtree_end = np.fromiter(se, dtype=np.int32, count=total)
-            ntype = np.fromiter(self.ntype, dtype=np.int8, count=total)
+            subtree_end = np.array(se, dtype=np.int32)
+            ntype = np.frombuffer(bytes(self.ntype), dtype=np.int8)
+            tag_id = np.array(self.ntid, dtype=np.int16)
             tag_name = np.array(self.ntag, dtype=object)
             text = np.array(self.ntext, dtype=object)
             attrs = np.empty(total, dtype=object)
@@ -1578,6 +1626,7 @@ class _TreeBuilder:
             order = order_arr.tolist()
             ntype = np.array([self.ntype[b] for b in order], dtype=np.int8)
             ns_arr = np.array([self.nns[b] for b in order], dtype=np.int8)
+            tag_id = np.array([self.ntid[b] for b in order], dtype=np.int16)
             tag_name = np.array([self.ntag[b] for b in order], dtype=object)
             text = np.array([self.ntext[b] for b in order], dtype=object)
             attrs = np.empty(total, dtype=object)
@@ -1586,10 +1635,6 @@ class _TreeBuilder:
             src_start, src_end = spans[:, 0], spans[:, 1]
             tag_start, tag_end = spans[:, 2], spans[:, 3]
             endtag_start, endtag_end = spans[:, 4], spans[:, 5]
-        is_tagged = (ntype == ELEMENT) | (ntype == TEMPLATE)
-        tag_id = np.full(total, -1, dtype=np.int16)
-        get = TAG_IDS.get
-        tag_id[is_tagged] = [get(t, TAG_UNKNOWN) for t in tag_name[is_tagged]]
         return NodeTable(
             source=self.src,
             type=ntype,
@@ -1630,19 +1675,41 @@ def parse_html(source: str | bytes) -> NodeTable:
     s = source
     n = len(s)
     tb = _TreeBuilder(s)
+    # hoisted hot-path bindings (the dispatch wrappers stay for
+    # tree-builder-internal reprocessing; the tokenizer inlines them)
+    sfind = s.find
+    end_match = _END_TAG_RE.match
+    chars_html = tb._chars_html
     i = 0
     while i < n:
-        lt = s.find("<", i)
+        lt = sfind("<", i)
         if lt < 0:
-            tb.handle_chars(s[i:], i)
+            raw = s[i:]
+            if tb.has_foreign and tb._use_foreign("chars"):
+                tb._foreign_chars(raw, i)
+            else:
+                chars_html(raw, i)
             break
         if lt > i:
-            tb.handle_chars(s[i:lt], i)
+            raw = s[i:lt]
+            if tb.has_foreign and tb._use_foreign("chars"):
+                tb._foreign_chars(raw, i)
+            else:
+                chars_html(raw, i)
         if lt + 1 >= n:
-            tb.handle_chars(s[lt:], lt)
+            chars_html(s[lt:], lt)
             break
         c = s[lt + 1]
         if c == "/":
+            fm = end_match(s, lt)
+            if fm:
+                name = fm.group(1).lower()
+                if tb.has_foreign and tb._use_foreign("end", name):
+                    tb._foreign_end(name, lt, fm.end())
+                else:
+                    tb._end_html(name, lt, fm.end())
+                i = fm.end()
+                continue
             m = _TAG_NAME_RE.match(s, lt + 2)
             if m:
                 name = m.group(0).lower()
@@ -1713,7 +1780,7 @@ def parse_html(source: str | bytes) -> NodeTable:
             continue
         name = m.group(0).lower()
         pos = m.end()
-        attrs: dict[str, str] = {}
+        attrs = {}
         self_closing = False
         found_gt = False
         while pos < n:
@@ -1764,7 +1831,10 @@ def parse_html(source: str | bytes) -> NodeTable:
         if not found_gt:
             tb.errors += 1
             break  # EOF in tag
-        content_model = tb.handle_start(name, attrs, self_closing, lt, pos)
+        if tb.has_foreign and tb._use_foreign("start", name):
+            content_model = tb._foreign_start(name, attrs, self_closing, lt, pos)
+        else:
+            content_model = tb._start_html(name, attrs, self_closing, lt, pos)
         i = pos
         if content_model in ("rawtext", "rcdata") and not self_closing:
             mclose = _rawtext_close_re(name).search(s, i)
