@@ -29,7 +29,7 @@ from typing import Callable
 
 import numpy as np
 
-from .nodetable import ELEMENT, NodeTable
+from .nodetable import DOCUMENT, ELEMENT, NodeTable
 from .parser.tags import TAG_NAMES
 
 
@@ -318,6 +318,31 @@ def _textcol(nt: NodeTable, kind: str) -> list[str]:
     return [getter(i) for i in range(nt.n)]
 
 
+def _span_mask(nt: NodeTable, kind: str, range_fn, str_fn) -> np.ndarray:
+    """Evaluate a text predicate per node WITHOUT materializing node
+    text: element rows test a (lo, hi) range of one haystack string via
+    bounded str.startswith/endswith/find (C-level, zero-copy); the
+    round-1 version built outer/inner text of EVERY node first —
+    O(n·doc) per document on real pages.  Non-range rows (text-likes,
+    comments) test their own text; the document node uses the slow
+    getter (its inner text is child-span based)."""
+    hay, lo, hi, is_range = nt.text_spans(kind)
+    out = np.zeros(nt.n, dtype=bool)
+    text = nt.text
+    getter = {"content": nt.content_text, "inner": nt.inner_text, "outer": nt.outer_text}[kind]
+    rng = is_range.tolist()
+    lo_l = lo.tolist()
+    hi_l = hi.tolist()
+    for i in range(nt.n):
+        if rng[i]:
+            out[i] = range_fn(hay, lo_l[i], hi_l[i])
+        elif nt.type[i] == DOCUMENT:
+            out[i] = str_fn(getter(i))
+        else:
+            out[i] = str_fn(text[i])
+    return out
+
+
 class _TextNS:
     """Shared verb set over one of the three text projections.  The
     reference's inner/outer verbs take the document string explicitly
@@ -328,9 +353,18 @@ class _TextNS:
         self._label = {"content": "content_text", "inner": "inner_text", "outer": "outer_text"}[kind]
 
     def _mk(self, pred: Callable[[str], bool], verb: str) -> Matcher:
+        # materializing fallback — only for user-supplied predicates
+        # (where/map), which need the concrete string
         kind = self._kind
         return Matcher(
             lambda nt: np.fromiter((pred(t) for t in _textcol(nt, kind)), dtype=bool, count=nt.n),
+            f"{self._label}::{verb}",
+        )
+
+    def _mk_span(self, range_fn, str_fn, verb: str) -> Matcher:
+        kind = self._kind
+        return Matcher(
+            lambda nt: _span_mask(nt, kind, range_fn, str_fn),
             f"{self._label}::{verb}",
         )
 
@@ -342,22 +376,42 @@ class _TextNS:
         return self._mk(lambda t: pred(proj(t)), "map")
 
     def contains(self, *texts: str) -> Matcher:
-        return self._mk(lambda t: _contains_any(t, texts), "contains")
+        return self._mk_span(
+            lambda h, a, b: any(h.find(t, a, b) != -1 for t in texts),
+            lambda s: _contains_any(s, texts),
+            "contains",
+        )
 
     def is_(self, *texts: str) -> Matcher:
-        return self._mk(lambda t: t in texts, "is")
+        return self._mk_span(
+            lambda h, a, b: any(b - a == len(t) and h.startswith(t, a, b) for t in texts),
+            lambda s: s in texts,
+            "is",
+        )
 
     def starts_with(self, *prefixes: str) -> Matcher:
         ps = tuple(prefixes)
-        return self._mk(lambda t: t.startswith(ps), "starts_with")
+        return self._mk_span(
+            lambda h, a, b: h.startswith(ps, a, b),
+            lambda s: s.startswith(ps),
+            "starts_with",
+        )
 
     def ends_with(self, *suffixes: str) -> Matcher:
         ss = tuple(suffixes)
-        return self._mk(lambda t: t.endswith(ss), "ends_with")
+        return self._mk_span(
+            lambda h, a, b: h.endswith(ss, a, b),
+            lambda s: s.endswith(ss),
+            "ends_with",
+        )
 
     @property
     def is_empty(self) -> Matcher:
-        return self._mk(lambda t: t == "", "is_empty")
+        return self._mk_span(
+            lambda h, a, b: b <= a,
+            lambda s: s == "",
+            "is_empty",
+        )
 
 
 content_text = _TextNS("content")

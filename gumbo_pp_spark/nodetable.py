@@ -85,6 +85,12 @@ class NodeTable:
 
     _ctext_joined: str | None = field(default=None, repr=False)
     _ctext_off: np.ndarray | None = field(default=None, repr=False)
+    # lazy flat attribute index: one pass over the node dicts, then
+    # every attr_values() query is a vectorized compare over the SHORT
+    # (attrs-only) arrays instead of a per-node Python dict probe
+    _attr_owner: np.ndarray | None = field(default=None, repr=False)
+    _attr_names: np.ndarray | None = field(default=None, repr=False)
+    _attr_vals: np.ndarray | None = field(default=None, repr=False)
 
     # ------------------------------------------------------------------
     @property
@@ -97,13 +103,41 @@ class NodeTable:
     def id_values(self) -> np.ndarray:
         return self.attr_values("id")
 
-    def attr_values(self, name: str) -> np.ndarray:
-        """Per-node attribute value or None (gumbo_util.h:148-159)."""
-        out = np.empty(self.n, dtype=object)
+    def _ensure_attr_index(self) -> None:
+        if self._attr_owner is not None:
+            return
+        owners: list[int] = []
+        names: list[str] = []
+        vals: list[str] = []
         attrs = self.attrs
         for i in range(self.n):
             a = attrs[i]
-            out[i] = a.get(name) if a is not None else None
+            if a:
+                for k, v in a.items():
+                    owners.append(i)
+                    names.append(k)
+                    vals.append(v)
+        self._attr_owner = np.array(owners, dtype=np.int32)
+        na = np.empty(len(names), dtype=object)
+        na[:] = names
+        va = np.empty(len(vals), dtype=object)
+        va[:] = vals
+        self._attr_names = na
+        self._attr_vals = va
+
+    def attr_values(self, name: str) -> np.ndarray:
+        """Per-node attribute value or None (gumbo_util.h:148-159).
+
+        Vectorized via the lazy flat index: the equality compare runs
+        over the attrs-only arrays (|attrs| entries), not all nodes —
+        O(|attrs|) per query after a single O(n) index build, instead
+        of the round-1 per-node dict probe on every query."""
+        self._ensure_attr_index()
+        out = np.empty(self.n, dtype=object)
+        out[:] = None
+        m = self._attr_names == name
+        if m.any():
+            out[self._attr_owner[m]] = self._attr_vals[m]
         return out
 
     # -- traversal primitives ------------------------------------------
@@ -265,6 +299,36 @@ class NodeTable:
             first, last = int(kids[0]), int(kids[-1])
             return self.source[int(self.src_start[first]): self.node_end_offset(last)]
         return self.text[i]
+
+    def text_spans(self, kind: str):
+        """(haystack, lo, hi, is_range) for span-based text predicates.
+
+        Rows with ``is_range`` evaluate as a range of ``haystack``
+        WITHOUT materializing the per-node string (str.startswith/
+        endswith/find accept start/end bounds) — the round-1 matchers
+        built outer_text of every node, O(n·doc) per document.  Rows
+        with ``is_range`` False fall back to the node's own text (their
+        inner/outer/content text IS ``text[i]``), except the document
+        node, which callers route through the slow getter.
+        """
+        if kind == "content":
+            self._ensure_ctext_index()
+            off = self._ctext_off
+            lo = off[: self.n]
+            hi = off[self.subtree_end]
+            is_range = (self.type == ELEMENT) | (self.type == DOCUMENT)
+            # the reference returns v.text for templates (no recursion)
+            return self._ctext_joined, lo, hi, is_range
+        if kind == "inner":
+            is_range = self.type == ELEMENT
+            return self.source, self.tag_end, self.endtag_start, is_range
+        is_range = (self.type == ELEMENT) | (self.type == DOCUMENT)
+        lo = self.tag_start.copy()
+        hi = self.endtag_end.copy()
+        doc = self.type == DOCUMENT
+        lo[doc] = 0
+        hi[doc] = len(self.source)
+        return self.source, lo, hi, is_range
 
     def node_start_offset(self, i: int) -> int:
         return int(self.src_start[i])

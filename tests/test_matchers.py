@@ -132,3 +132,56 @@ class TestTextMatchers:
         d = nt.first_match(m.tag.DIV(nt))
         assert m.content_text.is_empty(nt)[d]
         assert m.inner_text.is_empty(nt)[d]
+
+
+class TestSpanVerbFastPath:
+    """The round-2 span-based text verbs (no per-node materialization)
+    must agree with the materializing where() fallback on every node."""
+
+    PAGE = (
+        '<html><head><title>t&amp;t</title></head><body>'
+        '<div id="a"><p>one &lt;two&gt;</p><span>three</span></div>'
+        '<!--note--><svg><text>s</text></svg>tail</body></html>'
+    )
+
+    def _agree(self, ns, verb_args):
+        nt = parse_html(self.PAGE)
+        for verb, args in verb_args:
+            fast = getattr(ns, verb)(*args) if verb != "is_empty" else ns.is_empty
+            texts_pred = {
+                "contains": lambda t: any(s in t for s in args),
+                "is_": lambda t: t in args,
+                "starts_with": lambda t: t.startswith(tuple(args)),
+                "ends_with": lambda t: t.endswith(tuple(args)),
+                "is_empty": lambda t: t == "",
+            }[verb]
+            slow = ns.where(texts_pred)
+            assert (fast(nt) == slow(nt)).all(), (ns._label, verb, args)
+
+    def test_outer_agrees_with_where(self):
+        self._agree(m.outer_text, [
+            ("contains", ("two", "<p>")), ("is_", ("three",)),
+            ("starts_with", ("<div", "<p")), ("ends_with", ("</p>", "l")),
+            ("is_empty", ()),
+        ])
+
+    def test_inner_agrees_with_where(self):
+        self._agree(m.inner_text, [
+            ("contains", ("&lt;",)), ("is_", ("one &lt;two&gt;",)),
+            ("starts_with", ("one",)), ("ends_with", ("three",)),
+            ("is_empty", ()),
+        ])
+
+    def test_content_agrees_with_where(self):
+        self._agree(m.content_text, [
+            ("contains", ("one <two>",)), ("is_", ("three", "note")),
+            ("starts_with", ("t&t",)), ("ends_with", ("tail",)),
+            ("is_empty", ()),
+        ])
+
+    def test_attr_index_vectorized(self):
+        nt = parse_html('<div class="x" id="d1"><p class="y">t</p><a href="h">l</a></div>')
+        vals = nt.attr_values("class")
+        got = {nt.tag_name[i]: vals[i] for i in range(nt.n) if vals[i] is not None}
+        assert got == {"div": "x", "p": "y"}
+        assert nt.attr_values("missing").tolist().count(None) == nt.n
