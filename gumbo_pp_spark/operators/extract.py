@@ -51,6 +51,7 @@ def run_program(
     passthrough: tuple[str, ...] = ("doc_id", "url"),
     html_col: str = "html",
     stage_metrics: bool = False,
+    parse_options: dict | None = None,
 ) -> DataFrame:
     """Run ``program`` over every page.  ``program(nt) -> dict`` of the
     columns declared in ``out_fields`` (DDL fragment).  Passthrough
@@ -58,6 +59,9 @@ def run_program(
     passthrough + html so parquet scans read only what is needed.
     ``stage_metrics`` appends per-document ``parse_us``/``kernel_us``
     timing columns (feeds the lineage ledger's per-stage breakdown).
+    ``parse_options`` is the GumboOptions analogue broadcast to every
+    executor parse (fragment context/namespace, max_errors — see
+    :func:`gumbo_pp_spark.parser.html5.parse_html`).
     """
     schema = ", ".join(
         [*(f"{c} {t}" for c, t in _passthrough_types(df, passthrough)), out_fields]
@@ -82,7 +86,7 @@ def run_program(
             if stage_metrics:
                 for raw in pdf[html_col]:
                     t0 = clk()
-                    nt = parse_html(raw)
+                    nt = parse_html(raw, parse_options)
                     t1 = clk()
                     res = program(nt)
                     t2 = clk()
@@ -92,7 +96,7 @@ def run_program(
                         outs[c].append(res[c])
             else:
                 for raw in pdf[html_col]:
-                    res = program(parse_html(raw))
+                    res = program(parse_html(raw, parse_options))
                     for c in out_names:
                         outs[c].append(res[c])
             cols.update(outs)

@@ -195,7 +195,7 @@ class _TreeBuilder:
     *before* the table without breaking preorder numbering."""
 
     __slots__ = (
-        "src", "n", "mode", "stack", "errors", "quirks",
+        "src", "n", "mode", "stack", "errors", "errlog", "quirks",
         "skip_newline", "foster", "ntype", "ntag", "nattrs", "ntext",
         "nspan", "nchildren", "nparent", "niwp", "nns", "ntid", "preorder_ok",
         "html_id", "head_id", "body_id", "afe", "open_p", "has_foreign",
@@ -203,18 +203,26 @@ class _TreeBuilder:
         # appends per node; one attribute lookup each instead of two)
         "_ap_type", "_ap_tag", "_ap_attrs", "_ap_text", "_ex_span",
         "_ap_kids", "_ap_parent", "_ap_iwp", "_ap_ns", "_ap_tid",
+        # GumboOptions analogue (src/gumbo_pp.cpp:27-31)
+        "frag_name", "frag_ns", "max_errors",
     )
 
     # nspan layout: 6 int64 slots per node in one flat list —
     # [src_start, src_end, tag_start, tag_end, endtag_start, endtag_end]
     _S0, _S1, _T0, _T1, _E0, _E1 = range(6)
 
-    def __init__(self, src: str):
+    def __init__(self, src: str, fragment: tuple[str, int] | None = None, max_errors: int = -1):
         self.src = src
         self.n = len(src)
         self.mode = INITIAL
+        self.frag_name, self.frag_ns = fragment if fragment else ("", NS_HTML)
+        self.max_errors = max_errors
         self.stack: list[int] = []
         self.errors = 0
+        # parse-error detail vector [(code, offset), ...] mirroring the
+        # reference's errors() (gumbo_node_iterator.h:247-249); offsets
+        # index the decoded input like every other span
+        self.errlog: list[tuple[str, int]] = []
         self.quirks = True  # no doctype → quirks (both reference docs)
         self.skip_newline = False
         self.foster = False
@@ -251,6 +259,40 @@ class _TreeBuilder:
         self.afe: list = []
         self.open_p = 0  # open <p> elements (gates the in-scope walk)
         self._new_node(DOCUMENT, "", None, "", 0, self.n)
+        if fragment:
+            self._init_fragment()
+
+    def _init_fragment(self) -> None:
+        """WHATWG 'parsing HTML fragments' (subset; gumbo's
+        options.fragment_context / fragment_namespace,
+        src/gumbo_pp.cpp:27-31): a root <html> element is created and
+        the insertion mode is reset per the context element; content
+        parents directly under the root (no implied head/body)."""
+        nid = self._new_node(ELEMENT, "html", {}, "", 0, self.n, 0, 0, self.n, self.n)
+        self._attach(nid, 0)
+        self.stack.append(nid)
+        self.html_id = nid
+        # suppress implied head/body creation paths
+        self.head_id = nid
+        self.body_id = nid
+        ctx = self.frag_name
+        if self.frag_ns != NS_HTML:
+            self.has_foreign = True
+            self.mode = IN_BODY
+        elif ctx in ("td", "th"):
+            self.mode = IN_CELL
+        elif ctx == "tr":
+            self.mode = IN_ROW
+        elif ctx in TABLE_SECTIONS:
+            self.mode = IN_TABLE_BODY
+        elif ctx == "table":
+            self.mode = IN_TABLE
+        elif ctx == "select":
+            self.mode = IN_SELECT
+        elif ctx == "head":
+            self.mode = IN_HEAD
+        else:
+            self.mode = IN_BODY
 
     # -- node store ----------------------------------------------------
     def _new_node(self, ntype, tag, attrs, text, s0, s1, t0=0, t1=0, e0=0, e1=0, ns=NS_HTML) -> int:
@@ -268,6 +310,13 @@ class _TreeBuilder:
             TAG_IDS.get(tag, TAG_UNKNOWN) if (ntype == ELEMENT or ntype == TEMPLATE) else -1
         )
         return nid
+
+    def _err(self, code: str, pos: int) -> None:
+        self.errors += 1
+        # gumbo options.max_errors semantics: cap the RECORD vector,
+        # keep counting (−1 = unlimited)
+        if self.max_errors < 0 or len(self.errlog) < self.max_errors:
+            self.errlog.append((code, pos))
 
     def _detach(self, nid: int) -> None:
         p = self.nparent[nid]
@@ -360,35 +409,41 @@ class _TreeBuilder:
             return enc in ("text/html", "application/xhtml+xml")
         return False
 
+    def _acn(self) -> tuple[int, str, dict | None]:
+        """(ns, tag, attrs) of the ADJUSTED current node: the fragment
+        context element when only the fragment root is open."""
+        nid = self.stack[-1]
+        if len(self.stack) == 1 and self.frag_ns != NS_HTML and nid == self.html_id:
+            return self.frag_ns, self.frag_name, None
+        return self.nns[nid], self.ntag[nid], self.nattrs[nid]
+
     def _use_foreign(self, kind: str, name: str | None = None) -> bool:
         """WHATWG §13.2.6 tree-construction dispatcher: True → the
         token is processed by the foreign-content rules."""
-        stk = self.stack
-        if not stk:
+        if not self.stack:
             return False
-        nid = stk[-1]  # adjusted current node (no fragment context here)
-        if self.nns[nid] == NS_HTML:
+        ns, tag, attrs = self._acn()
+        if ns == NS_HTML:
             return False
-        if self._is_mtext_ip(nid):
+        if ns == NS_MATHML and tag in MATHML_TEXT_IP:
             if kind == "chars":
                 return False
             if kind == "start" and name not in ("mglyph", "malignmark"):
                 return False
-        if (
-            self.nns[nid] == NS_MATHML
-            and self.ntag[nid] == "annotation-xml"
-            and kind == "start"
-            and name == "svg"
-        ):
-            return False
-        if self._is_html_ip(nid) and kind in ("chars", "start"):
+        if ns == NS_MATHML and tag == "annotation-xml":
+            if kind == "start" and name == "svg":
+                return False
+            enc = (attrs or {}).get("encoding", "").lower()
+            if enc in ("text/html", "application/xhtml+xml") and kind in ("chars", "start"):
+                return False
+        if ns == NS_SVG and tag in SVG_HTML_IP and kind in ("chars", "start"):
             return False
         return True
 
     def _cdata_allowed(self) -> bool:
         """Tokenizer rule: ``<![CDATA[`` is a CDATA section only when
         the adjusted current node is not in the HTML namespace."""
-        return bool(self.stack) and self.nns[self.stack[-1]] != NS_HTML
+        return bool(self.stack) and self._acn()[0] != NS_HTML
 
     # -- implied structure ----------------------------------------------
     def _ensure_html(self, pos: int) -> None:
@@ -409,7 +464,8 @@ class _TreeBuilder:
             self.mode = IN_HEAD
 
     def _pop_head(self, pos: int, e0: int = -1, e1: int = -1) -> None:
-        if self.stack and self.stack[-1] == self.head_id:
+        # fragment guard: head_id aliases the fragment root (never pop)
+        if self.stack and self.stack[-1] == self.head_id and self.ntag[self.head_id] == "head":
             self.stack.pop()
         if self.head_id >= 0:
             sp = self.nspan
@@ -604,14 +660,14 @@ class _TreeBuilder:
             entry = afe[fe_idx]
             fe = entry[4]
             if fe not in stack:
-                self.errors += 1  # stale entry: drop it, ignore token
+                self._err("adoption-agency", t0)  # stale entry: drop it, ignore token
                 del afe[fe_idx]
                 return True
             if not self._node_in_scope(fe):
-                self.errors += 1
+                self._err("adoption-agency", t0)
                 return True
             if stack[-1] != fe:
-                self.errors += 1  # parse error; continue anyway
+                self._err("adoption-agency", t0)  # parse error; continue anyway
             si = stack.index(fe)
             fb_i = None
             for j in range(si + 1, len(stack)):
@@ -816,7 +872,7 @@ class _TreeBuilder:
     # -- foreign-content rules -----------------------------------------
     def _foreign_chars(self, raw: str, start: int) -> None:
         if "\x00" in raw:
-            self.errors += 1  # foreign content: U+0000 → U+FFFD
+            self._err("unexpected-null-character", start)  # foreign content: U+0000 → U+FFFD
             raw = raw.replace("\x00", "�")
         self._insert_text(_decode(raw), start, start + len(raw), reconstruct=False)
 
@@ -826,7 +882,7 @@ class _TreeBuilder:
         ):
             # breakout tag: pop foreign elements back to HTML content /
             # an integration point, then reprocess the token
-            self.errors += 1
+            self._err("html-in-foreign-content", t0)
             stk = self.stack
             while stk:
                 nid = stk[-1]
@@ -839,7 +895,7 @@ class _TreeBuilder:
                 stk.pop()
                 self._close_implied(nid, t0)
             return self.handle_start(name, attrs, self_closing, t0, t1)
-        ns = self.nns[self.stack[-1]]
+        ns = self._acn()[0]
         if ns == NS_SVG:
             name = SVG_TAG_CASE.get(name, name)
             if attrs:
@@ -855,7 +911,7 @@ class _TreeBuilder:
     def _foreign_end(self, name, t0, t1) -> None:
         stk = self.stack
         if stk and self.ntag[stk[-1]].lower() != name:
-            self.errors += 1
+            self._err("unexpected-end-tag", t0)
         i = len(stk) - 1
         while i > 0:
             nid = stk[i]
@@ -878,7 +934,7 @@ class _TreeBuilder:
         if "\x00" in raw:
             # WHATWG "in body": U+0000 character tokens are parse
             # errors and are ignored
-            self.errors += 1
+            self._err("unexpected-character", start)
             raw = raw.replace("\x00", "")
             if not raw:
                 return
@@ -924,7 +980,7 @@ class _TreeBuilder:
             elif not in_table_ctx:
                 self._insert_text(_decode(raw), start, end)
             else:
-                self.errors += 1
+                self._err("unexpected-character", start)
                 self.foster = True
                 self._insert_text(_decode(raw), start, end)
                 self.foster = False
@@ -934,7 +990,7 @@ class _TreeBuilder:
             return
         if mode == AFTER_BODY:
             if not all(c in _WS_SET for c in raw):
-                self.errors += 1
+                self._err("unexpected-character", start)
                 self.mode = IN_BODY
             self._insert_text(_decode(raw), start, end)
             return
@@ -973,7 +1029,7 @@ class _TreeBuilder:
             return self.handle_start(name, attrs, self_closing, t0, t1)
         if mode == BEFORE_HEAD:
             if name == "html":
-                self.errors += 1
+                self._err("unexpected-start-tag", t0)
                 self._merge_root_attrs(self.html_id, attrs)
                 return None
             if name == "head":
@@ -1000,7 +1056,7 @@ class _TreeBuilder:
                 self._insert_element(name, attrs, t0, t1)
                 return "rcdata" if name in RCDATA_ELEMENTS else "rawtext"
             if name == "head":
-                self.errors += 1
+                self._err("unexpected-start-tag", t0)
                 return None
             self._pop_head(t0)
             return self.handle_start(name, attrs, self_closing, t0, t1)
@@ -1013,7 +1069,7 @@ class _TreeBuilder:
                 self.mode = IN_BODY
                 return None
             if name in ("html", "head"):
-                self.errors += 1
+                self._err("unexpected-start-tag", t0)
                 if name == "html":
                     self._merge_root_attrs(self.html_id, attrs)
                 return None
@@ -1024,7 +1080,7 @@ class _TreeBuilder:
         if mode == IN_SELECT:
             return self._start_in_select(name, attrs, self_closing, t0, t1)
         if mode == AFTER_BODY:
-            self.errors += 1
+            self._err("unexpected-start-tag", t0)
             self.mode = IN_BODY
             return self.handle_start(name, attrs, self_closing, t0, t1)
         # IN_BODY / IN_CELL
@@ -1054,7 +1110,7 @@ class _TreeBuilder:
         if name in ("select", "input", "keygen", "textarea"):
             # parse error: close the select, reprocess (except a
             # duplicate <select>, which just closes it)
-            self.errors += 1
+            self._err("unexpected-start-tag-in-select", t0)
             self._pop_until("select", t0)
             self._reset_mode()
             if name == "select":
@@ -1064,24 +1120,24 @@ class _TreeBuilder:
             # table-structure tags break out ONLY for a select nested in
             # a table ("in select in table"); a bare select ignores them
             if self._stack_has("table"):
-                self.errors += 1
+                self._err("unexpected-start-tag-in-select", t0)
                 self._pop_until("select", t0)
                 self._reset_mode()
                 return self.handle_start(name, attrs, self_closing, t0, t1)
-            self.errors += 1
+            self._err("unexpected-start-tag-in-select", t0)
             return None
         if name in ("script", "template"):
             self._insert_element(name, attrs, t0, t1)
             return "rawtext" if name == "script" else None
-        self.errors += 1  # anything else: ignored
+        self._err("unexpected-start-tag-in-select", t0)  # anything else: ignored
         return None
 
     def _start_in_body(self, name, attrs, self_closing, t0, t1) -> str | None:
         if name == "image":
             name = "img"  # WHATWG "in body": image → img (parse error)
-            self.errors += 1
+            self._err("unexpected-start-tag", t0)
         if name in ("html", "head", "body", "frame"):
-            self.errors += 1
+            self._err("unexpected-start-tag", t0)
             # spec: duplicate <html>/<body> merge missing attributes
             # into the existing element
             if name == "html":
@@ -1105,7 +1161,7 @@ class _TreeBuilder:
                 self._reset_mode()
                 return self.handle_start(name, attrs, self_closing, t0, t1)
             if not self._in_scope("table"):
-                self.errors += 1  # table parts outside a table: ignored
+                self._err("unexpected-start-tag", t0)  # table parts outside a table: ignored
                 return None
         if name in P_CLOSERS and self.open_p > 0 and self._in_scope("p", _BUTTON_SCOPE):
             # quirks mode: <table> does NOT close an open <p>
@@ -1113,7 +1169,7 @@ class _TreeBuilder:
                 self._pop_until("p", t0)
         if name in HEADINGS:
             if self.stack and self.ntag[self._current()] in HEADINGS:
-                self.errors += 1
+                self._err("unexpected-start-tag", t0)
                 self._pop_until(self.ntag[self._current()], t0)
         elif name == "li":
             self._close_list_item(("li",), t0)
@@ -1132,7 +1188,7 @@ class _TreeBuilder:
                     a_entry = e
                     break
             if a_entry is not None:
-                self.errors += 1
+                self._err("unexpected-start-tag", t0)
                 self._adoption_agency("a", t0, t0)
                 if a_entry in self.afe:
                     self.afe.remove(a_entry)
@@ -1141,12 +1197,12 @@ class _TreeBuilder:
                     self._close_implied(a_entry[4], t0)
         elif name == "nobr":
             if self._in_scope("nobr"):
-                self.errors += 1
+                self._err("unexpected-start-tag", t0)
                 self._adoption_agency("nobr", t0, t0)
         elif name == "button":
             if self._in_scope("button"):
                 # spec: a nested <button> closes the open one first
-                self.errors += 1
+                self._err("unexpected-start-tag", t0)
                 self._pop_until("button", t0)
                 return self.handle_start(name, attrs, self_closing, t0, t1)
         elif name in ("option", "optgroup"):
@@ -1243,7 +1299,7 @@ class _TreeBuilder:
                 self.mode = IN_TABLE_BODY
                 return None
             if name in ("td", "th", "tr"):
-                self.errors += 1
+                self._err("unexpected-start-tag-in-table", t0)
                 self._clear_to_table_context(("table",), t0)
                 nid = self._new_node(ELEMENT, "tbody", {}, "", t0, self.n, t0, t0, self.n, self.n)
                 parent, before = self._insert_target()
@@ -1267,7 +1323,7 @@ class _TreeBuilder:
                 self._insert_element(name, attrs, t0, t1, push=False)
                 return None
             if name == "table":
-                self.errors += 1
+                self._err("unexpected-start-tag-in-table", t0)
                 self._pop_until("table", t0)
                 self._reset_mode()
                 return self.handle_start(name, attrs, self_closing, t0, t1)
@@ -1275,11 +1331,11 @@ class _TreeBuilder:
                 self._insert_element(name, attrs, t0, t1)
                 return "rawtext"
             if name == "form":
-                self.errors += 1
+                self._err("unexpected-start-tag-in-table", t0)
                 self._insert_element(name, attrs, t0, t1, push=False)
                 return None
             # anything else: foster-parented in-body processing
-            self.errors += 1
+            self._err("unexpected-start-tag-in-table", t0)
             self.foster = True
             saved = self.mode
             self.mode = IN_BODY
@@ -1295,7 +1351,7 @@ class _TreeBuilder:
                 self.mode = IN_ROW
                 return None
             if name in ("td", "th"):
-                self.errors += 1
+                self._err("unexpected-start-tag-in-table", t0)
                 self._clear_to_table_context(("tbody", "thead", "tfoot", "table"), t0)
                 nid = self._new_node(ELEMENT, "tr", {}, "", t0, self.n, t0, t0, self.n, self.n)
                 parent, before = self._insert_target()
@@ -1340,7 +1396,7 @@ class _TreeBuilder:
                     self._ensure_head(t0)
                     self._end_html(name, t0, t1)
                 else:
-                    self.errors += 1
+                    self._err("unexpected-end-tag", t0)
                 return
             if mode == IN_HEAD:
                 if name == "head":
@@ -1353,14 +1409,14 @@ class _TreeBuilder:
                 if name in ("title", "style", "script", "noscript", "template"):
                     self._pop_until(name, t0, t0, t1)
                     return
-                self.errors += 1
+                self._err("unexpected-end-tag", t0)
                 return
             if mode == AFTER_HEAD:
                 if name in ("body", "html", "br"):
                     self._ensure_body(t0)
                     self._end_html(name, t0, t1)
                     return
-                self.errors += 1
+                self._err("unexpected-end-tag", t0)
                 return
             if mode in _TABLE_MODES:
                 self._end_in_table(name, t0, t1)
@@ -1368,15 +1424,15 @@ class _TreeBuilder:
             if mode == IN_SELECT:
                 if name in ("option", "optgroup"):
                     if not self._pop_until(name, t0, t0, t1):
-                        self.errors += 1
+                        self._err("unexpected-end-tag", t0)
                     return
                 if name == "select":
                     if self._pop_until("select", t0, t0, t1):
                         self._reset_mode()
                     else:
-                        self.errors += 1
+                        self._err("unexpected-end-tag", t0)
                     return
-                self.errors += 1  # anything else: ignored
+                self._err("unexpected-end-tag", t0)  # anything else: ignored
                 return
             if mode == AFTER_BODY:
                 if name == "html":
@@ -1385,7 +1441,7 @@ class _TreeBuilder:
                         self.nspan[base + 4], self.nspan[base + 5] = t0, t1
                         self.nspan[base + 1] = t1
                     return
-                self.errors += 1
+                self._err("unexpected-end-tag", t0)
                 self.mode = IN_BODY
                 self._end_html(name, t0, t1)
                 return
@@ -1398,7 +1454,7 @@ class _TreeBuilder:
                 self.nspan[base + 1] = t1
                 self.mode = AFTER_BODY
             else:
-                self.errors += 1
+                self._err("unexpected-end-tag", t0)
             return
         if name == "html":
             self.mode = AFTER_BODY
@@ -1412,7 +1468,7 @@ class _TreeBuilder:
             if self._pop_until(name, t0, t0, t1):
                 self._reset_mode()
             else:
-                self.errors += 1
+                self._err("unexpected-end-tag", t0)
             return
         if mode == IN_CELL and (name in ("table", "tr") or name in TABLE_SECTIONS):
             for cell in ("td", "th"):
@@ -1426,7 +1482,7 @@ class _TreeBuilder:
                 self._pop_until("p", t0, t0, t1)
             else:
                 # spec: synthesize an empty <p> then close it
-                self.errors += 1
+                self._err("unexpected-end-tag", t0)
                 nid = self._insert_element("p", {}, t0, t0)
                 self.stack.pop()
                 self.open_p -= 1
@@ -1446,19 +1502,19 @@ class _TreeBuilder:
                 if tag in SCOPE_BOUNDARIES:
                     break
             if target is None:
-                self.errors += 1
+                self._err("unexpected-end-tag", t0)
             else:
                 self._pop_until(target, t0, t0, t1)
             return
         if name == "br":
-            self.errors += 1
+            self._err("unexpected-end-tag", t0)
             self._insert_element("br", {}, t0, t1, push=False)
             return
         if name in ("applet", "marquee", "object"):
             if self._in_scope(name):
                 self._pop_until(name, t0, t0, t1)  # clears AFE to marker
             else:
-                self.errors += 1
+                self._err("unexpected-end-tag", t0)
             return
         if name in _FORMATTING and self._adoption_agency(name, t0, t1):
             return
@@ -1466,7 +1522,7 @@ class _TreeBuilder:
             if self._pop_until("caption", t0, t0, t1):
                 self._reset_mode()
             else:
-                self.errors += 1
+                self._err("unexpected-end-tag", t0)
             return
         # "any other end tag": walk the stack for a same-name HTML
         # element; a SPECIAL element found first aborts (token ignored)
@@ -1478,9 +1534,9 @@ class _TreeBuilder:
                 self._pop_until(name, t0, t0, t1)
                 return
             if self._is_special(nid):
-                self.errors += 1
+                self._err("unexpected-end-tag", t0)
                 return
-        self.errors += 1
+        self._err("unexpected-end-tag", t0)
 
     def _stack_has(self, name: str) -> bool:
         return any(self.ntag[x] == name for x in self.stack)
@@ -1498,19 +1554,19 @@ class _TreeBuilder:
             if self._pop_until("table", t0, t0, t1):
                 self._reset_mode()
             else:
-                self.errors += 1
+                self._err("unexpected-end-tag-in-table", t0)
             return
         if mode == IN_TABLE_BODY and name in TABLE_SECTIONS:
             if self._pop_until(name, t0, t0, t1):
                 self.mode = IN_TABLE
             else:
-                self.errors += 1
+                self._err("unexpected-end-tag-in-table", t0)
             return
         if mode == IN_ROW and name == "tr":
             if self._pop_until("tr", t0, t0, t1):
                 self.mode = IN_TABLE_BODY
             else:
-                self.errors += 1
+                self._err("unexpected-end-tag-in-table", t0)
             return
         if mode == IN_ROW and name in TABLE_SECTIONS:
             self._pop_until("tr", t0)
@@ -1518,7 +1574,7 @@ class _TreeBuilder:
             self._end_in_table(name, t0, t1)
             return
         if name in ("body", "html", "td", "th", "tr", "caption", "col", "colgroup"):
-            self.errors += 1
+            self._err("unexpected-end-tag-in-table", t0)
             return
         # anything else: try generic close above the table (e.g. a
         # foster-parented element); ignore if not open
@@ -1526,7 +1582,7 @@ class _TreeBuilder:
             self._pop_until(name, t0, t0, t1)
             self._reset_mode()
         else:
-            self.errors += 1
+            self._err("unexpected-end-tag-in-table", t0)
 
     # ------------------------------------------------------------------
     def handle_comment(self, text, t0, t1) -> None:
@@ -1552,7 +1608,7 @@ class _TreeBuilder:
             self.quirks = not ok
             self.mode = BEFORE_HTML
         else:
-            self.errors += 1
+            self._err("unexpected-doctype", t0)
 
     def handle_eof(self) -> None:
         # ensure even empty/fragment input yields the implied skeleton
@@ -1653,19 +1709,34 @@ class _TreeBuilder:
             endtag_end=endtag_end,
             parse_errors=self.errors,
             ns=ns_arr,
+            error_records=self.errlog,
         )
 
 
 # ======================================================================
 # tokenizer
 # ======================================================================
-def parse_html(source: str | bytes) -> NodeTable:
+def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
     """Parse one HTML document into a preorder NodeTable.
 
-    Mirrors ``gumbo_range(html)`` (reference ``src/gumbo_pp.cpp:33-34``):
-    error-recovering HTML5 parse of the whole input, producing the
-    document node, implied structure, decoded text nodes, attribute
-    maps and per-node source spans.
+    Mirrors ``gumbo_range(html)`` / ``gumbo_range(html, options)``
+    (reference ``src/gumbo_pp.cpp:27-34``): error-recovering HTML5
+    parse of the whole input, producing the document node, implied
+    structure, decoded text nodes, attribute maps and per-node source
+    spans.
+
+    ``options`` is the GumboOptions analogue:
+
+    * ``fragment_context``: context element tag name → fragment
+      parsing (root <html>, insertion mode reset per context, RCDATA/
+      RAWTEXT contexts consume the whole input as text);
+    * ``fragment_namespace``: ``"html" | "svg" | "math"`` (default
+      html) — foreign contexts dispatch tokens to the foreign rules;
+    * ``max_errors``: cap on the error RECORD vector (count still
+      counts; −1 = unlimited, gumbo semantics).
+
+    ``stop_on_first_error`` is not implemented: the engine is always
+    error-recovering, matching how the reference is exercised.
     """
     if isinstance(source, (bytes, bytearray, memoryview)):
         source = bytes(source).decode("utf-8", errors="replace")
@@ -1674,7 +1745,28 @@ def parse_html(source: str | bytes) -> NodeTable:
         source = source.replace("\r\n", "\n").replace("\r", "\n")
     s = source
     n = len(s)
-    tb = _TreeBuilder(s)
+    fragment = None
+    max_errors = -1
+    if options:
+        ctx = options.get("fragment_context")
+        if ctx:
+            nsname = options.get("fragment_namespace", "html")
+            nsmap = {"html": NS_HTML, "svg": NS_SVG, "math": NS_MATHML}
+            fragment = (str(ctx).lower(), nsmap[nsname])
+        max_errors = options.get("max_errors", -1)
+    tb = _TreeBuilder(s, fragment=fragment, max_errors=max_errors)
+    if fragment and fragment[1] == NS_HTML and (
+        fragment[0] in RAWTEXT_ELEMENTS or fragment[0] in RCDATA_ELEMENTS
+        or fragment[0] == "plaintext"
+    ):
+        # tokenizer starts in the context's data state; with no open
+        # start tag no end tag is ever "appropriate", so the entire
+        # input is one text run (RCDATA still decodes references)
+        if s:
+            decoded = _decode(s) if fragment[0] in RCDATA_ELEMENTS else s
+            tb._insert_text(decoded, 0, n, rawtextual=True)
+        tb.handle_eof()
+        return tb.finalize()
     # hoisted hot-path bindings (the dispatch wrappers stay for
     # tree-builder-internal reprocessing; the tokenizer inlines them)
     sfind = s.find
@@ -1715,12 +1807,12 @@ def parse_html(source: str | bytes) -> NodeTable:
                 name = m.group(0).lower()
                 gt = s.find(">", m.end())
                 if gt < 0:
-                    tb.errors += 1
+                    tb._err("eof-in-end-tag", lt)
                     break  # EOF inside tag: token ignored
                 tb.handle_end(name, lt, gt + 1)
                 i = gt + 1
             elif s[lt + 2: lt + 3] == ">":
-                tb.errors += 1  # '</>' ignored entirely
+                tb._err("empty-end-tag", lt)  # '</>' ignored entirely
                 i = lt + 3
             else:
                 gt = s.find(">", lt + 2)  # bogus comment
@@ -1765,7 +1857,7 @@ def parse_html(source: str | bytes) -> NodeTable:
             continue
         if c == "?":
             gt = s.find(">", lt + 2)  # bogus comment per spec
-            tb.errors += 1
+            tb._err("processing-instruction", lt)
             if gt < 0:
                 tb.handle_comment(s[lt + 1:], lt, n)
                 break
@@ -1827,9 +1919,9 @@ def parse_html(source: str | bytes) -> NodeTable:
             if aname not in attrs:  # duplicate attribute: first wins
                 attrs[aname] = _decode_attr(aval)
             else:
-                tb.errors += 1
+                tb._err("duplicate-attribute", lt)
         if not found_gt:
-            tb.errors += 1
+            tb._err("eof-in-tag", lt)
             break  # EOF in tag
         if tb.has_foreign and tb._use_foreign("start", name):
             content_model = tb._foreign_start(name, attrs, self_closing, lt, pos)

@@ -415,6 +415,34 @@ def q_html_misnested(spark, sf_dir):
     )
 
 
+def q_html_parse_errors(spark, sf_dir):
+    # per-document parse-error RECORDS (code, offset) — the reference's
+    # errors() vector (gumbo_node_iterator.h:247-249); round 1 exposed
+    # only a count.  The misnested page family has exactly one error:
+    # the adoption-agency </b> at a template-computable offset.
+    from .sources.pages import synth_misnested_pages
+
+    pages = synth_misnested_pages(spark, sf_dir)
+
+    def program(nt):
+        recs = nt.error_records
+        return {
+            "n_errors": int(nt.parse_errors),
+            "first_code": recs[0][0] if recs else "",
+            "first_offset": int(recs[0][1]) if recs else -1,
+        }
+
+    return run_program(
+        pages, program, "n_errors int, first_code string, first_offset bigint",
+        passthrough=("doc_id",),
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_errors").cast("bigint").alias("n_errors"),
+        "first_code",
+        "first_offset",
+    )
+
+
 def q_html_foreign_content(spark, sf_dir):
     # SVG/MathML namespaces, attribute case adjustment (viewbox →
     # viewBox), HTML integration points (foreignObject children are
@@ -705,6 +733,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_doc_content_text": q_html_doc_content_text,
     "html_misnested": q_html_misnested,
     "html_foreign_content": q_html_foreign_content,
+    "html_parse_errors": q_html_parse_errors,
     "simhash_pairs": q_simhash_pairs,
     "ann_lsh_topk": q_ann_lsh,
     "ann_lsh_recall": q_ann_lsh_recall,
@@ -812,6 +841,15 @@ ORACLES: dict[str, str] = {
         "CAST(2 AS BIGINT) AS n_b, "
         "'P' || CAST(doc_id AS STRING) AS clone_text, "
         "text AS tail_text FROM documents"
+    ),
+    "html_parse_errors": (
+        # one adoption-agency error per page at the '</b>' offset:
+        # len('<html><head><title>M')=20 + len(id) + 21 + '<b>B'(4)
+        # + len(id) + '<p>P'(4) + len(id) = 49 + 3*len(id)
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(1 AS BIGINT) AS n_errors, "
+        "'adoption-agency' AS first_code, "
+        "CAST(49 + 3 * length(CAST(doc_id AS STRING)) AS BIGINT) AS first_offset "
+        "FROM documents"
     ),
     "html_foreign_content": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "

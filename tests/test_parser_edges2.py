@@ -329,3 +329,54 @@ class TestAttributeCharRefs:
         nt = parse_html("<p>&notit</p>")
         p = first(nt, nt.tag_name == "p")
         assert nt.content_text(p) == "¬it"
+
+
+class TestParseOptions:
+    """GumboOptions analogue (gumbo_range(html, options),
+    src/gumbo_pp.cpp:27-31): fragment context/namespace + max_errors."""
+
+    def test_fragment_div_context(self):
+        nt = parse_html("<p>x</p>tail", {"fragment_context": "div"})
+        # root <html>, no implied head/body, content directly under root
+        assert nt.tag_name[1] == "html"
+        assert (nt.tag_name == "head").sum() == 0
+        assert (nt.tag_name == "body").sum() == 0
+        p = first(nt, nt.tag_name == "p")
+        assert nt.content_text(p) == "x"
+        assert nt.parent[p] == 1
+
+    def test_fragment_rcdata_context(self):
+        nt = parse_html("<b>not</b> &amp; x", {"fragment_context": "textarea"})
+        texts = [nt.text[i] for i in range(nt.n) if nt.type[i] == 2]
+        assert texts == ["<b>not</b> & x"]  # no tags, entities decoded
+
+    def test_fragment_rawtext_context(self):
+        nt = parse_html("a &amp; b", {"fragment_context": "script"})
+        texts = [nt.text[i] for i in range(nt.n) if nt.type[i] == 2]
+        assert texts == ["a &amp; b"]  # rawtext: no decoding
+
+    def test_fragment_table_context(self):
+        nt = parse_html("<tr><td>c</td></tr>", {"fragment_context": "table"})
+        names = [nt.tag_name[i] for i in range(nt.n) if nt.tag_name[i]]
+        assert names == ["html", "tbody", "tr", "td"]
+
+    def test_fragment_svg_namespace(self):
+        from gumbo_pp_spark.nodetable import NS_SVG
+
+        nt = parse_html(
+            '<circle r="1"/><text>t</text>',
+            {"fragment_context": "svg", "fragment_namespace": "svg"},
+        )
+        circ = first(nt, nt.tag_name == "circle")
+        assert nt.ns[circ] == NS_SVG
+        assert nt.content_text(first(nt, nt.tag_name == "text")) == "t"
+
+    def test_max_errors_caps_records_not_count(self):
+        nt = parse_html("<?a><?b><?c>", {"max_errors": 2})
+        assert nt.parse_errors == 3
+        assert len(nt.error_records) == 2
+
+    def test_error_records_code_and_offset(self):
+        nt = parse_html("<div foo=1 foo=2>x</div>")
+        assert nt.parse_errors == 1
+        assert nt.error_records == [("duplicate-attribute", 0)]
