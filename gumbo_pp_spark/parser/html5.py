@@ -97,7 +97,9 @@ _END_TAG_RE = re.compile(r"</([a-zA-Z][^\t\n\f\r />]*)[^>]*>")
     IN_CELL,
     AFTER_BODY,
     IN_SELECT,
-) = range(12)
+    IN_FRAMESET,
+    AFTER_FRAMESET,
+) = range(14)
 
 _TABLE_MODES = (IN_TABLE, IN_TABLE_BODY, IN_ROW)
 
@@ -835,6 +837,9 @@ class _TreeBuilder:
             if tag == "table":
                 self.mode = IN_TABLE
                 return
+            if tag == "frameset":
+                self.mode = IN_FRAMESET
+                return
             if tag == "head":
                 self.mode = IN_HEAD
                 return
@@ -988,6 +993,13 @@ class _TreeBuilder:
         if mode == IN_SELECT:
             self._insert_text(_decode(raw), start, end, reconstruct=False)
             return
+        if mode == IN_FRAMESET or mode == AFTER_FRAMESET:
+            ws = "".join(c for c in raw if c in _WS_SET)
+            if len(ws) != len(raw):
+                self._err("text-in-frameset", start)
+            if ws:
+                self._insert_text(ws, start, start + len(ws))
+            return
         if mode == AFTER_BODY:
             if not all(c in _WS_SET for c in raw):
                 self._err("unexpected-character", start)
@@ -1061,6 +1073,12 @@ class _TreeBuilder:
             self._pop_head(t0)
             return self.handle_start(name, attrs, self_closing, t0, t1)
         if mode == AFTER_HEAD:
+            if name == "frameset":
+                nid = self._new_node(ELEMENT, "frameset", attrs, "", t0, self.n, t0, t1, self.n, self.n)
+                self._attach(nid, self.html_id)
+                self.stack.append(nid)
+                self.mode = IN_FRAMESET
+                return None
             if name == "body":
                 nid = self._new_node(ELEMENT, "body", attrs, "", t0, self.n, t0, t1, self.n, self.n)
                 self._attach(nid, self.html_id)
@@ -1079,6 +1097,28 @@ class _TreeBuilder:
             return self._start_in_table(name, attrs, self_closing, t0, t1)
         if mode == IN_SELECT:
             return self._start_in_select(name, attrs, self_closing, t0, t1)
+        if mode == IN_FRAMESET:
+            if name == "frameset":
+                self._insert_element(name, attrs, t0, t1)
+                return None
+            if name == "frame":
+                self._insert_element(name, attrs, t0, t1, push=False)
+                return None
+            if name == "noframes":
+                self._insert_element(name, attrs, t0, t1)
+                return "rawtext"
+            if name == "html":
+                self._merge_root_attrs(self.html_id, attrs)
+            self._err("unexpected-start-tag-in-frameset", t0)
+            return None
+        if mode == AFTER_FRAMESET:
+            if name == "noframes":
+                self._insert_element(name, attrs, t0, t1)
+                return "rawtext"
+            if name == "html":
+                self._merge_root_attrs(self.html_id, attrs)
+            self._err("unexpected-start-tag-after-frameset", t0)
+            return None
         if mode == AFTER_BODY:
             self._err("unexpected-start-tag", t0)
             self.mode = IN_BODY
@@ -1144,6 +1184,25 @@ class _TreeBuilder:
                 self._merge_root_attrs(self.html_id, attrs)
             elif name == "body":
                 self._merge_root_attrs(self.body_id, attrs)
+            return None
+        if name == "frameset":
+            # spec gates on frameset-ok; approximated as "body still
+            # empty": the body node is RENAMED in place (tree shape
+            # matches the spec's remove-body-insert-frameset, without
+            # orphaning a node from the preorder store)
+            b = self.body_id
+            if b >= 0 and not self.nchildren[b] and self.stack and self.stack[-1] == b:
+                self.ntag[b] = "frameset"
+                self.ntid[b] = TAG_IDS.get("frameset", TAG_UNKNOWN)
+                if attrs:
+                    self.nattrs[b] = dict(attrs)
+                base = 6 * b
+                self.nspan[base + 2], self.nspan[base + 3] = t0, t1
+                self.nspan[base + 0] = t0
+                self.body_id = -1
+                self.mode = IN_FRAMESET
+            else:
+                self._err("unexpected-frameset", t0)
             return None
         if name in _TABLEISH:  # one gate for the three table-part rules
             if self.mode == IN_CELL:
@@ -1434,6 +1493,31 @@ class _TreeBuilder:
                     return
                 self._err("unexpected-end-tag", t0)  # anything else: ignored
                 return
+            if mode == IN_FRAMESET:
+                if name == "frameset":
+                    cur = self.stack[-1] if self.stack else -1
+                    if cur >= 0 and self.ntag[cur] == "frameset":
+                        self._pop_until("frameset", t0, t0, t1)
+                        cur2 = self.stack[-1] if self.stack else -1
+                        if cur2 >= 0 and self.ntag[cur2] != "frameset":
+                            self.mode = AFTER_FRAMESET
+                    else:
+                        self._err("unexpected-end-tag-in-frameset", t0)
+                elif name == "noframes":
+                    self._pop_until("noframes", t0, t0, t1)
+                else:
+                    self._err("unexpected-end-tag-in-frameset", t0)
+                return
+            if mode == AFTER_FRAMESET:
+                if name == "noframes":
+                    self._pop_until("noframes", t0, t0, t1)
+                elif name == "html" and self.html_id >= 0:
+                    base = 6 * self.html_id
+                    self.nspan[base + 4], self.nspan[base + 5] = t0, t1
+                    self.nspan[base + 1] = t1
+                else:
+                    self._err("unexpected-end-tag-after-frameset", t0)
+                return
             if mode == AFTER_BODY:
                 if name == "html":
                     if self.html_id >= 0:
@@ -1618,7 +1702,7 @@ class _TreeBuilder:
         if self.head_id < 0:
             self._ensure_head(pos)
             self._pop_head(pos)
-        if self.body_id < 0:
+        if self.body_id < 0 and self.mode not in (IN_FRAMESET, AFTER_FRAMESET):
             self._ensure_body(pos)
         # still-open elements keep their initialized spans: zero-length
         # end-tag span at end-of-input, src extent to end-of-input

@@ -7,7 +7,9 @@ Run with:  /root/.pyenv/versions/3.7.16/bin/python tests/conformance/generate.py
 Writes goldens.dat in html5lib-tests style (#data / #document), using
 the SAME serialization conventions as gumbo_pp_spark.parser.serialize:
 adjacent text nodes merged, 'svg '/'math ' namespace prefixes, template
-'content' line, doctype lines omitted.  The test harness
+'content' line, doctype lines omitted.  <template> cases are NOT in the
+corpus: html5lib 1.x predates template support (it parents templates in
+<body>); template semantics are pinned by the repo's own pytest goldens.  The test harness
 (tests/test_conformance.py) re-parses #data with the engine and
 compares serializations byte-for-byte.
 """
