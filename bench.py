@@ -81,7 +81,7 @@ def prepare_pages(pages_dir: str) -> None:
     spark.stop()
 
 
-def stage_extract(master: str, pages_dir: str) -> dict:
+def stage_extract(master: str, pages_dir: str, runs: int = 5) -> dict:
     """The timed job: scan → parse → extract → aggregate."""
     from pyspark.sql import functions as F
 
@@ -100,12 +100,12 @@ def stage_extract(master: str, pages_dir: str) -> dict:
         pages.limit(n_threads * 8).repartition(n_threads), passthrough=("page_id",)
     )
     warm.count()
-    # min-of-5 in one JVM: the sandbox VM has bursty co-tenant noise on
+    # min-of-N in one JVM: the sandbox VM has bursty co-tenant noise on
     # tens-of-seconds timescales; the minimum is the clean steady-state
     walls = []
     agg = None
-    for _ in range(5):
-        wait_for_idle(timeout_s=15.0)
+    for _ in range(runs):
+        wait_for_idle(timeout_s=20.0)
         t0 = time.time()
         out = extract_main_text(pages, passthrough=("page_id",))
         agg = out.select(
@@ -222,18 +222,38 @@ def cpu_ceiling(levels: tuple[int, ...], reps: int = 120) -> dict:
     return out
 
 
-def run_subprocess_stage(master: str, pages_dir: str) -> dict:
+def run_subprocess_stage(master: str, pages_dir: str, runs: int = 5) -> dict:
     """Each parallelism level gets a fresh JVM (no executor reuse
     between the two measurements)."""
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--stage", "extract",
-         "--master", master, "--pages", pages_dir],
+         "--master", master, "--pages", pages_dir, "--runs", str(runs)],
         capture_output=True, text=True, check=False, cwd=REPO,
     )
     for line in reversed(proc.stdout.strip().splitlines()):
         if line.startswith("{"):
             return json.loads(line)
     raise RuntimeError(f"stage failed: {proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+
+
+def run_levels_interleaved(pages_dir: str, levels: tuple[int, ...], passes: int = 3) -> dict:
+    """ALTERNATE the two parallelism levels across several passes and
+    take the per-level minimum.  A single sequential run per level lets
+    one co-tenant noise burst poison an entire level (observed: the
+    same local[32] job measured 12k docs/s in one window and 21k
+    fifteen minutes later); interleaving gives both levels the same
+    exposure to quiet windows."""
+    best: dict[int, dict] = {}
+    for _ in range(passes):
+        for n in levels:
+            r = run_subprocess_stage(f"local[{n}]", pages_dir, runs=2)
+            if n not in best or r["wall_sec"] < best[n]["wall_sec"]:
+                prev_runs = best[n]["wall_sec_runs"] if n in best else []
+                r["wall_sec_runs"] = prev_runs + r["wall_sec_runs"]
+                best[n] = r
+            else:
+                best[n]["wall_sec_runs"] += r["wall_sec_runs"]
+    return best
 
 
 def run_queries() -> dict[str, float]:
@@ -257,10 +277,11 @@ def main() -> None:
     ap.add_argument("--stage", default=None)
     ap.add_argument("--master", default=f"local[{CPUS}]")
     ap.add_argument("--pages", default=None)
+    ap.add_argument("--runs", type=int, default=5)
     args = ap.parse_args()
 
     if args.stage == "extract":
-        print(json.dumps(stage_extract(args.master, args.pages)))
+        print(json.dumps(stage_extract(args.master, args.pages, runs=args.runs)))
         return
 
     pages_dir = os.path.join(
@@ -271,11 +292,12 @@ def main() -> None:
         prepare_pages(pages_dir)
 
     # N→4N protocol (driver instruction): identical job + input at
-    # local[8] and local[32], fresh JVM per level, min-of-5 timed runs
-    # per level (bursty co-tenant noise); the multiprocessing
+    # local[8] and local[32], fresh JVM per level, levels ALTERNATED
+    # across 3 passes with min-of-2 timed runs each (bursty co-tenant
+    # noise poisons sequential per-level windows); the multiprocessing
     # calibration measures the VM's own scaling ceiling so Spark's
     # efficiency can be normalized.
-    runs = {n: run_subprocess_stage(f"local[{n}]", pages_dir) for n in (LOW_CPUS, CPUS)}
+    runs = run_levels_interleaved(pages_dir, (LOW_CPUS, CPUS))
     ceiling = hardware_ceiling(pages_dir, (LOW_CPUS, CPUS))
     cceil = cpu_ceiling((LOW_CPUS, CPUS))
 
