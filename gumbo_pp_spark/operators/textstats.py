@@ -120,6 +120,102 @@ def quality_filter(
     ).select("doc_id", "n_tokens")
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-word
+    ratio, most-frequent-word share, most-frequent-bigram share (all
+    e4-scaled BIGINT).  Highly repetitive documents (boilerplate, spam,
+    generation loops) score low distinct ratio / high top shares.
+
+    Shape: explode → per-(doc, gram) counts → max per doc — map-side
+    partial aggregation both times; at 10^12 docs this is two shuffles
+    keyed by (doc_id, gram) and doc_id, never a per-doc quadratic
+    lambda."""
+    words = df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("w"),
+    ).cache()
+    n = words.select("doc_id", F.size("w").alias("n_words"))
+    top_word = (
+        words.select("doc_id", F.explode("w").alias("g"))
+        .groupBy("doc_id", "g").count()
+        .groupBy("doc_id").agg(F.max("count").alias("top_word_n"))
+    )
+    bigrams = words.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), j -> concat(element_at(w, j), ' ', element_at(w, j + 1)))")
+        ).alias("g"),
+    )
+    top_bigram = (
+        bigrams.groupBy("doc_id", "g").count()
+        .groupBy("doc_id").agg(F.max("count").alias("top_bigram_n"))
+    )
+    distinct_n = (
+        words.select("doc_id", F.explode("w").alias("g"))
+        .groupBy("doc_id").agg(F.countDistinct("g").alias("n_distinct"))
+    )
+    return (
+        n.join(distinct_n, "doc_id").join(top_word, "doc_id").join(top_bigram, "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("n_distinct") * 10000.0 / F.col("n_words")).cast("bigint").alias("distinct_ratio_e4"),
+            F.round(F.col("top_word_n") * 10000.0 / F.col("n_words")).cast("bigint").alias("top_word_frac_e4"),
+            F.round(F.col("top_bigram_n") * 10000.0 / (F.col("n_words") - 1)).cast("bigint").alias("top_bigram_frac_e4"),
+        )
+    )
+
+
+def paragraph_chunks(df: DataFrame, text_col: str = "text", stride: int = 10) -> DataFrame:
+    """(doc_id, chunk_idx, chunk) — consecutive ``stride``-word windows
+    (the 'paragraph' unit for sub-document dedup; real pipelines use
+    newline paragraphs, the synthetic corpus is single-line)."""
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(split({text_col}, ' ')), {stride}), "
+                f"j -> struct(CAST((j - 1) / {stride} AS BIGINT) AS chunk_idx, "
+                f"concat_ws(' ', slice(split({text_col}, ' '), j, {stride})) AS chunk))"
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk").alias("chunk"))
+
+
+def dedup_paragraphs(df: DataFrame, text_col: str = "text", stride: int = 10) -> DataFrame:
+    """Sub-document (paragraph-level) dedup: chunks shared by more than
+    one document, with the canonical keeper.  Returns
+    (chunk_md5, n_docs, keep_doc) — hash-groupBy with map-side partial
+    aggregation; the md5 key keeps shuffle rows tiny at corpus scale."""
+    ch = paragraph_chunks(df, text_col, stride)
+    return (
+        ch.groupBy(F.md5("chunk").alias("chunk_md5"))
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keep_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(doc_id, canon_url, had_tracking) — crawl-frontier URL
+    canonicalization: strip the fragment, strip utm_* tracking params,
+    normalize a dangling '?'/'&', lowercase the scheme+host.  Pure
+    regexp (Java≡RE2 portable, backslash-free)."""
+    strip_frag = f"regexp_replace({url_col}, '#.*', '')"
+    # order matters: '?utm_x=v&rest' keeps its '?', then '&utm_x=v'
+    # mid-query is dropped, then a lone trailing '?utm_x=v' is dropped
+    p1 = f"regexp_replace({strip_frag}, '[?]utm_[a-z]+=[^&#]*[&]', '?')"
+    p2 = f"regexp_replace({p1}, '[&]utm_[a-z]+=[^&#]*', '')"
+    p3 = f"regexp_replace({p2}, '[?]utm_[a-z]+=[^&#]*$', '')"
+    host_part = f"regexp_extract({p3}, '^[a-zA-Z]+://[^/]*', 0)"
+    return df.selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        f"concat(lower({host_part}), substring({p3}, length({host_part}) + 1)) AS canon_url",
+        f"CAST(CASE WHEN {url_col} RLIKE '[?&]utm_' THEN 1 ELSE 0 END AS BIGINT) AS had_tracking",
+    )
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, ws_tokens, word_tokens) — whitespace tokenization plus
     a BPE-ish alnum-run count (regexp, JVM-side)."""

@@ -602,6 +602,30 @@ def q_token_counts(spark, sf_dir):
     return T.token_counts(_docs(spark, sf_dir))
 
 
+def q_repetition_stats(spark, sf_dir):
+    # Gopher-style repetition quality signals (distinct-word ratio,
+    # top word/bigram share) — the standard anti-boilerplate gate
+    return T.repetition_stats(_docs(spark, sf_dir))
+
+
+def q_dedup_paragraphs(spark, sf_dir):
+    # sub-document dedup: 10-word chunks shared across documents
+    return T.dedup_paragraphs(_docs(spark, sf_dir))
+
+
+def q_canonical_urls(spark, sf_dir):
+    # crawl-frontier URL canonicalization over deterministic variants
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 3 = 0 THEN 'https://Site.Example/p/' || CAST(doc_id AS STRING) "
+        "|| '?utm_source=feed&x=1#frag' "
+        "WHEN doc_id % 3 = 1 THEN 'https://site.example/p/' || CAST(doc_id AS STRING) "
+        "|| '?utm_campaign=a' "
+        "ELSE 'https://site.example/p/' || CAST(doc_id AS STRING) || '?x=2' END AS url",
+    )
+    return T.canonical_urls(docs)
+
+
 def q_host_stats(spark, sf_dir):
     # host-level corpus stats over the pages table (the salting key's
     # real-world aggregation path)
@@ -751,6 +775,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter": q_quality_filter,
     "doc_fingerprints": q_fingerprints,
     "token_counts": q_token_counts,
+    "repetition_stats": q_repetition_stats,
+    "dedup_paragraphs": q_dedup_paragraphs,
+    "canonical_urls": q_canonical_urls,
     "host_stats": q_host_stats,
     "top_terms": q_top_terms,
     "lineitem_agg": q_lineitem_agg,
@@ -951,6 +978,46 @@ ORACLES: dict[str, str] = {
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS fp_md5, "
         "list_aggregate(list_transform(generate_series(1, greatest(length(text) - 7, 1), 4), "
         "j -> md5(substr(text, j, 8))), 'min') AS fp_winnow FROM documents"
+    ),
+    "repetition_stats": (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+        "e AS (SELECT doc_id, unnest(ws) AS g FROM w), "
+        "tw AS (SELECT doc_id, max(c) AS top_word_n, count(*) AS n_distinct FROM "
+        "(SELECT doc_id, g, count(*) AS c FROM e GROUP BY doc_id, g) GROUP BY doc_id), "
+        "bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1), "
+        "j -> ws[j] || ' ' || ws[j+1])) AS g FROM w), "
+        "tb AS (SELECT doc_id, max(c) AS top_bigram_n FROM "
+        "(SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g) GROUP BY doc_id) "
+        "SELECT CAST(w.doc_id AS BIGINT) AS doc_id, "
+        "CAST(round(10000.0 * tw.n_distinct / len(w.ws)) AS BIGINT) AS distinct_ratio_e4, "
+        "CAST(round(10000.0 * tw.top_word_n / len(w.ws)) AS BIGINT) AS top_word_frac_e4, "
+        "CAST(round(10000.0 * tb.top_bigram_n / (len(w.ws) - 1)) AS BIGINT) AS top_bigram_frac_e4 "
+        "FROM w JOIN tw ON w.doc_id = tw.doc_id JOIN tb ON w.doc_id = tb.doc_id"
+    ),
+    "dedup_paragraphs": (
+        "WITH ch AS (SELECT doc_id, unnest(list_transform("
+        "generate_series(1, len(string_split(text, ' ')), 10), "
+        "j -> array_to_string(string_split(text, ' ')[j:j+9], ' '))) AS chunk "
+        "FROM documents) "
+        "SELECT md5(chunk) AS chunk_md5, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "CAST(min(doc_id) AS BIGINT) AS keep_doc "
+        "FROM ch GROUP BY md5(chunk) HAVING count(DISTINCT doc_id) > 1"
+    ),
+    "canonical_urls": (
+        "WITH u AS (SELECT doc_id, CASE "
+        "WHEN doc_id % 3 = 0 THEN 'https://Site.Example/p/' || CAST(doc_id AS STRING) || '?utm_source=feed&x=1#frag' "
+        "WHEN doc_id % 3 = 1 THEN 'https://site.example/p/' || CAST(doc_id AS STRING) || '?utm_campaign=a' "
+        "ELSE 'https://site.example/p/' || CAST(doc_id AS STRING) || '?x=2' END AS url FROM documents), "
+        "s AS (SELECT doc_id, url, regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(url, '#.*', ''), "
+        "'[?]utm_[a-z]+=[^&#]*[&]', '?'), '[&]utm_[a-z]+=[^&#]*', ''), "
+        "'[?]utm_[a-z]+=[^&#]*$', '') AS p3 FROM u), "
+        "h AS (SELECT doc_id, url, p3, regexp_extract(p3, '^[a-zA-Z]+://[^/]*', 0) AS hp FROM s) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "lower(hp) || substring(p3, length(hp) + 1) AS canon_url, "
+        "CAST(CASE WHEN regexp_matches(url, '[?&]utm_') THEN 1 ELSE 0 END AS BIGINT) AS had_tracking "
+        "FROM h"
     ),
     "token_counts": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
