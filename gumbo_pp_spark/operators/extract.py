@@ -343,7 +343,7 @@ def select_first_program(
 
 NODES_FIELDS = (
     "node_id int, parent_id int, subtree_end int, node_type tinyint, "
-    "tag string, attrs map<string,string>, text string, "
+    "tag string, ns tinyint, attrs map<string,string>, text string, "
     "index_within_parent int, src_start bigint, src_end bigint"
 )
 
@@ -368,7 +368,7 @@ def explode_nodes(df: DataFrame, passthrough: tuple[str, ...] = ("doc_id",)) -> 
             htmls = rb.column(n_pt)
             pt_vals: list[list] = [[] for _ in range(n_pt)]
             node_id, parent_id, subtree_end, ntype = [], [], [], []
-            tag, attrs, text, iwp, s0, s1 = [], [], [], [], [], []
+            tag, ns, attrs, text, iwp, s0, s1 = [], [], [], [], [], [], []
             for row, raw in enumerate(htmls):
                 nt = parse_html(raw.as_py())
                 for j in range(n_pt):
@@ -378,6 +378,7 @@ def explode_nodes(df: DataFrame, passthrough: tuple[str, ...] = ("doc_id",)) -> 
                 subtree_end.append(nt.subtree_end)
                 ntype.append(nt.type)
                 tag.extend(nt.tag_name.tolist())
+                ns.append(nt.ns)
                 attrs.extend(a if a else None for a in nt.attrs)
                 text.extend(nt.text.tolist())
                 iwp.append(nt.index_within_parent)
@@ -390,6 +391,7 @@ def explode_nodes(df: DataFrame, passthrough: tuple[str, ...] = ("doc_id",)) -> 
                 pa.array(np.concatenate(subtree_end) if subtree_end else np.array([], np.int32)),
                 pa.array(np.concatenate(ntype) if ntype else np.array([], np.int8)),
                 pa.array(tag, pa.string()),
+                pa.array(np.concatenate(ns) if ns else np.array([], np.int8)),
                 pa.array(attrs, pa.map_(pa.string(), pa.string())),
                 pa.array(text, pa.string()),
                 pa.array(np.concatenate(iwp) if iwp else np.array([], np.int32)),
@@ -397,7 +399,7 @@ def explode_nodes(df: DataFrame, passthrough: tuple[str, ...] = ("doc_id",)) -> 
                 pa.array(np.concatenate(s1) if s1 else np.array([], np.int64)),
             ]
             names = [*(c for c, _ in pt_types), "node_id", "parent_id", "subtree_end",
-                     "node_type", "tag", "attrs", "text", "index_within_parent",
+                     "node_type", "tag", "ns", "attrs", "text", "index_within_parent",
                      "src_start", "src_end"]
             yield pa.RecordBatch.from_arrays(cols, names=names)
 

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .operators.dedup import exact_dedup, minhash_lsh_pairs
 from .operators.extract import extract_main_text
-from .operators.textstats import quality_filter, scrub_pii
+from .operators.textstats import quality_filter, repetition_stats, scrub_pii
 
 
 def build_training_corpus(
@@ -23,13 +23,15 @@ def build_training_corpus(
     min_tokens: int = 20,
     min_alpha_ratio_e4: int = 6000,
     near_dup_min_equal: int = 7,
+    max_top_word_frac_e4: int = 5000,
 ) -> DataFrame:
     """pages(doc_id,url,html) → deduped, scrubbed, fingerprinted corpus
     (doc_id, url, clean_text, n_tokens, fp_md5).
 
     Order matters at scale: extraction first (it is the expensive
     map-only stage and reduces bytes ~10x), the cheap quality gate
-    next (drops rows before any shuffle), then exact dedup (one
+    next (drops rows before any shuffle), the repetition gate after it
+    (two small keyed shuffles over survivors), then exact dedup (one
     digest shuffle), then MinHash-LSH near-dup (band-bucketed joins on
     the survivors only), PII scrub and fingerprints last (map-only).
     """
@@ -41,6 +43,13 @@ def build_training_corpus(
         min_stopword_ratio_e4=0, min_alpha_ratio_e4=min_alpha_ratio_e4,
     ).select("doc_id")
     docs = docs.join(kept, "doc_id")
+
+    # repetition gate: drop degenerate/looping documents (a page whose
+    # most frequent word is more than half its tokens)
+    rep_ok = repetition_stats(docs).where(
+        F.col("top_word_frac_e4") <= max_top_word_frac_e4
+    ).select("doc_id")
+    docs = docs.join(rep_ok, "doc_id")
 
     # exact dedup: keep the minimum doc_id of each content group
     keepers = exact_dedup(docs, key_expr="md5(text)").select(

@@ -34,3 +34,20 @@ def test_pipeline_drops_replicated_near_dups(spark):
     n_in = pages.count()
     n_out = corpus.count()
     assert n_out < n_in / 2, (n_in, n_out)
+
+
+def test_pipeline_drops_repetitive_docs(spark):
+    # a degenerate looping page (one word repeated) must be gated out
+    from gumbo_pp_spark.pipelines import build_training_corpus
+
+    rows = [
+        (1, "https://a.example/1",
+         bytearray(("<html><body><p>" + "spam " * 60 + "</p></body></html>").encode())),
+        (2, "https://a.example/2",
+         bytearray(("<html><body><p>" + " ".join(f"w{i} the of and to in is on it go" for i in range(12))
+                    + "</p></body></html>").encode())),
+    ]
+    pages = spark.createDataFrame(rows, "doc_id bigint, url string, html binary")
+    out = build_training_corpus(pages, min_tokens=20, min_alpha_ratio_e4=5000)
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == {2}
