@@ -1323,6 +1323,8 @@ class _TreeBuilder:
             return None
         if name in ("pre", "listing", "textarea"):
             self.skip_newline = True
+        if name == "plaintext":
+            return "plaintext"  # tokenizer PLAINTEXT state: never exits
         if name in RAWTEXT_ELEMENTS:
             return "rawtext"
         if name in RCDATA_ELEMENTS:
@@ -2012,6 +2014,11 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
         else:
             content_model = tb._start_html(name, attrs, self_closing, lt, pos)
         i = pos
+        if content_model == "plaintext":
+            raw = s[pos:]
+            if raw:
+                tb._insert_text(raw, pos, n, rawtextual=True)
+            break
         if content_model in ("rawtext", "rcdata") and not self_closing:
             mclose = _rawtext_close_re(name).search(s, i)
             if mclose:
