@@ -126,42 +126,40 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     e4-scaled BIGINT).  Highly repetitive documents (boilerplate, spam,
     generation loops) score low distinct ratio / high top shares.
 
-    Shape: explode → per-(doc, gram) counts → max per doc — map-side
-    partial aggregation both times; at 10^12 docs this is two shuffles
-    keyed by (doc_id, gram) and doc_id, never a per-doc quadratic
-    lambda."""
+    Shape: TWO scans (words, bigrams), each explode → one
+    (doc, gram)-keyed shuffle with map-side partial aggregation; the
+    word pass yields n_words (sum of counts), n_distinct (group count)
+    and the top count in ONE grouped aggregation — no caching of the
+    corpus, no per-document quadratic lambdas."""
     words = df.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.split(F.col(text_col), " ").alias("w"),
-    ).cache()
-    n = words.select("doc_id", F.size("w").alias("n_words"))
-    top_word = (
+    )
+    wstats = (
         words.select("doc_id", F.explode("w").alias("g"))
         .groupBy("doc_id", "g").count()
-        .groupBy("doc_id").agg(F.max("count").alias("top_word_n"))
-    )
-    bigrams = words.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, size(w) - 1), j -> concat(element_at(w, j), ' ', element_at(w, j + 1)))")
-        ).alias("g"),
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("count").alias("top_word_n"),
+        )
     )
     top_bigram = (
-        bigrams.groupBy("doc_id", "g").count()
+        words.select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, size(w) - 1), j -> concat(element_at(w, j), ' ', element_at(w, j + 1)))")
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g").count()
         .groupBy("doc_id").agg(F.max("count").alias("top_bigram_n"))
     )
-    distinct_n = (
-        words.select("doc_id", F.explode("w").alias("g"))
-        .groupBy("doc_id").agg(F.countDistinct("g").alias("n_distinct"))
-    )
-    return (
-        n.join(distinct_n, "doc_id").join(top_word, "doc_id").join(top_bigram, "doc_id")
-        .select(
-            "doc_id",
-            F.round(F.col("n_distinct") * 10000.0 / F.col("n_words")).cast("bigint").alias("distinct_ratio_e4"),
-            F.round(F.col("top_word_n") * 10000.0 / F.col("n_words")).cast("bigint").alias("top_word_frac_e4"),
-            F.round(F.col("top_bigram_n") * 10000.0 / (F.col("n_words") - 1)).cast("bigint").alias("top_bigram_frac_e4"),
-        )
+    return wstats.join(top_bigram, "doc_id").select(
+        "doc_id",
+        F.round(F.col("n_distinct") * 10000.0 / F.col("n_words")).cast("bigint").alias("distinct_ratio_e4"),
+        F.round(F.col("top_word_n") * 10000.0 / F.col("n_words")).cast("bigint").alias("top_word_frac_e4"),
+        F.round(F.col("top_bigram_n") * 10000.0 / (F.col("n_words") - 1)).cast("bigint").alias("top_bigram_frac_e4"),
     )
 
 
