@@ -15,18 +15,27 @@ from gumbo_pp_spark.parser.html5 import parse_html
 from gumbo_pp_spark.parser.serialize import serialize_tree
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-GOLDENS = os.path.join(HERE, "conformance", "goldens.dat")
+CONF_DIR = os.path.join(HERE, "conformance")
 
 
 def load_goldens():
+    """Load every .dat file under tests/conformance — goldens.dat plus
+    any externally-sourced html5lib-tests tree-construction files a
+    future round drops in (same #data/#document format; #errors
+    sections, if present, are skipped)."""
     cases = []
-    with open(GOLDENS, encoding="utf-8") as f:
-        text = f.read()
-    for block in text.split("#data\n"):
-        if not block.strip():
+    for fn in sorted(os.listdir(CONF_DIR)):
+        if not fn.endswith(".dat"):
             continue
-        data, _, doc = block.partition("\n#document\n")
-        cases.append((data, doc.rstrip("\n")))
+        with open(os.path.join(CONF_DIR, fn), encoding="utf-8") as f:
+            text = f.read()
+        for block in text.split("#data\n"):
+            if not block.strip():
+                continue
+            data, _, doc = block.partition("\n#document\n")
+            if "#errors" in data:  # html5lib-tests layout
+                data = data.partition("\n#errors")[0]
+            cases.append((data, doc.rstrip("\n")))
     return cases
 
 CASES = load_goldens()
