@@ -99,7 +99,9 @@ _END_TAG_RE = re.compile(r"</([a-zA-Z][^\t\n\f\r />]*)[^>]*>")
     IN_SELECT,
     IN_FRAMESET,
     AFTER_FRAMESET,
-) = range(14)
+    IN_COLGROUP,
+    AFTER_AFTER_BODY,
+) = range(16)
 
 _TABLE_MODES = (IN_TABLE, IN_TABLE_BODY, IN_ROW)
 
@@ -111,20 +113,41 @@ _FORMATTING = frozenset("a b big code em font i nobr s small strike strong tt u"
 _RECONSTRUCT_VOIDS = frozenset("area br embed img keygen wbr input".split())
 # hoisted scope-extra sets (frozenset literals in call sites allocate per call)
 _BUTTON_SCOPE = frozenset({"button"})
+# start tags that flip the frameset-ok flag off (WHATWG in-body rules;
+# matches the html5lib reference's set)
+_FRAMESET_BREAKERS = frozenset(
+    "pre listing button applet marquee object area br embed img keygen "
+    "wbr input hr textarea iframe xmp select table".split()
+)
+# end tags with the block rule (WHATWG in-body): generate implied end
+# tags, then pop through the element even across special intermediates
+# — unlike "any other end tag", which aborts at the first special
+_BLOCK_END = frozenset(
+    "address article aside blockquote button center details dialog dir "
+    "div dl fieldset figcaption figure footer header hgroup listing "
+    "main menu nav ol pre section summary ul".split()
+)
+# elements closed by "generate implied end tags"
+_IMPLIED_END = frozenset("dd dt li optgroup option p rb rp rt rtc".split())
 # table-part start tags handled by the cell/caption/stray-part rules
 _TABLEISH = frozenset("td th tr caption col colgroup tbody thead tfoot".split())
 _TABLE_SCOPE = frozenset({"table"})
 
 # "Special" category elements that abort the <li>/<dd>/<dt> implied-end
 # scan (WHATWG "in body": any special element other than address, div, p).
+# The spec 'special' category minus address/div/p (the li/dd/dt scans
+# exempt those three; the generic _is_special check adds them back).
+# li/dd/dt themselves ARE special — the list-item scans test their own
+# names before this set, matching the spec's rule ordering.
 _SPECIAL_LI_STOP = frozenset(
     "applet area article aside base basefont bgsound blockquote body br "
-    "button caption center col colgroup details dir dl fieldset "
-    "figcaption figure footer form frame frameset h1 h2 h3 h4 h5 h6 head "
-    "header hgroup hr html iframe img input link listing main marquee "
-    "menu meta nav noembed noframes noscript object ol param plaintext "
-    "pre script section select source style summary table tbody td "
-    "template textarea tfoot th thead title tr track ul wbr".split()
+    "button caption center col colgroup dd details dir dl dt embed "
+    "fieldset figcaption figure footer form frame frameset h1 h2 h3 h4 "
+    "h5 h6 head header hgroup hr html iframe img input keygen li link "
+    "listing main marquee menu meta nav noembed noframes noscript object "
+    "ol param plaintext pre script section select source style summary "
+    "table tbody td template textarea tfoot th thead title tr track ul "
+    "wbr xmp".split()
 )
 
 
@@ -201,6 +224,7 @@ class _TreeBuilder:
         "skip_newline", "foster", "ntype", "ntag", "nattrs", "ntext",
         "nspan", "nchildren", "nparent", "niwp", "nns", "ntid", "preorder_ok",
         "html_id", "head_id", "body_id", "afe", "open_p", "has_foreign",
+        "frameset_ok", "form_ptr",
         # bound-method caches for the per-node hot path (9 container
         # appends per node; one attribute lookup each instead of two)
         "_ap_type", "_ap_tag", "_ap_attrs", "_ap_text", "_ex_span",
@@ -240,6 +264,10 @@ class _TreeBuilder:
         self.ntid: list[int] = []  # tag id computed at insert time
         # fast-path flag: no svg/math seen → foreign dispatch skipped
         self.has_foreign = False
+        # WHATWG frameset-ok flag: gates <frameset> replacing the body
+        self.frameset_ok = True
+        # WHATWG form element pointer: non-null → nested <form> ignored
+        self.form_ptr = -1
         self._ap_type = self.ntype.append
         self._ap_tag = self.ntag.append
         self._ap_attrs = self.nattrs.append
@@ -342,8 +370,15 @@ class _TreeBuilder:
         return self.stack[-1] if self.stack else 0
 
     def _insert_target(self) -> tuple[int, int]:
-        """(parent, before_table_child) honoring foster parenting."""
-        if self.foster:
+        """(parent, before_table_child) honoring foster parenting.
+
+        Foster applies only while the CURRENT node is table context —
+        with a foster-inserted element already open (e.g.
+        <table><b><em>), subsequent insertions nest inside it normally
+        (WHATWG 'appropriate place for inserting a node')."""
+        if self.foster and self.ntag[self._current()] in (
+            "table", "tbody", "tfoot", "thead", "tr",
+        ):
             for k in range(len(self.stack) - 1, -1, -1):
                 if self.ntag[self.stack[k]] == "table":
                     tbl = self.stack[k]
@@ -524,6 +559,8 @@ class _TreeBuilder:
                     self.ntype[prev] = TEXT
                 return
         ws = (not rawtextual) and not decoded.strip(_WS)
+        if not ws and not rawtextual:
+            self.frameset_ok = False
         # inlined node creation (hot path)
         nid = len(self.ntype)
         self._ap_type(WHITESPACE if ws else TEXT)
@@ -840,6 +877,9 @@ class _TreeBuilder:
             if tag == "frameset":
                 self.mode = IN_FRAMESET
                 return
+            if tag == "colgroup":
+                self.mode = IN_COLGROUP
+                return
             if tag == "head":
                 self.mode = IN_HEAD
                 return
@@ -993,14 +1033,27 @@ class _TreeBuilder:
         if mode == IN_SELECT:
             self._insert_text(_decode(raw), start, end, reconstruct=False)
             return
+        if mode == IN_COLGROUP:
+            stripped = raw.lstrip(_WS)
+            k = len(raw) - len(stripped)
+            if k:
+                self._insert_text(raw[:k], start, start + k)
+            if stripped:
+                if self.stack and self.ntag[self._current()] == "colgroup":
+                    self._close_implied(self.stack.pop(), start + k)
+                self.mode = IN_TABLE
+                self.handle_chars(stripped, start + k)
+            return
         if mode == IN_FRAMESET or mode == AFTER_FRAMESET:
             ws = "".join(c for c in raw if c in _WS_SET)
             if len(ws) != len(raw):
                 self._err("text-in-frameset", start)
             if ws:
-                self._insert_text(ws, start, start + len(ws))
+                # stale AFE entries from a frameset takeover must NOT
+                # reconstruct inside the frameset
+                self._insert_text(ws, start, start + len(ws), reconstruct=False)
             return
-        if mode == AFTER_BODY:
+        if mode == AFTER_BODY or mode == AFTER_AFTER_BODY:
             if not all(c in _WS_SET for c in raw):
                 self._err("unexpected-character", start)
                 self.mode = IN_BODY
@@ -1097,6 +1150,19 @@ class _TreeBuilder:
             return self._start_in_table(name, attrs, self_closing, t0, t1)
         if mode == IN_SELECT:
             return self._start_in_select(name, attrs, self_closing, t0, t1)
+        if mode == IN_COLGROUP:
+            if name == "col":
+                self._insert_element(name, attrs, t0, t1, push=False)
+                return None
+            if name == "html":
+                self._err("unexpected-start-tag", t0)
+                self._merge_root_attrs(self.html_id, attrs)
+                return None
+            # anything else: close the colgroup, reprocess in table
+            if self.stack and self.ntag[self._current()] == "colgroup":
+                self._close_implied(self.stack.pop(), t0)
+            self.mode = IN_TABLE
+            return self.handle_start(name, attrs, self_closing, t0, t1)
         if mode == IN_FRAMESET:
             if name == "frameset":
                 self._insert_element(name, attrs, t0, t1)
@@ -1119,7 +1185,7 @@ class _TreeBuilder:
                 self._merge_root_attrs(self.html_id, attrs)
             self._err("unexpected-start-tag-after-frameset", t0)
             return None
-        if mode == AFTER_BODY:
+        if mode == AFTER_BODY or mode == AFTER_AFTER_BODY:
             self._err("unexpected-start-tag", t0)
             self.mode = IN_BODY
             return self.handle_start(name, attrs, self_closing, t0, t1)
@@ -1142,10 +1208,9 @@ class _TreeBuilder:
                 self._pop_until("optgroup", t0)
             self._insert_element(name, attrs, t0, t1)
             return None
-        if name == "hr":
-            if self.ntag[self._current()] in ("option", "optgroup"):
-                self._pop_until(self.ntag[self._current()], t0)
-            self._insert_element(name, attrs, t0, t1, push=False)
+        if name == "html":
+            self._err("unexpected-start-tag-in-select", t0)
+            self._merge_root_attrs(self.html_id, attrs)
             return None
         if name in ("select", "input", "keygen", "textarea"):
             # parse error: close the select, reprocess (except a
@@ -1186,21 +1251,22 @@ class _TreeBuilder:
                 self._merge_root_attrs(self.body_id, attrs)
             return None
         if name == "frameset":
-            # spec gates on frameset-ok; approximated as "body still
-            # empty": the body node is RENAMED in place (tree shape
-            # matches the spec's remove-body-insert-frameset, without
-            # orphaning a node from the preorder store)
+            # WHATWG in-body frameset: gated on the frameset-ok flag;
+            # the body element is DETACHED — its subtree is discarded
+            # from the document (finalize drops unreachable nodes)
             b = self.body_id
-            if b >= 0 and not self.nchildren[b] and self.stack and self.stack[-1] == b:
-                self.ntag[b] = "frameset"
-                self.ntid[b] = TAG_IDS.get("frameset", TAG_UNKNOWN)
-                if attrs:
-                    self.nattrs[b] = dict(attrs)
-                base = 6 * b
-                self.nspan[base + 2], self.nspan[base + 3] = t0, t1
-                self.nspan[base + 0] = t0
+            if b >= 0 and self.frameset_ok and self.nparent[b] >= 0:
+                self._detach(b)
+                while self.stack and self.stack[-1] != self.html_id:
+                    self._close_implied(self.stack.pop(), t0)
+                nid = self._new_node(
+                    ELEMENT, "frameset", attrs, "", t0, self.n, t0, t1, self.n, self.n
+                )
+                self._attach(nid, self.html_id)
+                self.stack.append(nid)
                 self.body_id = -1
                 self.mode = IN_FRAMESET
+                self.preorder_ok = False  # orphaned body subtree
             else:
                 self._err("unexpected-frameset", t0)
             return None
@@ -1280,11 +1346,21 @@ class _TreeBuilder:
                 and name not in HEADINGS
                 and name not in VOID_ELEMENTS
                 and name not in RAWTEXT_ELEMENTS
-                and name not in ("li", "dd", "dt", "option", "optgroup", "template", "textarea")
+                and name not in ("li", "dd", "dt", "template", "textarea")
             )
         ):
             self._reconstruct_formatting()
 
+        if name == "form":
+            if self.form_ptr >= 0:
+                self._err("nested-form-ignored", t0)
+                return None
+            if self.open_p > 0 and self._in_scope("p", _BUTTON_SCOPE):
+                self._pop_until("p", t0)
+            self.form_ptr = self._insert_element(name, attrs, t0, t1)
+            return None
+        if name in _FRAMESET_BREAKERS:
+            self.frameset_ok = False
         if name in ("applet", "marquee", "object"):
             # formatting-scope marker containers (WHATWG in-body rule)
             self._insert_element(name, attrs, t0, t1)
@@ -1379,10 +1455,17 @@ class _TreeBuilder:
             if name == "colgroup":
                 self._clear_to_table_context(("table",), t0)
                 self._insert_element(name, attrs, t0, t1)
+                self.mode = IN_COLGROUP
                 return None
             if name == "col":
-                self._insert_element(name, attrs, t0, t1, push=False)
-                return None
+                # implied <colgroup> (spec: reprocess in in-column-group)
+                self._clear_to_table_context(("table",), t0)
+                nid = self._new_node(ELEMENT, "colgroup", {}, "", t0, self.n, t0, t0, self.n, self.n)
+                parent, before = self._insert_target()
+                self._attach(nid, parent, before)
+                self.stack.append(nid)
+                self.mode = IN_COLGROUP
+                return self.handle_start(name, attrs, self_closing, t0, t1)
             if name == "table":
                 self._err("unexpected-start-tag-in-table", t0)
                 self._pop_until("table", t0)
@@ -1393,7 +1476,8 @@ class _TreeBuilder:
                 return "rawtext"
             if name == "form":
                 self._err("unexpected-start-tag-in-table", t0)
-                self._insert_element(name, attrs, t0, t1, push=False)
+                if self.form_ptr < 0:
+                    self.form_ptr = self._insert_element(name, attrs, t0, t1, push=False)
                 return None
             # anything else: foster-parented in-body processing
             self._err("unexpected-start-tag-in-table", t0)
@@ -1520,12 +1604,34 @@ class _TreeBuilder:
                 else:
                     self._err("unexpected-end-tag-after-frameset", t0)
                 return
+            if mode == IN_COLGROUP:
+                if name == "colgroup":
+                    if self.stack and self.ntag[self._current()] == "colgroup":
+                        self._pop_until("colgroup", t0, t0, t1)
+                        self.mode = IN_TABLE
+                    else:
+                        self._err("unexpected-end-tag", t0)
+                    return
+                if name == "col":
+                    self._err("unexpected-end-tag", t0)
+                    return
+                if self.stack and self.ntag[self._current()] == "colgroup":
+                    self._close_implied(self.stack.pop(), t0)
+                self.mode = IN_TABLE
+                self._end_html(name, t0, t1)
+                return
+            if mode == AFTER_AFTER_BODY:
+                self._err("unexpected-end-tag", t0)
+                self.mode = IN_BODY
+                self._end_html(name, t0, t1)
+                return
             if mode == AFTER_BODY:
                 if name == "html":
                     if self.html_id >= 0:
                         base = 6 * self.html_id
                         self.nspan[base + 4], self.nspan[base + 5] = t0, t1
                         self.nspan[base + 1] = t1
+                        self.mode = AFTER_AFTER_BODY
                     return
                 self._err("unexpected-end-tag", t0)
                 self.mode = IN_BODY
@@ -1610,6 +1716,42 @@ class _TreeBuilder:
             else:
                 self._err("unexpected-end-tag", t0)
             return
+        if name == "form":
+            # spec form end rule: the form POINTER's element is REMOVED
+            # from the stack IN PLACE — elements above it stay open
+            # (they remain its children in the tree)
+            stk = self.stack
+            nid = self.form_ptr
+            self.form_ptr = -1
+            if nid >= 0 and nid in stk and self._node_in_scope(nid):
+                while stk[-1] != nid and self.ntag[stk[-1]] in _IMPLIED_END:
+                    self._close_implied(stk.pop(), t0)
+                if stk[-1] != nid:
+                    self._err("unexpected-end-tag", t0)
+                del stk[stk.index(nid)]
+                base = 6 * nid
+                self.nspan[base + 4], self.nspan[base + 5] = t0, t1
+                self.nspan[base + 1] = t1
+                return
+            self._err("unexpected-end-tag", t0)
+            return
+        if name in ("li", "dd", "dt"):
+            # list-item end rule: implied end tags except self, then pop
+            # through the element (li uses list-item scope)
+            extra = frozenset({"ul", "ol"}) if name == "li" else frozenset()
+            if self._in_scope(name, extra):
+                self._pop_until(name, t0, t0, t1)
+            else:
+                self._err("unexpected-end-tag", t0)
+            return
+        if name in _BLOCK_END:
+            # block rule: implied end tags (p/li/dd/...) close, then pop
+            # through the element regardless of intermediates
+            if self._in_scope(name):
+                self._pop_until(name, t0, t0, t1)
+            else:
+                self._err("unexpected-end-tag", t0)
+            return
         # "any other end tag": walk the stack for a same-name HTML
         # element; a SPECIAL element found first aborts (token ignored)
         # instead of popping through it (WHATWG in-body any-other-end-tag)
@@ -1662,17 +1804,20 @@ class _TreeBuilder:
         if name in ("body", "html", "td", "th", "tr", "caption", "col", "colgroup"):
             self._err("unexpected-end-tag-in-table", t0)
             return
-        # anything else: try generic close above the table (e.g. a
-        # foster-parented element); ignore if not open
-        if self._stack_has(name):
-            self._pop_until(name, t0, t0, t1)
-            self._reset_mode()
-        else:
-            self._err("unexpected-end-tag-in-table", t0)
+        # anything else (spec "in table" fallthrough): process using the
+        # in-body rules with foster parenting for any insertions (e.g. a
+        # stray </br> materializes a foster-parented <br>)
+        saved = self.mode
+        self.foster = True
+        self.mode = IN_BODY
+        self._end_html(name, t0, t1)
+        if self.mode == IN_BODY:
+            self.mode = saved
+        self.foster = False
 
     # ------------------------------------------------------------------
     def handle_comment(self, text, t0, t1) -> None:
-        if self.mode in (INITIAL, BEFORE_HTML):
+        if self.mode in (INITIAL, BEFORE_HTML, AFTER_AFTER_BODY):
             nid = self._new_node(COMMENT, "", None, text, t0, t1)
             self._attach(nid, 0)
             return
@@ -1742,7 +1887,10 @@ class _TreeBuilder:
             tag_start, tag_end = spans[:, 2], spans[:, 3]
             endtag_start, endtag_end = spans[:, 4], spans[:, 5]
         else:
-            # general path: DFS flatten to preorder
+            # general path: DFS flatten to preorder.  Only nodes
+            # reachable from the document survive — a detached subtree
+            # (e.g. the body discarded by a <frameset> takeover) is
+            # dropped here, so ``total`` shrinks to the reachable count.
             order_arr = np.empty(total, dtype=np.int64)
             subtree_end = np.empty(total, dtype=np.int32)
             new_id = np.empty(total, dtype=np.int64)
@@ -1765,7 +1913,11 @@ class _TreeBuilder:
                 kids = self.nchildren[bid]
                 for j in range(len(kids) - 1, -1, -1):
                     stack.append((kids[j], nid, j, False))
-            order = order_arr.tolist()
+            total = idx
+            subtree_end = subtree_end[:idx]
+            parent_new = parent_new[:idx]
+            iwp = iwp[:idx]
+            order = order_arr[:idx].tolist()
             ntype = np.array([self.ntype[b] for b in order], dtype=np.int8)
             ns_arr = np.array([self.nns[b] for b in order], dtype=np.int8)
             tag_id = np.array([self.ntid[b] for b in order], dtype=np.int16)
@@ -1773,7 +1925,7 @@ class _TreeBuilder:
             text = np.array([self.ntext[b] for b in order], dtype=object)
             attrs = np.empty(total, dtype=object)
             attrs[:] = [self.nattrs[b] for b in order]
-            spans = np.array(self.nspan, dtype=np.int64).reshape(total, 6)[order]
+            spans = np.array(self.nspan, dtype=np.int64).reshape(-1, 6)[order]
             src_start, src_end = spans[:, 0], spans[:, 1]
             tag_start, tag_end = spans[:, 2], spans[:, 3]
             endtag_start, endtag_end = spans[:, 4], spans[:, 5]

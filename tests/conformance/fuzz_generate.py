@@ -1,0 +1,106 @@
+"""Generate a deterministic random-tag-soup fuzz corpus and its golden
+trees from the public html5lib reference implementation (same
+provenance as generate.py; run with the py3.7 interpreter that vendors
+html5lib inside pip).
+
+Run:  /root/.pyenv/versions/3.7.16/bin/python tests/conformance/fuzz_generate.py
+
+Writes fuzz.dat (html5lib-tests format) next to this file.  The
+generator seeds Python's RNG with a constant, so the corpus is
+reproducible; regenerate after widening the alphabets.
+
+Alphabet notes (what the soup deliberately exercises):
+* misnested formatting + block tags → adoption agency paths
+* table parts in wrong contexts → foster parenting
+* select/option breakouts, li/dd/dt implied ends, headings
+* svg/math with integration points and breakout tags
+* entities (named/numeric/legacy), comments, bogus markup, CDATA
+* random attributes incl. duplicates and weird quoting
+Excluded (no html5lib-1.x support or engine-documented divergence):
+<template> (html5lib 1.x predates template support); <main> (html5lib
+1.0.1's 'special' category predates main's addition — the engine follows
+the modern spec where main IS special, e.g. as an adoption-agency
+furthest block); frameset tags
+(html5lib's tokenizer drops INTERNAL whitespace of mixed text chunks in
+frameset modes — a chunking artifact; the engine follows the modern
+per-character spec rule, covered by the authored frameset cases).
+"""
+
+import io
+import os
+import random
+import sys
+
+from generate import serialize  # same serializer conventions
+
+from pip._vendor import html5lib
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+START_TAGS = (
+    "div p span b i em strong a ul ol li dl dt dd h1 h2 h3 table tr td "
+    "th tbody thead tfoot caption colgroup col select option optgroup "
+    "button nobr small s u strike big font center address article "
+    "section nav aside figure blockquote pre code svg math mi mo "
+    "mtext ms circle rect text g foreignObject desc annotation-xml "
+    "applet marquee object br hr img input wbr area "
+    "head body html form label fieldset legend"
+).split()
+
+TEXTS = [
+    "x", "hello world", " ", "a&amp;b", "&lt;tag&gt;", "1 &notin; 2",
+    "&copy 2020", "T&#65;il", "fish & chips", "multi  space", "\n",
+    "tail&#x42;", "&unknown;", "", "word",
+]
+
+ATTRS = [
+    "", ' class="c1 c2"', ' id="x"', " disabled", ' href="h?a=1&b=2"',
+    ' title="a&amp;b"', " a=1 a=2", ' style="x:1"', " data-k=v",
+    ' encoding="text/html"', " viewbox='0 0 4 4'", ' q="un>usual"',
+]
+
+MISC = [
+    "<!-- c -->", "<!bogus>", "<?pi x>", "<![CDATA[cd&ta]]>", "</>",
+    "</nomatch>", "< notatag", "</ bogus>",
+]
+
+
+def soup(rng, n_tokens):
+    parts = []
+    open_stack = []
+    for _ in range(n_tokens):
+        r = rng.random()
+        if r < 0.35:
+            t = rng.choice(START_TAGS)
+            parts.append("<%s%s>" % (t, rng.choice(ATTRS)))
+            open_stack.append(t)
+        elif r < 0.55 and open_stack:
+            # close something — often NOT the innermost (misnesting)
+            t = rng.choice(open_stack[-4:])
+            parts.append("</%s>" % t)
+        elif r < 0.85:
+            parts.append(rng.choice(TEXTS))
+        else:
+            parts.append(rng.choice(MISC))
+    return "".join(parts)
+
+
+def main():
+    rng = random.Random(20260816)
+    out = []
+    n = 0
+    while n < 250:
+        data = soup(rng, rng.randint(4, 40))
+        if "\x00" in data or "plaintext" in data:
+            continue
+        doc = html5lib.parse(data, treebuilder="dom")
+        tree = serialize(doc)
+        out.append("#data\n%s\n#document\n%s\n" % (data, tree))
+        n += 1
+    with io.open(os.path.join(HERE, "fuzz.dat"), "w", encoding="utf-8") as f:
+        f.write("\n".join(out))
+    sys.stdout.write("wrote %d fuzz goldens\n" % n)
+
+
+if __name__ == "__main__":
+    main()
