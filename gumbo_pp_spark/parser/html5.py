@@ -379,13 +379,19 @@ class _TreeBuilder:
         if self.foster and self.ntag[self._current()] in (
             "table", "tbody", "tfoot", "thead", "tr",
         ):
-            for k in range(len(self.stack) - 1, -1, -1):
-                if self.ntag[self.stack[k]] == "table":
-                    tbl = self.stack[k]
-                    par = self.nparent[tbl]
-                    if par >= 0:
-                        return par, tbl
-                    break
+            return self._foster_spot()
+        return self._current(), -1
+
+    def _foster_spot(self) -> tuple[int, int]:
+        """The foster-parenting location: before the last open table
+        (in the table's parent), else the current node."""
+        for k in range(len(self.stack) - 1, -1, -1):
+            if self.ntag[self.stack[k]] == "table":
+                tbl = self.stack[k]
+                par = self.nparent[tbl]
+                if par >= 0:
+                    return par, tbl
+                break
         return self._current(), -1
 
     # -- scope ----------------------------------------------------------
@@ -767,13 +773,12 @@ class _TreeBuilder:
                 self._detach(last_node)
                 self._attach(last_node, clone)
                 last_node = clone
-            # step 14: common ancestor adopts last_node (foster-aware)
+            # step 14: common ancestor adopts last_node; foster is
+            # keyed on the OVERRIDE target (the common ancestor), not
+            # the stack current node
             self._detach(last_node)
             if self.ntag[ca] in ("table", "tbody", "tfoot", "thead", "tr"):
-                saved = self.foster
-                self.foster = True
-                parent, before = self._insert_target()
-                self.foster = saved
+                parent, before = self._foster_spot()
                 self._attach(last_node, parent, before)
             else:
                 self._attach(last_node, ca)
@@ -1321,9 +1326,14 @@ class _TreeBuilder:
                     self.stack.remove(a_entry[4])
                     self._close_implied(a_entry[4], t0)
         elif name == "nobr":
+            # spec order: reconstruct FIRST — a reconstructed <nobr>
+            # clone is then in scope and gets adoption-agency-closed
+            # before the new one opens
+            self._reconstruct_formatting()
             if self._in_scope("nobr"):
                 self._err("unexpected-start-tag", t0)
                 self._adoption_agency("nobr", t0, t0)
+                self._reconstruct_formatting()
         elif name == "button":
             if self._in_scope("button"):
                 # spec: a nested <button> closes the open one first
@@ -1715,6 +1725,13 @@ class _TreeBuilder:
                 self._reset_mode()
             else:
                 self._err("unexpected-end-tag", t0)
+            return
+        if name == "table" and self._in_scope("caption", _TABLE_SCOPE):
+            # </table> while inside <caption> (approximated as in-body):
+            # close the caption, then let the table context handle it
+            self._pop_until("caption", t0)
+            self._reset_mode()
+            self.handle_end(name, t0, t1)
             return
         if name == "form":
             # spec form end rule: the form POINTER's element is REMOVED

@@ -85,6 +85,37 @@ def soup(rng, n_tokens):
     return "".join(parts)
 
 
+# adoption-agency torture profile: only formatting + special blocks,
+# heavy on misnested end tags — this wave flushed out the nobr
+# reconstruct ordering, the caption </table> rule, and a foster-target
+# bug in the adoption agency's common-ancestor insert
+FMT_TAGS = "b i em strong a font nobr small s u big tt code".split()
+FMT_BLOCKS = (
+    "div p li ul dd dt dl h1 h2 table td tr caption button object "
+    "marquee aside article"
+).split()
+
+
+def fmt_soup(rng, n_tokens):
+    parts = []
+    opened = []
+    for _ in range(n_tokens):
+        r = rng.random()
+        if r < 0.30:
+            t = rng.choice(FMT_TAGS)
+            parts.append("<%s>" % t)
+            opened.append(t)
+        elif r < 0.50:
+            t = rng.choice(FMT_BLOCKS)
+            parts.append("<%s>" % t)
+            opened.append(t)
+        elif r < 0.80 and opened:
+            parts.append("</%s>" % rng.choice(opened[-6:]))
+        else:
+            parts.append(rng.choice(("x", "y ", "&amp;", "1")))
+    return "".join(parts)
+
+
 def main():
     rng = random.Random(20260816)
     out = []
@@ -96,6 +127,12 @@ def main():
         doc = html5lib.parse(data, treebuilder="dom")
         tree = serialize(doc)
         out.append("#data\n%s\n#document\n%s\n" % (data, tree))
+        n += 1
+    rng2 = random.Random(777)
+    for _ in range(400):
+        data = fmt_soup(rng2, rng2.randint(5, 30))
+        doc = html5lib.parse(data, treebuilder="dom")
+        out.append("#data\n%s\n#document\n%s\n" % (data, serialize(doc)))
         n += 1
     with io.open(os.path.join(HERE, "fuzz.dat"), "w", encoding="utf-8") as f:
         f.write("\n".join(out))
