@@ -2188,7 +2188,11 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
             if raw:
                 tb._insert_text(raw, pos, n, rawtextual=True)
             break
-        if content_model in ("rawtext", "rcdata") and not self_closing:
+        # the self-closing flag is IGNORED on RCDATA/RAWTEXT elements
+        # (they are not void; the tokenizer still switches state) —
+        # foreign <script/> returns no content model, so svg icons with
+        # self-closed scripts are unaffected
+        if content_model in ("rawtext", "rcdata"):
             mclose = _rawtext_close_re(name).search(s, i)
             if mclose:
                 raw = s[i: mclose.start()]

@@ -380,3 +380,46 @@ class TestParseOptions:
         nt = parse_html("<div foo=1 foo=2>x</div>")
         assert nt.parse_errors == 1
         assert nt.error_records == [("duplicate-attribute", 0)]
+
+
+class TestSelfClosingRawtext:
+    """The self-closing flag is IGNORED on RCDATA/RAWTEXT elements —
+    the tokenizer still switches state (spec; found by fuzzing against
+    the html5lib reference)."""
+
+    def test_script_self_closing_swallows(self):
+        nt = parse_html("a<script/>x <b>not parsed</b>")
+        s = first(nt, nt.tag_name == "script")
+        assert nt.content_text(s) == "x <b>not parsed</b>"
+        assert (nt.tag_name == "b").sum() == 0
+
+    def test_textarea_self_closing_rcdata(self):
+        nt = parse_html("<textarea/>&amp;<i>raw</i>")
+        t = first(nt, nt.tag_name == "textarea")
+        assert nt.content_text(t) == "&<i>raw</i>"  # rcdata decodes refs
+
+    def test_foreign_script_self_closing_does_not_swallow(self):
+        # in SVG the self-closing flag IS honored and no rawtext starts
+        nt = parse_html("<svg><script/><circle/></svg>after")
+        assert (nt.tag_name == "circle").sum() == 1
+        body = first(nt, nt.tag_name == "body")
+        assert nt.content_text(body) == "after"
+
+
+class TestForeignSpecialEndTags:
+    """Modern-spec semantics the html5lib 1.x oracle gets wrong (its
+    special category lacks namespaced foreign entries): an end tag for
+    a foreign special element processed through the HTML 'any other end
+    tag' rules is IGNORED at the special check."""
+
+    def test_mtext_end_over_html_content_ignored(self):
+        # ACN is the HTML <font> (mtext is a text integration point);
+        # </mtext> dispatches to HTML rules, hits the special mtext → ignored
+        nt = parse_html("<math><mtext><font>x</mtext>y</font></math>")
+        f = first(nt, nt.tag_name == "font")
+        assert nt.content_text(f) == "xy"  # font stayed open
+
+    def test_foreignobject_end_over_html_block_ignored(self):
+        nt = parse_html("<svg><foreignObject><div>x</foreignObject>y</div></svg>")
+        d = first(nt, nt.tag_name == "div")
+        assert nt.content_text(d) == "xy"
