@@ -927,6 +927,7 @@ class _TreeBuilder:
         self._insert_text(_decode(raw), start, start + len(raw), reconstruct=False)
 
     def _foreign_start(self, name, attrs, self_closing, t0, t1) -> str | None:
+        self.skip_newline = False
         if name in FOREIGN_BREAKOUT or (
             name == "font" and ({"color", "face", "size"} & attrs.keys())
         ):
@@ -959,6 +960,7 @@ class _TreeBuilder:
         return None
 
     def _foreign_end(self, name, t0, t1) -> None:
+        self.skip_newline = False
         stk = self.stack
         if stk and self.ntag[stk[-1]].lower() != name:
             self._err("unexpected-end-tag", t0)
@@ -1026,7 +1028,10 @@ class _TreeBuilder:
                 "table", "tbody", "tfoot", "thead", "tr",
             )
             if all(c in _WS_SET for c in raw):
-                self._insert_text(raw, start, end)
+                # in-table whitespace: inserted without formatting
+                # reconstruction (the in-body anything-else path, which
+                # DOES reconstruct, is only for non-space text)
+                self._insert_text(raw, start, end, reconstruct=False)
             elif not in_table_ctx:
                 self._insert_text(_decode(raw), start, end)
             else:
@@ -1081,6 +1086,11 @@ class _TreeBuilder:
     def _start_html(self, name, attrs, self_closing, t0, t1) -> str | None:
         """HTML-content start-tag rules.  Returns 'rawtext'/'rcdata' if
         the tokenizer must switch content model, else None."""
+        # the <pre>/<listing>/<textarea> newline-skip applies only to
+        # the IMMEDIATELY following token (spec: "if the NEXT token is
+        # a U+000A character token"); pre/listing/textarea re-set it
+        # after their own dispatch below
+        self.skip_newline = False
         mode = self.mode
         if mode == IN_BODY or mode == IN_CELL:  # hot path first
             return self._start_in_body(name, attrs, self_closing, t0, t1)
@@ -1544,6 +1554,7 @@ class _TreeBuilder:
 
     # ------------------------------------------------------------------
     def _end_html(self, name, t0, t1) -> None:
+        self.skip_newline = False
         mode = self.mode
         if mode != IN_BODY and mode != IN_CELL:  # hot path guard
             if mode in (INITIAL, BEFORE_HTML, BEFORE_HEAD):
@@ -1834,6 +1845,7 @@ class _TreeBuilder:
 
     # ------------------------------------------------------------------
     def handle_comment(self, text, t0, t1) -> None:
+        self.skip_newline = False
         if self.mode in (INITIAL, BEFORE_HTML, AFTER_AFTER_BODY):
             nid = self._new_node(COMMENT, "", None, text, t0, t1)
             self._attach(nid, 0)
@@ -1847,6 +1859,7 @@ class _TreeBuilder:
         self._attach(nid, parent, before)
 
     def handle_cdata(self, text, t0, t1) -> None:
+        self.skip_newline = False
         parent, before = self._insert_target()
         nid = self._new_node(CDATA, "", None, text, t0, t1)
         self._attach(nid, parent, before)
