@@ -2161,11 +2161,22 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
                 pos += 1
                 continue
             am = _ATTR_NAME_RE.match(s, pos)
-            if not am:
+            if am:
+                aname = am.group(0).lower()
+                pos = am.end()
+            elif ch == "=":
+                # spec 'before attribute name' with '=': parse error;
+                # the new attribute's NAME starts with the equals sign
+                m2 = _ATTR_NAME_RE.match(s, pos + 1)
+                if m2:
+                    aname = "=" + m2.group(0).lower()
+                    pos = m2.end()
+                else:
+                    aname = "="
+                    pos += 1
+            else:
                 pos += 1
                 continue
-            aname = am.group(0).lower()
-            pos = am.end()
             while pos < n and s[pos] in _WS_SET:
                 pos += 1
             aval = ""
