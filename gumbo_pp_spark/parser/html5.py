@@ -1122,6 +1122,12 @@ class _TreeBuilder:
             self._ensure_head(t0)
             return self.handle_start(name, attrs, self_closing, t0, t1)
         if mode == IN_HEAD:
+            if name == "html":
+                # merge attributes; the head STAYS open (in-head html
+                # start tag is handled by the in-body rule in place)
+                self._err("unexpected-start-tag", t0)
+                self._merge_root_attrs(self.html_id, attrs)
+                return None
             if name in ("base", "basefont", "bgsound", "link", "meta"):
                 self._insert_element(name, attrs, t0, t1, push=False)
                 return None
@@ -1159,6 +1165,26 @@ class _TreeBuilder:
                 if name == "html":
                     self._merge_root_attrs(self.html_id, attrs)
                 return None
+            if name in (
+                "base", "basefont", "bgsound", "link", "meta",
+                "noframes", "script", "style", "template", "title",
+            ):
+                # spec "after head": parse error; push the head back on
+                # the stack, process per in-head, remove it again (for
+                # RCDATA/RAWTEXT the matching end tag removes it)
+                self._err("unexpected-start-tag-after-head", t0)
+                self.stack.append(self.head_id)
+                if name in ("base", "basefont", "bgsound", "link", "meta"):
+                    self._insert_element(name, attrs, t0, t1, push=False)
+                    self.stack.pop()
+                    return None
+                if name == "template":
+                    nid = self._insert_element(name, attrs, t0, t1)
+                    self.ntype[nid] = TEMPLATE
+                    self.mode = IN_HEAD
+                    return None
+                self._insert_element(name, attrs, t0, t1)
+                return "rcdata" if name == "title" else "rawtext"
             self._ensure_body(t0)
             return self.handle_start(name, attrs, self_closing, t0, t1)
         if mode in _TABLE_MODES:
@@ -1201,6 +1227,11 @@ class _TreeBuilder:
             self._err("unexpected-start-tag-after-frameset", t0)
             return None
         if mode == AFTER_BODY or mode == AFTER_AFTER_BODY:
+            if name == "html":
+                # merge attributes WITHOUT leaving the after-body state
+                self._err("unexpected-start-tag", t0)
+                self._merge_root_attrs(self.html_id, attrs)
+                return None
             self._err("unexpected-start-tag", t0)
             self.mode = IN_BODY
             return self.handle_start(name, attrs, self_closing, t0, t1)
@@ -1581,6 +1612,12 @@ class _TreeBuilder:
                 if name in ("body", "html", "br"):
                     self._ensure_body(t0)
                     self._end_html(name, t0, t1)
+                    return
+                if name in ("title", "noframes", "script", "style"):
+                    # closes an after-head re-entered head element
+                    self._pop_until(name, t0, t0, t1)
+                    if self.stack and self.stack[-1] == self.head_id:
+                        self.stack.pop()
                     return
                 self._err("unexpected-end-tag", t0)
                 return

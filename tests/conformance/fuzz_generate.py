@@ -116,6 +116,47 @@ def fmt_soup(rng, n_tokens):
     return "".join(parts)
 
 
+# entity/attribute torture profile (wave 5): malformed references,
+# '='-prefixed attribute names, duplicate/quote-mangled attributes
+ENTS = ["&amp;", "&amp", "&AMP;", "&notin;", "&not;", "&notit;", "&copy",
+        "&copy;x", "&#65;", "&#65", "&#x41;", "&#X41", "&#0;",
+        "&#x110000;", "&#128;", "&#xD800;", "&nbsp", "&nbsp;", "&ampx",
+        "&a", "&;", "&#;", "&#x;", "& x", "&lt", "&LT;", "&GT"]
+EATTRS = ['a="&amp;"', 'a="&not;b"', 'a="&notb"', "a=&copy", "a='&#65'",
+          'href="?x=1&lang=2"', 'href="?a=1&not=2"', 'a="&curren"',
+          "a=&curren;y", 'a="&ampy"', "a = 'q'", "a  =  b", "=x", "a==b",
+          "'q'", 'a="x" a=y']
+
+
+def ent_soup(rng, n_tokens):
+    parts = []
+    for _ in range(n_tokens):
+        r = rng.random()
+        if r < 0.5:
+            parts.append(rng.choice(ENTS))
+        elif r < 0.75:
+            parts.append("<p %s>" % rng.choice(EATTRS))
+        elif r < 0.9:
+            parts.append(rng.choice(("x", " ", "</p>", "<b>", "</b>")))
+        else:
+            parts.append("<span %s %s>" % (rng.choice(EATTRS), rng.choice(EATTRS)))
+    return "".join(parts)
+
+
+# head/doctype/comment structure profile (wave 6)
+HEADY = ["<!DOCTYPE html>", "<!doctype HTML>", "<!DOCTYPE other>",
+         "<!-- c -->", "<!--", "<!---->", "<!--x--x-->", "<head>",
+         "</head>", "<meta charset='u'>", "<title>t</title>",
+         "<style>s</style>", "<base href='b'>", "<body>", "</body>",
+         "</html>", "<html lang='e'>", " ", "\n", "x", "<link rel='r'>",
+         "<script>j</script>", "<noscript><p>n</p></noscript>",
+         "<bgsound>", "<p>b</p>", "<!-- unclosed", "<![CDATA[c]]>", "<?pi>"]
+
+
+def head_soup(rng, n_tokens):
+    return "".join(rng.choice(HEADY) for _ in range(n_tokens))
+
+
 def main():
     rng = random.Random(20260816)
     out = []
@@ -131,6 +172,18 @@ def main():
     rng2 = random.Random(777)
     for _ in range(400):
         data = fmt_soup(rng2, rng2.randint(5, 30))
+        doc = html5lib.parse(data, treebuilder="dom")
+        out.append("#data\n%s\n#document\n%s\n" % (data, serialize(doc)))
+        n += 1
+    rng3 = random.Random(555)
+    for _ in range(300):
+        data = ent_soup(rng3, rng3.randint(3, 12))
+        doc = html5lib.parse(data, treebuilder="dom")
+        out.append("#data\n%s\n#document\n%s\n" % (data, serialize(doc)))
+        n += 1
+    rng4 = random.Random(31415)
+    for _ in range(300):
+        data = head_soup(rng4, rng4.randint(2, 10))
         doc = html5lib.parse(data, treebuilder="dom")
         out.append("#data\n%s\n#document\n%s\n" % (data, serialize(doc)))
         n += 1
