@@ -627,10 +627,17 @@ class _TreeBuilder:
         if not afe:
             return
         stack = self.stack
-        # fast path: last entry open (or marker) → nothing to do
+        # fast path: last entry open (or marker) → nothing to do.
+        # Open formatting elements sit near the stack TOP — a reverse
+        # scan exits in O(1) typically (a forward `in` made repeated-
+        # formatting tag bombs quadratic).
         last = afe[-1]
-        if last is None or last[4] in stack:
+        if last is None:
             return
+        lid = last[4]
+        for x in reversed(stack):
+            if x == lid:
+                return
         # find first stale entry after the last marker/open entry
         i = len(afe) - 1
         while i > 0:
@@ -645,6 +652,26 @@ class _TreeBuilder:
             self._attach(nid, parent, before)
             self.stack.append(nid)
             afe[k][4] = nid
+
+    def _afe_push(self, entry: list) -> None:
+        """WHATWG 'Noah's Ark' clause: at most 3 entries with the same
+        tag name and attributes after the last marker — the earliest is
+        evicted.  Besides spec parity, this caps clone storms AND keeps
+        the reconstruction fast-path scan bounded on tag bombs
+        (10^4 unclosed <b> pages parse linearly instead of O(n^2))."""
+        afe = self.afe
+        count = 0
+        earliest = -1
+        for k in range(len(afe) - 1, -1, -1):
+            e = afe[k]
+            if e is None:
+                break
+            if e[0] == entry[0] and e[1] == entry[1]:
+                count += 1
+                earliest = k
+        if count >= 3:
+            del afe[earliest]
+        afe.append(entry)
 
     def _afe_remove(self, nid: int) -> None:
         for k in range(len(self.afe) - 1, -1, -1):
@@ -1441,7 +1468,7 @@ class _TreeBuilder:
             return None
         nid = self._insert_element(name, attrs, t0, t1)
         if name in _FORMATTING:
-            self.afe.append([name, attrs, t0, t1, nid])
+            self._afe_push([name, attrs, t0, t1, nid])
         if name == "table":
             self.mode = IN_TABLE
             return None

@@ -82,3 +82,25 @@ class TestSparkAdversarial:
         assert len(r.text) == 2000 * 300 * 4
         assert r.n_nodes > 4000
         assert len(r.spans) == 2000
+
+
+class TestTagBombs:
+    """Adversarial crawl pages must parse in linear time: the Noah's
+    Ark clause caps identical AFE entries and the reconstruction fast
+    path scans the stack from the top."""
+
+    def test_formatting_bomb_linear(self):
+        import time
+
+        from gumbo_pp_spark.parser.html5 import parse_html
+
+        src = "<b>" * 20000 + "x"
+        t0 = time.perf_counter()
+        nt = parse_html(src)
+        assert time.perf_counter() - t0 < 2.0  # was ~6s quadratic
+        assert nt.n == 20005
+        # Noah's Ark: reconstruction does not explode either
+        nt2 = parse_html("<b>" * 10 + "<p>x</p>y")
+        from gumbo_pp_spark.nodetable import TEXT
+        ys = [i for i in range(nt2.n) if nt2.text[i] == "y"]
+        assert ys
