@@ -2143,6 +2143,11 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
                     break  # EOF inside tag: token ignored
                 tb.handle_end(name, lt, gt + 1)
                 i = gt + 1
+            elif lt + 2 >= n:
+                # spec: '</' at EOF is a parse error emitted as TEXT
+                tb._err("eof-before-tag-name", lt)
+                tb.handle_chars("</", lt)
+                break
             elif s[lt + 2: lt + 3] == ">":
                 tb._err("empty-end-tag", lt)  # '</>' ignored entirely
                 i = lt + 3
@@ -2299,6 +2304,11 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
                 i = gt + 1
             else:
                 raw = s[i:]
+                if raw and tb.skip_newline:
+                    tb.skip_newline = False
+                    if raw.startswith("\n"):
+                        raw = raw[1:]
+                        i += 1
                 if raw:
                     decoded = _decode(raw) if content_model == "rcdata" else raw
                     tb._insert_text(decoded, i, n, rawtextual=True)

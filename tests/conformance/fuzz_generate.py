@@ -157,6 +157,20 @@ def head_soup(rng, n_tokens):
     return "".join(rng.choice(HEADY) for _ in range(n_tokens))
 
 
+# rawtext-close / CR-normalization profile (wave 7): found the
+# '</'-at-EOF text rule and the rawtext-at-EOF newline skip
+RAWTEXTY = ["<script>", "</script>", "</script >", "</script x=1>",
+            "</scriptx>", "</SCRIPT>", "<ScRiPt>", "<style>", "</style>",
+            "<title>", "</title>", "<textarea>", "</textarea>",
+            "</ script>", "x\r\ny", "a\rb", "\r", "\r\n",
+            "<pre>\r\nL</pre>", "<p\r\na=1>t</p>", "c</", "d<", "e</s",
+            "<xmp>", "</xmp>", "<!--\r\n-->", "<td a\r=\r'v'>", "no"]
+
+
+def rawtext_soup(rng, n_tokens):
+    return "".join(rng.choice(RAWTEXTY) for _ in range(n_tokens))
+
+
 def main():
     rng = random.Random(20260816)
     out = []
@@ -187,7 +201,14 @@ def main():
         doc = html5lib.parse(data, treebuilder="dom")
         out.append("#data\n%s\n#document\n%s\n" % (data, serialize(doc)))
         n += 1
-    with io.open(os.path.join(HERE, "fuzz.dat"), "w", encoding="utf-8") as f:
+    rng5 = random.Random(2718)
+    for _ in range(300):
+        data = rawtext_soup(rng5, rng5.randint(2, 9))
+        doc = html5lib.parse(data, treebuilder="dom")
+        out.append("#data\n%s\n#document\n%s\n" % (data, serialize(doc)))
+        n += 1
+    # newline='' preserves literal CR bytes in #data sections
+    with io.open(os.path.join(HERE, "fuzz.dat"), "w", encoding="utf-8", newline="") as f:
         f.write("\n".join(out))
     sys.stdout.write("wrote %d fuzz goldens\n" % n)
 

@@ -27,7 +27,7 @@ def load_goldens():
     for fn in sorted(os.listdir(CONF_DIR)):
         if not fn.endswith(".dat"):
             continue
-        with open(os.path.join(CONF_DIR, fn), encoding="utf-8") as f:
+        with open(os.path.join(CONF_DIR, fn), encoding="utf-8", newline="") as f:
             text = f.read()
         for block in text.split("#data\n"):
             if not block.strip():
