@@ -2161,9 +2161,34 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
             continue
         if c == "!":
             if s.startswith("<!--", lt):
+                # abruptly closed comments: '<!-->' and '<!--->'
+                if s.startswith(">", lt + 4):
+                    tb._err("abrupt-closing-of-empty-comment", lt)
+                    tb.handle_comment("", lt, lt + 5)
+                    i = lt + 5
+                    continue
+                if s.startswith("->", lt + 4):
+                    tb._err("abrupt-closing-of-empty-comment", lt)
+                    tb.handle_comment("", lt, lt + 6)
+                    i = lt + 6
+                    continue
                 close = s.find("-->", lt + 4)
+                bang = s.find("--!>", lt + 4)
+                if bang >= 0 and (close < 0 or bang < close):
+                    # '--!>' also closes a comment (parse error)
+                    tb._err("incorrectly-closed-comment", lt)
+                    tb.handle_comment(s[lt + 4: bang], lt, bang + 4)
+                    i = bang + 4
+                    continue
                 if close < 0:
-                    tb.handle_comment(s[lt + 4:], lt, n)
+                    # EOF in comment: pending end dashes (at most two)
+                    # are NOT part of the data
+                    raw = s[lt + 4:]
+                    if raw.endswith("--"):
+                        raw = raw[:-2]
+                    elif raw.endswith("-"):
+                        raw = raw[:-1]
+                    tb.handle_comment(raw, lt, n)
                     break
                 tb.handle_comment(s[lt + 4: close], lt, close + 3)
                 i = close + 3
