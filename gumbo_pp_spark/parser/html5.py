@@ -1724,7 +1724,9 @@ class _TreeBuilder:
                 return
         # IN_BODY / IN_CELL
         if name == "body":
-            if self.body_id >= 0:
+            # spec: ignored unless the body element is IN SCOPE (an
+            # open applet/marquee/object/td/... boundary blocks it)
+            if self.body_id >= 0 and self._node_in_scope(self.body_id):
                 # spec: do not pop; record the span, switch mode
                 base = 6 * self.body_id
                 self.nspan[base + 4], self.nspan[base + 5] = t0, t1
@@ -1734,11 +1736,13 @@ class _TreeBuilder:
                 self._err("unexpected-end-tag", t0)
             return
         if name == "html":
+            if not (self.body_id >= 0 and self._node_in_scope(self.body_id)):
+                self._err("unexpected-end-tag", t0)
+                return
             self.mode = AFTER_BODY
-            if self.body_id >= 0:
-                base = 6 * self.body_id
-                self.nspan[base + 1] = t0
-                self.nspan[base + 4] = self.nspan[base + 5] = t0
+            base = 6 * self.body_id
+            self.nspan[base + 1] = t0
+            self.nspan[base + 4] = self.nspan[base + 5] = t0
             self._end_html(name, t0, t1)
             return
         if mode == IN_CELL and name in ("td", "th"):
@@ -1784,7 +1788,11 @@ class _TreeBuilder:
                 self._pop_until(target, t0, t0, t1)
             return
         if name == "br":
+            # spec: </br> acts as a <br> START tag → reconstruct
+            # active formatting before inserting
             self._err("unexpected-end-tag", t0)
+            if self.afe:
+                self._reconstruct_formatting()
             self._insert_element("br", {}, t0, t1, push=False)
             return
         if name in ("applet", "marquee", "object"):
