@@ -214,6 +214,40 @@ def canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def sample_by_hash(df: DataFrame, rate_e4: int = 1000, key_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus sampling: keep a row iff the first 8 hex
+    digits of md5(key) fall under ``rate_e4``/10000 of the 32-bit
+    space.  Reproducible across engines and runs (no RNG), uniform in
+    the hash domain, and embarrassingly parallel — the standard way to
+    carve an evaluation slice out of a 10^12-row corpus."""
+    threshold = (rate_e4 * (1 << 32)) // 10000
+    return df.where(
+        F.expr(
+            f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), 1, 8), 16, 10) AS BIGINT) < {threshold}"
+        )
+    )
+
+
+def cap_per_host(df: DataFrame, cap: int = 3, host_col: str = "host",
+                 key_col: str = "doc_id") -> DataFrame:
+    """Per-host document cap: keep at most ``cap`` documents per host,
+    chosen deterministically by md5(key) order (tie-broken by key).
+    The standard anti-domination gate before training-corpus assembly —
+    without it one crawl-heavy host owns the token budget.  One
+    window shuffle keyed by host; salt the host first if a single host
+    is a hot key (plans/partitioning.salt_skewed_keys)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(host_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("host_rank", F.row_number().over(w))
+        .where(F.col("host_rank") <= cap)
+        .drop("host_rank")
+    )
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, ws_tokens, word_tokens) — whitespace tokenization plus
     a BPE-ish alnum-run count (regexp, JVM-side)."""

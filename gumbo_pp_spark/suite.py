@@ -626,6 +626,26 @@ def q_canonical_urls(spark, sf_dir):
     return T.canonical_urls(docs)
 
 
+def q_sample_by_hash(spark, sf_dir):
+    # deterministic 10% evaluation slice (md5-domain uniform, no RNG)
+    return T.sample_by_hash(
+        _docs(spark, sf_dir).select("doc_id", "n_chars"), rate_e4=1000
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+def q_cap_per_host(spark, sf_dir):
+    # anti-domination gate: at most 15 docs per host, deterministic pick
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "source || '.example.com' AS host"
+    )
+    return T.cap_per_host(docs, cap=15).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "host"
+    )
+
+
 def q_host_stats(spark, sf_dir):
     # host-level corpus stats over the pages table (the salting key's
     # real-world aggregation path)
@@ -776,6 +796,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": q_fingerprints,
     "token_counts": q_token_counts,
     "repetition_stats": q_repetition_stats,
+    "sample_by_hash": q_sample_by_hash,
+    "cap_per_host": q_cap_per_host,
     "dedup_paragraphs": q_dedup_paragraphs,
     "canonical_urls": q_canonical_urls,
     "host_stats": q_host_stats,
@@ -978,6 +1000,17 @@ ORACLES: dict[str, str] = {
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS fp_md5, "
         "list_aggregate(list_transform(generate_series(1, greatest(length(text) - 7, 1), 4), "
         "j -> md5(substr(text, j, 8))), 'min') AS fp_winnow FROM documents"
+    ),
+    "sample_by_hash": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars "
+        "FROM documents "
+        f"WHERE ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT < {(1000 * (1 << 32)) // 10000}"
+    ),
+    "cap_per_host": (
+        "WITH d AS (SELECT doc_id, source || '.example.com' AS host FROM documents), "
+        "r AS (SELECT doc_id, host, row_number() OVER "
+        "(PARTITION BY host ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rk FROM d) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, host FROM r WHERE rk <= 15"
     ),
     "repetition_stats": (
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
