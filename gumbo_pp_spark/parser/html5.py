@@ -423,6 +423,19 @@ class _TreeBuilder:
                 return False
         return False
 
+    def _in_table_scope(self, name: str) -> bool:
+        """'has element in TABLE scope' (boundaries: html, table,
+        template only)."""
+        for k in range(len(self.stack) - 1, -1, -1):
+            nid = self.stack[k]
+            tag = self.ntag[nid]
+            if self.nns[nid] == NS_HTML:
+                if tag == name:
+                    return True
+                if tag in ("html", "table", "template"):
+                    return False
+        return False
+
     def _is_foreign_boundary(self, nid: int) -> bool:
         """MathML text IPs + annotation-xml + SVG HTML IPs are scope
         boundaries AND 'special' category members."""
@@ -1661,6 +1674,18 @@ class _TreeBuilder:
                         self._reset_mode()
                     else:
                         self._err("unexpected-end-tag", t0)
+                    return
+                if name in (
+                    "caption", "table", "tbody", "tfoot", "thead", "tr", "td", "th",
+                ):
+                    # "in select in table" end tags: if the NAMED element
+                    # is in table scope, close the select and reprocess;
+                    # otherwise ignore (spec + html5lib scope check)
+                    self._err("unexpected-end-tag-in-select-in-table", t0)
+                    if self._in_table_scope(name):
+                        self._pop_until("select", t0)
+                        self._reset_mode()
+                        self._end_html(name, t0, t1)
                     return
                 self._err("unexpected-end-tag", t0)  # anything else: ignored
                 return
