@@ -115,45 +115,65 @@ def minhash_signatures(df: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _band_explode(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) from a signature table in ONE scan — the
+    band structs are built as an array literal and exploded, instead of
+    unioning N_BANDS separate selects (which re-scans the input per
+    band)."""
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(bd).alias("band"),
+                F.concat(F.col(f"mh{2 * bd}"), F.col(f"mh{2 * bd + 1}")).alias("bkey"),
+            )
+            for bd in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(structs).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bkey"
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, min_equal: int = 4, bucket_cap: int = 64) -> DataFrame:
     """MinHash banding: candidates share at least one band (2
     consecutive minhashes equal); survivors need ≥ ``min_equal`` of the
     8 minhashes equal (estimated Jaccard ≥ min_equal/8).
     Returns (a, b, n_eq).
 
-    Band buckets holding more than ``bucket_cap`` docs are dropped
-    before the self-join: a boilerplate-dominated bucket of 10^5 docs
-    would otherwise emit 10^10 candidate rows in one shuffle
-    partition.  A pair inside an over-full bucket is still found via
-    any of its other (non-degenerate) bands — the standard LSH
-    hot-bucket mitigation.
+    Band buckets holding more than ``bucket_cap`` docs are dropped:
+    a boilerplate-dominated bucket of 10^5 docs would otherwise emit
+    10^10 candidate rows in one shuffle partition.  A pair inside an
+    over-full bucket is still found via any of its other
+    (non-degenerate) bands — the standard LSH hot-bucket mitigation.
+    Dropped-bucket accounting (the repo's no-silent-caps rule) is the
+    companion query :func:`lsh_bucket_stats`.
+
+    Plan shape (one shuffle for candidates, vs three in the round-2
+    version that regressed the bench): bucket members are grouped by
+    (band, bkey) with ``collect_list`` — the cap is a ``size(ids)``
+    filter on the SAME aggregate, and within-bucket pairs are generated
+    JVM-side from the sorted array (``transform``/``slice``), so the
+    band-bucket self-join AND the separate cap groupBy+join disappear.
+    ``collect_list`` per bucket is bounded by the cap filter: an
+    over-full bucket costs at most its member list in one aggregation
+    buffer, never a pair explosion.
     """
     sig = minhash_signatures(df).cache()
-    bands = None
-    for bd in range(N_BANDS):
-        part = sig.select(
-            "doc_id",
-            F.lit(bd).alias("band"),
-            F.concat(F.col(f"mh{2 * bd}"), F.col(f"mh{2 * bd + 1}")).alias("bkey"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
-    small = (
-        bands.groupBy("band", "bkey")
-        .agg(F.count(F.lit(1)).alias("bn"))
-        .where(F.col("bn") <= bucket_cap)
-        .select("band", "bkey")
+    buckets = _band_explode(sig).groupBy("band", "bkey").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
-    bands = bands.join(small, ["band", "bkey"])
-    x = bands.alias("x")
-    y = bands.alias("y")
     cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bkey") == F.col("y.bkey"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        buckets.where((F.size("ids") >= 2) & (F.size("ids") <= bucket_cap))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS a_id, y AS b_id))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .select("p.a_id", "p.b_id")
         .distinct()
     )
     sa = sig.alias("sa")
@@ -170,6 +190,42 @@ def minhash_lsh_pairs(df: DataFrame, min_equal: int = 4, bucket_cap: int = 64) -
             eq.cast("bigint").alias("n_eq"),
         )
         .where(F.col("n_eq") >= min_equal)
+    )
+
+
+def lsh_bucket_stats(df: DataFrame, bucket_cap: int = 64) -> DataFrame:
+    """No-silent-caps accounting for :func:`minhash_lsh_pairs`: one row
+    (n_buckets, n_overfull, docs_in_overfull) so a pipeline can see how
+    much candidate mass the hot-bucket cap dropped.  At corpus scale
+    this is the monitoring query you alert on — a sudden jump in
+    ``docs_in_overfull`` means a new boilerplate template is flooding
+    the bands."""
+    sizes = _band_explode(minhash_signatures(df)).groupBy("band", "bkey").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    over = F.col("bn") > bucket_cap
+    return sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(over.cast("bigint")).cast("bigint").alias("n_overfull"),
+        F.sum(F.when(over, F.col("bn")).otherwise(F.lit(0))).cast("bigint").alias(
+            "docs_in_overfull"
+        ),
+    )
+
+
+def shingle_df_stats(df: DataFrame, df_cap: int = 64) -> DataFrame:
+    """No-silent-caps accounting for :func:`ngram_jaccard_pairs`: one
+    row (n_shingles, n_capped, postings_capped) — how many distinct
+    shingles (and exploded postings) the document-frequency cap removed
+    from the join universe."""
+    freq = shingles(df).groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    over = F.col("df") > df_cap
+    return freq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(over.cast("bigint")).cast("bigint").alias("n_capped"),
+        F.sum(F.when(over, F.col("df")).otherwise(F.lit(0))).cast("bigint").alias(
+            "postings_capped"
+        ),
     )
 
 

@@ -373,13 +373,12 @@ def explode_nodes(df: DataFrame, passthrough: tuple[str, ...] = ("doc_id",)) -> 
     def fn(batches):
         for rb in batches:
             htmls = rb.column(n_pt)
-            pt_vals: list[list] = [[] for _ in range(n_pt)]
+            counts = np.empty(rb.num_rows, dtype=np.int64)
             node_id, parent_id, subtree_end, ntype = [], [], [], []
             tag, ns, attrs, text, iwp, s0, s1 = [], [], [], [], [], [], []
             for row, raw in enumerate(htmls):
                 nt = parse_html(raw.as_py())
-                for j in range(n_pt):
-                    pt_vals[j].extend([rb.column(j)[row].as_py()] * nt.n)
+                counts[row] = nt.n
                 node_id.append(np.arange(nt.n, dtype=np.int32))
                 parent_id.append(nt.parent)
                 subtree_end.append(nt.subtree_end)
@@ -391,7 +390,11 @@ def explode_nodes(df: DataFrame, passthrough: tuple[str, ...] = ("doc_id",)) -> 
                 iwp.append(nt.index_within_parent)
                 s0.append(nt.src_start)
                 s1.append(nt.src_end)
-            cols = [pa.array(v) for v in pt_vals]
+            # passthrough replication: one Arrow take() per column with
+            # np.repeat'ed row indices — no per-row .as_py() loop, and
+            # the passthrough values never round-trip through Python.
+            rep_idx = pa.array(np.repeat(np.arange(rb.num_rows), counts))
+            cols = [rb.column(j).take(rep_idx) for j in range(n_pt)]
             cols += [
                 pa.array(np.concatenate(node_id) if node_id else np.array([], np.int32)),
                 pa.array(np.concatenate(parent_id) if parent_id else np.array([], np.int32)),

@@ -229,22 +229,36 @@ def sample_by_hash(df: DataFrame, rate_e4: int = 1000, key_col: str = "doc_id") 
 
 
 def cap_per_host(df: DataFrame, cap: int = 3, host_col: str = "host",
-                 key_col: str = "doc_id") -> DataFrame:
+                 key_col: str = "doc_id", salt_buckets: int = 16) -> DataFrame:
     """Per-host document cap: keep at most ``cap`` documents per host,
     chosen deterministically by md5(key) order (tie-broken by key).
     The standard anti-domination gate before training-corpus assembly —
-    without it one crawl-heavy host owns the token budget.  One
-    window shuffle keyed by host; salt the host first if a single host
-    is a hot key (plans/partitioning.salt_skewed_keys)."""
+    without it one crawl-heavy host owns the token budget.
+
+    Two-phase for skew safety (a plain ``row_number() over (partition
+    by host)`` puts a crawl-heavy host's ENTIRE row set into one sorted
+    task):
+
+    * phase 1 ranks within ``(host, pmod(xxhash64(key), salt_buckets))``
+      and keeps ≤ ``cap`` per salted group — a hot host is spread over
+      ``salt_buckets`` tasks, each bounded;
+    * phase 2 re-ranks the ≤ ``cap·salt_buckets`` survivors per host
+      exactly.  Every member of the true per-host top-``cap`` is also
+      in the top-``cap`` of its own salt bucket, so the answer is
+      IDENTICAL to the single-window form.
+    """
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(host_col).orderBy(
-        F.md5(F.col(key_col).cast("string")), F.col(key_col)
-    )
+    order = (F.md5(F.col(key_col).cast("string")), F.col(key_col))
+    salt = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(salt_buckets))
+    w1 = Window.partitionBy(F.col(host_col), salt).orderBy(*order)
+    w2 = Window.partitionBy(host_col).orderBy(*order)
     return (
-        df.withColumn("host_rank", F.row_number().over(w))
+        df.withColumn("salt_rank", F.row_number().over(w1))
+        .where(F.col("salt_rank") <= cap)
+        .withColumn("host_rank", F.row_number().over(w2))
         .where(F.col("host_rank") <= cap)
-        .drop("host_rank")
+        .drop("salt_rank", "host_rank")
     )
 
 

@@ -78,10 +78,14 @@ _ATTR_NAME_RE = re.compile(r"[^ \t\n\f\r/>=]+")
 _UNQUOTED_VAL_RE = re.compile(r"[^ \t\n\f\r>]*")
 _RAWTEXT_CLOSE_RES: dict[str, re.Pattern] = {}
 
-# whole-end-tag regex: one C-level call replaces name-match + find('>')
-# (an end tag's "attributes" are parsed and discarded per spec; the
-# naive [^>]* matches the char-stepper's historical behavior)
-_END_TAG_RE = re.compile(r"</([a-zA-Z][^\t\n\f\r />]*)[^>]*>")
+# whole-end-tag FAST-PATH regex: one C-level call for the overwhelming
+# common case `</name>` / `</name >` / `</name/>` (only whitespace or
+# solidi after the name).  End tags carrying attributes fall through to
+# _scan_end_tag_tail, which tokenizes them with the same quote-aware
+# scanner as start tags and discards them per spec (WHATWG §13.2.5.8;
+# gumbo src/tokenizer.c does the same) — so a '>' inside a quoted
+# attribute value does NOT terminate the tag.
+_END_TAG_RE = re.compile(r"</([a-zA-Z][^\t\n\f\r />]*)[ \t\n\f\r/]*>")
 
 # Insertion modes (subset of the WHATWG set sufficient for our corpus).
 (
@@ -157,6 +161,50 @@ def _rawtext_close_re(name: str) -> re.Pattern:
         pat = re.compile("</" + re.escape(name) + r"(?=[\t\n\f\r />]|$)", re.IGNORECASE)
         _RAWTEXT_CLOSE_RES[name] = pat
     return pat
+
+
+def _scan_end_tag_tail(s: str, pos: int, n: int) -> tuple[int, bool]:
+    """Tokenize (and discard) the attribute region of an END tag,
+    WHATWG §13.2.5.8: end-tag attributes use the start-tag attribute
+    states, so quoted values may contain '>' without closing the tag.
+    Returns (index just past the closing '>', had_attrs), or (-1,
+    had_attrs) on EOF-in-tag (token ignored per spec).  Only reached
+    when the _END_TAG_RE fast path failed, i.e. something other than
+    whitespace/solidus follows the tag name."""
+    had = False
+    while pos < n:
+        ch = s[pos]
+        if ch in _WS_SET or ch == "/":
+            pos += 1
+            continue
+        if ch == ">":
+            return pos + 1, had
+        am = _ATTR_NAME_RE.match(s, pos)
+        if am:
+            pos = am.end()
+            had = True
+        elif ch == "=":
+            m2 = _ATTR_NAME_RE.match(s, pos + 1)
+            pos = m2.end() if m2 else pos + 1
+            had = True
+        else:
+            pos += 1
+            continue
+        while pos < n and s[pos] in _WS_SET:
+            pos += 1
+        if pos < n and s[pos] == "=":
+            pos += 1
+            while pos < n and s[pos] in _WS_SET:
+                pos += 1
+            if pos < n and (s[pos] == '"' or s[pos] == "'"):
+                endq = s.find(s[pos], pos + 1)
+                if endq < 0:
+                    return -1, had
+                pos = endq + 1
+            else:
+                vm = _UNQUOTED_VAL_RE.match(s, pos)
+                pos = vm.end()
+    return -1, had
 
 
 def _decode(raw: str) -> str:
@@ -2169,13 +2217,18 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
                 continue
             m = _TAG_NAME_RE.match(s, lt + 2)
             if m:
+                # end tag with attributes: tokenize them quote-aware
+                # (and discard, per spec) so '</div a=">">' ends at the
+                # final '>' — a parse error, but the tag still closes
                 name = m.group(0).lower()
-                gt = s.find(">", m.end())
-                if gt < 0:
+                endpos, had_attrs = _scan_end_tag_tail(s, m.end(), n)
+                if endpos < 0:
                     tb._err("eof-in-end-tag", lt)
                     break  # EOF inside tag: token ignored
-                tb.handle_end(name, lt, gt + 1)
-                i = gt + 1
+                if had_attrs:
+                    tb._err("end-tag-with-attributes", lt)
+                tb.handle_end(name, lt, endpos)
+                i = endpos
             elif lt + 2 >= n:
                 # spec: '</' at EOF is a parse error emitted as TEXT
                 tb._err("eof-before-tag-name", lt)

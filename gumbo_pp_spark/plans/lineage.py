@@ -93,6 +93,11 @@ def extract_with_resume(
     # with max_splits_this_run or a sparse corpus vs n_splits) the
     # write leaves a schemaless empty dir and the read raises — commit
     # zero-row ledger records instead of crashing every future resume.
+    # The guard is structural (typed exception + "did the write emit
+    # any part files?"), not a message-substring match: Spark's error
+    # text varies across versions/error-class settings.
+    from pyspark.errors import AnalysisException
+
     try:
         stats = (
             spark.read.parquet(data_dir)
@@ -106,14 +111,29 @@ def extract_with_resume(
             )
             .collect()
         )
-    except Exception as exc:  # AnalysisException: unable to infer schema
-        if "infer schema" not in str(exc) and "PATH_NOT_FOUND" not in str(exc):
+    except AnalysisException:
+        wrote_parts = any(
+            fn.startswith("part-")
+            for _root, _dirs, files in os.walk(data_dir)
+            for fn in files
+        )
+        if wrote_parts:  # data exists but the read failed — a real error
             raise
         stats = []
     wall_ms = int((time.time() - t0) * 1000)
     by_split = {int(r["split_id"]): r for r in stats}
+    # Per-split wall attribution: all splits commit from ONE Spark job,
+    # so the only measured per-split times are the executor-side
+    # parse_us/kernel_us sums.  busy_ms is that measured work; wall_ms
+    # is the run's wall apportioned by busy share (splits with more
+    # work get more wall), so per-split wall is distinct and sums to
+    # the run wall instead of repeating it n_splits times.
+    total_busy = sum(
+        int(r["parse_us"]) + int(r["kernel_us"]) for r in stats
+    ) or 1
     for s in pending:
         r = by_split.get(s)
+        busy_us = (int(r["parse_us"]) + int(r["kernel_us"])) if r else 0
         ledger.commit(
             {
                 "split_id": s,
@@ -124,7 +144,9 @@ def extract_with_resume(
                 "parse_ms": int(r["parse_us"] / 1000) if r else 0,
                 "kernel_ms": int(r["kernel_us"] / 1000) if r else 0,
                 "parse_errors": int(r["parse_errors"]) if r else 0,
-                "wall_ms": wall_ms,
+                "busy_ms": busy_us // 1000,
+                "wall_ms": int(wall_ms * busy_us / total_busy),
+                "run_wall_ms": wall_ms,
                 "attempt": 1,
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }

@@ -106,6 +106,36 @@ def _duck_minhash_cte() -> str:
     )
 
 
+def _duck_lsh_stats_cte() -> str:
+    mh = ", ".join(
+        f"min(md5('{k}|' || sh)) AS mh{k}" for k in range(D.N_MINHASHES)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {bd} AS band, mh{2*bd} || mh{2*bd+1} AS bkey FROM sig"
+        for bd in range(D.N_BANDS)
+    )
+    return (
+        f"WITH {_DUCK_SHINGLES}, "
+        f"sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id), "
+        f"bands AS ({bands}), "
+        "sz AS (SELECT band, bkey, count(*) AS bn FROM bands GROUP BY band, bkey) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_buckets, "
+        "CAST(sum(CASE WHEN bn > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_overfull, "
+        "CAST(sum(CASE WHEN bn > 64 THEN bn ELSE 0 END) AS BIGINT) AS docs_in_overfull "
+        "FROM sz"
+    )
+
+
+_DUCK_SHINGLE_STATS = (
+    f"WITH {_DUCK_SHINGLES}, "
+    "f AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_shingles, "
+    "CAST(sum(CASE WHEN df > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped, "
+    "CAST(sum(CASE WHEN df > 64 THEN df ELSE 0 END) AS BIGINT) AS postings_capped "
+    "FROM f"
+)
+
+
 _DUCK_EXACT_TOPK = (
     "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
     "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm "
@@ -522,6 +552,17 @@ def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
 
+def q_lsh_bucket_stats(spark, sf_dir):
+    # no-silent-caps accounting for the minhash bucket_cap (how much
+    # candidate mass the hot-bucket drop removed)
+    return D.lsh_bucket_stats(_docs(spark, sf_dir), bucket_cap=64)
+
+
+def q_shingle_df_stats(spark, sf_dir):
+    # no-silent-caps accounting for the jaccard df_cap
+    return D.shingle_df_stats(_docs(spark, sf_dir), df_cap=64)
+
+
 def q_ann_cosine(spark, sf_dir):
     emb = _tbl(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
@@ -785,6 +826,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash,
+    "lsh_bucket_stats": q_lsh_bucket_stats,
+    "shingle_df_stats": q_shingle_df_stats,
     "simhash": q_simhash,
     "ann_cosine_topk": q_ann_cosine,
     "embedding_near_dup": q_embedding_near_dup,
@@ -930,6 +973,8 @@ ORACLES: dict[str, str] = {
         "WHERE 1.0 * shared / (sa.n_sh + sb.n_sh - shared) >= 0.5"
     ),
     "dedup_minhash_lsh": _duck_minhash_cte(),
+    "lsh_bucket_stats": _duck_lsh_stats_cte(),
+    "shingle_df_stats": _DUCK_SHINGLE_STATS,
     "simhash": _duck_simhash_sql(),
     "simhash_pairs": _duck_simhash_pairs_sql(),
     "ann_cosine_topk": _DUCK_EXACT_TOPK,

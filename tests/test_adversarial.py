@@ -94,11 +94,21 @@ class TestTagBombs:
 
         from gumbo_pp_spark.parser.html5 import parse_html
 
-        src = "<b>" * 20000 + "x"
-        t0 = time.perf_counter()
-        nt = parse_html(src)
-        assert time.perf_counter() - t0 < 2.0  # was ~6s quadratic
+        # Assert a SCALING RATIO, not a wall bound: this VM has bursty
+        # co-tenant CPU noise, so an absolute bound flakes even when
+        # the parse is linear.  10× the tags must cost well under the
+        # ~100× a quadratic parse would (generous 30× allows noise).
+        def timed(n):
+            src = "<b>" * n + "x"
+            t0 = time.perf_counter()
+            nt = parse_html(src)
+            return time.perf_counter() - t0, nt
+
+        timed(2000)  # warm-up (regex compile, allocator)
+        t_small, _ = timed(2000)
+        t_big, nt = timed(20000)
         assert nt.n == 20005
+        assert t_big < max(t_small, 1e-3) * 30  # was ~100x quadratic
         # Noah's Ark: reconstruction does not explode either
         nt2 = parse_html("<b>" * 10 + "<p>x</p>y")
         from gumbo_pp_spark.nodetable import TEXT

@@ -423,3 +423,32 @@ class TestForeignSpecialEndTags:
         nt = parse_html("<svg><foreignObject><div>x</foreignObject>y</div></svg>")
         d = first(nt, nt.tag_name == "div")
         assert nt.content_text(d) == "xy"
+
+
+class TestEndTagAttributes:
+    """End-tag attributes are tokenized with the start-tag attribute
+    states and discarded (WHATWG §13.2.5.8; gumbo src/tokenizer.c) —
+    a '>' inside a quoted value must NOT terminate the tag."""
+
+    def test_quoted_gt_in_end_tag_attr(self):
+        nt = parse_html('<div>x</div a=">">tail')
+        texts = [nt.text[i] for i in range(nt.n) if nt.text[i]]
+        assert texts == ["x", "tail"]  # no '">' garbage text node
+        assert ("end-tag-with-attributes", 6) in nt.error_records
+
+    def test_unquoted_end_tag_attr(self):
+        nt = parse_html("<p>a</p foo=bar>b")
+        texts = [nt.text[i] for i in range(nt.n) if nt.text[i]]
+        assert texts == ["a", "b"]
+
+    def test_end_tag_trailing_solidus_fast_path(self):
+        nt = parse_html("<p>a</p/>b")
+        texts = [nt.text[i] for i in range(nt.n) if nt.text[i]]
+        assert texts == ["a", "b"]
+        assert not nt.error_records
+
+    def test_eof_inside_quoted_end_tag_attr(self):
+        nt = parse_html('<div>x</div a="unterminated')
+        texts = [nt.text[i] for i in range(nt.n) if nt.text[i]]
+        assert texts == ["x"]  # token ignored at EOF
+        assert ("eof-in-end-tag", 6) in nt.error_records

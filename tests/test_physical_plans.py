@@ -64,3 +64,36 @@ class TestPlans:
         out = extract_main_text(spark.read.parquet(path))
         line = [ln for ln in plan_of(out).splitlines() if "ReadSchema" in ln][0]
         assert "html" in line and "text" not in line and "lang" not in line
+
+    def test_cap_per_host_first_window_salted(self, spark, docs):
+        # skew safety: phase-1 window must partition on (host, salt),
+        # never on host alone, so a crawl-heavy host spreads over
+        # salt_buckets bounded tasks before the exact phase-2 re-rank
+        from gumbo_pp_spark.operators.textstats import cap_per_host
+
+        d = docs.selectExpr("doc_id", "source || '.example.com' AS host")
+        plan = plan_of(cap_per_host(d, cap=3, salt_buckets=16))
+        import re
+
+        windows = re.findall(r"Window \[.*?windowspecdefinition\(([^)]*)\)", plan)
+        assert len(windows) >= 2, plan
+        # executed bottom-up: the LAST Window in the plan string is
+        # phase 1 — it must carry two partition keys (host + salt)
+        assert "pmod" in plan and "xxhash64" in plan
+        salted = [w for w in windows if "pmod" in w or "_w" in w]
+        assert salted, windows
+
+    def test_minhash_lsh_single_candidate_shuffle(self, spark, docs):
+        # round-3 plan fix: candidate generation is ONE groupBy
+        # (collect_list per bucket) — no band self-join, no separate
+        # cap groupBy+join; the only joins left are the two signature
+        # re-joins for the n_eq verification
+        from gumbo_pp_spark.operators.dedup import minhash_lsh_pairs
+
+        plan = plan_of(minhash_lsh_pairs(docs.selectExpr("doc_id", "text")))
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+        # exactly 2 joins (sa + sb); the round-2 shape had 4
+        import re
+
+        n_joins = len(re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|BroadcastNestedLoopJoin)", plan))
+        assert n_joins == 2, f"expected 2 joins, saw {n_joins}"

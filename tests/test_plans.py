@@ -156,3 +156,26 @@ class TestLedgerMetrics:
                 assert field in rec, field
         assert sum(r["rows"] for r in recs.values()) == 64
         assert sum(r["parse_ms"] for r in recs.values()) >= 0
+
+
+class TestPerSplitWall:
+    def test_distinct_per_split_wall(self, spark, tmp_path):
+        # round-3: per-split wall_ms is the run wall apportioned by the
+        # split's measured busy time (parse+kernel), so splits carry
+        # DISTINCT walls that sum to <= run wall — not n_splits copies
+        # of the same whole-run number
+        from gumbo_pp_spark.plans.lineage import PartitionLedger
+
+        out_dir = str(tmp_path / "w")
+        pages = synth_pages(spark, SF_SMOKE).limit(96)
+        extract_with_resume(spark, pages, out_dir, n_splits=4)
+        recs = PartitionLedger(f"{out_dir}/_ledger").committed()
+        assert len(recs) == 4
+        walls = [r["wall_ms"] for r in recs.values()]
+        busys = [r["busy_ms"] for r in recs.values()]
+        run_wall = next(iter(recs.values()))["run_wall_ms"]
+        assert all(r["run_wall_ms"] == run_wall for r in recs.values())
+        assert sum(walls) <= run_wall
+        # busy-proportional: the heaviest split gets the most wall
+        assert walls.index(max(walls)) == busys.index(max(busys))
+        assert len(set(walls)) > 1  # distinct attribution
