@@ -82,6 +82,14 @@ class NodeTable:
     # parse-error detail records [(code, offset), ...] — mirrors the
     # reference errors() vector (gumbo_node_iterator.h:247-249)
     error_records: list = field(default_factory=list)
+    # raw input bytes (when parsed from bytes) + the pre-normalization
+    # decoded string (only when CR normalization changed it) — feed the
+    # lazy decoded-offset → byte-offset map (gumbo's offsets are byte
+    # offsets into the raw buffer, gumbo_util.h:121-146)
+    raw: bytes | None = field(default=None, repr=False)
+    _prenorm: str | None = field(default=None, repr=False)
+    _byte_map: np.ndarray | None = field(default=None, repr=False)
+    _byte_map_built: bool = field(default=False, repr=False)
 
     _ctext_joined: str | None = field(default=None, repr=False)
     _ctext_off: np.ndarray | None = field(default=None, repr=False)
@@ -329,6 +337,28 @@ class NodeTable:
         lo[doc] = 0
         hi[doc] = len(self.source)
         return self.source, lo, hi, is_range
+
+    # -- byte-offset span contract ---------------------------------------
+    def byte_offsets(self, pos) -> np.ndarray:
+        """Map decoded-source offsets (``src_start``/``src_end`` space)
+        to BYTE offsets into the raw ``html`` bytes — gumbo's offset
+        model (gumbo_util.h:121-146).  Identity for ASCII/CR-free
+        pages; exact per-char mapping otherwise (parser/bytemap.py).
+        Accepts a scalar or array; returns int64."""
+        if not self._byte_map_built:
+            from .parser.bytemap import build_byte_map
+
+            raw = self.raw
+            if raw is None:
+                raw = (self._prenorm or self.source).encode("utf-8")
+                self.raw = raw
+            self._byte_map = build_byte_map(
+                raw, self._prenorm or self.source, len(self.source)
+            )
+            self._byte_map_built = True
+        if self._byte_map is None:
+            return np.asarray(pos, dtype=np.int64)
+        return self._byte_map[np.asarray(pos)]
 
     def node_start_offset(self, i: int) -> int:
         return int(self.src_start[i])

@@ -138,10 +138,12 @@ def main_text_program(nt: NodeTable) -> dict:
 
     SPAN OFFSET CONTRACT: ``start``/``end`` index the PARSER INPUT
     STRING — ``html.decode('utf-8', 'replace')`` with ``\\r\\n``/``\\r``
-    normalized to ``\\n`` (WHATWG input-stream preprocessing) — NOT the
-    raw bytes.  For ASCII pages without CR they coincide with byte
-    offsets; consumers slicing original bytes on a non-ASCII/CRLF page
-    must apply the same decode+normalize first."""
+    normalized to ``\\n`` (WHATWG input-stream preprocessing).
+    ``start_byte``/``end_byte`` are TRUE BYTE offsets into the raw
+    ``html`` binary (gumbo's offset model, gumbo_util.h:121-146) — a
+    consumer can slice the original bytes of a non-ASCII/CRLF page and
+    get the span's raw source (parser/bytemap.py).  On ASCII CR-free
+    pages the two coincide."""
     body_mask = nt.tag_id == _BODY_ID
     body = int(np.argmax(body_mask)) if body_mask.any() else -1
     lo, hi = (0, nt.n) if body < 0 else nt.subtree(body)
@@ -160,11 +162,13 @@ def main_text_program(nt: NodeTable) -> dict:
     tids = np.nonzero(keep & (t == TEXT))[0]
     par = nt.parent[tids]
     ptags = np.where(par >= 0, nt.tag_name[par], "")
+    s0a, s1a = nt.src_start[tids], nt.src_end[tids]
     spans = [
-        {"node_id": i, "tag": g, "start": s0, "end": s1}
-        for i, g, s0, s1 in zip(
-            tids.tolist(), ptags.tolist(),
-            nt.src_start[tids].tolist(), nt.src_end[tids].tolist(),
+        {"node_id": i, "tag": g, "start": s0, "end": s1,
+         "start_byte": b0, "end_byte": b1}
+        for i, g, s0, s1, b0, b1 in zip(
+            tids.tolist(), ptags.tolist(), s0a.tolist(), s1a.tolist(),
+            nt.byte_offsets(s0a).tolist(), nt.byte_offsets(s1a).tolist(),
         )
     ]
     return {
@@ -176,7 +180,8 @@ def main_text_program(nt: NodeTable) -> dict:
 
 
 MAIN_TEXT_FIELDS = (
-    "text string, spans array<struct<node_id:int,tag:string,start:bigint,end:bigint>>, "
+    "text string, spans array<struct<node_id:int,tag:string,start:bigint,end:bigint,"
+    "start_byte:bigint,end_byte:bigint>>, "
     "n_nodes int, parse_errors int"
 )
 
@@ -217,6 +222,8 @@ def extract_main_text(
             sp_tag: list[str] = []
             sp_start: list[np.ndarray] = []
             sp_end: list[np.ndarray] = []
+            sp_bstart: list[np.ndarray] = []
+            sp_bend: list[np.ndarray] = []
             sp_offsets = [0]
             for raw in htmls:
                 t0 = clk()
@@ -236,8 +243,13 @@ def extract_main_text(
                 texts.append("".join(nt.text[kids].tolist()))
                 tids = np.nonzero(keep & (t == TEXT))[0]
                 sp_node.append(tids.astype(np.int32))
-                sp_start.append(nt.src_start[tids])
-                sp_end.append(nt.src_end[tids])
+                s0a, s1a = nt.src_start[tids], nt.src_end[tids]
+                sp_start.append(s0a)
+                sp_end.append(s1a)
+                # byte offsets: identity (zero cost) on ASCII CR-free
+                # pages; exact vectorized gather otherwise
+                sp_bstart.append(nt.byte_offsets(s0a))
+                sp_bend.append(nt.byte_offsets(s1a))
                 sp_tag.extend(nt.tag_name[nt.parent[tids]].tolist())
                 sp_offsets.append(sp_offsets[-1] + len(tids))
                 nn.append(nt.n)
@@ -251,8 +263,10 @@ def extract_main_text(
                     pa.array(sp_tag, pa.string()),
                     pa.array(np.concatenate(sp_start) if sp_start else empty_i64),
                     pa.array(np.concatenate(sp_end) if sp_end else empty_i64),
+                    pa.array(np.concatenate(sp_bstart) if sp_bstart else empty_i64),
+                    pa.array(np.concatenate(sp_bend) if sp_bend else empty_i64),
                 ],
-                names=["node_id", "tag", "start", "end"],
+                names=["node_id", "tag", "start", "end", "start_byte", "end_byte"],
             )
             spans = pa.ListArray.from_arrays(pa.array(sp_offsets, pa.int32()), struct)
             cols = [rb.column(i) for i in range(n_pt)]
@@ -328,6 +342,10 @@ def select_first_program(
             return int(nt.src_start[i])
         if spec == "end":
             return int(nt.src_end[i])
+        if spec == "start_byte":
+            return int(nt.byte_offsets(int(nt.src_start[i])))
+        if spec == "end_byte":
+            return int(nt.byte_offsets(int(nt.src_end[i])))
         if spec == "inner_start":
             return int(nt.tag_end[i])
         if spec == "inner_end":
@@ -351,7 +369,8 @@ def select_first_program(
 NODES_FIELDS = (
     "node_id int, parent_id int, subtree_end int, node_type tinyint, "
     "tag string, ns tinyint, attrs map<string,string>, text string, "
-    "index_within_parent int, src_start bigint, src_end bigint"
+    "index_within_parent int, src_start bigint, src_end bigint, "
+    "src_start_byte bigint, src_end_byte bigint"
 )
 
 
@@ -376,9 +395,12 @@ def explode_nodes(df: DataFrame, passthrough: tuple[str, ...] = ("doc_id",)) -> 
             counts = np.empty(rb.num_rows, dtype=np.int64)
             node_id, parent_id, subtree_end, ntype = [], [], [], []
             tag, ns, attrs, text, iwp, s0, s1 = [], [], [], [], [], [], []
+            b0, b1 = [], []
             for row, raw in enumerate(htmls):
                 nt = parse_html(raw.as_py())
                 counts[row] = nt.n
+                b0.append(nt.byte_offsets(nt.src_start))
+                b1.append(nt.byte_offsets(nt.src_end))
                 node_id.append(np.arange(nt.n, dtype=np.int32))
                 parent_id.append(nt.parent)
                 subtree_end.append(nt.subtree_end)
@@ -407,10 +429,12 @@ def explode_nodes(df: DataFrame, passthrough: tuple[str, ...] = ("doc_id",)) -> 
                 pa.array(np.concatenate(iwp) if iwp else np.array([], np.int32)),
                 pa.array(np.concatenate(s0) if s0 else np.array([], np.int64)),
                 pa.array(np.concatenate(s1) if s1 else np.array([], np.int64)),
+                pa.array(np.concatenate(b0) if b0 else np.array([], np.int64)),
+                pa.array(np.concatenate(b1) if b1 else np.array([], np.int64)),
             ]
             names = [*(c for c, _ in pt_types), "node_id", "parent_id", "subtree_end",
                      "node_type", "tag", "ns", "attrs", "text", "index_within_parent",
-                     "src_start", "src_end"]
+                     "src_start", "src_end", "src_start_byte", "src_end_byte"]
             yield pa.RecordBatch.from_arrays(cols, names=names)
 
     pruned = df.select(*passthrough, "html")

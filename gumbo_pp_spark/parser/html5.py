@@ -2151,11 +2151,21 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
     ``stop_on_first_error`` is not implemented: the engine is always
     error-recovering, matching how the reference is exercised.
     """
+    raw_bytes = None
     if isinstance(source, (bytes, bytearray, memoryview)):
-        source = bytes(source).decode("utf-8", errors="replace")
-    # input-stream preprocessing: newline normalization
+        raw_bytes = bytes(source)
+        source = raw_bytes.decode("utf-8", errors="replace")
+    # input-stream preprocessing: newline normalization (keep the
+    # pre-normalization string only when it differs — it feeds the lazy
+    # byte-offset map, NodeTable.byte_offsets)
+    prenorm = None
     if "\r" in source:
+        prenorm = source
         source = source.replace("\r\n", "\n").replace("\r", "\n")
+        if len(prenorm) == len(source):
+            # lone-\r normalization is positionally 1:1 (char starts
+            # unchanged) — the byte map does not need the prenorm form
+            prenorm = None
     s = source
     n = len(s)
     fragment = None
@@ -2179,7 +2189,9 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
             decoded = _decode(s) if fragment[0] in RCDATA_ELEMENTS else s
             tb._insert_text(decoded, 0, n, rawtextual=True)
         tb.handle_eof()
-        return tb.finalize()
+        nt = tb.finalize()
+        nt.raw, nt._prenorm = raw_bytes, prenorm
+        return nt
     # hoisted hot-path bindings (the dispatch wrappers stay for
     # tree-builder-internal reprocessing; the tokenizer inlines them)
     sfind = s.find
@@ -2425,4 +2437,6 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
                     tb._insert_text(decoded, i, n, rawtextual=True)
                 i = n
     tb.handle_eof()
-    return tb.finalize()
+    nt = tb.finalize()
+    nt.raw, nt._prenorm = raw_bytes, prenorm
+    return nt

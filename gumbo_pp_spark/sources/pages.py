@@ -130,6 +130,26 @@ def synth_foreign_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr("doc_id", "CAST(encode(html_str, 'UTF-8') AS BINARY) AS html")
 
 
+# byte-span page family: non-ASCII (2-, 3- and 4-byte UTF-8) text plus
+# CRLF newlines — the pages where decoded offsets and byte offsets
+# DIVERGE, pinning the start_byte/end_byte span contract through the
+# DuckDB oracle (which recomputes byte offsets via octet_length of the
+# raw prefix and char offsets via the CRLF-normalized prefix)
+BYTESPAN_HTML_EXPR = (
+    "'<html><head><title>Béta ' || " + _ID + " || '</title></head>' || chr(13) || chr(10)"
+    " || '<body>' || chr(13) || chr(10)"
+    " || '<p class=\"bytes\">é€ ' || " + ESC_TEXT + " || ' 😀</p>' || chr(13) || chr(10)"
+    " || '</body></html>'"
+)
+
+
+def synth_bytespan_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_documents(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT doc_id, " + BYTESPAN_HTML_EXPR + " AS html_str FROM documents"
+    ).selectExpr("doc_id", "CAST(encode(html_str, 'UTF-8') AS BINARY) AS html")
+
+
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 

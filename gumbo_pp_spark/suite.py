@@ -25,7 +25,7 @@ from .operators.extract import (
     scrape_tables,
     select_first_program,
 )
-from .sources.pages import synth_pages, synth_table_pages
+from .sources.pages import BYTESPAN_HTML_EXPR, synth_pages, synth_table_pages
 from . import matchers as m
 
 # ----------------------------------------------------------------------
@@ -316,6 +316,34 @@ def q_html_spans(spark, sf_dir):
     return out.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "outer_start", "inner_start", "inner_end", "outer_end",
+    )
+
+
+def q_html_spans_bytes(spark, sf_dir):
+    # byte-offset span contract (gumbo_util.h:121-146 byte-offset
+    # model) on pages where it DIVERGES from decoded offsets: 2/3/4-byte
+    # UTF-8 chars + CRLF newlines.  The oracle recomputes char offsets
+    # over the CRLF-normalized page and byte offsets over the raw page.
+    from .sources.pages import synth_bytespan_pages
+
+    pages = synth_bytespan_pages(spark, sf_dir)
+    prog = select_first_program(
+        m.tag.P & m.class_type.is_("bytes"),
+        {
+            "outer_start": "start",
+            "outer_end": "end",
+            "start_byte": "start_byte",
+            "end_byte": "end_byte",
+        },
+    )
+    out = run_program(
+        pages, prog,
+        "outer_start bigint, outer_end bigint, start_byte bigint, end_byte bigint",
+        passthrough=("doc_id",),
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "outer_start", "outer_end", "start_byte", "end_byte",
     )
 
 
@@ -810,6 +838,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_article_text": q_html_article_text,
     "html_class_match": q_html_class_match,
     "html_spans": q_html_spans,
+    "html_spans_bytes": q_html_spans_bytes,
     "html_tag_histogram": q_html_tag_histogram,
     "html_first_div_content": q_html_first_div_content,
     "html_outer_inner": q_html_outer_inner,
@@ -887,6 +916,16 @@ ORACLES: dict[str, str] = {
         f"CAST({_DUCK_PREFIX_LEN} + length({_DUCK_ESC}) AS BIGINT) AS inner_end, "
         f"CAST({_DUCK_PREFIX_LEN} + length({_DUCK_ESC}) + 4 AS BIGINT) AS outer_end "
         "FROM documents"
+    ),
+    "html_spans_bytes": (
+        "WITH r AS (SELECT doc_id, " + BYTESPAN_HTML_EXPR + " AS R FROM documents), "
+        "p AS (SELECT doc_id, R, replace(R, chr(13) || chr(10), chr(10)) AS N FROM r) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(strpos(N, '<p class=\"bytes\"') - 1 AS BIGINT) AS outer_start, "
+        "CAST(strpos(N, '</p>') + 3 AS BIGINT) AS outer_end, "
+        "CAST(octet_length(encode(left(R, strpos(R, '<p class=\"bytes\"') - 1))) AS BIGINT) AS start_byte, "
+        "CAST(octet_length(encode(left(R, strpos(R, '</p>') + 3))) AS BIGINT) AS end_byte "
+        "FROM p"
     ),
     "html_tag_histogram": (
         "WITH c AS (SELECT count(*) AS total FROM documents) "
