@@ -256,6 +256,56 @@ def run_levels_interleaved(pages_dir: str, levels: tuple[int, ...], passes: int 
     return best
 
 
+def matcher_microbench() -> dict[str, float]:
+    """50k-node adversarial-DOM matcher micro-bench (driver-side, no
+    Spark): a 5-matcher composed program over a deep repetitive page.
+    Reports gated (candidate-set) evaluation vs the ungated
+    AND-of-full-masks shape it replaced — the round-3 matcher-loop fix."""
+    import numpy as np
+
+    from gumbo_pp_spark import matchers as m
+    from gumbo_pp_spark.parser.html5 import parse_html
+
+    parts = ["<html><body>"]
+    for i in range(10000):
+        parts.append(
+            f'<div class="c{i % 7}" data-k="v{i % 13}">'
+            f'<span>row {i} text</span><a href="/l/{i}">link</a></div>'
+        )
+    parts.append("</body></html>")
+    nt = parse_html("".join(parts))
+    prog = (
+        m.tag.DIV
+        & m.attribute.value.starts_with("data-k", "v7")
+        & m.content_text.contains("row 77")
+        & ~m.class_type.is_("c3")
+        & m.attribute.exists("data-k")
+    )
+    atoms = [
+        m.tag.DIV,
+        m.attribute.value.starts_with("data-k", "v7"),
+        m.content_text.contains("row 77"),
+        ~m.class_type.is_("c3"),
+        m.attribute.exists("data-k"),
+    ]
+    reps = 5
+    t0 = time.time()
+    for _ in range(reps):
+        gated = prog.fn(nt)
+    gated_ms = (time.time() - t0) / reps * 1000
+    t0 = time.time()
+    for _ in range(reps):
+        full = np.logical_and.reduce([a.fn(nt) for a in atoms])
+    full_ms = (time.time() - t0) / reps * 1000
+    assert (gated == full).all()
+    return {
+        "matcher_50k_nodes": nt.n,
+        "matcher_gated_ms": round(gated_ms, 2),
+        "matcher_ungated_ms": round(full_ms, 2),
+        "matcher_speedup": round(full_ms / gated_ms, 2),
+    }
+
+
 def run_queries() -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -332,6 +382,7 @@ def main() -> None:
             "hardware_ceiling_efficiency": hw_eff,
             "normalized_scaling_efficiency": round(spark_eff / hw_eff, 3) if hw_eff else None,
         },
+        "matcher_microbench": matcher_microbench(),
     }
     print(json.dumps(result))
 

@@ -39,46 +39,113 @@ class Matcher:
     Compose with ``&`` (match_all), ``|`` (match_any), ``^``
     (match_one), ``~`` (match_not) — mirroring the reference's
     operator sugar (``gumbo_matchers.h:1081-1127``).
+
+    CANDIDATE-SET EVALUATION: predicates that cost Python per node
+    (text verbs, attribute existence/where) carry an optional gated
+    form ``gfn(nt, gate) == full_mask & gate`` that touches ONLY the
+    rows set in ``gate``.  ``a & b`` evaluates ``a`` first and feeds
+    its mask as ``b``'s gate, so in ``tag.P & content_text.
+    contains(...)`` the text predicate runs on the <p> rows alone —
+    the vectorized tag/type gates prune the Python work instead of
+    every matcher paying O(n·doc).  ``|``/``^``/``~`` propagate the
+    incoming gate to their children (identities ``(l|r)&g ==
+    (l&g)|(r&g)``, ``(~l)&g == g & ~(l&g)``), so gating is exact, not
+    a heuristic.
     """
 
-    __slots__ = ("fn", "name")
+    __slots__ = ("fn", "name", "gfn")
 
-    def __init__(self, fn: Callable[[NodeTable], np.ndarray], name: str = "matcher"):
+    def __init__(
+        self,
+        fn: Callable[[NodeTable], np.ndarray],
+        name: str = "matcher",
+        gfn: Callable[[NodeTable, np.ndarray], np.ndarray] | None = None,
+    ):
         self.fn = fn
         self.name = name
+        self.gfn = gfn
 
     def __call__(self, nt: NodeTable) -> np.ndarray:
         return self.fn(nt)
 
+    def eval(self, nt: NodeTable, gate: np.ndarray | None) -> np.ndarray:
+        """Mask restricted to ``gate`` rows (``full & gate``); rows
+        outside the gate are False and cost nothing when a gated form
+        exists."""
+        if gate is None:
+            return self.fn(nt)
+        if self.gfn is not None:
+            return self.gfn(nt, gate)
+        return self.fn(nt) & gate
+
     def __and__(self, other: "Matcher") -> "Matcher":
-        return Matcher(lambda nt: self.fn(nt) & other.fn(nt), f"({self.name} and {other.name})")
+        return Matcher(
+            lambda nt: other.eval(nt, self.fn(nt)),
+            f"({self.name} and {other.name})",
+            lambda nt, gate: other.eval(nt, self.eval(nt, gate)),
+        )
 
     def __or__(self, other: "Matcher") -> "Matcher":
-        return Matcher(lambda nt: self.fn(nt) | other.fn(nt), f"({self.name} or {other.name})")
+        return Matcher(
+            lambda nt: self.fn(nt) | other.fn(nt),
+            f"({self.name} or {other.name})",
+            lambda nt, gate: self.eval(nt, gate) | other.eval(nt, gate),
+        )
 
     def __xor__(self, other: "Matcher") -> "Matcher":
-        return Matcher(lambda nt: self.fn(nt) ^ other.fn(nt), f"({self.name} xor {other.name})")
+        return Matcher(
+            lambda nt: self.fn(nt) ^ other.fn(nt),
+            f"({self.name} xor {other.name})",
+            lambda nt, gate: self.eval(nt, gate) ^ other.eval(nt, gate),
+        )
 
     def __invert__(self) -> "Matcher":
-        return Matcher(lambda nt: ~self.fn(nt), f"(not {self.name})")
+        return Matcher(
+            lambda nt: ~self.fn(nt),
+            f"(not {self.name})",
+            lambda nt, gate: gate & ~self.eval(nt, gate),
+        )
 
     def __repr__(self) -> str:
         return f"<Matcher {self.name}>"
 
 
 def match_all(*ms: Matcher) -> Matcher:
-    """AND-fold (gumbo_matchers.h:29-62)."""
-    return Matcher(lambda nt: np.logical_and.reduce([m(nt) for m in ms]), "match_all")
+    """AND-fold (gumbo_matchers.h:29-62) — later predicates evaluate
+    only on the survivors of earlier ones (candidate-set chaining)."""
+
+    def fn(nt: NodeTable) -> np.ndarray:
+        g = ms[0](nt)
+        for m in ms[1:]:
+            g = m.eval(nt, g)
+        return g
+
+    def gfn(nt: NodeTable, gate: np.ndarray) -> np.ndarray:
+        g = gate
+        for m in ms:
+            g = m.eval(nt, g)
+        return g
+
+    return Matcher(fn, "match_all", gfn)
 
 
 def match_any(*ms: Matcher) -> Matcher:
     """OR-fold (gumbo_matchers.h:65-99)."""
-    return Matcher(lambda nt: np.logical_or.reduce([m(nt) for m in ms]), "match_any")
+    return Matcher(
+        lambda nt: np.logical_or.reduce([m(nt) for m in ms]),
+        "match_any",
+        lambda nt, gate: np.logical_or.reduce([m.eval(nt, gate) for m in ms]),
+    )
 
 
 def match_one(*ms: Matcher) -> Matcher:
     """XOR-fold: odd number of matches (gumbo_matchers.h:101-134)."""
-    return Matcher(lambda nt: np.logical_xor.reduce([m(nt) for m in ms]), "match_one")
+    return Matcher(
+        lambda nt: np.logical_xor.reduce([m(nt) for m in ms]),
+        "match_one",
+        lambda nt, gate: gate
+        & np.logical_xor.reduce([m.eval(nt, gate) for m in ms]),
+    )
 
 
 def match_not(m: Matcher) -> Matcher:
@@ -101,13 +168,29 @@ def find_some(nt: NodeTable, *ms: Matcher, start: int = 0):
 # ----------------------------------------------------------------------
 # string-predicate helpers over object arrays (None-safe)
 # ----------------------------------------------------------------------
-def _obj_eq(vals: np.ndarray, targets: tuple[str, ...]) -> np.ndarray:
+def _obj_eq(vals: np.ndarray, targets: tuple[str, ...], gate: np.ndarray | None = None) -> np.ndarray:
     tset = set(targets)
-    return np.fromiter((v in tset if v is not None else False for v in vals), dtype=bool, count=len(vals))
+    if gate is None:
+        return np.fromiter((v in tset if v is not None else False for v in vals), dtype=bool, count=len(vals))
+    out = np.zeros(len(vals), dtype=bool)
+    for i in np.nonzero(gate)[0]:
+        v = vals[i]
+        if v is not None and v in tset:
+            out[i] = True
+    return out
 
 
-def _obj_pred(vals: np.ndarray, pred: Callable[[str], bool]) -> np.ndarray:
-    return np.fromiter((pred(v) if v is not None else False for v in vals), dtype=bool, count=len(vals))
+def _obj_pred(vals: np.ndarray, pred: Callable[[str], bool], gate: np.ndarray | None = None) -> np.ndarray:
+    if gate is None:
+        return np.fromiter((pred(v) if v is not None else False for v in vals), dtype=bool, count=len(vals))
+    out = np.zeros(len(vals), dtype=bool)
+    for i in np.nonzero(gate)[0]:
+        v = vals[i]
+        if v is not None and pred(v):
+            out[i] = True
+    return out
+
+
 
 
 def _contains_any(v: str, subs: tuple[str, ...]) -> bool:
@@ -159,32 +242,44 @@ tag = _TagNS()
 # attribute matchers (gumbo_matchers.h:160-431) — existential over the
 # node's attribute list
 # ----------------------------------------------------------------------
+def _val_matcher(name: str, pred: Callable[[str], bool], label: str) -> Matcher:
+    """Attribute-value predicate with a gated form: the per-node Python
+    test runs only on candidate rows when composed after vectorized
+    gates (the attr_values flat-index gather stays vectorized)."""
+    return Matcher(
+        lambda nt: _obj_pred(nt.attr_values(name), pred),
+        label,
+        lambda nt, gate: _obj_pred(nt.attr_values(name), pred, gate),
+    )
+
+
 class _AttrValueNS:
     @staticmethod
     def is_(name: str, *values: str) -> Matcher:
-        return Matcher(lambda nt: _obj_eq(nt.attr_values(name), values), f"attribute::value::is({name})")
+        return Matcher(
+            lambda nt: _obj_eq(nt.attr_values(name), values),
+            f"attribute::value::is({name})",
+            lambda nt, gate: _obj_eq(nt.attr_values(name), values, gate),
+        )
 
     @staticmethod
     def contains(name: str, *subs: str) -> Matcher:
-        return Matcher(
-            lambda nt: _obj_pred(nt.attr_values(name), lambda v: _contains_any(v, subs)),
-            f"attribute::value::contains({name})",
+        return _val_matcher(
+            name, lambda v: _contains_any(v, subs), f"attribute::value::contains({name})"
         )
 
     @staticmethod
     def starts_with(name: str, *prefixes: str) -> Matcher:
         ps = tuple(prefixes)
-        return Matcher(
-            lambda nt: _obj_pred(nt.attr_values(name), lambda v: v.startswith(ps)),
-            f"attribute::value::starts_with({name})",
+        return _val_matcher(
+            name, lambda v: v.startswith(ps), f"attribute::value::starts_with({name})"
         )
 
     @staticmethod
     def ends_with(name: str, *suffixes: str) -> Matcher:
         ss = tuple(suffixes)
-        return Matcher(
-            lambda nt: _obj_pred(nt.attr_values(name), lambda v: v.endswith(ss)),
-            f"attribute::value::ends_with({name})",
+        return _val_matcher(
+            name, lambda v: v.endswith(ss), f"attribute::value::ends_with({name})"
         )
 
     @staticmethod
@@ -192,14 +287,19 @@ class _AttrValueNS:
         """CSS ``|=``: value == prefix or starts with prefix + '-'
         (gumbo_matchers.h:244-259)."""
         pd = prefix + "-"
-        return Matcher(
-            lambda nt: _obj_pred(nt.attr_values(name), lambda v: v == prefix or v.startswith(pd)),
+        return _val_matcher(
+            name,
+            lambda v: v == prefix or v.startswith(pd),
             f"attribute::value::contains_prefix({name})",
         )
 
     @staticmethod
     def is_empty(name: str) -> Matcher:
-        return Matcher(lambda nt: _obj_eq(nt.attr_values(name), ("",)), f"attribute::value::is_empty({name})")
+        return Matcher(
+            lambda nt: _obj_eq(nt.attr_values(name), ("",)),
+            f"attribute::value::is_empty({name})",
+            lambda nt, gate: _obj_eq(nt.attr_values(name), ("",), gate),
+        )
 
     @staticmethod
     def is_null(name: str) -> Matcher:
@@ -212,9 +312,8 @@ class _AttrValueNS:
 
     @staticmethod
     def has_value(name: str) -> Matcher:
-        return Matcher(
-            lambda nt: _obj_pred(nt.attr_values(name), lambda v: v != ""),
-            f"attribute::value::has_value({name})",
+        return _val_matcher(
+            name, lambda v: v != "", f"attribute::value::has_value({name})"
         )
 
 
@@ -239,13 +338,31 @@ class _AttrNS:
                 count=nt.n,
             )
 
-        return Matcher(fn, f"attribute::exists{tuple(nset)}")
+        def gfn(nt: NodeTable, gate: np.ndarray) -> np.ndarray:
+            out = np.zeros(nt.n, dtype=bool)
+            attrs = nt.attrs
+            for i in np.nonzero(gate)[0]:
+                a = attrs[i]
+                if a and not nset.isdisjoint(a):
+                    out[i] = True
+            return out
+
+        return Matcher(fn, f"attribute::exists{tuple(nset)}", gfn)
 
     @staticmethod
     def has() -> Matcher:
+        def gfn(nt: NodeTable, gate: np.ndarray) -> np.ndarray:
+            out = np.zeros(nt.n, dtype=bool)
+            attrs = nt.attrs
+            for i in np.nonzero(gate)[0]:
+                if attrs[i]:
+                    out[i] = True
+            return out
+
         return Matcher(
             lambda nt: np.fromiter((bool(a) for a in nt.attrs), dtype=bool, count=nt.n),
             "attribute::has",
+            gfn,
         )
 
     @staticmethod
@@ -264,7 +381,16 @@ class _AttrNS:
                 count=nt.n,
             )
 
-        return Matcher(fn, "attribute::where")
+        def gfn(nt: NodeTable, gate: np.ndarray) -> np.ndarray:
+            out = np.zeros(nt.n, dtype=bool)
+            attrs = nt.attrs
+            for i in np.nonzero(gate)[0]:
+                a = attrs[i]
+                if a and any(pred(k, v) for k, v in a.items()):
+                    out[i] = True
+            return out
+
+        return Matcher(fn, "attribute::where", gfn)
 
 
 attribute = _AttrNS()
@@ -278,30 +404,52 @@ attribute = _AttrNS()
 class _ClassNS:
     @staticmethod
     def is_(*names: str) -> Matcher:
-        return Matcher(lambda nt: _obj_eq(nt.class_values(), names), f"class_type::is{names}")
+        return Matcher(
+            lambda nt: _obj_eq(nt.class_values(), names),
+            f"class_type::is{names}",
+            lambda nt, gate: _obj_eq(nt.class_values(), names, gate),
+        )
 
     @staticmethod
     def where(pred: Callable[[str], bool]) -> Matcher:
-        return Matcher(lambda nt: _obj_pred(nt.class_values(), pred), "class_type::where")
+        return Matcher(
+            lambda nt: _obj_pred(nt.class_values(), pred),
+            "class_type::where",
+            lambda nt, gate: _obj_pred(nt.class_values(), pred, gate),
+        )
 
     @staticmethod
     def has_token(token: str) -> Matcher:
         """EXTENSION (clearly separated from the reference verb set):
         CSS-style whitespace-token membership."""
+        tok = token
+
+        def pred(v: str) -> bool:
+            return tok in v.split()
+
         return Matcher(
-            lambda nt: _obj_pred(nt.class_values(), lambda v: token in v.split()),
+            lambda nt: _obj_pred(nt.class_values(), pred),
             f"class_type::has_token({token})",
+            lambda nt, gate: _obj_pred(nt.class_values(), pred, gate),
         )
 
 
 class _IdNS:
     @staticmethod
     def is_(*names: str) -> Matcher:
-        return Matcher(lambda nt: _obj_eq(nt.id_values(), names), f"id::is{names}")
+        return Matcher(
+            lambda nt: _obj_eq(nt.id_values(), names),
+            f"id::is{names}",
+            lambda nt, gate: _obj_eq(nt.id_values(), names, gate),
+        )
 
     @staticmethod
     def where(pred: Callable[[str], bool]) -> Matcher:
-        return Matcher(lambda nt: _obj_pred(nt.id_values(), pred), "id::where")
+        return Matcher(
+            lambda nt: _obj_pred(nt.id_values(), pred),
+            "id::where",
+            lambda nt, gate: _obj_pred(nt.id_values(), pred, gate),
+        )
 
 
 class_type = _ClassNS()
@@ -311,31 +459,48 @@ id_ = _IdNS()
 # ----------------------------------------------------------------------
 # content / inner / outer text matchers (gumbo_matchers.h:509-898)
 # ----------------------------------------------------------------------
-def _textcol(nt: NodeTable, kind: str) -> list[str]:
+def _textcol(nt: NodeTable, kind: str, ids=None) -> list[str]:
+    if ids is None:
+        ids = range(nt.n)
     if kind == "content":
-        return nt.content_text_many(range(nt.n))
+        return nt.content_text_many(ids)
     getter = nt.inner_text if kind == "inner" else nt.outer_text
-    return [getter(i) for i in range(nt.n)]
+    return [getter(i) for i in ids]
 
 
-def _span_mask(nt: NodeTable, kind: str, range_fn, str_fn) -> np.ndarray:
+def _span_mask(nt: NodeTable, kind: str, range_fn, str_fn, gate=None) -> np.ndarray:
     """Evaluate a text predicate per node WITHOUT materializing node
     text: element rows test a (lo, hi) range of one haystack string via
     bounded str.startswith/endswith/find (C-level, zero-copy); the
     round-1 version built outer/inner text of EVERY node first —
     O(n·doc) per document on real pages.  Non-range rows (text-likes,
     comments) test their own text; the document node uses the slow
-    getter (its inner text is child-span based)."""
+    getter (its inner text is child-span based).
+
+    ``gate`` restricts the per-node Python loop to candidate rows
+    (round-3: a composed program's vectorized tag/type gates prune the
+    loop, so a 5-matcher program on a 50k-node page no longer pays
+    ~250k Python iterations)."""
     hay, lo, hi, is_range = nt.text_spans(kind)
     out = np.zeros(nt.n, dtype=bool)
     text = nt.text
     getter = {"content": nt.content_text, "inner": nt.inner_text, "outer": nt.outer_text}[kind]
-    rng = is_range.tolist()
-    lo_l = lo.tolist()
-    hi_l = hi.tolist()
-    for i in range(nt.n):
-        if rng[i]:
-            out[i] = range_fn(hay, lo_l[i], hi_l[i])
+    if gate is None:
+        rng = is_range.tolist()
+        lo_l = lo.tolist()
+        hi_l = hi.tolist()
+        for i in range(nt.n):
+            if rng[i]:
+                out[i] = range_fn(hay, lo_l[i], hi_l[i])
+            elif nt.type[i] == DOCUMENT:
+                out[i] = str_fn(getter(i))
+            else:
+                out[i] = str_fn(text[i])
+        return out
+    # gated path: touch candidate rows only — no O(n) tolist either
+    for i in np.nonzero(gate)[0].tolist():
+        if is_range[i]:
+            out[i] = range_fn(hay, int(lo[i]), int(hi[i]))
         elif nt.type[i] == DOCUMENT:
             out[i] = str_fn(getter(i))
         else:
@@ -354,11 +519,21 @@ class _TextNS:
 
     def _mk(self, pred: Callable[[str], bool], verb: str) -> Matcher:
         # materializing fallback — only for user-supplied predicates
-        # (where/map), which need the concrete string
+        # (where/map), which need the concrete string; gated form
+        # materializes candidate rows' text only
         kind = self._kind
+
+        def gfn(nt: NodeTable, gate: np.ndarray) -> np.ndarray:
+            out = np.zeros(nt.n, dtype=bool)
+            ids = np.nonzero(gate)[0].tolist()
+            for i, t in zip(ids, _textcol(nt, kind, ids)):
+                out[i] = pred(t)
+            return out
+
         return Matcher(
             lambda nt: np.fromiter((pred(t) for t in _textcol(nt, kind)), dtype=bool, count=nt.n),
             f"{self._label}::{verb}",
+            gfn,
         )
 
     def _mk_span(self, range_fn, str_fn, verb: str) -> Matcher:
@@ -366,6 +541,7 @@ class _TextNS:
         return Matcher(
             lambda nt: _span_mask(nt, kind, range_fn, str_fn),
             f"{self._label}::{verb}",
+            lambda nt, gate: _span_mask(nt, kind, range_fn, str_fn, gate),
         )
 
     def where(self, pred: Callable[[str], bool]) -> Matcher:

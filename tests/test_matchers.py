@@ -185,3 +185,60 @@ class TestSpanVerbFastPath:
         got = {nt.tag_name[i]: vals[i] for i in range(nt.n) if vals[i] is not None}
         assert got == {"div": "x", "p": "y"}
         assert nt.attr_values("missing").tolist().count(None) == nt.n
+
+
+class TestGatedEvaluation:
+    """Candidate-set evaluation (round 3): composed programs feed each
+    matcher's mask as the next one's gate — identical results to
+    independent full evaluation, with the Python-loop predicates
+    touching only surviving rows."""
+
+    def _doc(self):
+        parts = ["<html><body>"]
+        for i in range(200):
+            parts.append(
+                f'<div class="c{i % 7}" data-k="v{i % 13}">'
+                f"<span>row {i} text</span><a href=\"/l/{i}\">link</a></div>"
+            )
+        parts.append("<!--note--></body></html>")
+        return parse_html("".join(parts))
+
+    def test_gated_equals_full_on_compositions(self):
+        import numpy as np
+
+        nt = self._doc()
+        atoms = [
+            m.tag.DIV,
+            m.tag.SPAN,
+            m.attribute.value.starts_with("data-k", "v7"),
+            m.attribute.exists("data-k", "href"),
+            m.attribute.has(),
+            m.class_type.is_("c3"),
+            m.content_text.contains("row 7"),
+            m.inner_text.ends_with("text</span>"),
+            m.outer_text.starts_with("<a"),
+            m.content_text.is_empty,
+            m.id_.where(lambda v: v.startswith("x")),
+            m.attribute.where(lambda k, v: k == "href" and "/l/9" in v),
+            m.content_text.where(lambda t: "row 19" in t),
+        ]
+        progs = [
+            atoms[0] & atoms[2] & atoms[6],
+            (atoms[0] | atoms[1]) & atoms[6],
+            atoms[0] & ~atoms[5] & atoms[3],
+            m.match_all(atoms[0], atoms[3], atoms[7]),
+            m.match_any(atoms[5], atoms[6]) & atoms[0],
+            m.match_one(atoms[0], atoms[1]) & atoms[6],
+            atoms[0] ^ atoms[2],
+            atoms[0] & atoms[11],
+            (atoms[1] & atoms[12]) | atoms[9],
+            ~(atoms[0] & atoms[6]),
+        ]
+        for p in progs:
+            full_independent = p.fn(nt)
+            gated_all = p.eval(nt, np.ones(nt.n, dtype=bool))
+            assert (full_independent == gated_all).all(), p.name
+            # arbitrary gate: result == full & gate
+            gate = np.zeros(nt.n, dtype=bool)
+            gate[:: 3] = True
+            assert (p.eval(nt, gate) == (full_independent & gate)).all(), p.name
