@@ -73,6 +73,36 @@ from .tags import (
 _WS = " \t\n\f\r"
 _WS_SET = frozenset(_WS)
 
+# ----------------------------------------------------------------------
+# Parse-error taxonomy: a STABLE public categorization of the engine's
+# error codes, mirroring the coarse split in the reference's error
+# model (libgumbo's GumboErrorType separates tokenizer-level errors
+# from GUMBO_ERR_PARSER tree-construction errors; the reference
+# exposes the typed vector via errors(), gumbo_node_iterator.h:247-249).
+# Codes emitted while recognizing TOKENS (tags, comments, character
+# data) are "tokenizer"; codes emitted by insertion-mode rules are
+# "tree-construction".
+# ----------------------------------------------------------------------
+TOKENIZER_ERRORS = frozenset(
+    {
+        "eof-in-tag",
+        "eof-in-end-tag",
+        "eof-before-tag-name",
+        "empty-end-tag",
+        "end-tag-with-attributes",
+        "duplicate-attribute",
+        "abrupt-closing-of-empty-comment",
+        "incorrectly-closed-comment",
+        "processing-instruction",
+        "unexpected-null-character",
+    }
+)
+
+
+def error_category(code: str) -> str:
+    """'tokenizer' | 'tree-construction' for an error_records code."""
+    return "tokenizer" if code in TOKENIZER_ERRORS else "tree-construction"
+
 _TAG_NAME_RE = re.compile(r"[a-zA-Z][^\t\n\f\r />]*")
 _ATTR_NAME_RE = re.compile(r"[^ \t\n\f\r/>=]+")
 _UNQUOTED_VAL_RE = re.compile(r"[^ \t\n\f\r>]*")

@@ -475,12 +475,20 @@ def q_html_misnested(spark, sf_dir):
 
 def q_html_parse_errors(spark, sf_dir):
     # per-document parse-error RECORDS (code, offset) — the reference's
-    # errors() vector (gumbo_node_iterator.h:247-249); round 1 exposed
-    # only a count.  The misnested page family has exactly one error:
-    # the adoption-agency </b> at a template-computable offset.
+    # errors() vector (gumbo_node_iterator.h:247-249) — PLUS the
+    # round-3 category histogram (tokenizer vs tree-construction,
+    # mirroring GumboErrorType's coarse split).  The page family is the
+    # misnested template (one adoption-agency tree error at a
+    # computable offset) with an injected '<?x?>' processing
+    # instruction and an empty '</>' end tag (two tokenizer errors).
+    from .parser.html5 import error_category
     from .sources.pages import synth_misnested_pages
 
-    pages = synth_misnested_pages(spark, sf_dir)
+    pages = synth_misnested_pages(spark, sf_dir).selectExpr(
+        "doc_id",
+        "CAST(encode(replace(CAST(html AS STRING), '</body>', "
+        "'<?x?></></body>'), 'UTF-8') AS BINARY) AS html",
+    )
 
     def program(nt):
         recs = nt.error_records
@@ -488,16 +496,22 @@ def q_html_parse_errors(spark, sf_dir):
             "n_errors": int(nt.parse_errors),
             "first_code": recs[0][0] if recs else "",
             "first_offset": int(recs[0][1]) if recs else -1,
+            "n_tokenizer": sum(1 for c, _ in recs if error_category(c) == "tokenizer"),
+            "n_tree": sum(1 for c, _ in recs if error_category(c) == "tree-construction"),
         }
 
     return run_program(
-        pages, program, "n_errors int, first_code string, first_offset bigint",
+        pages, program,
+        "n_errors int, first_code string, first_offset bigint, "
+        "n_tokenizer int, n_tree int",
         passthrough=("doc_id",),
     ).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("n_errors").cast("bigint").alias("n_errors"),
         "first_code",
         "first_offset",
+        F.col("n_tokenizer").cast("bigint").alias("n_tokenizer"),
+        F.col("n_tree").cast("bigint").alias("n_tree"),
     )
 
 
@@ -977,9 +991,12 @@ ORACLES: dict[str, str] = {
         # one adoption-agency error per page at the '</b>' offset:
         # len('<html><head><title>M')=20 + len(id) + 21 + '<b>B'(4)
         # + len(id) + '<p>P'(4) + len(id) = 49 + 3*len(id)
-        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(1 AS BIGINT) AS n_errors, "
+        # plus the injected '<?x?>' (processing-instruction) and '</>'
+        # (empty-end-tag) tokenizer errors → 3 total, 2 tokenizer
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(3 AS BIGINT) AS n_errors, "
         "'adoption-agency' AS first_code, "
-        "CAST(49 + 3 * length(CAST(doc_id AS STRING)) AS BIGINT) AS first_offset "
+        "CAST(49 + 3 * length(CAST(doc_id AS STRING)) AS BIGINT) AS first_offset, "
+        "CAST(2 AS BIGINT) AS n_tokenizer, CAST(1 AS BIGINT) AS n_tree "
         "FROM documents"
     ),
     "html_foreign_content": (
