@@ -167,6 +167,80 @@ _IMPLIED_END = frozenset("dd dt li optgroup option p rb rp rt rtc".split())
 _TABLEISH = frozenset("td th tr caption col colgroup tbody thead tfoot".split())
 _TABLE_SCOPE = frozenset({"table"})
 
+# ----------------------------------------------------------------------
+# Per-tag flag table for the in-body start-tag FAST PATH.  The hot
+# dispatch previously probed ~12 frozensets per ordinary start tag;
+# the flags collapse that to ONE dict lookup.  Tags with bespoke rules
+# (own branch in _start_in_body) map to -1 and take the slow chain;
+# everything else (and unknown tags, default _F_RECONSTRUCT) replays
+# exactly the generic steps: close-p, reconstruct, frameset-ok, void
+# insert, formatting push, rawtext/rcdata switch.  The flag bits are
+# DERIVED from the same frozensets the slow chain reads, so fast and
+# slow paths cannot disagree.
+# ----------------------------------------------------------------------
+_F_P_CLOSE = 1
+_F_RECONSTRUCT = 2
+_F_FRAMESET_BREAK = 4
+_F_VOID = 8
+_F_FORMATTING = 16
+_F_RAWTEXT = 32
+_F_RCDATA = 64
+
+_IB_BESPOKE = (
+    frozenset(
+        "image html head body frame frameset li dd dt a nobr button "
+        "option optgroup form applet marquee object svg math template "
+        "table select pre listing textarea plaintext".split()
+    )
+    | _TABLEISH
+    | HEADINGS
+)
+
+
+def _build_ib_fast() -> dict[str, int]:
+    d: dict[str, int] = {}
+    for name in TAG_IDS:
+        if name in _IB_BESPOKE:
+            d[name] = -1
+            continue
+        fl = 0
+        if name in P_CLOSERS:
+            fl |= _F_P_CLOSE
+        if name in _FORMATTING or name in _RECONSTRUCT_VOIDS or (
+            name not in P_CLOSERS
+            and name not in HEADINGS
+            and name not in VOID_ELEMENTS
+            and name not in RAWTEXT_ELEMENTS
+            and name not in ("li", "dd", "dt", "template", "textarea")
+        ):
+            fl |= _F_RECONSTRUCT
+        if name in _FRAMESET_BREAKERS:
+            fl |= _F_FRAMESET_BREAK
+        if name in VOID_ELEMENTS:
+            fl |= _F_VOID
+        if name in _FORMATTING:
+            fl |= _F_FORMATTING
+        if name in RAWTEXT_ELEMENTS:
+            fl |= _F_RAWTEXT
+        if name in RCDATA_ELEMENTS:
+            fl |= _F_RCDATA
+        d[name] = fl
+    return d
+
+
+_IB_FAST = _build_ib_fast()
+
+# In-body END-tag fast path: when the CURRENT node is the named
+# element, the p/heading/li/dd/dt/block/any-other rules all reduce to
+# "pop through it" == _pop_until (which already handles open_p,
+# formatting-marker clears and the explicit end-tag span).  Excluded:
+# names whose rule does MORE than the pop — mode switches (table
+# parts, body/html), the form pointer, the br-as-start quirk — and
+# the formatting set (adoption agency owns those).
+_END_BESPOKE = frozenset(
+    "body html br form caption table td th tr tbody thead tfoot".split()
+) | _FORMATTING
+
 # "Special" category elements that abort the <li>/<dd>/<dt> implied-end
 # scan (WHATWG "in body": any special element other than address, div, p).
 # The spec 'special' category minus address/div/p (the li/dd/dt scans
@@ -191,6 +265,79 @@ def _rawtext_close_re(name: str) -> re.Pattern:
         pat = re.compile("</" + re.escape(name) + r"(?=[\t\n\f\r />]|$)", re.IGNORECASE)
         _RAWTEXT_CLOSE_RES[name] = pat
     return pat
+
+
+# start-tag memo cache (see the tokenizer loop for the soundness
+# argument); process-wide, bounded, cleared wholesale when full
+_TAG_CACHE: dict[str, tuple] = {}
+_TAG_CACHE_MAX = 8192
+
+
+def _scan_start_attrs(s: str, pos: int, n: int) -> tuple[dict, bool, int, bool, int]:
+    """Start-tag attribute scan (WHATWG attribute states): returns
+    (attrs, self_closing, end_pos, found_gt, duplicate_count).  Called
+    on tag-cache misses only — hits replay the cached result."""
+    attrs: dict[str, str] = {}
+    self_closing = False
+    found_gt = False
+    dups = 0
+    while pos < n:
+        ch = s[pos]
+        if ch in _WS_SET:
+            pos += 1
+            continue
+        if ch == ">":
+            pos += 1
+            found_gt = True
+            break
+        if ch == "/":
+            if s.startswith("/>", pos):
+                self_closing = True
+                pos += 2
+                found_gt = True
+                break
+            pos += 1
+            continue
+        am = _ATTR_NAME_RE.match(s, pos)
+        if am:
+            aname = am.group(0).lower()
+            pos = am.end()
+        elif ch == "=":
+            # spec 'before attribute name' with '=': parse error;
+            # the new attribute's NAME starts with the equals sign
+            m2 = _ATTR_NAME_RE.match(s, pos + 1)
+            if m2:
+                aname = "=" + m2.group(0).lower()
+                pos = m2.end()
+            else:
+                aname = "="
+                pos += 1
+        else:
+            pos += 1
+            continue
+        while pos < n and s[pos] in _WS_SET:
+            pos += 1
+        aval = ""
+        if pos < n and s[pos] == "=":
+            pos += 1
+            while pos < n and s[pos] in _WS_SET:
+                pos += 1
+            if pos < n and (s[pos] == '"' or s[pos] == "'"):
+                q = s[pos]
+                endq = s.find(q, pos + 1)
+                if endq < 0:
+                    endq = n
+                aval = s[pos + 1: endq]
+                pos = min(endq + 1, n)
+            else:
+                vm = _UNQUOTED_VAL_RE.match(s, pos)
+                aval = vm.group(0)
+                pos = vm.end()
+        if aname not in attrs:  # duplicate attribute: first wins
+            attrs[aname] = _decode_attr(aval)
+        else:
+            dups += 1
+    return attrs, self_closing, pos, found_gt, dups
 
 
 def _scan_end_tag_tail(s: str, pos: int, n: int) -> tuple[int, bool]:
@@ -1197,9 +1344,16 @@ class _TreeBuilder:
         if target >= 0 and attrs:
             existing = self.nattrs[target]
             if existing is not None:
+                # copy-on-write: the dict may be shared via the tag
+                # cache (and across AAA clones) — never mutate in place
+                merged = None
                 for k, v in attrs.items():
                     if k not in existing:
-                        existing[k] = v
+                        if merged is None:
+                            merged = dict(existing)
+                        merged[k] = v
+                if merged is not None:
+                    self.nattrs[target] = merged
 
     def _start_html(self, name, attrs, self_closing, t0, t1) -> str | None:
         """HTML-content start-tag rules.  Returns 'rawtext'/'rcdata' if
@@ -1402,6 +1556,28 @@ class _TreeBuilder:
         return None
 
     def _start_in_body(self, name, attrs, self_closing, t0, t1) -> str | None:
+        # fast path: one flag lookup replays the generic steps for tags
+        # with no bespoke rule (and unknown tags: reconstruct+insert);
+        # bespoke tags (-1) fall through to the full chain below
+        fl = _IB_FAST.get(name, _F_RECONSTRUCT)
+        if fl >= 0:
+            if fl & _F_P_CLOSE and self.open_p > 0 and self._in_scope("p", _BUTTON_SCOPE):
+                self._pop_until("p", t0)
+            if self.afe and fl & _F_RECONSTRUCT:
+                self._reconstruct_formatting()
+            if fl & _F_FRAMESET_BREAK:
+                self.frameset_ok = False
+            if fl & _F_VOID:
+                self._insert_element(name, attrs, t0, t1, push=False)
+                return None
+            nid = self._insert_element(name, attrs, t0, t1)
+            if fl & _F_FORMATTING:
+                self._afe_push([name, attrs, t0, t1, nid])
+            if fl & _F_RAWTEXT:
+                return "rawtext"
+            if fl & _F_RCDATA:
+                return "rcdata"
+            return None
         if name == "image":
             name = "img"  # WHATWG "in body": image → img (parse error)
             self._err("unexpected-start-tag", t0)
@@ -1826,6 +2002,18 @@ class _TreeBuilder:
                 self._end_html(name, t0, t1)
                 return
         # IN_BODY / IN_CELL
+        # fast path: current node IS the named element and its rule
+        # reduces to pop-through (see _END_BESPOKE) — one compare + the
+        # _pop_until fast pop instead of the full rule chain
+        stk = self.stack
+        if (
+            stk
+            and name not in _END_BESPOKE
+            and self.ntag[stk[-1]] == name
+            and self.nns[stk[-1]] == NS_HTML
+        ):
+            self._pop_until(name, t0, t0, t1)
+            return
         if name == "body":
             # spec: ignored unless the body element is IN SCOPE (an
             # open applet/marquee/object/td/... boundary blocks it)
@@ -2354,81 +2542,54 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
             tb.handle_comment(s[lt + 1: gt], lt, gt + 1)
             i = gt + 1
             continue
-        m = _TAG_NAME_RE.match(s, lt + 1)
-        if not m:
-            # '<' followed by neither letter nor markup: literal text
-            tb.handle_chars("<", lt)
-            i = lt + 1
-            continue
-        name = m.group(0).lower()
-        pos = m.end()
-        attrs = {}
-        self_closing = False
-        found_gt = False
-        while pos < n:
-            ch = s[pos]
-            if ch in _WS_SET:
-                pos += 1
-                continue
-            if ch == ">":
-                pos += 1
-                found_gt = True
-                break
-            if ch == "/":
-                if s.startswith("/>", pos):
-                    self_closing = True
-                    pos += 2
-                    found_gt = True
-                    break
-                pos += 1
-                continue
-            am = _ATTR_NAME_RE.match(s, pos)
-            if am:
-                aname = am.group(0).lower()
-                pos = am.end()
-            elif ch == "=":
-                # spec 'before attribute name' with '=': parse error;
-                # the new attribute's NAME starts with the equals sign
-                m2 = _ATTR_NAME_RE.match(s, pos + 1)
-                if m2:
-                    aname = "=" + m2.group(0).lower()
-                    pos = m2.end()
-                else:
-                    aname = "="
-                    pos += 1
-            else:
-                pos += 1
-                continue
-            while pos < n and s[pos] in _WS_SET:
-                pos += 1
-            aval = ""
-            if pos < n and s[pos] == "=":
-                pos += 1
-                while pos < n and s[pos] in _WS_SET:
-                    pos += 1
-                if pos < n and (s[pos] == '"' or s[pos] == "'"):
-                    q = s[pos]
-                    endq = s.find(q, pos + 1)
-                    if endq < 0:
-                        endq = n
-                    aval = s[pos + 1: endq]
-                    pos = min(endq + 1, n)
-                else:
-                    vm = _UNQUOTED_VAL_RE.match(s, pos)
-                    aval = vm.group(0)
-                    pos = vm.end()
-            if aname not in attrs:  # duplicate attribute: first wins
-                attrs[aname] = _decode_attr(aval)
-            else:
+        # START-TAG MEMO CACHE: real pages repeat the same tag literal
+        # (template chrome, list rows) constantly.  The probe key is
+        # the naive slice up to the FIRST '>'; entries are created only
+        # from scans that ended exactly there, and the scanner is
+        # deterministic on its prefix, so a hit can never stand for a
+        # tag whose true end lies beyond the slice (a '>' inside a
+        # quoted value leaves the scan mid-quote at the slice end and
+        # the entry is simply never created).
+        gt = sfind(">", lt + 1)
+        hit = _TAG_CACHE.get(s[lt: gt + 1]) if gt > 0 else None
+        if hit is not None:
+            # the cached attrs dict is SHARED across nodes/documents —
+            # safe because nothing mutates a node's attrs in place
+            # (_merge_root_attrs, the one writer, copies on write)
+            name, attrs, self_closing, dups = hit
+            pos = gt + 1
+            for _ in range(dups):
                 tb._err("duplicate-attribute", lt)
-        if not found_gt:
-            tb._err("eof-in-tag", lt)
-            break  # EOF in tag
+        else:
+            m = _TAG_NAME_RE.match(s, lt + 1)
+            if not m:
+                # '<' followed by neither letter nor markup: literal text
+                tb.handle_chars("<", lt)
+                i = lt + 1
+                continue
+            name = m.group(0).lower()
+            attrs, self_closing, pos, found_gt, dups = _scan_start_attrs(s, m.end(), n)
+            for _ in range(dups):
+                tb._err("duplicate-attribute", lt)
+            if not found_gt:
+                tb._err("eof-in-tag", lt)
+                break  # EOF in tag
+            if pos == gt + 1 and gt - lt <= 256:
+                if len(_TAG_CACHE) >= _TAG_CACHE_MAX:
+                    _TAG_CACHE.clear()
+                _TAG_CACHE[s[lt: gt + 1]] = (name, attrs, self_closing, dups)
         if tb.has_foreign and tb._use_foreign("start", name):
             content_model = tb._foreign_start(name, attrs, self_closing, lt, pos)
+        elif tb.mode == IN_BODY:
+            # hot-mode shortcut: skip the _start_html mode dispatcher
+            # (it would only reset skip_newline and forward here)
+            tb.skip_newline = False
+            content_model = tb._start_in_body(name, attrs, self_closing, lt, pos)
         else:
             content_model = tb._start_html(name, attrs, self_closing, lt, pos)
         i = pos
+        if content_model is None:
+            continue
         if content_model == "plaintext":
             raw = s[pos:]
             if raw:
