@@ -456,6 +456,8 @@ class _TreeBuilder:
         "_ap_kids", "_ap_parent", "_ap_iwp", "_ap_ns", "_ap_tid",
         # GumboOptions analogue (src/gumbo_pp.cpp:27-31)
         "frag_name", "frag_ns", "max_errors",
+        # WHATWG "in table text" pending character-token buffer
+        "pending_tt",
     )
 
     # nspan layout: 6 int64 slots per node in one flat list —
@@ -513,6 +515,9 @@ class _TreeBuilder:
         # None (scope marker)
         self.afe: list = []
         self.open_p = 0  # open <p> elements (gates the in-scope walk)
+        # WHATWG "in table text" pending character tokens: buffered
+        # (raw, start) runs, flushed by the next non-character token
+        self.pending_tt: list = []
         self._new_node(DOCUMENT, "", None, "", 0, self.n)
         if fragment:
             self._init_fragment()
@@ -1247,6 +1252,23 @@ class _TreeBuilder:
                 self._end_html(name, t0, t1)
                 return
 
+    def _flush_tt(self) -> None:
+        """Flush pending table character tokens (WHATWG "in table
+        text"): an all-whitespace batch inserts in place; a batch with
+        ANY non-space character foster-parents EVERY run (including the
+        leading whitespace runs)."""
+        pend = self.pending_tt
+        self.pending_tt = []
+        if all(all(c in _WS_SET for c in raw) for raw, _ in pend):
+            for raw, s in pend:
+                self._insert_text(raw, s, s + len(raw), reconstruct=False)
+            return
+        self._err("unexpected-character", pend[0][1])
+        self.foster = True
+        for raw, s in pend:
+            self._insert_text(_decode(raw), s, s + len(raw))
+        self.foster = False
+
     def _chars_html(self, raw: str, start: int) -> None:
         if "\x00" in raw:
             # WHATWG "in body": U+0000 character tokens are parse
@@ -1292,18 +1314,19 @@ class _TreeBuilder:
             in_table_ctx = self.ntag[self._current()] in (
                 "table", "tbody", "tfoot", "thead", "tr",
             )
-            if all(c in _WS_SET for c in raw):
-                # in-table whitespace: inserted without formatting
-                # reconstruction (the in-body anything-else path, which
-                # DOES reconstruct, is only for non-space text)
+            if in_table_ctx:
+                # WHATWG "in table text": character runs are PENDING
+                # until the next non-character token — the all-space
+                # test applies to the whole batch, so '\n' followed by
+                # stray text fosters TOGETHER (fuzz-found:
+                # '<table>\n< notatag')
+                self.pending_tt.append((raw, start))
+            elif all(c in _WS_SET for c in raw):
+                # whitespace while a fostered element is current: no
+                # formatting reconstruction (round-2 fuzz rule kept)
                 self._insert_text(raw, start, end, reconstruct=False)
-            elif not in_table_ctx:
-                self._insert_text(_decode(raw), start, end)
             else:
-                self._err("unexpected-character", start)
-                self.foster = True
                 self._insert_text(_decode(raw), start, end)
-                self.foster = False
             return
         if mode == IN_SELECT:
             self._insert_text(_decode(raw), start, end, reconstruct=False)
@@ -1312,7 +1335,10 @@ class _TreeBuilder:
             stripped = raw.lstrip(_WS)
             k = len(raw) - len(stripped)
             if k:
-                self._insert_text(raw[:k], start, start + k)
+                # whitespace inside <colgroup> never reconstructs
+                # formatting (fuzz-found: a fostered <small>'s AFE
+                # entry must not reopen INSIDE the colgroup)
+                self._insert_text(raw[:k], start, start + k, reconstruct=False)
             if stripped:
                 if self.stack and self.ntag[self._current()] == "colgroup":
                     self._close_implied(self.stack.pop(), start + k)
@@ -1358,6 +1384,8 @@ class _TreeBuilder:
     def _start_html(self, name, attrs, self_closing, t0, t1) -> str | None:
         """HTML-content start-tag rules.  Returns 'rawtext'/'rcdata' if
         the tokenizer must switch content model, else None."""
+        if self.pending_tt:
+            self._flush_tt()
         # the <pre>/<listing>/<textarea> newline-skip applies only to
         # the IMMEDIATELY following token (spec: "if the NEXT token is
         # a U+000A character token"); pre/listing/textarea re-set it
@@ -1619,13 +1647,17 @@ class _TreeBuilder:
                         break
                 self._reset_mode()
                 return self.handle_start(name, attrs, self_closing, t0, t1)
-            if self._in_scope("caption", _TABLE_SCOPE) and self.ntag[self._current()] != "table":
+            # TABLE scope (boundaries html/table/template only) — the
+            # generic scope list would let an open <marquee>/<object>
+            # inside the caption hide it (fuzz-found:
+            # '<table><caption><marquee><tr>')
+            if self._in_table_scope("caption") and self.ntag[self._current()] != "table":
                 # table-structure start tag while inside <caption>: close
                 # the caption and reprocess in the table context
                 self._pop_until("caption", t0)
                 self._reset_mode()
                 return self.handle_start(name, attrs, self_closing, t0, t1)
-            if not self._in_scope("table"):
+            if not self._in_table_scope("table"):
                 self._err("unexpected-start-tag", t0)  # table parts outside a table: ignored
                 return None
         if name in P_CLOSERS and self.open_p > 0 and self._in_scope("p", _BUTTON_SCOPE):
@@ -1879,6 +1911,8 @@ class _TreeBuilder:
 
     # ------------------------------------------------------------------
     def _end_html(self, name, t0, t1) -> None:
+        if self.pending_tt:
+            self._flush_tt()
         self.skip_newline = False
         mode = self.mode
         if mode != IN_BODY and mode != IN_CELL:  # hot path guard
@@ -1919,8 +1953,30 @@ class _TreeBuilder:
                 self._end_in_table(name, t0, t1)
                 return
             if mode == IN_SELECT:
-                if name in ("option", "optgroup"):
-                    if not self._pop_until(name, t0, t0, t1):
+                if name == "option":
+                    # spec "in select" </option>: pop ONLY if the
+                    # current node is an option — never through the
+                    # select (fuzz-found: <option><select></option x>)
+                    stk = self.stack
+                    if stk and self.ntag[stk[-1]] == "option":
+                        self._pop_until("option", t0, t0, t1)
+                    else:
+                        self._err("unexpected-end-tag", t0)
+                    return
+                if name == "optgroup":
+                    # spec: an option directly inside an optgroup is
+                    # implied-closed first; then pop only a current
+                    # optgroup
+                    stk = self.stack
+                    if (
+                        len(stk) >= 2
+                        and self.ntag[stk[-1]] == "option"
+                        and self.ntag[stk[-2]] == "optgroup"
+                    ):
+                        self._close_implied(stk.pop(), t0)
+                    if stk and self.ntag[stk[-1]] == "optgroup":
+                        self._pop_until("optgroup", t0, t0, t1)
+                    else:
                         self._err("unexpected-end-tag", t0)
                     return
                 if name == "select":
@@ -2100,7 +2156,7 @@ class _TreeBuilder:
             else:
                 self._err("unexpected-end-tag", t0)
             return
-        if name == "table" and self._in_scope("caption", _TABLE_SCOPE):
+        if name == "table" and self._in_table_scope("caption"):
             # </table> while inside <caption> (approximated as in-body):
             # close the caption, then let the table context handle it
             self._pop_until("caption", t0)
@@ -2208,7 +2264,17 @@ class _TreeBuilder:
 
     # ------------------------------------------------------------------
     def handle_comment(self, text, t0, t1) -> None:
+        if self.pending_tt:
+            self._flush_tt()
         self.skip_newline = False
+        # WHATWG dispatcher: a comment token with a FOREIGN adjusted
+        # current node goes to the foreign rules (insert at the current
+        # node) even when the insertion mode already moved past the
+        # body — fuzz-found via '<svg></html><!--c-->'
+        if self.has_foreign and self.stack and self._use_foreign("comment"):
+            nid = self._new_node(COMMENT, "", None, text, t0, t1)
+            self._attach(nid, self._current())
+            return
         if self.mode in (INITIAL, BEFORE_HTML, AFTER_AFTER_BODY):
             nid = self._new_node(COMMENT, "", None, text, t0, t1)
             self._attach(nid, 0)
@@ -2222,12 +2288,16 @@ class _TreeBuilder:
         self._attach(nid, parent, before)
 
     def handle_cdata(self, text, t0, t1) -> None:
+        if self.pending_tt:
+            self._flush_tt()
         self.skip_newline = False
         parent, before = self._insert_target()
         nid = self._new_node(CDATA, "", None, text, t0, t1)
         self._attach(nid, parent, before)
 
     def handle_doctype(self, t0, t1, ok: bool) -> None:
+        if self.pending_tt:
+            self._flush_tt()
         if self.mode == INITIAL:
             self.quirks = not ok
             self.mode = BEFORE_HTML
@@ -2235,6 +2305,8 @@ class _TreeBuilder:
             self._err("unexpected-doctype", t0)
 
     def handle_eof(self) -> None:
+        if self.pending_tt:
+            self._flush_tt()
         # ensure even empty/fragment input yields the implied skeleton
         pos = self.n
         if self.html_id < 0:

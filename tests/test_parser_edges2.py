@@ -452,3 +452,82 @@ class TestEndTagAttributes:
         texts = [nt.text[i] for i in range(nt.n) if nt.text[i]]
         assert texts == ["x"]  # token ignored at EOF
         assert ("eof-in-end-tag", 6) in nt.error_records
+
+
+class TestRound3FuzzFinds:
+    """Round-3 fresh-seed fuzz wave finds (engine vs html5lib oracle)."""
+
+    def test_select_end_option_not_through_select(self):
+        # spec "in select" </option>: pop ONLY a current option — an
+        # option OUTSIDE the select must not be reached through it
+        nt = parse_html('<option><select></option q="r>s"><optgroup>x')
+        og = first(nt, nt.tag_name == "optgroup")
+        sel = first(nt, nt.tag_name == "select")
+        assert nt.parent[og] == sel  # optgroup nested INSIDE the select
+
+    def test_select_end_optgroup_current_only(self):
+        nt = parse_html("<select><optgroup><option></optgroup><option>b")
+        # option+optgroup implied-closed; second option is select's child
+        opts = [i for i in range(nt.n) if nt.tag_name[i] == "option"]
+        sel = first(nt, nt.tag_name == "select")
+        assert nt.parent[opts[1]] == sel
+
+    def test_comment_in_foreign_after_body_mode(self):
+        # a comment with a FOREIGN adjusted current node inserts at the
+        # current node even after </html> switched the insertion mode
+        nt = parse_html("<svg></html><!--c-->")
+        svg = first(nt, nt.tag_name == "svg")
+        cm = first(nt, nt.type == COMMENT)
+        assert nt.parent[cm] == svg
+
+    def test_foreign_named_end_tag_not_matched_via_html_rules(self):
+        # modern spec: any-other-end-tag matches HTML elements only —
+        # a MathML <tr> is neither matched nor special, so </tr> is
+        # ignored and following text stays in the integration point
+        nt = parse_html("<math><tr><ms><mtext></tr>x")
+        mtext = first(nt, nt.tag_name == "mtext")
+        assert nt.content_text(mtext) == "x"
+
+
+class TestPendingTableText:
+    """WHATWG 'in table text': character runs buffer until the next
+    non-character token; the all-space test applies to the WHOLE batch
+    (round-3 fuzz finds)."""
+
+    def test_ws_then_stray_text_foster_together(self):
+        nt = parse_html("<table>\n< notatag<!--c-->")
+        body = first(nt, nt.tag_name == "body")
+        kids = nt.children_ids(body)
+        # the "\n< notatag" batch fosters as ONE text node before table
+        texts = [nt.text[k] for k in kids if nt.type[k] in (TEXT, WHITESPACE)]
+        assert texts == ["\n< notatag"]
+        table = first(nt, nt.tag_name == "table")
+        tkids = nt.children_ids(table)
+        assert all(nt.type[k] not in (TEXT, WHITESPACE) for k in tkids)
+
+    def test_all_ws_batch_stays_in_table(self):
+        nt = parse_html("<table> \n <tr><td>x")
+        table = first(nt, nt.tag_name == "table")
+        tkids = nt.children_ids(table)
+        assert any(nt.type[k] == WHITESPACE for k in tkids)
+
+    def test_colgroup_ws_no_reconstruct(self):
+        # a fostered <small>'s AFE entry must not reopen INSIDE the
+        # colgroup for the leading whitespace
+        nt = parse_html("<table><small><colgroup> &copy 2020")
+        cg = first(nt, nt.tag_name == "colgroup")
+        cgkids = nt.children_ids(cg)
+        assert [nt.tag_name[k] or "#text" for k in cgkids] == ["#text"]
+        # the non-space remainder fosters with a reconstructed small
+        smalls = [i for i in range(nt.n) if nt.tag_name[i] == "small"]
+        assert len(smalls) == 2
+        assert nt.content_text(smalls[1]) == "© 2020"
+
+    def test_table_scope_through_marquee(self):
+        # <tr> while inside <caption><marquee>: caption check uses
+        # TABLE scope (html/table/template boundaries), so the open
+        # marquee does not hide it — caption closes, tbody>tr appears
+        nt = parse_html("<table><caption><marquee><tr><td>x")
+        tr = first(nt, nt.tag_name == "tr")
+        tbody = first(nt, nt.tag_name == "tbody")
+        assert tr >= 0 and tbody >= 0 and nt.parent[tr] == tbody
