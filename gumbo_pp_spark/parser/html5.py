@@ -653,6 +653,21 @@ class _TreeBuilder:
                 return False
         return False
 
+    def _close_cell(self, pos: int) -> bool:
+        """Close the NEAREST open cell within the current table (stop
+        at the table boundary — popping _pop_until('td') blindly could
+        reach a cell of an OUTER table through a nested one,
+        fuzz-found: '<table><td><table><th><th>').  Returns True if a
+        cell was closed."""
+        stk = self.stack
+        for k in range(len(stk) - 1, -1, -1):
+            tag = self.ntag[stk[k]]
+            if tag in ("td", "th"):
+                return self._pop_until(tag, pos)
+            if tag in ("table", "html", "template"):
+                return False
+        return False
+
     def _in_table_scope(self, name: str) -> bool:
         """'has element in TABLE scope' (boundaries: html, table,
         template only)."""
@@ -1139,6 +1154,14 @@ class _TreeBuilder:
                 return
             if tag in ("td", "th"):
                 self.mode = IN_CELL
+                return
+            if tag == "caption":
+                # "in caption" is approximated by the in-body rules
+                # (caption end/table-part handling lives in the in-body
+                # branches) — without this a closed select inside a
+                # caption reset to IN_TABLE and the following
+                # </caption> was ignored (fuzz-found)
+                self.mode = IN_BODY
                 return
             if tag == "tr":
                 self.mode = IN_ROW
@@ -1640,11 +1663,12 @@ class _TreeBuilder:
             return None
         if name in _TABLEISH:  # one gate for the three table-part rules
             if self.mode == IN_CELL:
-                # close the cell, reprocess in the row/section context
-                # (a <table> start tag is NOT here: tables nest in cells)
-                for cell in ("td", "th"):
-                    if self._pop_until(cell, t0):
-                        break
+                # close the NEAREST cell, reprocess in the row/section
+                # context (a <table> start tag is NOT here: tables nest
+                # in cells)
+                if not self._close_cell(t0):
+                    self._err("unexpected-start-tag-in-table", t0)
+                    return None
                 self._reset_mode()
                 return self.handle_start(name, attrs, self_closing, t0, t1)
             # TABLE scope (boundaries html/table/template only) — the
@@ -1882,8 +1906,16 @@ class _TreeBuilder:
                 self.mode = IN_ROW
                 return self.handle_start(name, attrs, self_closing, t0, t1)
             if name in TABLE_SECTIONS or name in ("caption", "col", "colgroup", "table"):
-                for sec in TABLE_SECTIONS:
-                    if self._pop_until(sec, t0):
+                # close the NEAREST open section of THIS table — the
+                # previous frozenset iteration was hash-seed-
+                # nondeterministic and unbounded (could pop through a
+                # nested table to an outer section)
+                for k in range(len(self.stack) - 1, -1, -1):
+                    tag = self.ntag[self.stack[k]]
+                    if tag in TABLE_SECTIONS:
+                        self._pop_until(tag, t0)
+                        break
+                    if tag == "table":
                         break
                 self.mode = IN_TABLE
                 return self.handle_start(name, attrs, self_closing, t0, t1)
@@ -2099,9 +2131,13 @@ class _TreeBuilder:
                 self._err("unexpected-end-tag", t0)
             return
         if mode == IN_CELL and (name in ("table", "tr") or name in TABLE_SECTIONS):
-            for cell in ("td", "th"):
-                if self._pop_until(cell, t0):
-                    break
+            # spec in-cell: IGNORE unless the named element is in TABLE
+            # scope (fuzz-found: '<table><td></tfoot> ' must keep the
+            # following text inside the cell)
+            if not self._in_table_scope(name):
+                self._err("unexpected-end-tag-in-table", t0)
+                return
+            self._close_cell(t0)
             self._reset_mode()
             self._end_html(name, t0, t1)
             return
@@ -2217,33 +2253,51 @@ class _TreeBuilder:
         return any(self.ntag[x] == name for x in self.stack)
 
     def _end_in_table(self, name, t0, t1) -> None:
+        # spec: every table-structure end tag is gated on "has an
+        # element in TABLE scope" BEFORE any popping — a blind pop
+        # could close fostered elements for an ignorable token
+        # (fuzz-found: '<table><tr><u></thead>&amp;')
         mode = self.mode
         if name == "table":
+            if not self._in_table_scope("table"):
+                self._err("unexpected-end-tag-in-table", t0)
+                return
             if mode == IN_ROW:
                 self._pop_until("tr", t0)
             if self.mode != IN_TABLE:
-                for sec in TABLE_SECTIONS:
-                    if any(self.ntag[x] == sec for x in self.stack):
-                        self._pop_until(sec, t0)
+                # close the NEAREST open section of THIS table (walk
+                # from the top, stop at the table boundary) — iterating
+                # the TABLE_SECTIONS frozenset here was both
+                # hash-seed-NONDETERMINISTIC and able to pop through an
+                # inner table to an outer table's section
+                for k in range(len(self.stack) - 1, -1, -1):
+                    tag = self.ntag[self.stack[k]]
+                    if tag in TABLE_SECTIONS:
+                        self._pop_until(tag, t0)
                         break
-            if self._pop_until("table", t0, t0, t1):
-                self._reset_mode()
-            else:
-                self._err("unexpected-end-tag-in-table", t0)
+                    if tag == "table":
+                        break
+            self._pop_until("table", t0, t0, t1)
+            self._reset_mode()
             return
         if mode == IN_TABLE_BODY and name in TABLE_SECTIONS:
-            if self._pop_until(name, t0, t0, t1):
-                self.mode = IN_TABLE
-            else:
+            if not self._in_table_scope(name):
                 self._err("unexpected-end-tag-in-table", t0)
+                return
+            self._pop_until(name, t0, t0, t1)
+            self.mode = IN_TABLE
             return
         if mode == IN_ROW and name == "tr":
-            if self._pop_until("tr", t0, t0, t1):
-                self.mode = IN_TABLE_BODY
-            else:
+            if not self._in_table_scope("tr"):
                 self._err("unexpected-end-tag-in-table", t0)
+                return
+            self._pop_until("tr", t0, t0, t1)
+            self.mode = IN_TABLE_BODY
             return
         if mode == IN_ROW and name in TABLE_SECTIONS:
+            if not self._in_table_scope(name):
+                self._err("unexpected-end-tag-in-table", t0)
+                return
             self._pop_until("tr", t0)
             self.mode = IN_TABLE_BODY
             self._end_in_table(name, t0, t1)

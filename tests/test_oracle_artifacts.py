@@ -111,3 +111,66 @@ class TestFosteredDtFamily:
                 [("head", []), ("body", [p_node, (table_node[0], [dt_node, *table_node[1]])])],
             )
             assert legacy == pinned, src
+
+
+class TestInTableReprocessDropFamily:
+    """html5lib's InTablePhase.startTagOther discards the token its
+    in-body delegate returns for REPROCESSING (html5parser.py: the
+    'table magic' block ignores processStartTag's return), so a second
+    <button>/<option> that implies closing the first simply vanishes.
+    The spec reprocesses the token — the engine inserts it (fostered).
+    """
+
+    CASES = [
+        (
+            "<table><button><button>",
+            # pinned html5lib: second button dropped
+            ("html", [("head", []), ("body", [("button", []), ("table", [])])]),
+        ),
+        (
+            "<table><option><option>",
+            # pinned html5lib: second option inserted WITHOUT fostering
+            # (insertFromTable already reset by the drop path)
+            ("html", [("head", []), ("body", [("option", []), ("table", [("option", [])])])]),
+        ),
+    ]
+
+    def test_rederive_html5lib_under_legacy_rule(self):
+        for src, pinned in self.CASES:
+            nt = parse_html(src)
+            eng = tuples(nt)
+            body = eng[1][1]
+            first_el, second_el, table = body[1]
+            # engine (spec): both elements present, fostered before table
+            assert first_el[0] == second_el[0] and table[0] == "table", src
+            if second_el[0] == "button":
+                legacy_body = [first_el, table]  # token dropped
+            else:
+                legacy_body = [first_el, (table[0], [second_el, *table[1]])]
+            legacy = ("html", [("head", []), ("body", legacy_body)])
+            assert legacy == pinned, src
+
+
+class TestBasePhaseSpaceFamily:
+    """html5lib's base Phase.processSpaceCharacters inserts text
+    WITHOUT reconstructing active formatting (the in-body override
+    does); in cell/table contexts a space after a closed formatting
+    element therefore skips the spec's reconstruction.  The engine
+    follows the spec (in-cell characters → in-body rules →
+    reconstruct)."""
+
+    def test_rederive_html5lib_under_legacy_rule(self):
+        nt = parse_html("<table><th><button><u></button> ")
+        eng = tuples(nt)
+        # navigate: body > table > tbody > tr > th
+        body = eng[1][1]
+        table = body[1][0]
+        th = table[1][0][1][0][1][0]
+        assert th[0] == "th"
+        # engine (spec): [button[u], u[" "]] — reconstruction cloned u
+        assert [c[0] for c in th[1]] == ["button", "u"]
+        assert th[1][1][1] == [" "]
+        # legacy re-derivation: unwrap the reconstructed clone → the
+        # html5lib tree (space as a bare child of th)
+        legacy_th = (th[0], [th[1][0], " "])
+        assert legacy_th == ("th", [("button", [("u", [])]), " "])
