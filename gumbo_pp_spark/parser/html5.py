@@ -549,6 +549,10 @@ class _TreeBuilder:
             self.mode = IN_TABLE
         elif ctx == "select":
             self.mode = IN_SELECT
+        elif ctx == "colgroup":
+            self.mode = IN_COLGROUP
+        elif ctx == "frameset":
+            self.mode = IN_FRAMESET
         elif ctx == "head":
             self.mode = IN_HEAD
         else:
@@ -614,7 +618,10 @@ class _TreeBuilder:
 
     def _foster_spot(self) -> tuple[int, int]:
         """The foster-parenting location: before the last open table
-        (in the table's parent), else the current node."""
+        (in the table's parent); with NO open table (a table-part
+        fragment context) the spec inserts inside the FIRST element on
+        the stack — the root (fuzz-found: fostered text in a
+        table-context fragment landed inside the implied tr)."""
         for k in range(len(self.stack) - 1, -1, -1):
             if self.ntag[self.stack[k]] == "table":
                 tbl = self.stack[k]
@@ -622,6 +629,8 @@ class _TreeBuilder:
                 if par >= 0:
                     return par, tbl
                 break
+        if self.frag_name and self.stack:
+            return self.stack[0], -1
         return self._current(), -1
 
     # -- scope ----------------------------------------------------------
@@ -1221,9 +1230,14 @@ class _TreeBuilder:
 
     def _foreign_start(self, name, attrs, self_closing, t0, t1) -> str | None:
         self.skip_newline = False
-        if name in FOREIGN_BREAKOUT or (
-            name == "font" and ({"color", "face", "size"} & attrs.keys())
-        ):
+        if (
+            name in FOREIGN_BREAKOUT
+            or (name == "font" and ({"color", "face", "size"} & attrs.keys()))
+        ) and not (self.frag_name and len(self.stack) == 1):
+            # breakout does NOT apply in the fragment case (spec: stack
+            # holds only the root) — without this guard a breakout tag
+            # at the root of a foreign-context fragment reprocessed
+            # forever (the adjusted current node stays the context)
             # breakout tag: pop foreign elements back to HTML content /
             # an integration point, then reprocess the token
             self._err("html-in-foreign-content", t0)
@@ -1365,8 +1379,10 @@ class _TreeBuilder:
             if stripped:
                 if self.stack and self.ntag[self._current()] == "colgroup":
                     self._close_implied(self.stack.pop(), start + k)
-                self.mode = IN_TABLE
-                self.handle_chars(stripped, start + k)
+                    self.mode = IN_TABLE
+                    self.handle_chars(stripped, start + k)
+                else:  # colgroup-context fragment case: ignore
+                    self._err("unexpected-character", start + k)
             return
         if mode == IN_FRAMESET or mode == AFTER_FRAMESET:
             ws = "".join(c for c in raw if c in _WS_SET)
@@ -1522,11 +1538,15 @@ class _TreeBuilder:
                 self._err("unexpected-start-tag", t0)
                 self._merge_root_attrs(self.html_id, attrs)
                 return None
-            # anything else: close the colgroup, reprocess in table
+            # anything else: close the colgroup, reprocess in table —
+            # unless the current node is NOT a colgroup (the
+            # colgroup-context FRAGMENT case): parse error, ignore
             if self.stack and self.ntag[self._current()] == "colgroup":
                 self._close_implied(self.stack.pop(), t0)
-            self.mode = IN_TABLE
-            return self.handle_start(name, attrs, self_closing, t0, t1)
+                self.mode = IN_TABLE
+                return self.handle_start(name, attrs, self_closing, t0, t1)
+            self._err("unexpected-start-tag", t0)
+            return None
         if mode == IN_FRAMESET:
             if name == "frameset":
                 self._insert_element(name, attrs, t0, t1)
@@ -1583,8 +1603,12 @@ class _TreeBuilder:
             return None
         if name in ("select", "input", "keygen", "textarea"):
             # parse error: close the select, reprocess (except a
-            # duplicate <select>, which just closes it)
+            # duplicate <select>, which just closes it).  With no open
+            # select element (the select-context FRAGMENT case) the
+            # token is ignored per spec.
             self._err("unexpected-start-tag-in-select", t0)
+            if not self._stack_has("select"):
+                return None
             self._pop_until("select", t0)
             self._reset_mode()
             if name == "select":
@@ -1592,8 +1616,9 @@ class _TreeBuilder:
             return self.handle_start(name, attrs, self_closing, t0, t1)
         if name in ("caption", "table", "tbody", "tfoot", "thead", "tr", "td", "th"):
             # table-structure tags break out ONLY for a select nested in
-            # a table ("in select in table"); a bare select ignores them
-            if self._stack_has("table"):
+            # a table ("in select in table"); a bare select (or a
+            # select-context fragment) ignores them
+            if self._stack_has("table") and self._stack_has("select"):
                 self._err("unexpected-start-tag-in-select", t0)
                 self._pop_until("select", t0)
                 self._reset_mode()
@@ -1868,7 +1893,11 @@ class _TreeBuilder:
                 self.mode = IN_COLGROUP
                 return self.handle_start(name, attrs, self_closing, t0, t1)
             if name == "table":
+                # spec in-table <table>: IGNORE when no table is in
+                # table scope (the table-context FRAGMENT case)
                 self._err("unexpected-start-tag-in-table", t0)
+                if not self._in_table_scope("table"):
+                    return None
                 self._pop_until("table", t0)
                 self._reset_mode()
                 return self.handle_start(name, attrs, self_closing, t0, t1)
@@ -1932,6 +1961,12 @@ class _TreeBuilder:
             self.mode = IN_CELL
             return None
         if name in ("tr", "caption", "col", "colgroup", "table") or name in TABLE_SECTIONS:
+            # spec in-row: act as </tr> then reprocess — but if no tr
+            # is in table scope (the tr-context FRAGMENT case) the
+            # token is ignored
+            if not self._in_table_scope("tr"):
+                self._err("unexpected-start-tag-in-table", t0)
+                return None
             self._pop_until("tr", t0)
             self.mode = IN_TABLE_BODY
             return self.handle_start(name, attrs, self_closing, t0, t1)
@@ -2069,8 +2104,10 @@ class _TreeBuilder:
                     return
                 if self.stack and self.ntag[self._current()] == "colgroup":
                     self._close_implied(self.stack.pop(), t0)
-                self.mode = IN_TABLE
-                self._end_html(name, t0, t1)
+                    self.mode = IN_TABLE
+                    self._end_html(name, t0, t1)
+                else:  # colgroup-context fragment case: ignore
+                    self._err("unexpected-end-tag", t0)
                 return
             if mode == AFTER_AFTER_BODY:
                 self._err("unexpected-end-tag", t0)

@@ -531,3 +531,47 @@ class TestPendingTableText:
         tr = first(nt, nt.tag_name == "tr")
         tbody = first(nt, nt.tag_name == "tbody")
         assert tr >= 0 and tbody >= 0 and nt.parent[tr] == tbody
+
+
+class TestFragmentCases:
+    """Round-3 fragment-case rules (spec 'fragment case' clauses),
+    fuzz-found against html5lib's parseFragment oracle."""
+
+    def test_colgroup_fragment_ignores_non_col(self):
+        nt = parse_html("<select>x<span>y</span><col>", {"fragment_context": "colgroup"})
+        assert (nt.tag_name == "select").sum() == 0
+        assert (nt.tag_name == "span").sum() == 0
+        assert (nt.tag_name == "col").sum() == 1  # col itself is honored
+
+    def test_select_fragment_ignores_breakout_tags(self):
+        nt = parse_html("<li>x<textarea>y<table><tr>", {"fragment_context": "select"})
+        for t in ("li", "textarea", "table", "tr"):
+            assert (nt.tag_name == t).sum() == 0, t
+
+    def test_tr_fragment_nested_tr_ignored(self):
+        nt = parse_html("<tr><td>x", {"fragment_context": "tr"})
+        assert (nt.tag_name == "tr").sum() == 0  # spec: ignored, fragment case
+        td = first(nt, nt.tag_name == "td")
+        assert nt.parent[td] == 1  # td directly under the fragment root
+
+    def test_table_fragment_foster_to_root(self):
+        # fostered text in a table-context fragment goes INSIDE the
+        # first stack element (the root), not into the implied tr
+        nt = parse_html("<tr>word", {"fragment_context": "table"})
+        tr = first(nt, nt.tag_name == "tr")
+        assert nt.content_text(tr) == ""
+        texts = [nt.text[i] for i in range(nt.n) if nt.text[i]]
+        assert texts == ["word"]
+
+    def test_table_fragment_nested_table_ignored(self):
+        nt = parse_html("<table><tr><td>x", {"fragment_context": "table"})
+        assert (nt.tag_name == "table").sum() == 0  # no table in scope -> ignored
+        assert (nt.tag_name == "td").sum() == 1
+
+    def test_foreign_fragment_breakout_no_recursion(self):
+        # breakout tags do NOT apply in the fragment case (stack holds
+        # only the root) — this input previously recursed forever
+        nt = parse_html("a<svg><p><circle>", {"fragment_context": "math",
+                                              "fragment_namespace": "math"})
+        assert nt.n > 3  # parsed without RecursionError
+        assert (nt.tag_name == "p").sum() == 1
