@@ -441,6 +441,58 @@ def explode_nodes(df: DataFrame, passthrough: tuple[str, ...] = ("doc_id",)) -> 
     return pruned.mapInArrow(fn, schema)
 
 
+DOM_STATS_FIELDS = (
+    "n_elements bigint, n_links bigint, text_chars bigint, "
+    "link_text_chars bigint, max_depth bigint, link_density_e4 bigint"
+)
+
+
+def dom_stats_program(nt: NodeTable) -> dict:
+    """Per-page DOM statistics for boilerplate heuristics (the
+    link-density family used by CC-scale extraction pipelines):
+    element/link counts, textual mass, text mass inside <a> subtrees,
+    max tree depth, and link density (link_text/text, e4-scaled).
+
+    All vectorized: depth is an interval-containment count (each
+    node's subtree paints [i+1, subtree_end)), link text reuses the
+    subtree-painting kernel from the boilerplate strip."""
+    from ..nodetable import ELEMENT
+
+    t = nt.type
+    textual = (t == TEXT) | (t == WHITESPACE) | (t == CDATA)
+    text_lens = np.zeros(nt.n, dtype=np.int64)
+    tids = np.nonzero(textual)[0]
+    text_lens[tids] = [len(s) for s in nt.text[tids]]
+    a_roots = np.nonzero(nt.tag_name == "a")[0]
+    link_chars = 0
+    if len(a_roots):
+        in_a = _excluded_mask(nt, a_roots)
+        link_chars = int(text_lens[in_a].sum())
+    # depth[j] = number of strictly-containing intervals
+    diff = np.zeros(nt.n + 1, dtype=np.int32)
+    idx = np.arange(nt.n)
+    np.add.at(diff, idx + 1, 1)
+    np.subtract.at(diff, nt.subtree_end, 1)
+    depth = np.cumsum(diff[: nt.n])
+    text_chars = int(text_lens.sum())
+    return {
+        "n_elements": int((t == ELEMENT).sum()),
+        "n_links": int(len(a_roots)),
+        "text_chars": text_chars,
+        "link_text_chars": link_chars,
+        "max_depth": int(depth.max()) if nt.n else 0,
+        # half-UP rounding (Python round() is banker's; DuckDB/Spark
+        # round half away from zero — 312.5 must be 313 on both sides)
+        "link_density_e4": int(10000.0 * link_chars / text_chars + 0.5) if text_chars else 0,
+    }
+
+
+def dom_stats(df: DataFrame, passthrough=("doc_id",)) -> DataFrame:
+    """Map-only DOM-statistics stage (no shuffle; scan pruned to
+    passthrough+html like every run_program stage)."""
+    return run_program(df, dom_stats_program, DOM_STATS_FIELDS, passthrough)
+
+
 def count_matches_program(matcher) -> Callable[[NodeTable], dict]:
     def program(nt: NodeTable) -> dict:
         return {"n_matches": int(matcher(nt).sum())}

@@ -277,6 +277,19 @@ def q_html_node_count(spark, sf_dir):
     )
 
 
+def q_html_dom_stats(spark, sf_dir):
+    # link-density boilerplate signals (n_elements, links, textual
+    # mass, text inside <a>, max depth) — the oracle derives every
+    # value analytically from the page template
+    from .operators.extract import dom_stats
+
+    pages = synth_pages(spark, sf_dir)
+    out = dom_stats(pages, passthrough=("doc_id",))
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "n_elements", "n_links", "text_chars",
+                      "link_text_chars", "max_depth", "link_density_e4")
+
+
 def q_html_article_text(spark, sf_dir):
     # content_text of <article> INCLUDES comment text
     # (gumbo_text.h:23-58 default branch) — pinned via oracle
@@ -853,6 +866,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_class_match": q_html_class_match,
     "html_spans": q_html_spans,
     "html_spans_bytes": q_html_spans_bytes,
+    "html_dom_stats": q_html_dom_stats,
     "html_tag_histogram": q_html_tag_histogram,
     "html_first_div_content": q_html_first_div_content,
     "html_outer_inner": q_html_outer_inner,
@@ -940,6 +954,20 @@ ORACLES: dict[str, str] = {
         "CAST(octet_length(encode(left(R, strpos(R, '<p class=\"bytes\"') - 1))) AS BIGINT) AS start_byte, "
         "CAST(octet_length(encode(left(R, strpos(R, '</p>') + 3))) AS BIGINT) AS end_byte "
         "FROM p"
+    ),
+    "html_dom_stats": (
+        # template-derived: 15 elements, 1 link ("home", 4 chars),
+        # deepest chain body>div>main>article>h1>text = depth 7;
+        # text mass = "Doc {id}" + "home" + "Heading {id}" + text +
+        # "source {source}"
+        "WITH s AS (SELECT doc_id, "
+        "4 + length(CAST(doc_id AS STRING)) + 4 + 8 + length(CAST(doc_id AS STRING)) "
+        "+ length(text) + 7 + length(source) AS tc FROM documents) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(15 AS BIGINT) AS n_elements, CAST(1 AS BIGINT) AS n_links, "
+        "CAST(tc AS BIGINT) AS text_chars, CAST(4 AS BIGINT) AS link_text_chars, "
+        "CAST(7 AS BIGINT) AS max_depth, "
+        "CAST(round(10000.0 * 4 / tc) AS BIGINT) AS link_density_e4 FROM s"
     ),
     "html_tag_histogram": (
         "WITH c AS (SELECT count(*) AS total FROM documents) "
