@@ -211,7 +211,11 @@ def _build_ib_fast() -> dict[str, int]:
             and name not in HEADINGS
             and name not in VOID_ELEMENTS
             and name not in RAWTEXT_ELEMENTS
-            and name not in ("li", "dd", "dt", "template", "textarea")
+            # title: in-body <title> is processed via the IN-HEAD rule
+            # (WHATWG in-body base/link/meta/title/... entry), which
+            # does NOT reconstruct active formatting (fuzz-found:
+            # '<span><font></span><title>' must not clone the font)
+            and name not in ("li", "dd", "dt", "template", "textarea", "title")
         ):
             fl |= _F_RECONSTRUCT
         if name in _FRAMESET_BREAKERS:

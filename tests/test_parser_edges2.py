@@ -575,3 +575,19 @@ class TestFragmentCases:
                                               "fragment_namespace": "math"})
         assert nt.n > 3  # parsed without RecursionError
         assert (nt.tag_name == "p").sum() == 1
+
+
+class TestTitleInBodyNoReconstruct:
+    """in-body <title> is processed via the IN-HEAD rule (WHATWG
+    in-body base/link/meta/title entry) — no active-formatting
+    reconstruction (round-3 fuzz find vs html5lib)."""
+
+    def test_no_font_clone_around_title(self):
+        nt = parse_html("<span><font face='f'>x</span></font><title>t</title>y")
+        fonts = [i for i in range(nt.n) if nt.tag_name[i] == "font"]
+        title = first(nt, nt.tag_name == "title")
+        # no font clone wrapping/preceding the title; the AFE entry
+        # reconstructs for the TEXT after it instead
+        assert nt.parent[title] not in fonts
+        body = first(nt, nt.tag_name == "body")
+        assert nt.parent[title] == body
