@@ -86,6 +86,8 @@ class NodeTable:
     # decoded string (only when CR normalization changed it) — feed the
     # lazy decoded-offset → byte-offset map (gumbo's offsets are byte
     # offsets into the raw buffer, gumbo_util.h:121-146)
+    # GumboOptions.tab_stop (column positions; error_positions default)
+    tab_stop: int = 8
     raw: bytes | None = field(default=None, repr=False)
     _prenorm: str | None = field(default=None, repr=False)
     _byte_map: np.ndarray | None = field(default=None, repr=False)
@@ -337,6 +339,29 @@ class NodeTable:
         lo[doc] = 0
         hi[doc] = len(self.source)
         return self.source, lo, hi, is_range
+
+    def error_positions(self, tab_stop: int | None = None) -> list:
+        """GumboSourcePosition analogue for every error record:
+        ``[(code, offset, line, column), ...]`` with 1-based line/
+        column and tab-aware columns (gumbo utf8.c advances the column
+        to the next multiple of ``tab_stop`` on a TAB — the
+        GumboOptions.tab_stop knob, default 8).  Offsets index the
+        decoded source like every other engine offset."""
+        if tab_stop is None:
+            tab_stop = self.tab_stop
+        src = self.source
+        out = []
+        for code, off in self.error_records:
+            line = src.count("\n", 0, off) + 1
+            start = src.rfind("\n", 0, off) + 1
+            col = 1
+            for ch in src[start:off]:
+                if ch == "\t":
+                    col = ((col - 1) // tab_stop + 1) * tab_stop + 1
+                else:
+                    col += 1
+            out.append((code, off, line, col))
+        return out
 
     # -- byte-offset span contract ---------------------------------------
     def byte_offsets(self, pos) -> np.ndarray:

@@ -2533,8 +2533,13 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
     * ``max_errors``: cap on the error RECORD vector (count still
       counts; −1 = unlimited, gumbo semantics).
 
-    ``stop_on_first_error`` is not implemented: the engine is always
-    error-recovering, matching how the reference is exercised.
+    * ``tab_stop``: column computation for error source positions —
+      consumed by :meth:`NodeTable.error_positions` (gumbo's
+      GumboSourcePosition model; default 8);
+    * ``stop_on_first_error``: ACCEPTED and ignored — exact libgumbo
+      parity: the field exists in GumboOptions but libgumbo never
+      implemented it (its parser.c never reads it), so the reference
+      is always error-recovering too.
     """
     raw_bytes = None
     if isinstance(source, (bytes, bytearray, memoryview)):
@@ -2555,6 +2560,7 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
     n = len(s)
     fragment = None
     max_errors = -1
+    tab_stop = 8
     if options:
         ctx = options.get("fragment_context")
         if ctx:
@@ -2562,6 +2568,10 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
             nsmap = {"html": NS_HTML, "svg": NS_SVG, "math": NS_MATHML}
             fragment = (str(ctx).lower(), nsmap[nsname])
         max_errors = options.get("max_errors", -1)
+        tab_stop = int(options.get("tab_stop", 8))
+        # stop_on_first_error accepted for GumboOptions-struct parity;
+        # libgumbo never implemented the field (see docstring)
+        options.get("stop_on_first_error")
     tb = _TreeBuilder(s, fragment=fragment, max_errors=max_errors)
     if fragment and fragment[1] == NS_HTML and (
         fragment[0] in RAWTEXT_ELEMENTS or fragment[0] in RCDATA_ELEMENTS
@@ -2575,7 +2585,7 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
             tb._insert_text(decoded, 0, n, rawtextual=True)
         tb.handle_eof()
         nt = tb.finalize()
-        nt.raw, nt._prenorm = raw_bytes, prenorm
+        nt.raw, nt._prenorm, nt.tab_stop = raw_bytes, prenorm, tab_stop
         return nt
     # hoisted hot-path bindings (the dispatch wrappers stay for
     # tree-builder-internal reprocessing; the tokenizer inlines them)
@@ -2796,5 +2806,5 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
                 i = n
     tb.handle_eof()
     nt = tb.finalize()
-    nt.raw, nt._prenorm = raw_bytes, prenorm
+    nt.raw, nt._prenorm, nt.tab_stop = raw_bytes, prenorm, tab_stop
     return nt

@@ -591,3 +591,29 @@ class TestTitleInBodyNoReconstruct:
         assert nt.parent[title] not in fonts
         body = first(nt, nt.tag_name == "body")
         assert nt.parent[title] == body
+
+
+class TestGumboOptionsTail:
+    """GumboOptions long tail: tab_stop (source-position columns) and
+    stop_on_first_error (accepted, libgumbo-parity no-op)."""
+
+    def test_error_positions_tab_stop(self):
+        nt = parse_html("line1\n\tx\t<?pi>", {"tab_stop": 8})
+        # error: processing-instruction at offset of '<'
+        recs = nt.error_positions()
+        assert recs, recs
+        code, off, line, col = recs[0]
+        assert code == "processing-instruction" and line == 2
+        # col: tab->9, 'x'->10, tab->17 ; '<' at col 17
+        assert col == 17
+        # custom tab stop via the option-independent argument
+        assert nt.error_positions(tab_stop=4)[0][3] == 9
+
+    def test_stop_on_first_error_accepted_noop(self):
+        a = parse_html("<p>x</p foo>", {"stop_on_first_error": True})
+        b = parse_html("<p>x</p foo>")
+        assert a.n == b.n and a.parse_errors == b.parse_errors
+
+    def test_default_tab_stop_from_options(self):
+        nt = parse_html("\t<?p>", {"tab_stop": 4})
+        assert nt.error_positions()[0][3] == 5
