@@ -71,27 +71,35 @@ def cosine_near_dup_pairs(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    block_expr: str = "vec_id % 16",
+    dim: int = 64,
+    n_planes: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, cos_e6) with
     a < b and cosine ≥ threshold.
 
-    Candidates are blocked by ``block_expr`` (at 100 TB the block key
-    would be an LSH bucket — see :func:`hyperplane_sketch_expr`; the
-    default modulus block keeps the demo oracle-reproducible), then
-    scored with a JVM-side dot product.  Cosine is emitted e6-scaled so
-    the DuckDB oracle compares exactly.
-    """
+    Candidates are blocked by the REAL scale path (round 3; previously
+    a documented modulus stand-in): the deterministic hyperplane-LSH
+    bucket (:func:`hyperplane_sketch_expr`, plan-time literal signs)
+    with hamming-1 MULTI-PROBE on the smaller-id side — each pair is
+    examined when the two buckets differ in at most one plane, so the
+    join key is a bucket id, never a cross join, and a's probe buckets
+    are distinct so no pair is emitted twice.  Survivors are scored
+    with a JVM-side dot product; cosine is e6-scaled so the DuckDB
+    oracle (which recomputes the identical buckets/probes) compares
+    exactly."""
+    sk = hyperplane_sketch_expr(dim, n_planes, vec_col)
     base = with_norm(df, vec_col).where(F.col("norm") > 0).withColumn(
-        "block", F.expr(block_expr)
+        "bucket", F.expr(sk)
     )
+    probes = ", ".join(f"bucket ^ {2 ** p}" for p in range(n_planes))
     a = base.select(
         F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
-        F.col("norm").alias("na"), "block",
+        F.col("norm").alias("na"),
+        F.explode(F.expr(f"array(bucket, {probes})")).alias("block"),
     )
     b = base.select(
         F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
-        F.col("norm").alias("nb"), "block",
+        F.col("norm").alias("nb"), F.col("bucket").alias("block"),
     )
     dot = DOT_EXPR.format(a="va", b="vb")
     return (

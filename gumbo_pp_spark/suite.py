@@ -181,6 +181,34 @@ def _duck_lsh_topk_sql(k: int = 3, dim: int = 64, n_planes: int = 4) -> str:
     )
 
 
+def _duck_near_dup_sql(threshold: float = 0.35, dim: int = 64, n_planes: int = 4) -> str:
+    # mirror of similarity.cosine_near_dup_pairs: hyperplane-LSH
+    # bucket blocking (plan-time literal signs) with hamming-1
+    # multi-probe on the smaller-id side
+    bucket_terms = []
+    for p in range(n_planes):
+        lits = ", ".join(str(s) for s in S.plane_signs(p, dim))
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]) > 0 THEN {2 ** p} ELSE 0 END)"
+        )
+    bucket = "(" + " + ".join(bucket_terms) + ")"
+    probes = ", ".join(f"xor(bucket, {2 ** p})" for p in range(n_planes))
+    return (
+        "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+        "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm "
+        "FROM embeddings), "
+        f"base AS (SELECT vec_id, v, norm, {bucket} AS bucket FROM n WHERE norm > 0), "
+        f"a AS (SELECT vec_id, v, norm, unnest([bucket, {probes}]) AS block FROM base), "
+        "b AS (SELECT vec_id, v, norm, bucket AS block FROM base), "
+        "p AS (SELECT a.vec_id AS a, b.vec_id AS b, "
+        "list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos "
+        "FROM a JOIN b ON a.block = b.block AND a.vec_id < b.vec_id) "
+        "SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, "
+        "CAST(round(cos * 1000000) AS BIGINT) AS cos_e6 FROM p "
+        f"WHERE cos >= {threshold}"
+    )
+
+
 def _duck_lsh_recall_sql() -> str:
     return (
         f"WITH exact AS ({_DUCK_EXACT_TOPK}), approx AS ({_duck_lsh_topk_sql()}), "
@@ -1065,17 +1093,7 @@ ORACLES: dict[str, str] = {
     "ann_lsh_topk": _duck_lsh_topk_sql(),
     "ann_lsh_recall": _duck_lsh_recall_sql(),
     "multimodal_image_features": _duck_multimodal_sql(),
-    "embedding_near_dup": (
-        "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
-        "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm, "
-        "vec_id % 16 AS block FROM embeddings), "
-        "base AS (SELECT * FROM n WHERE norm > 0), "
-        "p AS (SELECT a.vec_id AS a, b.vec_id AS b, "
-        "list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos "
-        "FROM base a JOIN base b ON a.block = b.block AND a.vec_id < b.vec_id) "
-        "SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, "
-        "CAST(round(cos * 1000000) AS BIGINT) AS cos_e6 FROM p WHERE cos >= 0.35"
-    ),
+    "embedding_near_dup": _duck_near_dup_sql(),
     "text_quality": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
