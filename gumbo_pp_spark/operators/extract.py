@@ -44,6 +44,10 @@ _BOILER_LUT[_BOILERPLATE_IDS] = True
 _BODY_ID = TAG_IDS["body"]
 
 _TEXTUAL = (TEXT, CDATA, WHITESPACE)
+# boolean LUT over node-type codes: one gather replaces three compares
+# + two ORs per document in the hot kernel
+_TEXTUAL_LUT = np.zeros(8, dtype=bool)
+_TEXTUAL_LUT[list(_TEXTUAL)] = True
 
 
 # ----------------------------------------------------------------------
@@ -144,12 +148,12 @@ def main_text_program(nt: NodeTable) -> dict:
     consumer can slice the original bytes of a non-ASCII/CRLF page and
     get the span's raw source (parser/bytemap.py).  On ASCII CR-free
     pages the two coincide."""
-    body_mask = nt.tag_id == _BODY_ID
-    body = int(np.argmax(body_mask)) if body_mask.any() else -1
-    lo, hi = (0, nt.n) if body < 0 else nt.subtree(body)
-    bad = np.nonzero(_BOILER_LUT[nt.tag_id])[0]
+    tag_id = nt.tag_id
+    body = int(np.argmax(tag_id == _BODY_ID))
+    lo, hi = nt.subtree(body) if tag_id[body] == _BODY_ID else (0, nt.n)
+    bad = np.nonzero(_BOILER_LUT[tag_id])[0]
     t = nt.type
-    keep = (t == TEXT) | (t == WHITESPACE) | (t == CDATA)
+    keep = _TEXTUAL_LUT[t]
     keep[:lo] = False
     keep[hi:] = False
     if len(bad):
@@ -159,7 +163,7 @@ def main_text_program(nt: NodeTable) -> dict:
     # vectorized span assembly: one gather per column, then zip — the
     # round-1 per-element listcomp paid ~100us/doc in numpy scalar
     # indexing + int()/str() conversions
-    tids = np.nonzero(keep & (t == TEXT))[0]
+    tids = ids[t[ids] == TEXT]
     par = nt.parent[tids]
     ptags = np.where(par >= 0, nt.tag_name[par], "")
     s0a, s1a = nt.src_start[tids], nt.src_end[tids]
@@ -229,19 +233,19 @@ def extract_main_text(
                 t0 = clk()
                 nt = parse_html(raw.as_py())
                 t1 = clk()
-                body_mask = nt.tag_id == _BODY_ID
-                body = int(np.argmax(body_mask)) if body_mask.any() else -1
-                lo, hi = (0, nt.n) if body < 0 else nt.subtree(body)
-                bad = np.nonzero(_BOILER_LUT[nt.tag_id])[0]
+                tag_id = nt.tag_id
+                body = int(np.argmax(tag_id == _BODY_ID))
+                lo, hi = nt.subtree(body) if tag_id[body] == _BODY_ID else (0, nt.n)
+                bad = np.nonzero(_BOILER_LUT[tag_id])[0]
                 t = nt.type
-                keep = (t == TEXT) | (t == WHITESPACE) | (t == CDATA)
+                keep = _TEXTUAL_LUT[t]
                 keep[:lo] = False
                 keep[hi:] = False
                 if len(bad):
                     keep &= ~_excluded_mask(nt, bad)
                 kids = np.nonzero(keep)[0]
                 texts.append("".join(nt.text[kids].tolist()))
-                tids = np.nonzero(keep & (t == TEXT))[0]
+                tids = kids[t[kids] == TEXT]
                 sp_node.append(tids.astype(np.int32))
                 s0a, s1a = nt.src_start[tids], nt.src_end[tids]
                 sp_start.append(s0a)
