@@ -190,7 +190,7 @@ _IB_BESPOKE = (
     frozenset(
         "image html head body frame frameset li dd dt a nobr button "
         "option optgroup form applet marquee object svg math template "
-        "table select pre listing textarea plaintext".split()
+        "table select pre listing textarea plaintext rp rt".split()
     )
     | _TABLEISH
     | HEADINGS
@@ -228,6 +228,10 @@ def _build_ib_fast() -> dict[str, int]:
             fl |= _F_RAWTEXT
         if name in RCDATA_ELEMENTS:
             fl |= _F_RCDATA
+        if name == "xmp":
+            # the ONE rawtext element whose in-body rule reconstructs
+            # active formatting (WHATWG in-body xmp; html5lib agrees)
+            fl |= _F_RECONSTRUCT
         d[name] = fl
     return d
 
@@ -1763,6 +1767,18 @@ class _TreeBuilder:
         elif name in ("option", "optgroup"):
             if self.stack and self.ntag[self._current()] == "option":
                 self._pop_until("option", t0)
+        elif name in ("rp", "rt"):
+            # WHATWG in-body rp/rt: if a ruby element is in scope,
+            # generate implied end tags; insert WITHOUT reconstructing
+            # active formatting (fuzz-found: html5lib startTagRpRt)
+            if self._in_scope("ruby"):
+                stk = self.stack
+                while stk and self.ntag[stk[-1]] in _IMPLIED_END:
+                    self._close_implied(stk.pop(), t0)
+                if self.ntag[self._current()] != "ruby":
+                    self._err("unexpected-start-tag", t0)
+            self._insert_element(name, attrs, t0, t1)
+            return None
 
         # WHATWG: character tokens, formatting tags, several voids and
         # "any other start tag" reconstruct active formatting first;
@@ -2770,6 +2786,12 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
         if content_model == "plaintext":
             raw = s[pos:]
             if raw:
+                # PLAINTEXT never switches insertion mode — its chars
+                # are ordinary in-body character tokens, which
+                # RECONSTRUCT active formatting (fuzz-found:
+                # '<i><nobr></i><plaintext>x' reopens the nobr)
+                if tb.afe:
+                    tb._reconstruct_formatting()
                 tb._insert_text(raw, pos, n, rawtextual=True)
             break
         # the self-closing flag is IGNORED on RCDATA/RAWTEXT elements
@@ -2788,11 +2810,29 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
                     if raw:
                         decoded = _decode(raw) if content_model == "rcdata" else raw
                         tb._insert_text(decoded, i, mclose.start(), rawtextual=True)
-                gt = s.find(">", mclose.end())
-                if gt < 0:
-                    gt = n - 1
-                tb.handle_end(name, mclose.start(), gt + 1)
-                i = gt + 1
+                # tokenize the end tag's attributes quote-aware (and
+                # discard, per spec) — a '>' inside a quoted value of
+                # '</script a=">">' must not end the tag early
+                endpos, had_attrs = _scan_end_tag_tail(s, mclose.end(), n)
+                if endpos < 0:
+                    endpos = n  # EOF in the close tag: consume the rest
+                elif had_attrs:
+                    tb._err("end-tag-with-attributes", mclose.start())
+                # spec "text" insertion mode: the appropriate end tag
+                # pops the rawtext element directly.  Modes whose end
+                # rules already handle it (head/body/table) keep their
+                # bookkeeping; IN_SELECT's rules would IGNORE the end
+                # tag, leaving the script open and swallowing following
+                # text (fuzz-found) — pop directly there.
+                if (
+                    tb.mode == IN_SELECT
+                    and tb.stack
+                    and tb.ntag[tb.stack[-1]] == name
+                ):
+                    tb._pop_until(name, mclose.start(), mclose.start(), endpos)
+                else:
+                    tb.handle_end(name, mclose.start(), endpos)
+                i = endpos
             else:
                 raw = s[i:]
                 if raw and tb.skip_newline:

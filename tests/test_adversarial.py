@@ -100,9 +100,12 @@ class TestTagBombs:
         # ~100× a quadratic parse would (generous 30× allows noise).
         def timed(n):
             src = "<b>" * n + "x"
-            t0 = time.perf_counter()
-            nt = parse_html(src)
-            return time.perf_counter() - t0, nt
+            best = 1e9
+            for _ in range(3):  # best-of-3: a single co-tenant burst
+                t0 = time.perf_counter()  # must not fail the ratio
+                nt = parse_html(src)
+                best = min(best, time.perf_counter() - t0)
+            return best, nt
 
         timed(2000)  # warm-up (regex compile, allocator)
         t_small, _ = timed(2000)

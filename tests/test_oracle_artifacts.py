@@ -174,3 +174,26 @@ class TestBasePhaseSpaceFamily:
         # html5lib tree (space as a bare child of th)
         legacy_th = (th[0], [th[1][0], " "])
         assert legacy_th == ("th", [("button", [("u", [])]), " "])
+
+
+class TestTextareaInBodyTextFamily:
+    """html5lib's startTagTextarea switches the TOKENIZER to RCDATA but
+    never enters the spec's "text" insertion mode, so the textarea's
+    character tokens run through in-body and RECONSTRUCT active
+    formatting.  The modern spec (and libgumbo) insert text-mode
+    characters directly — no reconstruction inside a textarea."""
+
+    def test_rederive_html5lib_under_legacy_rule(self):
+        nt = parse_html("<div><s>x</div><textarea>T")
+        eng = tuples(nt)
+        body = eng[1][1]
+        # engine (spec): textarea holds the raw text directly
+        assert body[1][1] == ("textarea", ["T"])
+        # legacy re-derivation: wrap the text in a reconstructed <s>
+        # clone → html5lib's pinned tree
+        legacy_ta = ("textarea", [("s", ["T"])])
+        pinned = (
+            "html",
+            [("head", []), ("body", [("div", [("s", ["x"])]), legacy_ta])],
+        )
+        assert ("html", [("head", []), ("body", [body[1][0], legacy_ta])]) == pinned

@@ -617,3 +617,51 @@ class TestGumboOptionsTail:
     def test_default_tab_stop_from_options(self):
         nt = parse_html("\t<?p>", {"tab_stop": 4})
         assert nt.error_positions()[0][3] == 5
+
+
+class TestWaveEFinds:
+    """Round-3 mixed-wave finds (rawtext close tags, rp/rt, xmp,
+    plaintext, script-in-select)."""
+
+    def test_rawtext_close_with_quoted_gt_attr(self):
+        nt = parse_html("<script>s</script a='>'>tail")
+        sc = first(nt, nt.tag_name == "script")
+        assert nt.content_text(sc) == "s"
+        texts = [nt.text[i] for i in range(nt.n) if nt.text[i]]
+        assert texts == ["s", "tail"]  # no leaked "'>" text
+
+    def test_script_in_select_closes(self):
+        nt = parse_html("<select><script>s</script>TAIL")
+        sc = first(nt, nt.tag_name == "script")
+        assert nt.content_text(sc) == "s"  # </script> pops despite in-select
+
+    def test_rp_rt_implied_end(self):
+        nt = parse_html("<ruby><rb>a<rt>b<rp>(</rp><rt>c")
+        ruby = first(nt, nt.tag_name == "ruby")
+        kids = [nt.tag_name[k] for k in nt.children_ids(ruby)]
+        assert kids == ["rb", "rt", "rp", "rt"]  # siblings, implied-closed
+
+    def test_rt_start_does_not_reconstruct(self):
+        # the rt START tag itself does not reconstruct (no clone
+        # BETWEEN body and rt); the TEXT inside rt reconstructs per the
+        # ordinary in-body character rule (clone INSIDE rt)
+        nt = parse_html("<article><code>c</article><rt>r")
+        rt = first(nt, nt.tag_name == "rt")
+        body = first(nt, nt.tag_name == "body")
+        assert nt.parent[rt] == body  # rt directly under body
+        kids = [nt.tag_name[k] for k in nt.children_ids(rt)]
+        assert kids == ["code"]  # text-driven clone inside rt
+        assert nt.content_text(rt) == "r"
+
+    def test_xmp_reconstructs(self):
+        nt = parse_html("<div><s>x</div><xmp>X")
+        xmp = first(nt, nt.tag_name == "xmp")
+        assert nt.tag_name[nt.parent[xmp]] == "s"  # xmp inside the s clone
+
+    def test_plaintext_reconstructs(self):
+        nt = parse_html("<i><nobr></i><plaintext>hello")
+        pt = first(nt, nt.tag_name == "plaintext")
+        kids = [nt.tag_name[k] for k in nt.children_ids(pt)]
+        assert kids == ["nobr"]
+        nb = nt.children_ids(pt)[0]
+        assert nt.content_text(int(nb)) == "hello"
