@@ -817,6 +817,12 @@ class _TreeBuilder:
     ) -> None:
         if not decoded:
             return
+        if rawtextual and "\x00" in decoded:
+            # RAWTEXT/RCDATA/script-data/PLAINTEXT tokenizer states:
+            # U+0000 is a parse error emitted as U+FFFD (the in-body
+            # DATA-state NUL is dropped by _chars_html instead)
+            self._err("unexpected-null-character", s0)
+            decoded = decoded.replace("\x00", "�")
         if reconstruct and not rawtextual and self.afe and self.mode != IN_SELECT:
             self._reconstruct_formatting()
         if self.foster:
@@ -1349,6 +1355,10 @@ class _TreeBuilder:
             if k:
                 self._insert_text(raw[:k], start, start + k)
             if stripped:
+                if mode == IN_HEAD and self.stack and self.ntag[self._current()] == "noscript":
+                    # in-head-noscript anything-else: pop the noscript
+                    self._err("unexpected-character", start + k)
+                    self._close_implied(self.stack.pop(), start + k)
                 self._ensure_body(start + k)
                 self._insert_text(_decode(stripped), start + k, end)
             return
@@ -1475,6 +1485,19 @@ class _TreeBuilder:
                 self._err("unexpected-start-tag", t0)
                 self._merge_root_attrs(self.html_id, attrs)
                 return None
+            if self.stack and self.ntag[self._current()] == "noscript":
+                # "in head noscript" (scripting disabled): only
+                # basefont/bgsound/link/meta/noframes/style may nest;
+                # anything else pops the noscript and reprocesses in
+                # head (fuzz-found: <noscript><script> must make the
+                # script a SIBLING of the noscript)
+                if name == "noscript" or name == "head":
+                    self._err("unexpected-start-tag", t0)
+                    return None
+                if name not in ("basefont", "bgsound", "link", "meta", "noframes", "style"):
+                    self._err("unexpected-start-tag", t0)
+                    self._close_implied(self.stack.pop(), t0)
+                    return self.handle_start(name, attrs, self_closing, t0, t1)
             if name in ("base", "basefont", "bgsound", "link", "meta"):
                 self._insert_element(name, attrs, t0, t1, push=False)
                 return None
@@ -2011,6 +2034,19 @@ class _TreeBuilder:
                     self._err("unexpected-end-tag", t0)
                 return
             if mode == IN_HEAD:
+                if self.stack and self.ntag[self._current()] == "noscript":
+                    # "in head noscript" end tags: </noscript> pops
+                    # (handled below), </br> acts as anything-else
+                    # (pop noscript, reprocess), everything else is
+                    # a parse error and IGNORED
+                    if name == "br":
+                        self._err("unexpected-end-tag", t0)
+                        self._close_implied(self.stack.pop(), t0)
+                        self._end_html(name, t0, t1)
+                        return
+                    if name != "noscript":
+                        self._err("unexpected-end-tag", t0)
+                        return
                 if name == "head":
                     self._pop_head(t0, t0, t1)
                     return
@@ -2378,6 +2414,11 @@ class _TreeBuilder:
         if self.pending_tt:
             self._flush_tt()
         self.skip_newline = False
+        if "\x00" in text:
+            # tokenizer comment/bogus-comment states: U+0000 is a parse
+            # error emitted as U+FFFD
+            self._err("unexpected-null-character", t0)
+            text = text.replace("\x00", "�")
         # WHATWG dispatcher: a comment token with a FOREIGN adjusted
         # current node goes to the foreign rules (insert at the current
         # node) even when the insertion mode already moved past the

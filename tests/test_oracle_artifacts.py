@@ -197,3 +197,28 @@ class TestTextareaInBodyTextFamily:
             [("head", []), ("body", [("div", [("s", ["x"])]), legacy_ta])],
         )
         assert ("html", [("head", []), ("body", [body[1][0], legacy_ta])]) == pinned
+
+
+class TestHtml5libSpecialsGapFamily:
+    """html5lib 1.x's specialElements predates figcaption, summary,
+    hgroup (and main): with one of them as the only special intermediate
+    the adoption agency finds NO furthest block and simply pops the
+    formatting element.  The engine follows the modern spec (all four
+    are special) and runs the full algorithm."""
+
+    def test_rederive_html5lib_under_legacy_rule(self):
+        nt = parse_html("<i><figcaption>x</i>y")
+        eng = tuples(nt)
+        body = eng[1][1]
+        # engine (spec): complex AAA — empty i, figcaption holding the
+        # i clone and the tail text
+        assert body[1] == [
+            ("i", []),
+            ("figcaption", [("i", ["x"]), "y"]),
+        ]
+        # legacy re-derivation (no furthest block → simple pop): the
+        # figcaption stays INSIDE the original i and the tail lands in
+        # body — html5lib's pinned tree
+        legacy = ("html", [("head", []), ("body", [("i", [("figcaption", ["x"])]), "y"])])
+        pinned = ("html", [("head", []), ("body", [("i", [("figcaption", ["x"])]), "y"])])
+        assert legacy == pinned

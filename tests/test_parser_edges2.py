@@ -665,3 +665,49 @@ class TestWaveEFinds:
         assert kids == ["nobr"]
         nb = nt.children_ids(pt)[0]
         assert nt.content_text(int(nb)) == "hello"
+
+
+class TestWaveHFinds:
+    """Round-3 wave-H finds: NUL replacement outside DATA state and the
+    in-head-noscript mode (scripting disabled)."""
+
+    def test_nul_in_rawtext_becomes_ufffd(self):
+        nt = parse_html("<script>a\x00b</script>")
+        sc = first(nt, nt.tag_name == "script")
+        assert nt.content_text(sc) == "a�b"
+
+    def test_nul_in_comment_becomes_ufffd(self):
+        nt = parse_html("<!--a\x00b-->")
+        c = first(nt, nt.type == COMMENT)
+        assert nt.text[c] == "a�b"
+
+    def test_nul_in_plaintext_becomes_ufffd(self):
+        nt = parse_html("<plaintext>\x00z")
+        pt = first(nt, nt.tag_name == "plaintext")
+        assert nt.content_text(pt) == "�z"
+
+    def test_nul_in_body_still_dropped(self):
+        nt = parse_html("<p>a\x00b</p>")
+        p = first(nt, nt.tag_name == "p")
+        assert nt.content_text(p) == "ab"
+
+    def test_noscript_in_head_pops_for_script(self):
+        nt = parse_html("<noscript><script>s</script>x")
+        ns = first(nt, nt.tag_name == "noscript")
+        sc = first(nt, nt.tag_name == "script")
+        head = first(nt, nt.tag_name == "head")
+        assert nt.parent[ns] == head and nt.parent[sc] == head
+        assert nt.children_ids(ns).size == 0
+
+    def test_noscript_in_head_allows_style(self):
+        nt = parse_html("<noscript><style>s</style></noscript>x")
+        ns = first(nt, nt.tag_name == "noscript")
+        st = first(nt, nt.tag_name == "style")
+        assert nt.parent[st] == ns
+
+    def test_noscript_in_head_text_pops(self):
+        nt = parse_html("<noscript>text")
+        ns = first(nt, nt.tag_name == "noscript")
+        assert nt.content_text(ns) == ""
+        body = first(nt, nt.tag_name == "body")
+        assert nt.content_text(body) == "text"
