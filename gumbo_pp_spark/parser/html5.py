@@ -341,6 +341,10 @@ def _scan_start_attrs(s: str, pos: int, n: int) -> tuple[dict, bool, int, bool, 
                 vm = _UNQUOTED_VAL_RE.match(s, pos)
                 aval = vm.group(0)
                 pos = vm.end()
+        if "\x00" in aname:  # tokenizer attribute states: NUL → U+FFFD
+            aname = aname.replace("\x00", "�")
+        if "\x00" in aval:
+            aval = aval.replace("\x00", "�")
         if aname not in attrs:  # duplicate attribute: first wins
             attrs[aname] = _decode_attr(aval)
         else:

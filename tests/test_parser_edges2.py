@@ -711,3 +711,10 @@ class TestWaveHFinds:
         assert nt.content_text(ns) == ""
         body = first(nt, nt.tag_name == "body")
         assert nt.content_text(body) == "text"
+
+
+class TestNulInAttributes:
+    def test_nul_in_attr_name_and_value(self):
+        nt = parse_html("<p a\x00b='v\x00w'>x")
+        p = first(nt, nt.tag_name == "p")
+        assert nt.attrs[p] == {"a�b": "v�w"}
