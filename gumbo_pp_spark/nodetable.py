@@ -95,6 +95,8 @@ class NodeTable:
 
     _ctext_joined: str | None = field(default=None, repr=False)
     _ctext_off: np.ndarray | None = field(default=None, repr=False)
+    # lazy per-node decoded-text lengths (int64; 0 for textless nodes)
+    _text_len: np.ndarray | None = field(default=None, repr=False)
     # lazy flat attribute index: one pass over the node dicts, then
     # every attr_values() query is a vectorized compare over the SHORT
     # (attrs-only) arrays instead of a per-node Python dict probe
@@ -236,6 +238,19 @@ class NodeTable:
             i += 1
 
     # -- extraction (gumbo_text.h) -------------------------------------
+    def text_lengths(self) -> np.ndarray:
+        """len(decoded text) per node (0 for textless), computed once.
+        ``np.frompyfunc(len, ...)`` walks the object array in C calling
+        str ``len`` slots — no per-element Python bytecode, unlike a
+        listcomp — and the result is shared by content-text prefix
+        sums and the dom-stats kernel."""
+        if self._text_len is None:
+            if self.n:
+                self._text_len = np.frompyfunc(len, 1, 1)(self.text).astype(np.int64)
+            else:
+                self._text_len = np.zeros(0, dtype=np.int64)
+        return self._text_len
+
     def _ensure_ctext_index(self) -> None:
         if self._ctext_off is not None:
             return
@@ -252,8 +267,7 @@ class NodeTable:
                 excluded[self.subtree_end[tm]] -= 1
             textlike &= ~(np.cumsum(excluded[:-1]) > 0)
         parts = self.text[textlike].tolist()
-        lens = np.zeros(self.n, dtype=np.int64)
-        lens[textlike] = [len(s) for s in parts]
+        lens = np.where(textlike, self.text_lengths(), 0)
         contrib = np.empty(self.n + 1, dtype=np.int64)
         contrib[0] = 0
         np.cumsum(lens, out=contrib[1:])

@@ -195,11 +195,14 @@ def minhash_lsh_pairs(df: DataFrame, min_equal: int = 4, bucket_cap: int = 64) -
 
 def lsh_bucket_stats(df: DataFrame, bucket_cap: int = 64) -> DataFrame:
     """No-silent-caps accounting for :func:`minhash_lsh_pairs`: one row
-    (n_buckets, n_overfull, docs_in_overfull) so a pipeline can see how
-    much candidate mass the hot-bucket cap dropped.  At corpus scale
-    this is the monitoring query you alert on — a sudden jump in
-    ``docs_in_overfull`` means a new boilerplate template is flooding
-    the bands."""
+    (n_buckets, n_overfull, members_in_overfull) so a pipeline can see
+    how much candidate mass the hot-bucket cap dropped.  At corpus
+    scale this is the monitoring query you alert on — a sudden jump in
+    ``members_in_overfull`` means a new boilerplate template is
+    flooding the bands.  ``members_in_overfull`` sums (band, doc)
+    membership rows over over-full buckets — a doc hot in several
+    bands counts once per band (it is the dropped candidate-mass
+    measure, not a distinct-document count; hence the name)."""
     sizes = _band_explode(minhash_signatures(df)).groupBy("band", "bkey").agg(
         F.count(F.lit(1)).alias("bn")
     )
@@ -208,7 +211,7 @@ def lsh_bucket_stats(df: DataFrame, bucket_cap: int = 64) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
         F.sum(over.cast("bigint")).cast("bigint").alias("n_overfull"),
         F.sum(F.when(over, F.col("bn")).otherwise(F.lit(0))).cast("bigint").alias(
-            "docs_in_overfull"
+            "members_in_overfull"
         ),
     )
 
@@ -279,28 +282,38 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 2) -> DataFrame:
     shuffle key is a 21-bit band value instead of a cross join.
     Band extraction uses exact integer floor-div (the hash is
     non-negative by construction), never float math.
+
+    Plan shape (round-4 fix): the simhash aggregate is computed ONCE —
+    the signature DF is cached, and all three band rows per doc come
+    from one array-literal ``explode`` over it (the ``_band_explode``
+    pattern), instead of a 3-way ``unionAll`` of selects built twice
+    (once per join side), which made Catalyst recompute the per-word
+    md5 aggregate up to 6× — 6 full corpus scans at 100 TB.  The
+    (band, bkey) self-join then reads the in-memory banded relation on
+    both sides; a hot band value is a skewed JOIN key, which AQE's
+    skew-join split can subdivide (a groupBy key could not be).
     """
-    s = simhash(df)
-
-    def _bands(idc: str, hc: str) -> DataFrame:
-        parts = []
-        for bd in range(SIMHASH_BANDS):
-            lo = bd * _BAND_WIDTH
-            parts.append(
-                s.select(
-                    F.col("doc_id").alias(idc),
-                    F.col("simhash").alias(hc),
-                    F.lit(bd).alias("band"),
-                    F.expr(f"pmod(simhash div {2 ** lo}, {2 ** _BAND_WIDTH})").alias("bkey"),
-                )
+    s = simhash(df).cache()
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(bd).alias("band"),
+                F.expr(
+                    f"pmod(simhash div {2 ** (bd * _BAND_WIDTH)}, {2 ** _BAND_WIDTH})"
+                ).alias("bkey"),
             )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionAll(p)
-        return out
-
-    a = _bands("a", "ha")
-    b = _bands("b", "hb")
+            for bd in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = s.select("doc_id", "simhash", F.explode(structs).alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "band", "bkey"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "band", "bkey"
+    )
     return (
         a.join(b, ["band", "bkey"])
         .where(F.col("a") < F.col("b"))

@@ -464,9 +464,7 @@ def dom_stats_program(nt: NodeTable) -> dict:
 
     t = nt.type
     textual = (t == TEXT) | (t == WHITESPACE) | (t == CDATA)
-    text_lens = np.zeros(nt.n, dtype=np.int64)
-    tids = np.nonzero(textual)[0]
-    text_lens[tids] = [len(s) for s in nt.text[tids]]
+    text_lens = np.where(textual, nt.text_lengths(), 0)
     a_roots = np.nonzero(nt.tag_name == "a")[0]
     link_chars = 0
     if len(a_roots):

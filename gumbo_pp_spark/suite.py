@@ -121,7 +121,7 @@ def _duck_lsh_stats_cte() -> str:
         "sz AS (SELECT band, bkey, count(*) AS bn FROM bands GROUP BY band, bkey) "
         "SELECT CAST(count(*) AS BIGINT) AS n_buckets, "
         "CAST(sum(CASE WHEN bn > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_overfull, "
-        "CAST(sum(CASE WHEN bn > 64 THEN bn ELSE 0 END) AS BIGINT) AS docs_in_overfull "
+        "CAST(sum(CASE WHEN bn > 64 THEN bn ELSE 0 END) AS BIGINT) AS members_in_overfull "
         "FROM sz"
     )
 

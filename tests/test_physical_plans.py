@@ -97,3 +97,29 @@ class TestPlans:
 
         n_joins = len(re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|BroadcastNestedLoopJoin)", plan))
         assert n_joins == 2, f"expected 2 joins, saw {n_joins}"
+
+    def test_simhash_pairs_single_signature_computation(self, spark, docs):
+        # round-4 plan fix: the 63-bit simhash aggregate is computed
+        # exactly once (cached signature DF + one array-explode band
+        # table) — both sides of the (band, bkey) self-join read the
+        # in-memory relation.  The round-3 shape built the band tables
+        # as a 3-way unionAll over the UNCACHED signature DF, twice,
+        # recomputing the per-word md5 aggregate up to 6×.
+        from gumbo_pp_spark.operators.dedup import simhash_pairs
+
+        plan = plan_of(simhash_pairs(docs.selectExpr("doc_id", "text")))
+        import re
+
+        assert plan.count("InMemoryTableScan") == 2, plan
+        n_joins = len(
+            re.findall(
+                r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|BroadcastNestedLoopJoin)",
+                plan,
+            )
+        )
+        assert n_joins == 1, f"expected 1 self-join, saw {n_joins}"
+        # no live (non-cached) aggregate of the simhash expression:
+        # every HashAggregate mentioning md5 must sit inside an
+        # InMemoryRelation printout, not in the executed top-level plan
+        top = plan.split("InMemoryRelation", 1)[0]
+        assert "md5" not in top, top
