@@ -39,7 +39,11 @@ def _char_starts_valid(raw: bytes) -> np.ndarray:
     return np.nonzero((b & 0xC0) != 0x80)[0].astype(np.int64)
 
 
-def _char_starts_slow(raw: bytes, n_chars: int) -> np.ndarray:
+def _char_starts_bytewise(raw: bytes, n_chars: int) -> np.ndarray:
+    """Reference implementation: byte-at-a-time incremental decode.
+    Defines the attribution contract; kept for the equivalence tests
+    (``_char_starts_slow`` must map identically) and as documentation
+    of the semantics the chunked version reproduces."""
     dec = codecs.getincrementaldecoder("utf-8")("replace")
     out = np.empty(n_chars, dtype=np.int64)
     pos = 0
@@ -58,6 +62,122 @@ def _char_starts_slow(raw: bytes, n_chars: int) -> np.ndarray:
     pos += len(tail)
     if pos != n_chars:  # defensive: mapping must cover every char
         raise ValueError(f"byte-map length mismatch: {pos} != {n_chars}")
+    return out
+
+
+_PROBE_MIN = 1 << 8   # adaptive probe window: small near invalid
+_PROBE_MAX = 1 << 16  # regions (slice copy is O(window)), grows on
+                      # consecutive clean probes for long valid runs
+
+
+def _char_starts_slow(raw: bytes, n_chars: int) -> np.ndarray:
+    """Chunked equivalent of :func:`_char_starts_bytewise`: valid
+    UTF-8 runs are consumed in bulk with O(1) bookkeeping per run
+    (char counts from a global non-continuation prefix sum), and the
+    incremental decoder steps byte-at-a-time ONLY through ill-formed
+    subsequences.  CC-scale pages are mojibake-rich — a 1 MB page with
+    scattered invalid bytes cost ~1M Python loop iterations in the
+    bytewise version, vs ~(number of invalid regions) probe/step
+    cycles plus three vectorized passes here.
+
+    Equivalence argument (pinned by ``test_bytemap.py`` equivalence
+    tests): over a maximal valid run entered with a CLEAN decoder,
+    byte-at-a-time feeding flushes exactly one char per final byte, so
+    every char maps to its start byte — identical to the global
+    non-continuation scan.  Around an ill-formed subsequence the
+    bytewise attribution depends on WHEN the incremental decoder
+    flushes (a replacement may flush together with, or one byte into,
+    the following valid char), so the chunked version keeps stepping
+    single bytes until the decoder's internal buffer is empty again,
+    reproducing those flush-boundary quirks exactly, then resumes bulk
+    runs.  Bulk-run attributions are filled AFTER the segmentation
+    loop in one vectorized pass: both the unclaimed output slots and
+    the bulk char starts ascend in the same global order, so a single
+    masked assignment aligns them."""
+    n = len(raw)
+    out = np.empty(n_chars, dtype=np.int64)
+    stepped = np.zeros(n_chars, dtype=bool)  # slots written by the decoder
+    b = np.frombuffer(raw, dtype=np.uint8)
+    is_start = (b & 0xC0) != 0x80
+    cum = np.empty(n + 1, dtype=np.int64)
+    cum[0] = 0
+    np.cumsum(is_start, out=cum[1:])
+    bulk_diff = np.zeros(n + 1, dtype=np.int32)  # diff-marks of bulk runs
+    pos = 0
+    i = 0
+    dec = codecs.getincrementaldecoder("utf-8")("replace")
+    last_flush = 0
+    probe = _PROBE_MIN
+    while i < n:
+        probe_end = min(n, i + probe)
+        inv_end = None
+        reason = ""
+        try:
+            raw[i:probe_end].decode("utf-8")
+            ve = probe_end
+            probe = min(_PROBE_MAX, probe * 8)
+        except UnicodeDecodeError as e:
+            if e.reason == "unexpected end of data" and probe_end < n:
+                # the probe window cut a (so far valid) char at its
+                # end — not a real error; a char is <= 4 bytes and the
+                # window is larger, so e.start > 0 always progresses
+                ve = i + e.start
+            else:
+                ve = i + e.start
+                inv_end = i + e.end
+                reason = e.reason
+                probe = _PROBE_MIN
+        if ve > i:
+            bulk_diff[i] += 1
+            bulk_diff[ve] -= 1
+            pos += int(cum[ve] - cum[i])
+            i = ve
+            last_flush = ve
+        if inv_end is not None:
+            # One ill-formed subsequence = one replacement char.  A
+            # lone invalid START byte (0xF5-0xFF, 0xC0/0xC1, stray
+            # continuation — the common mojibake) flushes its
+            # replacement immediately on feed, so its attribution is
+            # exactly '�' at the region start (= last_flush): O(1), no
+            # decoder.  Every OTHER reason byte-steps the incremental
+            # decoder, because CPython may BUFFER a truncated/rejected
+            # prefix across feeds (e.g. the \xed surrogate-prefix
+            # family defers its reject to the next byte), which shifts
+            # the flush boundary — and with it the attribution of the
+            # replacement AND of the following char.
+            if reason != "invalid start byte":
+                while i < n:
+                    got = dec.decode(raw[i : i + 1])
+                    if got:
+                        out[pos] = last_flush
+                        stepped[pos] = True
+                        for k in range(1, len(got)):
+                            out[pos + k] = i
+                            stepped[pos + k] = True
+                        pos += len(got)
+                        last_flush = i + 1
+                    i += 1
+                    if i >= inv_end and dec.getstate()[0] == b"":
+                        break
+            else:
+                out[pos] = last_flush
+                stepped[pos] = True
+                pos += 1
+                i = inv_end
+                last_flush = inv_end
+    tail = dec.decode(b"", final=True)
+    for k in range(len(tail)):
+        out[pos + k] = last_flush
+        stepped[pos + k] = True
+    pos += len(tail)
+    if pos != n_chars:  # defensive: mapping must cover every char
+        raise ValueError(f"byte-map length mismatch: {pos} != {n_chars}")
+    in_bulk = np.cumsum(bulk_diff[:n]) > 0
+    sel = np.nonzero(is_start & in_bulk)[0].astype(np.int64)
+    free = ~stepped
+    if len(sel) != int(free.sum()):  # pragma: no cover - invariant
+        raise ValueError("byte-map bulk/stepped split mismatch")
+    out[free] = sel
     return out
 
 

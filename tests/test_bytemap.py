@@ -93,3 +93,89 @@ class TestByteMap:
             from gumbo_pp_spark.parser.bytemap import _char_starts_slow
 
             _char_starts_slow(b"ab", 5)
+
+
+class TestChunkedSlowPathEquivalence:
+    """The chunked slow path must map IDENTICALLY to the bytewise
+    reference — including the flush-boundary quirks around ill-formed
+    subsequences (a replacement char may flush one byte into the next
+    valid char, shifting that char's attribution)."""
+
+    def _both(self, raw: bytes):
+        from gumbo_pp_spark.parser.bytemap import (
+            _char_starts_bytewise,
+            _char_starts_slow,
+        )
+
+        n_chars = len(raw.decode("utf-8", errors="replace"))
+        ref = _char_starts_bytewise(raw, n_chars)
+        got = _char_starts_slow(raw, n_chars)
+        assert got.tolist() == ref.tolist(), raw
+        return got
+
+    def test_flush_boundary_quirk_truncated_before_valid(self):
+        # \xe2 (truncated) then € : the replacement flushes while the
+        # decoder already buffers the next char's first byte, so '€'
+        # is attributed to byte 2 (last_flush), not its true start 1 —
+        # the chunked version must reproduce this exactly
+        m = self._both(b"\xe2\xe2\x82\xac")
+        assert m.tolist() == [0, 2]
+
+    def test_lone_continuations_runs(self):
+        self._both(b"a\x80\x80\x80b")
+        self._both(b"\x80" * 7 + b"xyz")
+        self._both(b"x" * 5 + b"\x80" * 4)
+
+    def test_invalid_families(self):
+        for bad in (
+            b"\xff",
+            b"\xfe\xff",
+            b"\xc2",            # truncated 2-byte at EOF
+            b"\xe2\x82",        # truncated 3-byte at EOF
+            b"\xf0\x9f\x98",    # truncated 4-byte at EOF
+            b"\xf4\x90\x80\x80",  # > U+10FFFF
+            b"\xc0\xaf",        # overlong
+            b"\xed\xa0\x80",    # surrogate
+        ):
+            self._both(b"ab" + bad + "é€\U0001f600z".encode())
+            self._both(bad + b"tail")
+            self._both(b"head" + bad)
+
+    def test_scattered_invalid_random(self):
+        import random
+
+        rng = random.Random(42)
+        base = "paragraph é € \U0001f600 ퟿ text ".encode() * 40
+        for _ in range(50):
+            b = bytearray(base)
+            for _k in range(rng.randrange(1, 12)):
+                # full high-byte range: \xed prefixes exercise
+                # CPython's deferred-reject buffering
+                b[rng.randrange(len(b))] = rng.randrange(0x80, 0x100)
+            self._both(bytes(b))
+
+    def test_dense_mojibake_equivalence(self):
+        # pathological density — every ~10th byte invalid; the chunked
+        # path must still map identically (it degrades to byte-stepping
+        # plus O(1) naive regions, never to a wrong answer)
+        import random
+
+        rng = random.Random(9)
+        b = bytearray(("dense é€\U0001f600 page " * 200).encode())
+        for _ in range(len(b) // 10):
+            b[rng.randrange(len(b))] = rng.randrange(0x80, 0x100)
+        self._both(bytes(b))
+
+    def test_probe_window_boundaries(self):
+        from gumbo_pp_spark.parser import bytemap
+
+        # run crossing the probe window, with a 4-byte char straddling
+        # the boundary and an invalid byte shortly after
+        for w in (bytemap._PROBE_MIN, bytemap._PROBE_MAX):
+            raw = (
+                b"a" * (w - 2)
+                + "\U0001f600".encode()
+                + b"\xff"
+                + "é".encode() * 3
+            )
+            self._both(raw)
