@@ -298,9 +298,25 @@ def matcher_microbench() -> dict[str, float]:
         full = np.logical_and.reduce([a.fn(nt) for a in atoms])
     full_ms = (time.time() - t0) / reps * 1000
     assert (gated == full).all()
+    # round-4 cost-ordered conjunction: the SAME program with the
+    # expensive text predicate written FIRST must evaluate at gated
+    # speed too (the & operator reorders by cost rank)
+    prog_rev = (
+        m.content_text.contains("row 77")
+        & m.attribute.value.starts_with("data-k", "v7")
+        & ~m.class_type.is_("c3")
+        & m.attribute.exists("data-k")
+        & m.tag.DIV
+    )
+    t0 = time.time()
+    for _ in range(reps):
+        rev = prog_rev.fn(nt)
+    rev_ms = (time.time() - t0) / reps * 1000
+    assert (rev == full).all()
     return {
         "matcher_50k_nodes": nt.n,
         "matcher_gated_ms": round(gated_ms, 2),
+        "matcher_gated_reversed_ms": round(rev_ms, 2),
         "matcher_ungated_ms": round(full_ms, 2),
         "matcher_speedup": round(full_ms / gated_ms, 2),
     }

@@ -43,27 +43,42 @@ class Matcher:
     CANDIDATE-SET EVALUATION: predicates that cost Python per node
     (text verbs, attribute existence/where) carry an optional gated
     form ``gfn(nt, gate) == full_mask & gate`` that touches ONLY the
-    rows set in ``gate``.  ``a & b`` evaluates ``a`` first and feeds
-    its mask as ``b``'s gate, so in ``tag.P & content_text.
-    contains(...)`` the text predicate runs on the <p> rows alone —
-    the vectorized tag/type gates prune the Python work instead of
-    every matcher paying O(n·doc).  ``|``/``^``/``~`` propagate the
-    incoming gate to their children (identities ``(l|r)&g ==
-    (l&g)|(r&g)``, ``(~l)&g == g & ~(l&g)``), so gating is exact, not
-    a heuristic.
+    rows set in ``gate``.  ``a & b`` feeds one conjunct's mask as the
+    other's gate, so in ``tag.P & content_text.contains(...)`` the
+    text predicate runs on the <p> rows alone — the vectorized
+    tag/type gates prune the Python work instead of every matcher
+    paying O(n·doc).  ``|``/``^``/``~`` propagate the incoming gate to
+    their children (identities ``(l|r)&g == (l&g)|(r&g)``, ``(~l)&g ==
+    g & ~(l&g)``), so gating is exact, not a heuristic.
+
+    COST-ORDERED CONJUNCTION (round 4): every matcher carries a
+    ``cost`` rank — 0 for fully vectorized kernels (tag/type), 2 for
+    predicates whose UNGATED evaluation is a per-node Python loop.
+    ``&`` and :func:`match_all` evaluate the cheapest conjunct first
+    regardless of written order (legal: AND over pure mask predicates
+    is commutative, and gating is exact), so ``content_text.
+    contains(...) & tag.P`` costs the same as ``tag.P & content_text.
+    contains(...)`` — the reference's per-node ``match_all`` never
+    pays this asymmetry either, it short-circuits inside one node
+    visit (gumbo_matchers.h:29-62).  Ties keep written order.
     """
 
-    __slots__ = ("fn", "name", "gfn")
+    __slots__ = ("fn", "name", "gfn", "cost")
 
     def __init__(
         self,
         fn: Callable[[NodeTable], np.ndarray],
         name: str = "matcher",
         gfn: Callable[[NodeTable, np.ndarray], np.ndarray] | None = None,
+        cost: int | None = None,
     ):
         self.fn = fn
         self.name = name
         self.gfn = gfn
+        # default rank: kernels that ship a gated form do so because
+        # their ungated path is a Python loop; pure-vectorized leaves
+        # don't need one (eval() just ANDs the mask with the gate)
+        self.cost = cost if cost is not None else (2 if gfn is not None else 0)
 
     def __call__(self, nt: NodeTable) -> np.ndarray:
         return self.fn(nt)
@@ -79,10 +94,14 @@ class Matcher:
         return self.fn(nt) & gate
 
     def __and__(self, other: "Matcher") -> "Matcher":
+        # cheapest conjunct first — its full mask gates the pricier
+        # one, making candidate-set evaluation order-insensitive
+        first, second = (self, other) if self.cost <= other.cost else (other, self)
         return Matcher(
-            lambda nt: other.eval(nt, self.fn(nt)),
+            lambda nt: second.eval(nt, first.fn(nt)),
             f"({self.name} and {other.name})",
-            lambda nt, gate: other.eval(nt, self.eval(nt, gate)),
+            lambda nt, gate: second.eval(nt, first.eval(nt, gate)),
+            cost=first.cost,
         )
 
     def __or__(self, other: "Matcher") -> "Matcher":
@@ -90,6 +109,7 @@ class Matcher:
             lambda nt: self.fn(nt) | other.fn(nt),
             f"({self.name} or {other.name})",
             lambda nt, gate: self.eval(nt, gate) | other.eval(nt, gate),
+            cost=max(self.cost, other.cost),
         )
 
     def __xor__(self, other: "Matcher") -> "Matcher":
@@ -97,6 +117,7 @@ class Matcher:
             lambda nt: self.fn(nt) ^ other.fn(nt),
             f"({self.name} xor {other.name})",
             lambda nt, gate: self.eval(nt, gate) ^ other.eval(nt, gate),
+            cost=max(self.cost, other.cost),
         )
 
     def __invert__(self) -> "Matcher":
@@ -104,6 +125,7 @@ class Matcher:
             lambda nt: ~self.fn(nt),
             f"(not {self.name})",
             lambda nt, gate: gate & ~self.eval(nt, gate),
+            cost=self.cost,
         )
 
     def __repr__(self) -> str:
@@ -111,22 +133,26 @@ class Matcher:
 
 
 def match_all(*ms: Matcher) -> Matcher:
-    """AND-fold (gumbo_matchers.h:29-62) — later predicates evaluate
-    only on the survivors of earlier ones (candidate-set chaining)."""
+    """AND-fold (gumbo_matchers.h:29-62) — predicates evaluate in
+    ascending cost order (stable, so equal-cost predicates keep their
+    written order), each only on the survivors of the previous ones
+    (candidate-set chaining).  Reordering is exact: the masks are pure
+    predicates and gating distributes over AND."""
+    ordered = sorted(ms, key=lambda m: m.cost)
 
     def fn(nt: NodeTable) -> np.ndarray:
-        g = ms[0](nt)
-        for m in ms[1:]:
+        g = ordered[0](nt)
+        for m in ordered[1:]:
             g = m.eval(nt, g)
         return g
 
     def gfn(nt: NodeTable, gate: np.ndarray) -> np.ndarray:
         g = gate
-        for m in ms:
+        for m in ordered:
             g = m.eval(nt, g)
         return g
 
-    return Matcher(fn, "match_all", gfn)
+    return Matcher(fn, "match_all", gfn, cost=ordered[0].cost)
 
 
 def match_any(*ms: Matcher) -> Matcher:
@@ -135,6 +161,7 @@ def match_any(*ms: Matcher) -> Matcher:
         lambda nt: np.logical_or.reduce([m(nt) for m in ms]),
         "match_any",
         lambda nt, gate: np.logical_or.reduce([m.eval(nt, gate) for m in ms]),
+        cost=max(m.cost for m in ms),
     )
 
 
@@ -145,6 +172,7 @@ def match_one(*ms: Matcher) -> Matcher:
         "match_one",
         lambda nt, gate: gate
         & np.logical_xor.reduce([m.eval(nt, gate) for m in ms]),
+        cost=max(m.cost for m in ms),
     )
 
 

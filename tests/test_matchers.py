@@ -242,3 +242,57 @@ class TestGatedEvaluation:
             gate = np.zeros(nt.n, dtype=bool)
             gate[:: 3] = True
             assert (p.eval(nt, gate) == (full_independent & gate)).all(), p.name
+
+
+class TestCostOrderedConjunction:
+    """Round-4: `&` / match_all evaluate the cheapest conjunct first
+    regardless of written order — a text/attr predicate written FIRST
+    must still be gated by a vectorized tag written second."""
+
+    def _page(self):
+        from gumbo_pp_spark.parser.html5 import parse_html
+
+        parts = ["<html><body>"]
+        for i in range(300):
+            parts.append(
+                f'<div class="c{i % 7}"><span>row {i}</span>'
+                f'<a href="/l/{i}">link</a></div>'
+            )
+        parts.append("</body></html>")
+        return parse_html("".join(parts))
+
+    def test_reversed_order_same_mask(self):
+        from gumbo_pp_spark import matchers as m
+
+        nt = self._page()
+        fwd = m.tag.DIV & m.content_text.contains("row 7")
+        rev = m.content_text.contains("row 7") & m.tag.DIV
+        assert (fwd.fn(nt) == rev.fn(nt)).all()
+        assert fwd.fn(nt).sum() > 0
+
+    def test_python_predicate_gated_both_orders(self):
+        from gumbo_pp_spark import matchers as m
+
+        nt = self._page()
+        n_div = int(m.tag.DIV.fn(nt).sum())
+        for mk in (
+            lambda pred: m.content_text.where(pred) & m.tag.DIV,
+            lambda pred: m.tag.DIV & m.content_text.where(pred),
+            lambda pred: m.match_all(m.content_text.where(pred), m.tag.DIV),
+        ):
+            calls = []
+            prog = mk(lambda t: calls.append(1) or "row 7" in t)
+            prog.fn(nt)
+            # the user predicate ran on the <div> candidates only,
+            # never the full node table
+            assert len(calls) == n_div, (len(calls), n_div, nt.n)
+
+    def test_cost_ranks(self):
+        from gumbo_pp_spark import matchers as m
+
+        assert m.tag.DIV.cost == 0
+        assert m.content_text.contains("x").cost == 2
+        assert m.attribute.exists("href").cost == 2
+        assert (m.content_text.contains("x") & m.tag.DIV).cost == 0
+        assert (m.tag.DIV | m.content_text.contains("x")).cost == 2
+        assert (~m.content_text.contains("x")).cost == 2
