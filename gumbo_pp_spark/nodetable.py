@@ -357,10 +357,12 @@ class NodeTable:
     def error_positions(self, tab_stop: int | None = None) -> list:
         """GumboSourcePosition analogue for every error record:
         ``[(code, offset, line, column), ...]`` with 1-based line/
-        column and tab-aware columns (gumbo utf8.c advances the column
-        to the next multiple of ``tab_stop`` on a TAB — the
-        GumboOptions.tab_stop knob, default 8).  Offsets index the
-        decoded source like every other engine offset."""
+        column and tab-aware columns using libgumbo's exact formula
+        (utf8.c update_position: ``column = ((column / tab_stop) + 1)
+        * tab_stop`` on a TAB — so with the default tab_stop=8 a tab
+        at column 1 puts the NEXT char at column 8, not 9; the
+        GumboOptions.tab_stop knob).  Offsets index the decoded source
+        like every other engine offset."""
         if tab_stop is None:
             tab_stop = self.tab_stop
         src = self.source
@@ -371,7 +373,7 @@ class NodeTable:
             col = 1
             for ch in src[start:off]:
                 if ch == "\t":
-                    col = ((col - 1) // tab_stop + 1) * tab_stop + 1
+                    col = (col // tab_stop + 1) * tab_stop
                 else:
                     col += 1
             out.append((code, off, line, col))

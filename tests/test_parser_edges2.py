@@ -604,10 +604,12 @@ class TestGumboOptionsTail:
         assert recs, recs
         code, off, line, col = recs[0]
         assert code == "processing-instruction" and line == 2
-        # col: tab->9, 'x'->10, tab->17 ; '<' at col 17
-        assert col == 17
+        # libgumbo utf8.c: column = ((column / tab_stop) + 1) * tab_stop
+        # col: tab(at 1)->8, 'x'->9, tab(at 9)->16 ; '<' at col 16
+        assert col == 16
         # custom tab stop via the option-independent argument
-        assert nt.error_positions(tab_stop=4)[0][3] == 9
+        # tab(at 1)->4, 'x'->5, tab(at 5)->8 ; '<' at col 8
+        assert nt.error_positions(tab_stop=4)[0][3] == 8
 
     def test_stop_on_first_error_accepted_noop(self):
         a = parse_html("<p>x</p foo>", {"stop_on_first_error": True})
@@ -616,7 +618,8 @@ class TestGumboOptionsTail:
 
     def test_default_tab_stop_from_options(self):
         nt = parse_html("\t<?p>", {"tab_stop": 4})
-        assert nt.error_positions()[0][3] == 5
+        # tab at column 1 -> ((1/4)+1)*4 = 4 (libgumbo formula)
+        assert nt.error_positions()[0][3] == 4
 
 
 class TestWaveEFinds:
