@@ -61,8 +61,20 @@ def make_session(master: str, shuffle_partitions: int):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         # parse cost ≫ scan cost: small input partitions keep all
-        # threads busy and bound per-task Arrow memory
-        .config("spark.sql.files.maxPartitionBytes", str(4 << 20))
+        # threads busy and bound per-task Arrow memory.  8 MB (2 task
+        # waves at 32 threads on the bench corpus) beat 4 MB (4 waves,
+        # more per-task overhead) and 16 MB (1 wave, straggler-bound)
+        # in interleaved A/B duels.
+        .config("spark.sql.files.maxPartitionBytes", str(8 << 20))
+        # CAPTURE-GAP FIX (round 4): the default 10k-row Arrow batch
+        # is LARGER than a whole task's partition, so the Python
+        # worker received one giant batch per task — zero overlap
+        # between JVM scan/serialization and Python parse.  1024-row
+        # batches pipeline the two sides (~3-8 batches in flight per
+        # task); measured 1.22x on the flagship extract at local[32]
+        # in two interleaved A/B duels (and the noop-stage Arrow floor
+        # dropped 1.32s -> 0.51s).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
         .getOrCreate()

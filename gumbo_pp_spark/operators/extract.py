@@ -123,6 +123,29 @@ def _passthrough_types(df: DataFrame, passthrough) -> list[tuple[str, str]]:
     return [(c, lut[c]) for c in passthrough]
 
 
+def _iter_html(arr):
+    """Zero-copy iteration over a null-free binary Arrow column:
+    yields memoryview slices of the data buffer — parse_html decodes
+    straight from them (``str(buffer, ...)``), so the per-doc html
+    bytes are never copied into Python objects.  Falls back to
+    ``as_py()`` for nullable/unusual layouts."""
+    import pyarrow as pa
+
+    if len(arr) == 0:
+        return ()
+    if arr.null_count == 0 and (
+        pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type)
+    ):
+        dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        bufs = arr.buffers()
+        off = np.frombuffer(
+            bufs[1], dt, len(arr) + 1, arr.offset * np.dtype(dt).itemsize
+        )
+        data = memoryview(bufs[2])
+        return (data[off[k]: off[k + 1]] for k in range(len(arr)))
+    return (v.as_py() for v in arr)
+
+
 # ----------------------------------------------------------------------
 # kernel: boilerplate-stripped main text + spans
 # ----------------------------------------------------------------------
@@ -229,9 +252,9 @@ def extract_main_text(
             sp_bstart: list[np.ndarray] = []
             sp_bend: list[np.ndarray] = []
             sp_offsets = [0]
-            for raw in htmls:
+            for raw in _iter_html(htmls):
                 t0 = clk()
-                nt = parse_html(raw.as_py())
+                nt = parse_html(raw)
                 t1 = clk()
                 tag_id = nt.tag_id
                 body = int(np.argmax(tag_id == _BODY_ID))
@@ -400,8 +423,8 @@ def explode_nodes(df: DataFrame, passthrough: tuple[str, ...] = ("doc_id",)) -> 
             node_id, parent_id, subtree_end, ntype = [], [], [], []
             tag, ns, attrs, text, iwp, s0, s1 = [], [], [], [], [], [], []
             b0, b1 = [], []
-            for row, raw in enumerate(htmls):
-                nt = parse_html(raw.as_py())
+            for row, raw in enumerate(_iter_html(htmls)):
+                nt = parse_html(raw)
                 counts[row] = nt.n
                 b0.append(nt.byte_offsets(nt.src_start))
                 b1.append(nt.byte_offsets(nt.src_end))

@@ -2603,9 +2603,15 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
       is always error-recovering too.
     """
     raw_bytes = None
+    raw_len = -1
+    buf = None
     if isinstance(source, (bytes, bytearray, memoryview)):
-        raw_bytes = bytes(source)
-        source = raw_bytes.decode("utf-8", errors="replace")
+        buf = source
+        raw_len = buf.nbytes if isinstance(buf, memoryview) else len(buf)
+        # str(buffer, ...) decodes straight from the caller's memory
+        # (e.g. a memoryview slice of an Arrow batch) — no
+        # intermediate bytes copy per document
+        source = str(buf, "utf-8", "replace")
     # input-stream preprocessing: newline normalization (keep the
     # pre-normalization string only when it differs — it feeds the lazy
     # byte-offset map, NodeTable.byte_offsets)
@@ -2617,6 +2623,16 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
             # lone-\r normalization is positionally 1:1 (char starts
             # unchanged) — the byte map does not need the prenorm form
             prenorm = None
+    # IDENTITY byte map: one byte per decoded char and no CRLF
+    # collapse means decoded offset == byte offset (this covers ASCII
+    # AND latin-1-ish mojibake where every invalid byte became one
+    # U+FFFD).  Those pages never need the raw bytes kept around —
+    # the dominant case on real corpora; the byte map is pinned
+    # identity on the NodeTable below.  Non-identity pages copy the
+    # buffer once (it must outlive the caller's Arrow batch).
+    byte_identity = raw_len == len(source) and prenorm is None
+    if buf is not None and not byte_identity:
+        raw_bytes = bytes(buf)
     s = source
     n = len(s)
     fragment = None
@@ -2647,6 +2663,8 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
         tb.handle_eof()
         nt = tb.finalize()
         nt.raw, nt._prenorm, nt.tab_stop = raw_bytes, prenorm, tab_stop
+        if byte_identity:
+            nt._byte_map_built = True  # identity map, no raw needed
         return nt
     # hoisted hot-path bindings (the dispatch wrappers stay for
     # tree-builder-internal reprocessing; the tokenizer inlines them)
@@ -2892,4 +2910,6 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
     tb.handle_eof()
     nt = tb.finalize()
     nt.raw, nt._prenorm, nt.tab_stop = raw_bytes, prenorm, tab_stop
+    if byte_identity:
+        nt._byte_map_built = True  # identity map, no raw needed
     return nt

@@ -36,6 +36,10 @@ def main() -> None:
         SparkSession.builder.appName("gumbo-extract")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(64 << 20))
+        # Arrow batches much smaller than a task's partition keep the
+        # JVM scan/serialize side and the Python parse side pipelined
+        # (one-batch-per-task means no overlap; see bench.py)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .getOrCreate()
     )
 
