@@ -2188,8 +2188,10 @@ class _TreeBuilder:
                 return
         # IN_BODY / IN_CELL
         # fast path: current node IS the named element and its rule
-        # reduces to pop-through (see _END_BESPOKE) — one compare + the
-        # _pop_until fast pop instead of the full rule chain
+        # reduces to pop-through (see _END_BESPOKE) — the pop is
+        # inlined (the _pop_until fast path would re-test the name and
+        # re-dispatch the formatting/cell sets _END_BESPOKE already
+        # excludes)
         stk = self.stack
         if (
             stk
@@ -2197,7 +2199,15 @@ class _TreeBuilder:
             and self.ntag[stk[-1]] == name
             and self.nns[stk[-1]] == NS_HTML
         ):
-            self._pop_until(name, t0, t0, t1)
+            nid = stk.pop()
+            if name == "p":
+                self.open_p -= 1
+            elif name in ("applet", "marquee", "object"):
+                self._afe_clear_to_marker()
+            sp = self.nspan
+            base = 6 * nid
+            sp[base + 4], sp[base + 5] = t0, t1
+            sp[base + 1] = t1
             return
         if name == "body":
             # spec: ignored unless the body element is IN SCOPE (an
@@ -2814,8 +2824,9 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
             # (_merge_root_attrs, the one writer, copies on write)
             name, attrs, self_closing, dups = hit
             pos = gt + 1
-            for _ in range(dups):
-                tb._err("duplicate-attribute", lt)
+            if dups:
+                for _ in range(dups):
+                    tb._err("duplicate-attribute", lt)
         else:
             m = _TAG_NAME_RE.match(s, lt + 1)
             if not m:
@@ -2825,8 +2836,9 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
                 continue
             name = m.group(0).lower()
             attrs, self_closing, pos, found_gt, dups = _scan_start_attrs(s, m.end(), n)
-            for _ in range(dups):
-                tb._err("duplicate-attribute", lt)
+            if dups:
+                for _ in range(dups):
+                    tb._err("duplicate-attribute", lt)
             if not found_gt:
                 tb._err("eof-in-tag", lt)
                 break  # EOF in tag
