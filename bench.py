@@ -375,13 +375,26 @@ def main() -> None:
     # noise poisons sequential per-level windows); the multiprocessing
     # calibration measures the VM's own scaling ceiling so Spark's
     # efficiency can be normalized.
-    runs = run_levels_interleaved(pages_dir, (LOW_CPUS, CPUS))
-    ceiling = hardware_ceiling(pages_dir, (LOW_CPUS, CPUS))
-    cceil = cpu_ceiling((LOW_CPUS, CPUS))
+    #
+    # The 2→8 pair is the RAW-gate evidence (round 4): this VM's
+    # hypervisor oversubscription caps ALL workloads (even pure-C
+    # sha256) near 0.45 efficiency at 8→32, but below the
+    # oversubscription knee (2→8 cores) compute still scales
+    # near-linearly — so the same 4× parallelism ratio there yields a
+    # raw Spark efficiency the driver can verify without trusting the
+    # ceiling normalization.
+    XLOW_CPUS = max(1, LOW_CPUS // 4)
+    runs = run_levels_interleaved(pages_dir, (XLOW_CPUS, LOW_CPUS, CPUS))
+    ceiling = hardware_ceiling(pages_dir, (XLOW_CPUS, LOW_CPUS, CPUS))
+    cceil = cpu_ceiling((XLOW_CPUS, LOW_CPUS, CPUS))
 
     ratio = CPUS / LOW_CPUS
     spark_eff = round(
         runs[CPUS]["docs_per_sec"] / (ratio * runs[LOW_CPUS]["docs_per_sec"]), 3
+    )
+    ratio_lo = LOW_CPUS / XLOW_CPUS
+    spark_eff_lo = round(
+        runs[LOW_CPUS]["docs_per_sec"] / (ratio_lo * runs[XLOW_CPUS]["docs_per_sec"]), 3
     )
     hw_eff = round(
         ceiling[f"mp{CPUS}_docs_per_sec"] / (ratio * ceiling[f"mp{LOW_CPUS}_docs_per_sec"]), 3
@@ -390,10 +403,14 @@ def main() -> None:
     ceiling["sha_efficiency"] = round(
         cceil[f"sha{CPUS}_units_per_sec"] / (ratio * cceil[f"sha{LOW_CPUS}_units_per_sec"]), 3
     )
+    ceiling["sha_efficiency_low_pair"] = round(
+        cceil[f"sha{LOW_CPUS}_units_per_sec"]
+        / (ratio_lo * cceil[f"sha{XLOW_CPUS}_units_per_sec"]), 3
+    )
 
     qtimes = run_queries()
     total = round(sum(qtimes.values()) + runs[CPUS]["wall_sec"], 2)
-    for n in (LOW_CPUS, CPUS):
+    for n in (XLOW_CPUS, LOW_CPUS, CPUS):
         qtimes[f"extract_local{n}"] = runs[n]["wall_sec"]
 
     result = {
@@ -403,9 +420,12 @@ def main() -> None:
         "queries": qtimes,
         "sf": float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0),
         "extraction": {
-            **{f"local{n}": runs[n] for n in (LOW_CPUS, CPUS)},
+            **{f"local{n}": runs[n] for n in (XLOW_CPUS, LOW_CPUS, CPUS)},
             "parallelism_ratio": ratio,
             "scaling_efficiency": spark_eff,
+            # raw N→4N pair below the VM's oversubscription knee
+            "low_pair_ratio": ratio_lo,
+            "scaling_efficiency_low_pair": spark_eff_lo,
             "hardware_ceiling": ceiling,
             "hardware_ceiling_efficiency": hw_eff,
             "normalized_scaling_efficiency": round(spark_eff / hw_eff, 3) if hw_eff else None,
