@@ -1173,8 +1173,15 @@ class _TreeBuilder:
         return False
 
     def _reset_mode(self) -> None:
-        """WHATWG 'reset the insertion mode appropriately' (subset)."""
+        """WHATWG 'reset the insertion mode appropriately' (subset).
+        The checks are HTML-element checks — a FOREIGN node (e.g. an
+        SVG <tr> or <title>) matches nothing and the walk continues to
+        its ancestor (fuzz-found: '<svg><tr><title><table><table>'
+        reset to IN_ROW off the svg tr and dropped the second
+        table)."""
         for k in range(len(self.stack) - 1, -1, -1):
+            if self.nns[self.stack[k]] != NS_HTML:
+                continue
             tag = self.ntag[self.stack[k]]
             if tag == "select":
                 self.mode = IN_SELECT
@@ -1745,8 +1752,14 @@ class _TreeBuilder:
                 self._err("unexpected-start-tag", t0)  # table parts outside a table: ignored
                 return None
         if name in P_CLOSERS and self.open_p > 0 and self._in_scope("p", _BUTTON_SCOPE):
-            # quirks mode: <table> does NOT close an open <p>
-            if not (name == "table" and self.quirks):
+            # quirks mode: <table> does NOT close an open <p>.
+            # <form> closes the p only when it will actually insert —
+            # a nested form (non-null form pointer) is IGNORED before
+            # any p-closing (WHATWG in-body <form> step order;
+            # fuzz-found: '<form><p><form>text' keeps text in the p)
+            if not (name == "table" and self.quirks) and not (
+                name == "form" and self.form_ptr >= 0
+            ):
                 self._pop_until("p", t0)
         if name in HEADINGS:
             if self.stack and self.ntag[self._current()] in HEADINGS:
@@ -1882,7 +1895,17 @@ class _TreeBuilder:
 
     def _close_list_item(self, names: tuple, pos: int) -> None:
         for k in range(len(self.stack) - 1, -1, -1):
-            tag = self.ntag[self.stack[k]]
+            nid = self.stack[k]
+            tag = self.ntag[nid]
+            if self.nns[nid] != NS_HTML:
+                # foreign specials (MathML text IPs, annotation-xml,
+                # SVG HTML IPs) abort the scan like any other special;
+                # other foreign elements don't match HTML names
+                # (fuzz-found: '<dt><math><mo><dd>' must not close the
+                # dt through the mo)
+                if self._is_foreign_boundary(nid):
+                    break
+                continue
             if tag in names:
                 self._pop_until(tag, pos)
                 break
@@ -2342,9 +2365,15 @@ class _TreeBuilder:
             else:
                 self._err("unexpected-end-tag", t0)
             return
+        self._end_any_other(name, t0, t1)
+
+    def _end_any_other(self, name, t0, t1) -> None:
         # "any other end tag": walk the stack for a same-name HTML
         # element; a SPECIAL element found first aborts (token ignored)
-        # instead of popping through it (WHATWG in-body any-other-end-tag)
+        # instead of popping through it (WHATWG in-body
+        # any-other-end-tag).  Separate method so the oracle-artifact
+        # tests can emulate html5lib's legacy walk (namespace-blind
+        # name match + its specialElements gaps) by patching it.
         stk = self.stack
         for k in range(len(stk) - 1, -1, -1):
             nid = stk[k]

@@ -1,0 +1,206 @@
+"""Test-only emulation of html5lib 1.x's LEGACY adoption-agency
+algorithm (html5parser.py ``InBodyPhase.endTagFormatting``), expressed
+against the engine's tree-builder state.  Used by
+``tests/test_oracle_artifacts.py`` to machine-verify that every
+residual AAA fuzz divergence is EXACTLY html5lib's legacy rule: the
+engine re-parsed with this method patched in must reproduce html5lib's
+tree byte-for-byte.
+
+The legacy algorithm differs from the modern WHATWG one (which the
+engine and libgumbo-era spec implement) in:
+
+* the inner node-lifting loop is CAPPED at 3 iterations
+  (``while innerLoopCounter < 3``) and may exit without reaching the
+  formatting element — the modern loop is unbounded with a >3
+  active-formatting-entry ejection rule instead;
+* the stack walk uses a decremented INDEX that goes stale when a
+  non-AFE node is removed from the stack (html5lib decrements
+  ``index`` but removes by value);
+* a missing/out-of-scope formatting entry IGNORES the token
+  (``parseError; return``) — the modern rule falls through to "any
+  other end tag".
+"""
+
+from gumbo_pp_spark.parser.html5 import ELEMENT, NS_HTML, _TreeBuilder
+
+
+def legacy_adoption_agency(self, name, t0, t1):
+    """html5lib-1.x endTagFormatting, in engine terms.  Same contract
+    as ``_TreeBuilder._adoption_agency`` (True = token consumed)."""
+    stack = self.stack
+    afe = self.afe
+    outer = 0
+    while outer < 8:
+        outer += 1
+        # elementInActiveFormattingElements: last same-name entry
+        # after the last marker
+        fe_idx = None
+        for k in range(len(afe) - 1, -1, -1):
+            e = afe[k]
+            if e is None:
+                break
+            if e[0] == name:
+                fe_idx = k
+                break
+        if fe_idx is None:
+            self._err("adoption-agency-1.1", t0)
+            return True  # token ignored (legacy; modern falls through)
+        entry = afe[fe_idx]
+        fe = entry[4]
+        if fe in stack and not self._node_in_scope(fe):
+            self._err("adoption-agency-4.4", t0)
+            return True
+        if fe not in stack:
+            self._err("adoption-agency-1.2", t0)
+            del afe[fe_idx]
+            return True
+        if stack[-1] != fe:
+            self._err("adoption-agency-1.3", t0)
+        si = stack.index(fe)
+        fb = None
+        for j in range(si, len(stack)):
+            if self._is_special(stack[j]):
+                fb = stack[j]
+                break
+        if fb is None:
+            while True:
+                nid = stack.pop()
+                if nid == fe:
+                    break
+            afe.remove(entry)
+            return True
+        ca = stack[si - 1] if si > 0 else 0
+        bookmark = fe_idx
+        last_node = node = fb
+        index = stack.index(fb)
+        inner = 0
+        while inner < 3:
+            inner += 1
+            index -= 1
+            node = stack[index]
+            nai = None
+            for k in range(len(afe) - 1, -1, -1):
+                e2 = afe[k]
+                if e2 is not None and e2[4] == node:
+                    nai = k
+                    break
+            if nai is None:
+                stack.remove(node)  # html5lib: remove by value,
+                continue            # index NOT re-synced (legacy)
+            if node == fe:
+                break
+            if last_node == fb:
+                bookmark = nai + 1
+            e2 = afe[nai]
+            clone = self._new_node(
+                ELEMENT, e2[0], dict(e2[1]) if e2[1] else {}, "",
+                e2[2], self.n, e2[2], e2[3], self.n, self.n,
+            )
+            afe[nai] = [e2[0], e2[1], e2[2], e2[3], clone]
+            stack[stack.index(node)] = clone
+            node = clone
+            self._detach(last_node)
+            self._attach(last_node, node)
+            last_node = node
+        self._detach(last_node)
+        if self.ntag[ca] in ("table", "tbody", "tfoot", "thead", "tr"):
+            parent, before = self._foster_spot()
+            self._attach(last_node, parent, before)
+        else:
+            self._attach(last_node, ca)
+        clone2 = self._new_node(
+            ELEMENT, entry[0], dict(entry[1]) if entry[1] else {}, "",
+            entry[2], self.n, entry[2], entry[3], self.n, self.n,
+        )
+        kids = self.nchildren[fb]
+        self.nchildren[clone2] = kids
+        for c in kids:
+            self.nparent[c] = clone2
+        self.nchildren[fb] = []
+        self._attach(clone2, fb)
+        afe.remove(entry)
+        afe.insert(min(bookmark, len(afe)), [entry[0], entry[1], entry[2], entry[3], clone2])
+        stack.remove(fe)
+        stack.insert(stack.index(fb) + 1, clone2)
+        self.preorder_ok = False
+    return True
+
+
+class patched_legacy_aaa:
+    """Context manager: parse with html5lib's legacy AAA."""
+
+    def __enter__(self):
+        self._orig = _TreeBuilder._adoption_agency
+        _TreeBuilder._adoption_agency = legacy_adoption_agency
+        return self
+
+    def __exit__(self, *exc):
+        _TreeBuilder._adoption_agency = self._orig
+        return False
+
+
+# ----------------------------------------------------------------------
+# html5lib-1.x "any other end tag" walk (InBodyPhase.endTagOther)
+# ----------------------------------------------------------------------
+# Two legacy traits vs the modern spec walk the engine implements
+# (verified against the vendored pip/_vendor/html5lib source):
+#   * the name match is NAMESPACE-BLIND (``node.name == token name``
+#     pops an SVG/MathML element through HTML, and vice versa);
+#   * its ``specialElements`` set contains ONE foreign entry —
+#     (svg, foreignObject) — so MathML mi/mo/mn/ms/mtext/
+#     annotation-xml and SVG desc/title do NOT abort the walk
+#     (constants.py:342-422), and the HTML entries predate
+#     figcaption/summary/hgroup (the SpecialsGap family).
+
+from gumbo_pp_spark.parser.html5 import (  # noqa: E402
+    _SPECIAL_LI_STOP,
+    NS_MATHML,
+    NS_SVG,
+)
+
+_HTML5LIB_HTML_SPECIALS = (
+    (_SPECIAL_LI_STOP | {"address", "div", "p"})
+    - {"figcaption", "summary", "hgroup"}
+)
+
+
+def _html5lib_is_special(self, nid):
+    ns = self.nns[nid]
+    tag = self.ntag[nid]
+    if ns == NS_HTML:
+        return tag in _HTML5LIB_HTML_SPECIALS
+    return ns == NS_SVG and tag == "foreignObject"
+
+
+def legacy_end_any_other(self, name, t0, t1):
+    stk = self.stack
+    for k in range(len(stk) - 1, -1, -1):
+        nid = stk[k]
+        if self.ntag[nid] == name:  # namespace-blind (legacy)
+            # generateImpliedEndTags(exclude=name) + pop through node
+            while stk[-1] != nid:
+                self._close_implied(stk.pop(), t0)
+            nid2 = stk.pop()
+            base = 6 * nid2
+            self.nspan[base + 4], self.nspan[base + 5] = t0, t1
+            self.nspan[base + 1] = t1
+            if self.ntag[nid2] == "p":
+                self.open_p -= 1
+            return
+        if _html5lib_is_special(self, nid):
+            self._err("unexpected-end-tag", t0)
+            return
+    self._err("unexpected-end-tag", t0)
+
+
+class patched_legacy_end_any_other:
+    """Context manager: parse with html5lib's legacy any-other-end-tag."""
+
+    def __enter__(self):
+        self._orig = _TreeBuilder._end_any_other
+        _TreeBuilder._end_any_other = legacy_end_any_other
+        return self
+
+    def __exit__(self, *exc):
+        _TreeBuilder._end_any_other = self._orig
+        return False

@@ -721,3 +721,41 @@ class TestNulInAttributes:
         nt = parse_html("<p a\x00b='v\x00w'>x")
         p = first(nt, nt.tag_name == "p")
         assert nt.attrs[p] == {"a�b": "v�w"}
+
+
+class TestRound4FuzzFinds:
+    """Round-4 wave finds (caption/AAA/foreign profiles): three real
+    engine rule fixes, each pinned here (the committed fuzz_r4 corpus
+    covers the generated forms)."""
+
+    def test_nested_form_ignored_before_p_close(self):
+        # WHATWG in-body <form>: a nested form (non-null form pointer)
+        # is IGNORED before any p-closing — the following text stays
+        # inside the open <p>
+        nt = parse_html("<form><p><form>a")
+        p = first(nt, nt.tag_name == "p")
+        kids = nt.children_ids(p)
+        assert len(kids) == 1 and nt.text[kids[0]] == "a"
+
+    def test_reset_mode_skips_foreign_nodes(self):
+        # '<svg><tr><title><table><table>': after the first table pops,
+        # the insertion-mode reset must NOT match the SVG tr (IN_ROW
+        # would drop the second table); both tables nest in the title
+        nt = parse_html('<svg><tr><title><table><table>')
+        title = first(nt, nt.tag_name == "title")
+        kid_tags = [nt.tag_name[k] for k in nt.children_ids(title)]
+        assert kid_tags == ["table", "table"]
+
+    def test_list_item_scan_stops_at_foreign_special(self):
+        # '<dt><math><mo><dd>': the dd/dt implied-close scan aborts at
+        # the MathML text IP (mo is 'special'); the dt stays open and
+        # the dd nests inside the mo
+        nt = parse_html("<dt><math><mo><dd>")
+        mo = first(nt, nt.tag_name == "mo")
+        kid_tags = [nt.tag_name[k] for k in nt.children_ids(mo)]
+        assert kid_tags == ["dd"]
+        dt = first(nt, nt.tag_name == "dt")
+        # dd is INSIDE the dt's subtree (dt never closed)
+        dd = first(nt, nt.tag_name == "dd")
+        lo, hi = nt.subtree(int(dt))
+        assert lo <= dd < hi
