@@ -2286,10 +2286,18 @@ class _TreeBuilder:
             return
         if name in HEADINGS:
             # spec: an h1-h6 end tag closes the nearest open heading of
-            # ANY rank (</h2> closes an open <h3>)
+            # ANY rank (</h2> closes an open <h3>) — but only if one is
+            # IN SCOPE: the walk stops at scope boundaries including
+            # the foreign ones (fuzz-found: '<h2><math><ms></h2>' must
+            # not pop the heading through the MathML text IP)
             target = None
             for k in range(len(self.stack) - 1, -1, -1):
-                tag = self.ntag[self.stack[k]]
+                nid = self.stack[k]
+                tag = self.ntag[nid]
+                if self.nns[nid] != NS_HTML:
+                    if self._is_foreign_boundary(nid):
+                        break
+                    continue
                 if tag in HEADINGS:
                     target = tag
                     break

@@ -43,12 +43,15 @@ def legacy_adoption_agency(self, name, t0, t1):
                 fe_idx = k
                 break
         if fe_idx is None:
-            self._err("adoption-agency-1.1", t0)
-            return True  # token ignored (legacy; modern falls through)
+            # legacy: falls through to the (legacy) any-other-end-tag
+            # walk — html5parser.py:1428-1435 calls endTagOther here;
+            # the modern spec IGNORES an out-of-scope subject instead
+            self._end_any_other(name, t0, t1)
+            return True
         entry = afe[fe_idx]
         fe = entry[4]
         if fe in stack and not self._node_in_scope(fe):
-            self._err("adoption-agency-4.4", t0)
+            self._end_any_other(name, t0, t1)
             return True
         if fe not in stack:
             self._err("adoption-agency-1.2", t0)

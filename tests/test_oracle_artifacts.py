@@ -10,7 +10,7 @@ same provenance as tests/conformance/generate.py) and PINNED as
 literals so the tests run without that interpreter.
 """
 
-from gumbo_pp_spark.nodetable import ELEMENT, TEXT, WHITESPACE
+from gumbo_pp_spark.nodetable import CDATA, COMMENT, ELEMENT, TEXT, WHITESPACE
 from gumbo_pp_spark.parser.html5 import parse_html
 
 
@@ -379,3 +379,32 @@ class TestPreNewlineSkipPersistsFamily:
         legacy_pre = (pre[0], [text[1:]] if text[1:] else [])
         legacy = ("html", [("head", []), ("body", [legacy_pre])])
         assert legacy == self.HTML5LIB
+
+
+class TestInTableCharBufferOrderFamily:
+    """The spec's 'in table' pending-character machinery applies ONLY
+    while the current node is table/tbody/tfoot/thead/tr; with a
+    foreign (or any other) element current, character tokens insert
+    immediately via the in-body rules.  html5lib buffers in-table
+    characters UNCONDITIONALLY (InTableTextPhase) and flushes on the
+    next non-character token AFTER that token's own processing in some
+    paths, so a CDATA text run inside fostered foreign content swaps
+    order with a following comment.  Round-4 fuzz find (foreign wave,
+    second seed)."""
+
+    SRC = '<table><math xlink:href="h"><mi><![CDATA[z]]><!-- k -->'
+
+    # pinned html5lib 1.x: comment FIRST, then the CDATA text
+    HTML5LIB_MI_CHILDREN = [" k ", "z"]  # comment data, then text
+
+    def test_rederive_html5lib_under_legacy_rule(self):
+        nt = parse_html(self.SRC)
+        mi = next(i for i in range(nt.n) if nt.tag_name[i] == "mi")
+        kids = list(nt.children_ids(mi))
+        # engine (spec): CDATA text first, comment second in the mi
+        assert [int(nt.type[k]) for k in kids] == [CDATA, COMMENT]
+        assert nt.text[kids[0]] == "z" and nt.text[kids[1]] == " k "
+        # legacy re-derivation: swapping the two children reproduces
+        # html5lib's order exactly; everything else identical
+        legacy = [nt.text[kids[1]], nt.text[kids[0]]]
+        assert legacy == self.HTML5LIB_MI_CHILDREN
