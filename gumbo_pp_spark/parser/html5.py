@@ -135,7 +135,8 @@ _END_TAG_RE = re.compile(r"</([a-zA-Z][^\t\n\f\r />]*)[ \t\n\f\r/]*>")
     AFTER_FRAMESET,
     IN_COLGROUP,
     AFTER_AFTER_BODY,
-) = range(16)
+    IN_TEMPLATE,
+) = range(17)
 
 _TABLE_MODES = (IN_TABLE, IN_TABLE_BODY, IN_ROW)
 
@@ -246,7 +247,7 @@ _IB_FAST = _build_ib_fast()
 # parts, body/html), the form pointer, the br-as-start quirk — and
 # the formatting set (adoption agency owns those).
 _END_BESPOKE = frozenset(
-    "body html br form caption table td th tr tbody thead tfoot".split()
+    "body html br form caption table td th tr tbody thead tfoot template".split()
 ) | _FORMATTING
 
 # "Special" category elements that abort the <li>/<dd>/<dt> implied-end
@@ -470,6 +471,8 @@ class _TreeBuilder:
         "frag_name", "frag_ns", "max_errors",
         # WHATWG "in table text" pending character-token buffer
         "pending_tt",
+        # WHATWG stack of template insertion modes
+        "tmpl_modes",
     )
 
     # nspan layout: 6 int64 slots per node in one flat list —
@@ -530,6 +533,9 @@ class _TreeBuilder:
         # WHATWG "in table text" pending character tokens: buffered
         # (raw, start) runs, flushed by the next non-character token
         self.pending_tt: list = []
+        # WHATWG stack of template insertion modes (§13.2.4.1): one
+        # entry per open <template>; top = current template mode
+        self.tmpl_modes: list[int] = []
         self._new_node(DOCUMENT, "", None, "", 0, self.n)
         if fragment:
             self._init_fragment()
@@ -567,6 +573,11 @@ class _TreeBuilder:
             self.mode = IN_FRAMESET
         elif ctx == "head":
             self.mode = IN_HEAD
+        elif ctx == "template":
+            # spec fragment case: push "in template" onto the stack of
+            # template insertion modes and reset (→ in template)
+            self.mode = IN_TEMPLATE
+            self.tmpl_modes.append(IN_TEMPLATE)
         else:
             self.mode = IN_BODY
 
@@ -635,6 +646,10 @@ class _TreeBuilder:
         the stack — the root (fuzz-found: fostered text in a
         table-context fragment landed inside the implied tr)."""
         for k in range(len(self.stack) - 1, -1, -1):
+            if self.ntype[self.stack[k]] == TEMPLATE:
+                # spec: last template LOWER than the last table wins —
+                # content appends inside the template, no before-node
+                return self.stack[k], -1
             if self.ntag[self.stack[k]] == "table":
                 tbl = self.stack[k]
                 par = self.nparent[tbl]
@@ -1172,6 +1187,74 @@ class _TreeBuilder:
             sp[base + 1] = pos
         return False
 
+    # -- template insertion modes (WHATWG §13.2.6.4.18) ----------------
+    def _start_template(self, attrs, t0, t1) -> None:
+        """The in-head <template> rule (reached from every mode that
+        delegates template to 'in head'): insert the element, push an
+        AFE scope marker, clear frameset-ok, switch to 'in template'
+        and push it onto the stack of template insertion modes."""
+        nid = self._insert_element("template", attrs, t0, t1)
+        self.ntype[nid] = TEMPLATE
+        self.afe.append(None)  # scope marker
+        self.frameset_ok = False
+        self.mode = IN_TEMPLATE
+        self.tmpl_modes.append(IN_TEMPLATE)
+
+    def _end_template(self, t0, t1) -> None:
+        """The in-head </template> rule: thorough implied end tags,
+        pop through the template, clear AFE to the marker, pop the
+        template-mode stack, reset the insertion mode."""
+        if not any(self.ntype[x] == TEMPLATE for x in self.stack):
+            self._err("unexpected-end-tag", t0)
+            return
+        stk = self.stack
+        while stk:
+            nid = stk.pop()
+            if self.ntype[nid] == TEMPLATE:
+                base = 6 * nid
+                self.nspan[base + 4], self.nspan[base + 5] = t0, t1
+                self.nspan[base + 1] = t1
+                break
+            if self.ntag[nid] == "p":
+                self.open_p -= 1
+            self._close_implied(nid, t0)
+        self._afe_clear_to_marker()
+        if self.tmpl_modes:
+            self.tmpl_modes.pop()
+        self._reset_mode()
+
+    def _start_in_template(self, name, attrs, self_closing, t0, t1) -> str | None:
+        """'In template' start tags: head-ish tags via in-head; table
+        structure re-routes the CURRENT template insertion mode and
+        reprocesses; anything else becomes in-body."""
+        if name in (
+            "base", "basefont", "bgsound", "link", "meta", "noframes",
+            "script", "style", "template", "title",
+        ):
+            if name == "template":
+                self._start_template(attrs, t0, t1)
+                return None
+            if name in ("base", "basefont", "bgsound", "link", "meta"):
+                self._insert_element(name, attrs, t0, t1, push=False)
+                return None
+            self._insert_element(name, attrs, t0, t1)
+            return "rcdata" if name in RCDATA_ELEMENTS else "rawtext"
+        remode = None
+        if name in ("caption", "colgroup", "tbody", "tfoot", "thead"):
+            remode = IN_TABLE
+        elif name == "col":
+            remode = IN_COLGROUP
+        elif name == "tr":
+            remode = IN_TABLE_BODY
+        elif name in ("td", "th"):
+            remode = IN_ROW
+        else:
+            remode = IN_BODY
+        if self.tmpl_modes:
+            self.tmpl_modes[-1] = remode
+        self.mode = remode
+        return self.handle_start(name, attrs, self_closing, t0, t1)
+
     def _reset_mode(self) -> None:
         """WHATWG 'reset the insertion mode appropriately' (subset).
         The checks are HTML-element checks — a FOREIGN node (e.g. an
@@ -1182,6 +1265,9 @@ class _TreeBuilder:
         for k in range(len(self.stack) - 1, -1, -1):
             if self.nns[self.stack[k]] != NS_HTML:
                 continue
+            if self.ntype[self.stack[k]] == TEMPLATE:
+                self.mode = self.tmpl_modes[-1] if self.tmpl_modes else IN_TEMPLATE
+                return
             tag = self.ntag[self.stack[k]]
             if tag == "select":
                 self.mode = IN_SELECT
@@ -1348,7 +1434,9 @@ class _TreeBuilder:
                     return
         mode = self.mode
         end = start + len(raw)
-        if mode == IN_BODY or mode == IN_CELL:  # hot path first
+        if mode == IN_BODY or mode == IN_CELL or mode == IN_TEMPLATE:
+            # hot path first; "in template" characters use the in-body
+            # rules (spec in-template: character token -> in-body)
             self._insert_text(_decode(raw), start, end)
             return
         if mode in (INITIAL, BEFORE_HTML, BEFORE_HEAD):
@@ -1517,8 +1605,7 @@ class _TreeBuilder:
                     self._insert_element(name, attrs, t0, t1)
                     return None
                 if name == "template":
-                    nid = self._insert_element(name, attrs, t0, t1)
-                    self.ntype[nid] = TEMPLATE
+                    self._start_template(attrs, t0, t1)
                     return None
                 self._insert_element(name, attrs, t0, t1)
                 return "rcdata" if name in RCDATA_ELEMENTS else "rawtext"
@@ -1560,14 +1647,17 @@ class _TreeBuilder:
                     self.stack.pop()
                     return None
                 if name == "template":
-                    nid = self._insert_element(name, attrs, t0, t1)
-                    self.ntype[nid] = TEMPLATE
-                    self.mode = IN_HEAD
+                    # in-head rule, then remove the re-pushed head IN
+                    # PLACE (spec: "it might not be the current node")
+                    self._start_template(attrs, t0, t1)
+                    self.stack.remove(self.head_id)
                     return None
                 self._insert_element(name, attrs, t0, t1)
                 return "rcdata" if name == "title" else "rawtext"
             self._ensure_body(t0)
             return self.handle_start(name, attrs, self_closing, t0, t1)
+        if mode == IN_TEMPLATE:
+            return self._start_in_template(name, attrs, self_closing, t0, t1)
         if mode in _TABLE_MODES:
             return self._start_in_table(name, attrs, self_closing, t0, t1)
         if mode == IN_SELECT:
@@ -1627,6 +1717,9 @@ class _TreeBuilder:
         """WHATWG 'in select' (subset): only option/optgroup content is
         honored; form controls and table structure break out of the
         select; anything else is ignored."""
+        if name == "template":
+            self._start_template(attrs, t0, t1)
+            return None
         if name == "option":
             if self.ntag[self._current()] == "option":
                 self._pop_until("option", t0)
@@ -1871,8 +1964,7 @@ class _TreeBuilder:
             self._insert_element(name, attrs, t0, t1, push=False)
             return None
         if name == "template":
-            nid = self._insert_element(name, attrs, t0, t1)
-            self.ntype[nid] = TEMPLATE
+            self._start_template(attrs, t0, t1)
             return None
         nid = self._insert_element(name, attrs, t0, t1)
         if name in _FORMATTING:
@@ -1915,7 +2007,14 @@ class _TreeBuilder:
             self._pop_until("p", pos)
 
     def _clear_to_table_context(self, stops: tuple, pos: int) -> None:
-        while self.stack and self.ntag[self._current()] not in stops and self.ntag[self._current()] != "html":
+        # the spec's clear-back-to-*-context steps always stop at
+        # <template> too (template contents host table structure)
+        while (
+            self.stack
+            and self.ntag[self._current()] not in stops
+            and self.ntag[self._current()] != "html"
+            and self.ntype[self._current()] != TEMPLATE
+        ):
             nid = self.stack.pop()
             if self.ntag[nid] == "p":
                 self.open_p -= 1
@@ -1925,6 +2024,11 @@ class _TreeBuilder:
 
     def _start_in_table(self, name, attrs, self_closing, t0, t1) -> str | None:
         mode = self.mode
+        if name == "template":
+            # spec in-table/in-table-body/in-row: template -> in-head
+            # rule (inserted at the current location, no fostering)
+            self._start_template(attrs, t0, t1)
+            return None
         if mode == IN_TABLE:
             if name in TABLE_SECTIONS:
                 self._clear_to_table_context(("table",), t0)
@@ -2053,6 +2157,14 @@ class _TreeBuilder:
         self.skip_newline = False
         mode = self.mode
         if mode != IN_BODY and mode != IN_CELL:  # hot path guard
+            if mode == IN_TEMPLATE:
+                # spec "in template" end tags: template via in-head,
+                # anything else is a parse error, ignored
+                if name == "template":
+                    self._end_template(t0, t1)
+                else:
+                    self._err("unexpected-end-tag", t0)
+                return
             if mode in (INITIAL, BEFORE_HTML, BEFORE_HEAD):
                 if name in ("head", "body", "html", "br"):
                     self._ensure_head(t0)
@@ -2081,7 +2193,10 @@ class _TreeBuilder:
                     self._pop_head(t0)
                     self._end_html(name, t0, t1)
                     return
-                if name in ("title", "style", "script", "noscript", "template"):
+                if name == "template":
+                    self._end_template(t0, t1)
+                    return
+                if name in ("title", "style", "script", "noscript"):
                     self._pop_until(name, t0, t0, t1)
                     return
                 self._err("unexpected-end-tag", t0)
@@ -2103,6 +2218,9 @@ class _TreeBuilder:
                 self._end_in_table(name, t0, t1)
                 return
             if mode == IN_SELECT:
+                if name == "template":
+                    self._end_template(t0, t1)
+                    return
                 if name == "option":
                     # spec "in select" </option>: pop ONLY if the
                     # current node is an option — never through the
@@ -2337,6 +2455,9 @@ class _TreeBuilder:
             self._reset_mode()
             self.handle_end(name, t0, t1)
             return
+        if name == "template":
+            self._end_template(t0, t1)
+            return
         if name == "form":
             # spec form end rule: the form POINTER's element is REMOVED
             # from the stack IN PLACE — elements above it stay open
@@ -2402,6 +2523,9 @@ class _TreeBuilder:
         # could close fostered elements for an ignorable token
         # (fuzz-found: '<table><tr><u></thead>&amp;')
         mode = self.mode
+        if name == "template":
+            self._end_template(t0, t1)
+            return
         if name == "table":
             if not self._in_table_scope("table"):
                 self._err("unexpected-end-tag-in-table", t0)

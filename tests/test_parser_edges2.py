@@ -759,3 +759,116 @@ class TestRound4FuzzFinds:
         dd = first(nt, nt.tag_name == "dd")
         lo, hi = nt.subtree(int(dt))
         assert lo <= dd < hi
+
+
+class TestTemplateInsertionModes:
+    """WHATWG template machinery (§13.2.6.4.18 'in template' + the
+    stack of template insertion modes).  html5lib 1.x predates
+    template support, so these are authored goldens against the
+    modern spec (libgumbo's parser.c implements the same machinery —
+    the reference's semantics)."""
+
+    def test_content_stays_inside_before_head(self):
+        # template at document start lives in HEAD; its content never
+        # leaks to body
+        nt = parse_html("<template><p>x</p></template>ok")
+        from gumbo_pp_spark.nodetable import TEMPLATE
+
+        tpl = first(nt, nt.type == TEMPLATE)
+        assert nt.tag_name[nt.parent[tpl]] == "head"
+        p = first(nt, nt.tag_name == "p")
+        assert nt.parent[p] == tpl
+        body = first(nt, nt.tag_name == "body")
+        assert nt.content_text(body) == "ok"
+
+    def test_table_structure_reroutes_template_mode(self):
+        # in-template <td> switches the current template insertion
+        # mode to in-row and the cell nests inside the template
+        nt = parse_html("<template><td>cell</td></template>")
+        from gumbo_pp_spark.nodetable import TEMPLATE
+
+        tpl = first(nt, nt.type == TEMPLATE)
+        td = first(nt, nt.tag_name == "td")
+        assert nt.parent[td] == tpl
+        # NOTE content_text() deliberately excludes template subtrees
+        # (gumbo_text.h parity) — check the text node directly
+        kids = list(nt.children_ids(td))
+        assert len(kids) == 1 and nt.text[kids[0]] == "cell"
+
+    def test_template_in_table_not_fostered(self):
+        # spec in-table <template> goes through the in-head rule: it
+        # is a CHILD of the table (never foster-parented), and the
+        # table structure inside it builds normally
+        nt = parse_html("<table><template><tr><td>c</td></tr></template></table>")
+        from gumbo_pp_spark.nodetable import TEMPLATE
+
+        tpl = first(nt, nt.type == TEMPLATE)
+        assert nt.tag_name[nt.parent[tpl]] == "table"
+        tr = first(nt, nt.tag_name == "tr")
+        assert nt.parent[tr] == tpl  # no implied tbody inside template
+
+    def test_end_template_restores_mode(self):
+        # closing a template with an OPEN table inside restores the
+        # outer insertion context (text resumes in the div)
+        nt = parse_html("<div><template><table><tr><td>z</template>after</div>")
+        div = first(nt, nt.tag_name == "div")
+        kids = list(nt.children_ids(div))
+        from gumbo_pp_spark.nodetable import TEMPLATE, TEXT
+
+        assert [int(nt.type[k]) for k in kids] == [TEMPLATE, TEXT]
+        assert nt.text[kids[1]] == "after"
+
+    def test_nested_templates(self):
+        nt = parse_html("<template><template><p>n</p></template></template>")
+        from gumbo_pp_spark.nodetable import TEMPLATE
+
+        import numpy as np
+
+        tpls = np.nonzero(nt.type == TEMPLATE)[0]
+        assert len(tpls) == 2
+        assert nt.parent[tpls[1]] == tpls[0]
+        p = first(nt, nt.tag_name == "p")
+        assert nt.parent[p] == tpls[1]
+
+    def test_template_in_select(self):
+        # spec in-select: template via the in-head rule; the option
+        # nests inside the template
+        nt = parse_html("<select><template><option>o</option></template></select>")
+        from gumbo_pp_spark.nodetable import TEMPLATE
+
+        tpl = first(nt, nt.type == TEMPLATE)
+        assert nt.tag_name[nt.parent[tpl]] == "select"
+        opt = first(nt, nt.tag_name == "option")
+        assert nt.parent[opt] == tpl
+
+    def test_afe_marker_isolates_formatting(self):
+        # the template pushes an AFE scope marker: an outer open <b>
+        # does NOT reconstruct inside the template content
+        nt = parse_html("<b><template>x</template></b>")
+        from gumbo_pp_spark.nodetable import TEMPLATE
+
+        tpl = first(nt, nt.type == TEMPLATE)
+        kids = list(nt.children_ids(tpl))
+        assert len(kids) == 1 and nt.text[kids[0]] == "x"
+
+    def test_eof_inside_template(self):
+        nt = parse_html("<template><div>open")
+        from gumbo_pp_spark.nodetable import TEMPLATE
+
+        tpl = first(nt, nt.type == TEMPLATE)
+        d = first(nt, nt.tag_name == "div")
+        assert nt.parent[d] == tpl
+        kids = list(nt.children_ids(d))
+        assert len(kids) == 1 and nt.text[kids[0]] == "open"
+
+    def test_stray_end_template_ignored(self):
+        nt = parse_html("<p>a</template>b</p>")
+        p = first(nt, nt.tag_name == "p")
+        assert nt.content_text(p) == "ab"
+
+    def test_template_fragment_context(self):
+        nt = parse_html("<tr><td>x</td></tr>", {"fragment_context": "template"})
+        tr = first(nt, nt.tag_name == "tr")
+        td = first(nt, nt.tag_name == "td")
+        assert nt.parent[td] == tr
+        assert nt.content_text(td) == "x"
