@@ -2605,10 +2605,17 @@ class _TreeBuilder:
         if self.mode in (INITIAL, BEFORE_HTML, AFTER_AFTER_BODY):
             nid = self._new_node(COMMENT, "", None, text, t0, t1)
             self._attach(nid, 0)
+            if self.html_id >= 0:
+                # post-<html> document-level comment: later tokens can
+                # REOPEN body content, putting creation order out of
+                # preorder (fuzz-found containment violation) — take
+                # the DFS finalize path
+                self.preorder_ok = False
             return
         if self.mode == AFTER_BODY and self.html_id >= 0:
             nid = self._new_node(COMMENT, "", None, text, t0, t1)
             self._attach(nid, self.html_id)
+            self.preorder_ok = False  # body content may reopen after
             return
         parent, before = self._insert_target()
         nid = self._new_node(COMMENT, "", None, text, t0, t1)

@@ -872,3 +872,35 @@ class TestTemplateInsertionModes:
         td = first(nt, nt.tag_name == "td")
         assert nt.parent[td] == tr
         assert nt.content_text(td) == "x"
+
+
+class TestDocumentLevelCommentPreorder:
+    """A document-level comment after </html> followed by REOPENED
+    body content puts creation order out of preorder; finalize must
+    take the DFS path (fuzz-found containment violation: the document
+    node's subtree_end landed before its html child's)."""
+
+    def test_containment_invariants(self):
+        nt = parse_html(
+            "</html><!-- c --><td></table><math></frameset><body></mi>"
+            "<html><col><li>"
+        )
+        for i in range(nt.n):
+            p = int(nt.parent[i])
+            se = int(nt.subtree_end[i])
+            assert -1 <= p < nt.n and p != i
+            assert i < se <= nt.n
+            if p >= 0:
+                assert nt.subtree_end[p] >= se
+
+    def test_after_body_comment_then_reopen(self):
+        nt = parse_html("<body>a</body><!--x-->b")
+        # the comment hangs off <html>, the reopened text lands in body
+        body = first(nt, nt.tag_name == "body")
+        assert nt.content_text(body) == "ab"
+        c = first(nt, nt.type == COMMENT)
+        assert nt.tag_name[nt.parent[c]] == "html"
+        for i in range(nt.n):
+            p = int(nt.parent[i])
+            if p >= 0:
+                assert nt.subtree_end[p] >= nt.subtree_end[i]
