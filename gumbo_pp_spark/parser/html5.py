@@ -1400,6 +1400,32 @@ class _TreeBuilder:
                 self._end_html(name, t0, t1)
                 return
 
+    def _chars_in_table(self, raw: str, start: int, end: int) -> None:
+        """WHATWG "in table" character rules (the spec/libgumbo
+        handle_in_table): runs are PENDED via "in table text" only
+        while the CURRENT node is table context — the all-space test
+        then applies to the whole batch, so '\\n' followed by stray
+        text fosters TOGETHER (fuzz-found: '<table>\\n< notatag').
+        With a foster-inserted element current (e.g. <table><b>bold)
+        the spec's "anything else" processes each run per in-body,
+        which RECONSTRUCTS active formatting even for pure whitespace.
+
+        html5lib 1.x instead routes EVERY character token through its
+        InTableTextPhase regardless of the current node, so a
+        whitespace-only batch into a fostered element skips
+        reconstruction — a legacy artifact pinned (and machine-
+        verified by patching this method) in
+        tests/test_oracle_artifacts.py
+        TestInTableTextUnconditionalPendFamily."""
+        if self.ntag[self._current()] in (
+            "table", "tbody", "tfoot", "thead", "tr",
+        ):
+            self.pending_tt.append((raw, start))
+        elif all(c in _WS_SET for c in raw):
+            self._insert_text(raw, start, end)
+        else:
+            self._insert_text(_decode(raw), start, end)
+
     def _flush_tt(self) -> None:
         """Flush pending table character tokens (WHATWG "in table
         text"): an all-whitespace batch inserts in place; a batch with
@@ -1462,25 +1488,7 @@ class _TreeBuilder:
                 self._insert_text(_decode(stripped), start + k, end)
             return
         if mode in _TABLE_MODES:
-            # foster-parent only when the CURRENT node is table context;
-            # with a foster-inserted element open (e.g. <table><b>bold)
-            # the in-body rules insert straight into that element
-            in_table_ctx = self.ntag[self._current()] in (
-                "table", "tbody", "tfoot", "thead", "tr",
-            )
-            if in_table_ctx:
-                # WHATWG "in table text": character runs are PENDING
-                # until the next non-character token — the all-space
-                # test applies to the whole batch, so '\n' followed by
-                # stray text fosters TOGETHER (fuzz-found:
-                # '<table>\n< notatag')
-                self.pending_tt.append((raw, start))
-            elif all(c in _WS_SET for c in raw):
-                # whitespace while a fostered element is current: no
-                # formatting reconstruction (round-2 fuzz rule kept)
-                self._insert_text(raw, start, end, reconstruct=False)
-            else:
-                self._insert_text(_decode(raw), start, end)
+            self._chars_in_table(raw, start, end)
             return
         if mode == IN_SELECT:
             self._insert_text(_decode(raw), start, end, reconstruct=False)

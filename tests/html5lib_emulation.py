@@ -207,3 +207,37 @@ class patched_legacy_end_any_other:
     def __exit__(self, *exc):
         _TreeBuilder._end_any_other = self._orig
         return False
+
+
+# ----------------------------------------------------------------------
+# html5lib-1.x unconditional "in table text" pending
+# ----------------------------------------------------------------------
+# html5lib's InTablePhase.processCharacters/processSpaceCharacters
+# switch to InTableTextPhase UNCONDITIONALLY (html5parser.py:1719-1729)
+# — the spec (and libgumbo's handle_in_table) pend only while the
+# CURRENT node is table context, and otherwise process each character
+# token per in-body with foster parenting enabled, which RECONSTRUCTS
+# active formatting even for pure whitespace.  Under html5lib's rule a
+# whitespace-only batch flushed into a fostered element is inserted by
+# InTableTextPhase.flushCharacters via plain ``tree.insertText`` — no
+# reconstruction.  The engine's ``_flush_tt`` already implements
+# flushCharacters' whole-batch all-space test, so the legacy behavior
+# is EXACTLY "pend every run":
+
+
+def legacy_chars_in_table(self, raw, start, end):
+    self.pending_tt.append((raw, start))
+
+
+class patched_unconditional_tt:
+    """Context manager: parse with html5lib's unconditional
+    in-table-text pending."""
+
+    def __enter__(self):
+        self._orig = _TreeBuilder._chars_in_table
+        _TreeBuilder._chars_in_table = legacy_chars_in_table
+        return self
+
+    def __exit__(self, *exc):
+        _TreeBuilder._chars_in_table = self._orig
+        return False

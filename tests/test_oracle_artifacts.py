@@ -408,3 +408,84 @@ class TestInTableCharBufferOrderFamily:
         # html5lib's order exactly; everything else identical
         legacy = [nt.text[kids[1]], nt.text[kids[0]]]
         assert legacy == self.HTML5LIB_MI_CHILDREN
+
+
+class TestInTableTextUnconditionalPendFamily:
+    """html5lib routes EVERY character token in table modes through
+    InTableTextPhase (html5parser.py:1719-1729), so its whole-batch
+    all-space test also governs runs arriving while a FOSTERED element
+    is the current node — a whitespace-only batch is then inserted via
+    plain ``tree.insertText`` with NO active-formatting reconstruction.
+    The spec (and libgumbo's handle_in_table) pend only while the
+    current node is table context; with a fostered element current,
+    "anything else" processes the token per in-body, which
+    reconstructs formatting even for pure whitespace.  The engine
+    follows the spec (round-4 fuzz find: a mixed ws+text batch showed
+    the old blanket never-reconstruct rule matched NEITHER side).
+
+    MACHINE-VERIFIED: the 17 corpus divergences are pinned in
+    tests/tabletext_legacy_r4.dat with html5lib's trees; re-parsing
+    each with ``_chars_in_table`` patched to html5lib's unconditional
+    pend (a ONE-LINE rule — the engine's ``_flush_tt`` already equals
+    flushCharacters) reproduces html5lib's tree BYTE-FOR-BYTE, and the
+    unpatched engine differs on every case.
+    """
+
+    def _cases(self):
+        import os
+
+        fn = os.path.join(os.path.dirname(__file__), "tabletext_legacy_r4.dat")
+        with open(fn, encoding="utf-8", newline="") as f:
+            text = f.read()
+        for block in text.split("#data\n"):
+            if not block.strip():
+                continue
+            data, _, doc = block.partition("\n#document\n")
+            yield data, doc.rstrip("\n")
+
+    def test_rederive_html5lib_under_legacy_rule(self):
+        from gumbo_pp_spark.parser.serialize import serialize_tree
+
+        from .html5lib_emulation import patched_unconditional_tt
+
+        n = 0
+        for src, html5lib_tree in self._cases():
+            with patched_unconditional_tt():
+                legacy = serialize_tree(parse_html(src))
+            assert legacy == html5lib_tree, src
+            modern = serialize_tree(parse_html(src))
+            assert modern != html5lib_tree, (
+                f"case no longer diverges (stale pin?): {src!r}"
+            )
+            n += 1
+        assert n == 17
+
+    def test_spec_behavior_pinned(self):
+        # the round-4 fuzz case that exposed the old blanket rule:
+        # '\n' pends with the following "hello world" (the bogus '</>'
+        # emits no token), the mixed batch reconstructs <small>, and
+        # BOTH runs land inside the clone — spec AND html5lib agree
+        # here; the old per-run rule put '\n' outside the clone.
+        src = (
+            "<table><mo data-k=v><aside viewbox='0 0 4 4'>"
+            "<small></aside x>\n</>hello world"
+        )
+        eng = tuples(parse_html(src))
+        body = eng[1][1]
+        mo, table = body[1]
+        assert mo[0] == "mo" and table == ("table", [])
+        aside, small = mo[1]
+        assert aside == ("aside", [("small", [])])
+        assert small == ("small", ["\nhello world"])
+
+        # whitespace-only batch with a fostered element current (the
+        # comment token flushes the pend): spec reconstructs — the
+        # <small> clone takes the space; html5lib's unconditional pend
+        # inserts it bare (oracle-checked against vendored html5lib)
+        nt = parse_html("<table><mo><aside><small></aside> <!-- c -->x")
+        body = tuples(nt)[1][1]
+        mo, table = body[1]
+        assert table == ("table", []) and mo[0] == "mo"
+        aside, clone = mo[1]
+        assert aside == ("aside", [("small", [])])
+        assert clone[0] == "small" and clone[1][0] == " "
