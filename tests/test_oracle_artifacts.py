@@ -247,6 +247,23 @@ class TestInTableInsertFromTableClobberFamily:
             "<table><li><li>",
             ("html", [("head", []), ("body", [("li", []), ("table", [("li", [])])])]),
         ),
+        # round-4 closing sweep: the same clobber via other implied-end
+        # routes — <dt> closing a previous <dt>, <optgroup> popping an
+        # open <option>
+        (
+            "<table><dt><dt>",
+            ("html", [("head", []), ("body", [("dt", []), ("table", [("dt", [])])])]),
+        ),
+        (
+            "<table><option><optgroup>",
+            (
+                "html",
+                [
+                    ("head", []),
+                    ("body", [("option", []), ("table", [("optgroup", [])])]),
+                ],
+            ),
+        ),
     ]
 
     def test_rederive_html5lib_under_legacy_rule(self):
@@ -254,8 +271,8 @@ class TestInTableInsertFromTableClobberFamily:
             eng = tuples(parse_html(src))
             body = eng[1][1]
             first_el, li, table = body[1]
-            # engine (spec): the li fostered BEFORE the table
-            assert li[0] == "li" and table[0] == "table", src
+            # engine (spec): the element fostered BEFORE the table
+            assert li[0] in ("li", "dt", "optgroup") and table[0] == "table", src
             # legacy rule: the clobbered flag re-homes the li as the
             # table's child; everything else identical
             legacy_body = [first_el, (table[0], [li, *table[1]])]
