@@ -462,7 +462,7 @@ class _TreeBuilder:
         "skip_newline", "foster", "ntype", "ntag", "nattrs", "ntext",
         "nspan", "nchildren", "nparent", "niwp", "nns", "ntid", "preorder_ok",
         "html_id", "head_id", "body_id", "afe", "open_p", "has_foreign",
-        "frameset_ok", "form_ptr",
+        "frameset_ok", "form_ptr", "select_in_table",
         # bound-method caches for the per-node hot path (9 container
         # appends per node; one attribute lookup each instead of two)
         "_ap_type", "_ap_tag", "_ap_attrs", "_ap_text", "_ex_span",
@@ -494,6 +494,7 @@ class _TreeBuilder:
         self.quirks = True  # no doctype → quirks (both reference docs)
         self.skip_newline = False
         self.foster = False
+        self.select_in_table = False
         self.ntype: list[int] = []
         self.ntag: list[str] = []
         self.nattrs: list[dict | None] = []
@@ -539,6 +540,11 @@ class _TreeBuilder:
         self._new_node(DOCUMENT, "", None, "", 0, self.n)
         if fragment:
             self._init_fragment()
+            # spec fragment algorithm: the parser takes the CONTEXT
+            # document's mode, and a fresh context document is
+            # no-quirks (html5lib likewise never visits its initial
+            # phase in innerHTML mode)
+            self.quirks = False
 
     def _init_fragment(self) -> None:
         """WHATWG 'parsing HTML fragments' (subset; gumbo's
@@ -550,36 +556,60 @@ class _TreeBuilder:
         self._attach(nid, 0)
         self.stack.append(nid)
         self.html_id = nid
-        # suppress implied head/body creation paths
-        self.head_id = nid
-        self.body_id = nid
         ctx = self.frag_name
+        if ctx != "html":
+            # suppress implied head/body creation paths — except for
+            # an <html> context, whose fragment runs the full
+            # before-head pipeline (real head/body children; spec
+            # reset: html -> before head; html5lib-verified)
+            self.head_id = nid
+            self.body_id = nid
         if self.frag_ns != NS_HTML:
             self.has_foreign = True
-            self.mode = IN_BODY
-        elif ctx in ("td", "th"):
-            self.mode = IN_CELL
-        elif ctx == "tr":
-            self.mode = IN_ROW
-        elif ctx in TABLE_SECTIONS:
-            self.mode = IN_TABLE_BODY
-        elif ctx == "table":
-            self.mode = IN_TABLE
-        elif ctx == "select":
-            self.mode = IN_SELECT
-        elif ctx == "colgroup":
-            self.mode = IN_COLGROUP
-        elif ctx == "frameset":
-            self.mode = IN_FRAMESET
-        elif ctx == "head":
-            self.mode = IN_HEAD
         elif ctx == "template":
             # spec fragment case: push "in template" onto the stack of
-            # template insertion modes and reset (→ in template)
-            self.mode = IN_TEMPLATE
+            # template insertion modes
             self.tmpl_modes.append(IN_TEMPLATE)
-        else:
-            self.mode = IN_BODY
+        self.mode = self._frag_ctx_mode()
+
+    def _frag_ctx_mode(self) -> int:
+        """Insertion mode for the fragment CONTEXT element — used both
+        at fragment init and as the spec's last-node substitution in
+        'reset the insertion mode appropriately' ("if node is the
+        first node in the stack of open elements [and] the parser was
+        created as part of the HTML fragment parsing algorithm, set
+        node to the context element")."""
+        ctx = self.frag_name
+        if self.frag_ns != NS_HTML:
+            return IN_BODY
+        if ctx in ("td", "th"):
+            return IN_CELL
+        if ctx == "tr":
+            return IN_ROW
+        if ctx in TABLE_SECTIONS:
+            return IN_TABLE_BODY
+        if ctx == "table":
+            return IN_TABLE
+        if ctx == "select":
+            return IN_SELECT
+        if ctx == "colgroup":
+            return IN_COLGROUP
+        if ctx == "frameset":
+            return IN_FRAMESET
+        if ctx == "html":
+            # spec: head pointer null -> before head, else after head
+            return BEFORE_HEAD if self.head_id < 0 else (
+                AFTER_HEAD if self.body_id < 0 else IN_BODY
+            )
+        if ctx == "template":
+            return self.tmpl_modes[-1] if self.tmpl_modes else IN_TEMPLATE
+        # NOTE ctx == "head" lands here: in-BODY is the gumbo/
+        # html5lib-era rule (libgumbo reset_insertion_mode and
+        # html5lib resetInsertionMode both map head to in-body; the
+        # modern spec's "in head" applies only to a REAL head on the
+        # stack, see _reset_mode) — same precedent as the
+        # hr-in-select revert
+        return IN_BODY
 
     # -- node store ----------------------------------------------------
     def _new_node(self, ntype, tag, attrs, text, s0, s1, t0=0, t1=0, e0=0, e1=0, ns=NS_HTML) -> int:
@@ -1263,6 +1293,12 @@ class _TreeBuilder:
         reset to IN_ROW off the svg tr and dropped the second
         table)."""
         for k in range(len(self.stack) - 1, -1, -1):
+            if k == 0 and self.frag_name:
+                # spec last-node substitution: in a fragment parse the
+                # first stack node (the synthetic root) stands for the
+                # CONTEXT element
+                self.mode = self._frag_ctx_mode()
+                return
             if self.nns[self.stack[k]] != NS_HTML:
                 continue
             if self.ntype[self.stack[k]] == TEMPLATE:
@@ -1299,6 +1335,12 @@ class _TreeBuilder:
                 self.mode = IN_COLGROUP
                 return
             if tag == "head":
+                # a REAL head on the stack (template-in-head reset):
+                # modern spec "in head" — the engine's template
+                # machinery is modern-spec (html5lib predates it).
+                # The FRAGMENT context substitution below maps a
+                # ctx=head fragment to in-body instead (gumbo/
+                # html5lib-era rule, html5lib-verified).
                 self.mode = IN_HEAD
                 return
             if tag == "body":
@@ -1758,10 +1800,12 @@ class _TreeBuilder:
                 return None
             return self.handle_start(name, attrs, self_closing, t0, t1)
         if name in ("caption", "table", "tbody", "tfoot", "thead", "tr", "td", "th"):
-            # table-structure tags break out ONLY for a select nested in
-            # a table ("in select in table"); a bare select (or a
+            # table-structure tags break out ONLY for a select opened
+            # in a table context ("in select in table" — flag set at
+            # select open, so a table-MODE fragment with no table
+            # element still breaks out); a bare select (or a
             # select-context fragment) ignores them
-            if self._stack_has("table") and self._stack_has("select"):
+            if self.select_in_table and self._stack_has("select"):
                 self._err("unexpected-start-tag-in-select", t0)
                 self._pop_until("select", t0)
                 self._reset_mode()
@@ -1806,7 +1850,11 @@ class _TreeBuilder:
             # into the existing element
             if name == "html":
                 self._merge_root_attrs(self.html_id, attrs)
-            elif name == "body":
+            elif name == "body" and self.body_id != self.html_id:
+                # the != guard is the FRAGMENT case: body_id aliases
+                # the synthetic root there, and the spec ignores a
+                # <body> token when the stack's second element is not
+                # a body (round-4 fragment fuzz, html5lib-verified)
                 self._merge_root_attrs(self.body_id, attrs)
             return None
         if name == "frameset":
@@ -1814,7 +1862,7 @@ class _TreeBuilder:
             # the body element is DETACHED — its subtree is discarded
             # from the document (finalize drops unreachable nodes)
             b = self.body_id
-            if b >= 0 and self.frameset_ok and self.nparent[b] >= 0:
+            if b >= 0 and b != self.html_id and self.frameset_ok and self.nparent[b] >= 0:
                 self._detach(b)
                 while self.stack and self.stack[-1] != self.html_id:
                     self._close_implied(self.stack.pop(), t0)
@@ -1981,6 +2029,19 @@ class _TreeBuilder:
             self.mode = IN_TABLE
             return None
         if name == "select":
+            # spec: a select opened while the insertion mode is a
+            # table mode (in table/caption/colgroup/tbody/row/cell)
+            # switches to "in select in table" — recorded as a flag.
+            # foster is True exactly while the in-table "anything
+            # else" delegation runs; IN_CELL reaches here directly;
+            # the stack check covers real captions, the frag check a
+            # caption-context fragment (round-4 fragment fuzz)
+            self.select_in_table = (
+                self.mode == IN_CELL
+                or self.foster
+                or self._stack_has("table")
+                or self.frag_name == "caption"
+            )
             self.mode = IN_SELECT
             return None
         if name in ("pre", "listing", "textarea"):
@@ -2117,6 +2178,14 @@ class _TreeBuilder:
                 self.mode = IN_ROW
                 return self.handle_start(name, attrs, self_closing, t0, t1)
             if name in TABLE_SECTIONS or name in ("caption", "col", "colgroup", "table"):
+                # spec: if the stack has no tbody/thead/tfoot in TABLE
+                # scope, parse error and IGNORE the token (the
+                # tbody-context FRAGMENT case — round-4 fragment fuzz)
+                if not any(
+                    self._in_table_scope(s) for s in ("tbody", "thead", "tfoot")
+                ):
+                    self._err("unexpected-start-tag-in-table", t0)
+                    return None
                 # close the NEAREST open section of THIS table — the
                 # previous frozenset iteration was hash-seed-
                 # nondeterministic and unbounded (could pop through a
@@ -2361,7 +2430,8 @@ class _TreeBuilder:
         if name == "body":
             # spec: ignored unless the body element is IN SCOPE (an
             # open applet/marquee/object/td/... boundary blocks it)
-            if self.body_id >= 0 and self._node_in_scope(self.body_id):
+            if (self.body_id >= 0 and self.body_id != self.html_id
+                    and self._node_in_scope(self.body_id)):
                 # spec: do not pop; record the span, switch mode
                 base = 6 * self.body_id
                 self.nspan[base + 4], self.nspan[base + 5] = t0, t1
@@ -2371,7 +2441,8 @@ class _TreeBuilder:
                 self._err("unexpected-end-tag", t0)
             return
         if name == "html":
-            if not (self.body_id >= 0 and self._node_in_scope(self.body_id)):
+            if not (self.body_id >= 0 and self.body_id != self.html_id
+                    and self._node_in_scope(self.body_id)):
                 self._err("unexpected-end-tag", t0)
                 return
             self.mode = AFTER_BODY

@@ -70,3 +70,26 @@ def serialize_tree(nt: NodeTable) -> str:
 
     walk(0, 0)
     return "\n".join(lines)
+
+
+def serialize_fragment(nt: NodeTable) -> str:
+    """Serialize a FRAGMENT parse (``parse_html(src,
+    {"fragment_context": ...})``) to html5lib-tests
+    ``#document-fragment`` form: the children of the synthetic root
+    element at depth 0, the root itself (and any attributes a stray
+    ``<html>`` token merged onto it — html5lib's hidden root absorbs
+    those identically) omitted."""
+    lines = serialize_tree(nt).split("\n")
+    # root line is '| <html>'; its children are indented one level
+    out: list[str] = []
+    root_attr = True
+    for line in lines[1:]:
+        if not line.startswith("| "):
+            out.append(line)  # text-node continuation line
+            continue
+        body = line[4:]
+        if root_attr and not body.startswith(("<", '"')) and '="' in body:
+            continue  # attribute of the synthetic root
+        root_attr = False
+        out.append("| " + body)
+    return "\n".join(out)

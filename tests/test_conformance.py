@@ -12,7 +12,7 @@ import os
 import pytest
 
 from gumbo_pp_spark.parser.html5 import parse_html
-from gumbo_pp_spark.parser.serialize import serialize_tree
+from gumbo_pp_spark.parser.serialize import serialize_fragment, serialize_tree
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 CONF_DIR = os.path.join(HERE, "conformance")
@@ -22,7 +22,8 @@ def load_goldens():
     """Load every .dat file under tests/conformance — goldens.dat plus
     any externally-sourced html5lib-tests tree-construction files a
     future round drops in (same #data/#document format; #errors
-    sections, if present, are skipped)."""
+    sections, if present, are skipped; a #document-fragment section
+    names the fragment context element)."""
     cases = []
     for fn in sorted(os.listdir(CONF_DIR)):
         if not fn.endswith(".dat"):
@@ -33,17 +34,25 @@ def load_goldens():
             if not block.strip():
                 continue
             data, _, doc = block.partition("\n#document\n")
+            ctx = None
+            if "\n#document-fragment\n" in data:
+                data, _, ctx = data.partition("\n#document-fragment\n")
+                ctx = ctx.strip()
             if "#errors" in data:  # html5lib-tests layout
                 data = data.partition("\n#errors")[0]
-            cases.append((data, doc.rstrip("\n")))
+            cases.append((ctx, data, doc.rstrip("\n")))
     return cases
 
 CASES = load_goldens()
+IDS = [(f"{c[0]}::" if c[0] else "") + c[1][:40] for c in CASES]
 
 
-@pytest.mark.parametrize("data,expected", CASES, ids=[c[0][:40] for c in CASES])
-def test_tree_construction(data, expected):
-    got = serialize_tree(parse_html(data))
+@pytest.mark.parametrize("ctx,data,expected", CASES, ids=IDS)
+def test_tree_construction(ctx, data, expected):
+    if ctx is None:
+        got = serialize_tree(parse_html(data))
+    else:
+        got = serialize_fragment(parse_html(data, {"fragment_context": ctx}))
     assert got == expected, f"\ninput: {data!r}\n--- engine ---\n{got}\n--- golden ---\n{expected}"
 
 

@@ -175,6 +175,25 @@ class TestBasePhaseSpaceFamily:
         legacy_th = (th[0], [th[1][0], " "])
         assert legacy_th == ("th", [("button", [("u", [])]), " "])
 
+    def test_fragment_flavors(self):
+        # the same base-phase rule governs td/caption-context FRAGMENTS
+        # (html5lib's phase stays inCell/inCaption): engine (spec)
+        # reconstructs the formatting clone for the trailing space;
+        # unwrapping it re-derives the pinned html5lib fragment
+        from gumbo_pp_spark.parser.serialize import serialize_fragment
+
+        for ctx, src, fmt, pinned in [
+            ("td", "<button><em></button> ", "em",
+             '| <button>\n|   <em>\n| " "'),
+            ("caption", "<section><a></section> ", "a",
+             '| <section>\n|   <a>\n| " "'),
+        ]:
+            got = serialize_fragment(parse_html(src, {"fragment_context": ctx}))
+            clone = f"| <{fmt}>\n|   \" \""
+            assert got.endswith(clone), (ctx, got)
+            legacy = got[: -len(clone)] + '| " "'
+            assert legacy == pinned, (ctx, got)
+
 
 class TestTextareaInBodyTextFamily:
     """html5lib's startTagTextarea switches the TOKENIZER to RCDATA but
@@ -506,3 +525,91 @@ class TestInTableTextUnconditionalPendFamily:
         aside, clone = mo[1]
         assert aside == ("aside", [("small", [])])
         assert clone[0] == "small" and clone[1][0] == " "
+
+
+class TestFragmentTableReprocessDropFamily:
+    """html5lib's InTablePhase.startTagTable guards the spec's
+    "reprocess the new <table>" step with ``if not
+    self.parser.innerHTML`` (html5parser.py:1762-1767) — in ANY
+    fragment parse a <table> that implies closing an open table is
+    simply DROPPED.  The spec reprocesses unconditionally once a table
+    was in scope; the engine follows the spec (round-4 fragment fuzz).
+    """
+
+    CASES = [
+        ("div", "<table><table>"),
+        ("th", "<table><table>x"),
+        ("form", "< notatag<table><table>"),
+    ]
+
+    def test_rederive_html5lib_under_legacy_rule(self):
+        from gumbo_pp_spark.parser.serialize import serialize_fragment
+
+        for ctx, src in self.CASES:
+            got = serialize_fragment(parse_html(src, {"fragment_context": ctx}))
+            lines = got.split("\n")
+            # engine (spec): TWO sibling tables at the top level
+            tables = [i for i, l in enumerate(lines) if l == "| <table>"]
+            assert len(tables) == 2, (ctx, src, got)
+            # legacy rule: the second (reprocessed) table vanishes;
+            # everything else identical (pinned from the vendored
+            # html5lib oracle)
+            legacy = lines[: tables[1]] + lines[tables[1] + 1:]
+            expected = {
+                "div": ["| <table>"],
+                "th": ["| <table>", '| "x"'],
+                "form": ['| "< notatag"', "| <table>"],
+            }[ctx]
+            assert legacy == expected, (ctx, src)
+
+    def test_document_parse_reprocesses(self):
+        # outside innerHTML html5lib reprocesses too — no divergence
+        nt = parse_html("<body><table><table>")
+        body = tuples(nt)[1][1]
+        assert [c[0] for c in body[1]] == ["table", "table"]
+
+
+class TestFramesetSpaceBatchFamily:
+    """html5lib's tokenizer emits a standalone SpaceCharacters token
+    only for a space run that BEGINS at a data-state entry (after a
+    tag/comment/character reference); interior spaces ride inside a
+    Characters batch.  InFramesetPhase ignores Characters batches
+    WHOLE, so html5lib drops interior spaces of mixed text in a
+    frameset, where the spec's per-character rule ("space: insert;
+    anything else: ignore") keeps each space — the engine follows the
+    spec.  The same batching drops a post-entity space run in the
+    in-colgroup "anything else" path (the engine's run-level handling
+    merges across entities).  Round-4 fragment fuzz; textual-only.
+    """
+
+    def test_rederive_html5lib_under_legacy_rule(self):
+        from gumbo_pp_spark.parser.serialize import serialize_fragment
+
+        # 'a b' is ONE Characters batch: engine (spec) keeps its
+        # interior space; html5lib drops the batch whole
+        got = serialize_fragment(
+            parse_html("<frame>a b<frame>", {"fragment_context": "frameset"})
+        )
+        assert got == '| <frame>\n| " "\n| <frame>'
+        legacy = got.replace('\n| " "', "")
+        assert legacy == "| <frame>\n| <frame>"  # pinned html5lib
+
+        # ' a b': the leading run IS a boundary SpaceCharacters token
+        # (both keep it); the interior space again diverges
+        got = serialize_frag_text = serialize_fragment(
+            parse_html(" a b", {"fragment_context": "frameset"})
+        )
+        assert got == '| "  "'
+        assert got.replace('"  "', '" "') == '| " "'  # pinned html5lib
+
+    def test_batch_level_agreements_pinned(self):
+        from gumbo_pp_spark.parser.serialize import serialize_fragment
+
+        # where the engine's run-level handling coincides with
+        # html5lib's batch rule there is NO divergence — pin that too
+        assert serialize_fragment(
+            parse_html("x y", {"fragment_context": "colgroup"})
+        ) == ""
+        assert serialize_fragment(
+            parse_html("<col>a b<col>", {"fragment_context": "colgroup"})
+        ) == "| <col>\n| <col>"
