@@ -2394,6 +2394,14 @@ class _TreeBuilder:
                 return
             if mode == AFTER_BODY:
                 if name == "html":
+                    if self.frag_name:
+                        # spec after-body </html>: "if the parser was
+                        # created as part of the HTML fragment parsing
+                        # algorithm ... ignore the token (fragment
+                        # case)" — html5lib likewise never reaches
+                        # after-after-body in innerHTML mode
+                        self._err("unexpected-end-tag", t0)
+                        return
                     if self.html_id >= 0:
                         base = 6 * self.html_id
                         self.nspan[base + 4], self.nspan[base + 5] = t0, t1

@@ -80,12 +80,18 @@ def serialize_fragment(nt: NodeTable) -> str:
     ``<html>`` token merged onto it — html5lib's hidden root absorbs
     those identically) omitted."""
     lines = serialize_tree(nt).split("\n")
-    # root line is '| <html>'; its children are indented one level
+    # root line is '| <html>'; its children are indented one level.
+    # Any depth-0 line besides the root (a document-level comment)
+    # passes through un-dedented.
     out: list[str] = []
     root_attr = True
     for line in lines[1:]:
         if not line.startswith("| "):
             out.append(line)  # text-node continuation line
+            continue
+        if not line.startswith("|   "):
+            out.append(line)  # document-level sibling of the root
+            root_attr = False
             continue
         body = line[4:]
         if root_attr and not body.startswith(("<", '"')) and '="' in body:

@@ -141,3 +141,15 @@ class TestFragmentNoQuirks:
         # quirks: table nests inside the open p
         assert got.index("<table>") > got.index("<p>")
         assert "|       <table>" in got
+
+
+class TestFragmentAfterBodyHtml:
+    """after-body </html> is IGNORED in a fragment parse (spec
+    fragment case; html5lib never reaches after-after-body in
+    innerHTML mode) — a following comment stays inside the root
+    instead of re-homing to the document."""
+
+    def test_comment_stays_in_fragment(self):
+        assert frag("</html><!-- c -->", "html") == "\n".join(
+            ["| <head>", "| <body>", "| <!--  c  -->"]
+        )
