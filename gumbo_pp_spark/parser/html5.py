@@ -2460,6 +2460,12 @@ class _TreeBuilder:
             self._end_html(name, t0, t1)
             return
         if mode == IN_CELL and name in ("td", "th"):
+            # spec: IGNORE unless the named cell is in TABLE scope —
+            # '<table><th><table><td></th>' must not pop the outer th
+            # through the inner table (round-4 closing fuzz)
+            if not self._in_table_scope(name):
+                self._err("unexpected-end-tag", t0)
+                return
             if self._pop_until(name, t0, t0, t1):
                 self._reset_mode()
             else:

@@ -904,3 +904,20 @@ class TestDocumentLevelCommentPreorder:
             p = int(nt.parent[i])
             if p >= 0:
                 assert nt.subtree_end[p] >= nt.subtree_end[i]
+
+
+class TestInCellEndTagScope:
+    """in-cell </td>/<th>: ignored unless the named cell is in TABLE
+    scope — a nested open table shields the outer cell (round-4
+    closing fuzz: '<table><th><table><td></th>a&amp;b' put the text
+    at body level by popping the outer th through the inner table)."""
+
+    def test_outer_cell_shielded_by_inner_table(self):
+        nt = parse_html("<table><th><table><td></th>a&amp;b")
+        td = first(nt, nt.tag_name == "td")
+        assert nt.content_text(td) == "a&b"
+
+    def test_plain_cell_end_still_closes(self):
+        nt = parse_html("<table><th>x</th>y")
+        th = first(nt, nt.tag_name == "th")
+        assert nt.content_text(th) == "x"
