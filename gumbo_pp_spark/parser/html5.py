@@ -189,7 +189,7 @@ _F_RCDATA = 64
 
 _IB_BESPOKE = (
     frozenset(
-        "image html head body frame frameset li dd dt a nobr button "
+        "image isindex html head body frame frameset li dd dt a nobr button "
         "option optgroup form applet marquee object svg math template "
         "table select pre listing textarea plaintext rp rt".split()
     )
@@ -1844,6 +1844,38 @@ class _TreeBuilder:
         if name == "image":
             name = "img"  # WHATWG "in body": image → img (parse error)
             self._err("unexpected-start-tag", t0)
+        if name == "isindex":
+            # legacy <isindex> expansion (gumbo's spec era; libgumbo
+            # handle_in_body GUMBO_TAG_ISINDEX and html5lib
+            # startTagIsIndex agree): parse error; IGNORED when a form
+            # is open; else synthesized
+            # form>hr,label(prompt-text,input),hr — the input carries
+            # every isindex attribute except action/prompt/name, plus
+            # name="isindex"; action moves to the form
+            self._err("deprecated-tag", t0)
+            if self.form_ptr >= 0:
+                return None
+            form_attrs = {}
+            if attrs and "action" in attrs:
+                form_attrs["action"] = attrs["action"]
+            self._start_in_body("form", form_attrs, False, t0, t1)
+            self._start_in_body("hr", {}, False, t0, t1)
+            self._start_in_body("label", {}, False, t0, t1)
+            prompt = (
+                attrs["prompt"]
+                if attrs and "prompt" in attrs
+                else "This is a searchable index. Enter search keywords: "
+            )
+            self._insert_text(prompt, t0, t1)
+            input_attrs = dict(attrs) if attrs else {}
+            input_attrs.pop("action", None)
+            input_attrs.pop("prompt", None)
+            input_attrs["name"] = "isindex"
+            self._start_in_body("input", input_attrs, self_closing, t0, t1)
+            self._end_html("label", t0, t1)
+            self._start_in_body("hr", {}, False, t0, t1)
+            self._end_html("form", t0, t1)
+            return None
         if name in ("html", "head", "body", "frame"):
             self._err("unexpected-start-tag", t0)
             # spec: duplicate <html>/<body> merge missing attributes

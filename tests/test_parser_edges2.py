@@ -921,3 +921,54 @@ class TestInCellEndTagScope:
         nt = parse_html("<table><th>x</th>y")
         th = first(nt, nt.tag_name == "th")
         assert nt.content_text(th) == "x"
+
+
+class TestIsindexExpansion:
+    """Legacy <isindex> expansion (libgumbo handle_in_body
+    GUMBO_TAG_ISINDEX / html5lib startTagIsIndex; the reference
+    exports the tag constant, gumbo_matchers.h ISINDEX): synthesized
+    form>hr,label(prompt,input),hr; ignored when a form is open; no
+    isindex node ever reaches the tree (so tag.ISINDEX matches
+    nothing — reference parity).  Oracle-checked against vendored
+    html5lib; the sole divergence is html5lib's EMPTY text node for
+    prompt="" (its insertText('') quirk — the spec never inserts
+    empty text)."""
+
+    def test_full_expansion_with_attrs(self):
+        nt = parse_html('<isindex action="a" prompt="Find:" x=1>')
+        form = first(nt, nt.tag_name == "form")
+        assert nt.attrs[form] == {"action": "a"}
+        label = first(nt, nt.tag_name == "label")
+        assert nt.content_text(label) == "Find:"
+        inp = first(nt, nt.tag_name == "input")
+        assert nt.attrs[inp] == {"x": "1", "name": "isindex"}
+        hrs = [i for i in range(nt.n) if nt.tag_name[i] == "hr"]
+        assert len(hrs) == 2
+        assert not any(nt.tag_name[i] == "isindex" for i in range(nt.n))
+
+    def test_default_prompt_and_flow(self):
+        nt = parse_html("x<isindex>y")
+        label = first(nt, nt.tag_name == "label")
+        assert nt.content_text(label) == (
+            "This is a searchable index. Enter search keywords: "
+        )
+        body = first(nt, nt.tag_name == "body")
+        assert nt.content_text(body).startswith("x") and nt.content_text(body).endswith("y")
+
+    def test_ignored_with_open_form(self):
+        nt = parse_html("<form><isindex>")
+        assert sum(nt.tag_name[i] == "form" for i in range(nt.n)) == 1
+        assert not any(nt.tag_name[i] in ("isindex", "label", "hr") for i in range(nt.n))
+
+    def test_fostered_in_table(self):
+        nt = parse_html("<table><isindex x=2>")
+        form = first(nt, nt.tag_name == "form")
+        table = first(nt, nt.tag_name == "table")
+        body = first(nt, nt.tag_name == "body")
+        assert nt.parent[form] == body and nt.parent[table] == body
+        inp = first(nt, nt.tag_name == "input")
+        assert nt.attrs[inp] == {"x": "2", "name": "isindex"}
+
+    def test_ignored_in_select(self):
+        nt = parse_html("<select><isindex>")
+        assert not any(nt.tag_name[i] == "form" for i in range(nt.n))
