@@ -443,6 +443,152 @@ def _decode_attr(raw: str) -> str:
 _HTML5_REFS = None
 
 
+# WHATWG 13.2.6.4.1 "the initial insertion mode": public-identifier
+# table for quirks-mode determination (the spec's own list; html5lib's
+# InitialPhase and libgumbo's doctype handling implement the same
+# table).  All entries lowercased for the case-insensitive compare.
+_QUIRKS_PUBLIC_PREFIXES = (
+    "+//silmaril//dtd html pro v0r11 19970101//",
+    "-//advasoft ltd//dtd html 3.0 aswedit + extensions//",
+    "-//as//dtd html 3.0 aswedit + extensions//",
+    "-//ietf//dtd html 2.0 level 1//",
+    "-//ietf//dtd html 2.0 level 2//",
+    "-//ietf//dtd html 2.0 strict level 1//",
+    "-//ietf//dtd html 2.0 strict level 2//",
+    "-//ietf//dtd html 2.0 strict//",
+    "-//ietf//dtd html 2.0//",
+    "-//ietf//dtd html 2.1e//",
+    "-//ietf//dtd html 3.0//",
+    "-//ietf//dtd html 3.2 final//",
+    "-//ietf//dtd html 3.2//",
+    "-//ietf//dtd html 3//",
+    "-//ietf//dtd html level 0//",
+    "-//ietf//dtd html level 1//",
+    "-//ietf//dtd html level 2//",
+    "-//ietf//dtd html level 3//",
+    "-//ietf//dtd html strict level 0//",
+    "-//ietf//dtd html strict level 1//",
+    "-//ietf//dtd html strict level 2//",
+    "-//ietf//dtd html strict level 3//",
+    "-//ietf//dtd html strict//",
+    "-//ietf//dtd html//",
+    "-//metrius//dtd metrius presentational//",
+    "-//microsoft//dtd internet explorer 2.0 html strict//",
+    "-//microsoft//dtd internet explorer 2.0 html//",
+    "-//microsoft//dtd internet explorer 2.0 tables//",
+    "-//microsoft//dtd internet explorer 3.0 html strict//",
+    "-//microsoft//dtd internet explorer 3.0 html//",
+    "-//microsoft//dtd internet explorer 3.0 tables//",
+    "-//netscape comm. corp.//dtd html//",
+    "-//netscape comm. corp.//dtd strict html//",
+    "-//o'reilly and associates//dtd html 2.0//",
+    "-//o'reilly and associates//dtd html extended 1.0//",
+    "-//o'reilly and associates//dtd html extended relaxed 1.0//",
+    "-//softquad software//dtd hotmetal pro 6.0::19990601::extensions to html 4.0//",
+    "-//softquad//dtd hotmetal pro 4.0::19971010::extensions to html 4.0//",
+    "-//spyglass//dtd html 2.0 extended//",
+    "-//sq//dtd html 2.0 hotmetal + extensions//",
+    "-//sun microsystems corp.//dtd hotjava html//",
+    "-//sun microsystems corp.//dtd hotjava strict html//",
+    "-//w3c//dtd html 3 1995-03-24//",
+    "-//w3c//dtd html 3.2 draft//",
+    "-//w3c//dtd html 3.2 final//",
+    "-//w3c//dtd html 3.2//",
+    "-//w3c//dtd html 3.2s draft//",
+    "-//w3c//dtd html 4.0 frameset//",
+    "-//w3c//dtd html 4.0 transitional//",
+    "-//w3c//dtd html experimental 19960712//",
+    "-//w3c//dtd html experimental 970421//",
+    "-//w3c//dtd w3 html//",
+    "-//w3o//dtd w3 html 3.0//",
+    "-//webtechs//dtd mozilla html 2.0//",
+    "-//webtechs//dtd mozilla html//",
+)
+_QUIRKS_PUBLIC_EXACT = frozenset((
+    "-//w3o//dtd w3 html strict 3.0//en//",
+    "-/w3c/dtd html 4.0 transitional/en",
+    "html",
+))
+_QUIRKS_NO_SYSTEM_PREFIXES = (
+    "-//w3c//dtd html 4.01 frameset//",
+    "-//w3c//dtd html 4.01 transitional//",
+)
+_QUIRKS_SYSTEM = "http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd"
+
+
+def _doctype_quirks(body: str) -> bool:
+    """Quirks-mode determination for a DOCTYPE token, per the WHATWG
+    13.2.5 DOCTYPE tokenizer states applied to the text between
+    '<!doctype' and the terminating '>' plus the 13.2.6.4.1 initial-
+    insertion-mode table.  Returns True for FULL quirks only —
+    limited-quirks parses identically (the one parse-level quirk is
+    the in-body <table>-does-not-close-<p> rule).  Malformed
+    public/system identifiers set the force-quirks flag exactly where
+    the tokenizer states do (missing quote, abrupt end, junk between
+    identifiers, unknown keyword)."""
+    n = len(body)
+    i = 0
+    while i < n and body[i] in _WS_SET:
+        i += 1
+    if i >= n:
+        return True  # missing name: force-quirks
+    j = i
+    while j < n and body[j] not in _WS_SET:
+        j += 1
+    if body[i:j].lower() != "html":
+        return True
+    i = j
+    while i < n and body[i] in _WS_SET:
+        i += 1
+    if i >= n:
+        return False  # bare <!DOCTYPE html>
+    kw = body[i: i + 6].lower()
+
+    def read_quoted(k):
+        # (value | None, next index, malformed)
+        while k < n and body[k] in _WS_SET:
+            k += 1
+        if k < n and body[k] in "\"'":
+            q = body[k]
+            e = body.find(q, k + 1)
+            if e < 0:  # abrupt doctype identifier
+                return body[k + 1:], n, True
+            return body[k + 1: e], e + 1, False
+        return None, k, True  # missing quote / missing identifier
+
+    public_id = system_id = None
+    force = False
+    if kw == "public":
+        public_id, i, bad = read_quoted(i + 6)
+        force = bad
+        if not force:
+            k = i
+            while k < n and body[k] in _WS_SET:
+                k += 1
+            if k < n:
+                if body[k] in "\"'":
+                    system_id, i, bad2 = read_quoted(k)
+                    force = bad2
+                else:  # junk between the identifiers
+                    force = True
+    elif kw == "system":
+        system_id, i, bad = read_quoted(i + 6)
+        force = bad
+    else:
+        force = True  # unknown keyword after the name
+    if force:
+        return True
+    if public_id is not None:
+        pid = public_id.lower()
+        if pid in _QUIRKS_PUBLIC_EXACT or pid.startswith(_QUIRKS_PUBLIC_PREFIXES):
+            return True
+        if system_id is None and pid.startswith(_QUIRKS_NO_SYSTEM_PREFIXES):
+            return True
+    if system_id is not None and system_id.lower() == _QUIRKS_SYSTEM:
+        return True
+    return False
+
+
 def _html5_refs():
     global _HTML5_REFS
     if _HTML5_REFS is None:
@@ -3081,8 +3227,7 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
                 gt = s.find(">", lt + 2)
                 if gt < 0:
                     break
-                body = s[lt + 9: gt].strip().lower()
-                tb.handle_doctype(lt, gt + 1, ok=(body == "html"))
+                tb.handle_doctype(lt, gt + 1, ok=not _doctype_quirks(s[lt + 9: gt]))
                 i = gt + 1
             else:
                 gt = s.find(">", lt + 2)  # bogus comment
