@@ -88,6 +88,11 @@ class NodeTable:
     # offsets into the raw buffer, gumbo_util.h:121-146)
     # GumboOptions.tab_stop (column positions; error_positions default)
     tab_stop: int = 8
+    # document quirks mode (GumboDocument.doc_type_quirks_mode
+    # analogue, parser.c reset via the WHATWG 13.2.6.4.1 table):
+    # True = full quirks; limited-quirks parses identically and maps
+    # to False
+    quirks: bool = True
     raw: bytes | None = field(default=None, repr=False)
     _prenorm: str | None = field(default=None, repr=False)
     _byte_map: np.ndarray | None = field(default=None, repr=False)

@@ -3018,6 +3018,7 @@ class _TreeBuilder:
             parse_errors=self.errors,
             ns=ns_arr,
             error_records=self.errlog,
+            quirks=self.quirks,
         )
 
 

@@ -972,3 +972,41 @@ class TestIsindexExpansion:
     def test_ignored_in_select(self):
         nt = parse_html("<select><isindex>")
         assert not any(nt.tag_name[i] == "form" for i in range(nt.n))
+
+
+class TestQuirksModeSurface:
+    """NodeTable.quirks mirrors GumboDocument.doc_type_quirks_mode
+    (binary: limited-quirks parses identically and maps to False).
+    The determination implements the full WHATWG 13.2.6.4.1 table —
+    legacy strict doctypes are NO-quirks."""
+
+    def test_no_doctype_quirks(self):
+        assert parse_html("<p>x").quirks is True
+
+    def test_html5_doctype_no_quirks(self):
+        assert parse_html("<!DOCTYPE html><p>x").quirks is False
+
+    def test_html4_strict_no_quirks(self):
+        src = ('<!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 4.01//EN" '
+               '"http://www.w3.org/TR/html4/strict.dtd"><p>x<table>')
+        nt = parse_html(src)
+        assert nt.quirks is False
+        # no-quirks: the table CLOSES the open p
+        table = first(nt, nt.tag_name == "table")
+        assert nt.tag_name[nt.parent[table]] == "body"
+
+    def test_transitional_without_system_quirks(self):
+        src = ('<!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 4.01 '
+               'Transitional//EN"><p>x<table>')
+        nt = parse_html(src)
+        assert nt.quirks is True
+        table = first(nt, nt.tag_name == "table")
+        assert nt.tag_name[nt.parent[table]] == "p"
+
+    def test_xhtml_limited_quirks_maps_false(self):
+        src = ('<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 '
+               'Transitional//EN" "x"><p>x')
+        assert parse_html(src).quirks is False
+
+    def test_fragment_no_quirks(self):
+        assert parse_html("<p>x", {"fragment_context": "div"}).quirks is False
