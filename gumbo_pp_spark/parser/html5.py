@@ -2798,17 +2798,31 @@ class _TreeBuilder:
             self._end_template(t0, t1)
             return
         if name == "table":
-            if not self._in_table_scope("table"):
-                self._err("unexpected-end-tag-in-table", t0)
-                return
+            # spec: each mode gates on ITS OWN scope check before any
+            # popping — in-row on tr, in-table-body on an open SECTION
+            # (a tbody/tfoot/thead-context fragment must still close
+            # its open section even with no table element on the
+            # stack; round-4 fragment fuzz), in-table on the table
             if mode == IN_ROW:
+                if not self._in_table_scope("tr"):
+                    self._err("unexpected-end-tag-in-table", t0)
+                    return
                 self._pop_until("tr", t0)
-            if self.mode != IN_TABLE:
-                # close the NEAREST open section of THIS table (walk
-                # from the top, stop at the table boundary) — iterating
-                # the TABLE_SECTIONS frozenset here was both
-                # hash-seed-NONDETERMINISTIC and able to pop through an
-                # inner table to an outer table's section
+                self.mode = IN_TABLE_BODY
+                self._end_in_table(name, t0, t1)  # reprocess
+                return
+            if mode == IN_TABLE_BODY:
+                if not any(
+                    self._in_table_scope(x) for x in ("tbody", "thead", "tfoot")
+                ):
+                    self._err("unexpected-end-tag-in-table", t0)
+                    return
+                # clear back to table-body context and pop the NEAREST
+                # open section of THIS table (walk from the top, stop
+                # at the table boundary) — iterating the
+                # TABLE_SECTIONS frozenset here was both
+                # hash-seed-NONDETERMINISTIC and able to pop through
+                # an inner table to an outer section
                 for k in range(len(self.stack) - 1, -1, -1):
                     tag = self.ntag[self.stack[k]]
                     if tag in TABLE_SECTIONS:
@@ -2816,6 +2830,12 @@ class _TreeBuilder:
                         break
                     if tag == "table":
                         break
+                self.mode = IN_TABLE
+                self._end_in_table(name, t0, t1)  # reprocess
+                return
+            if not self._in_table_scope("table"):
+                self._err("unexpected-end-tag-in-table", t0)
+                return
             self._pop_until("table", t0, t0, t1)
             self._reset_mode()
             return

@@ -153,3 +153,23 @@ class TestFragmentAfterBodyHtml:
         assert frag("</html><!-- c -->", "html") == "\n".join(
             ["| <head>", "| <body>", "| <!--  c  -->"]
         )
+
+
+class TestFragmentTableBodyEndTable:
+    """in-table-body </table> gates on an open SECTION in table scope
+    (spec: clear back to table-body context, pop the section,
+    reprocess) — a tbody/tfoot-context fragment must close its open
+    section even with no table element on the stack."""
+
+    def test_section_closed_in_table_fragment(self):
+        got = frag('<tfoot a=1></table><aside></tfoot>x', "table")
+        assert got == "\n".join(
+            ["| <tfoot>", '|   a="1"', "| <aside>", '|   "x"']
+        )
+
+    def test_tr_fragment_ignores(self):
+        # in-row: no tr in table scope (the context element is not on
+        # the stack) -> ignored
+        assert frag("</table><td>x", "tr") == "\n".join(
+            ["| <td>", '|   "x"']
+        )
