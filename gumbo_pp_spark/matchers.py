@@ -72,6 +72,19 @@ class Matcher:
         gfn: Callable[[NodeTable, np.ndarray], np.ndarray] | None = None,
         cost: int | None = None,
     ):
+        """Build a matcher from a mask function.
+
+        CONTRACT (required by cost-ordered conjunction): ``fn`` must be
+        PURE — no side effects, same mask for the same ``NodeTable`` —
+        and, when ``gfn`` is supplied, it must satisfy exactly
+        ``gfn(nt, gate) == fn(nt) & gate``.  ``&``/``match_all``
+        reorder conjunct evaluation by cost, so a side-effecting
+        ``fn`` or an inconsistent ``gfn`` would observably change
+        behavior depending on cost ranks.  If evaluation order
+        matters for a custom matcher, pin it with an explicit
+        ``cost=``: ties keep written order, so give order-sensitive
+        matchers equal costs.
+        """
         self.fn = fn
         self.name = name
         self.gfn = gfn

@@ -20,6 +20,43 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# ----------------------------------------------------------------------
+# Cached-intermediate lifecycle.  ``minhash_lsh_pairs`` and
+# ``simhash_pairs`` cache their signature DataFrame so the expensive
+# per-word aggregate is computed once per plan (plan-tested).  The
+# cache must stay alive until the CALLER materializes the returned
+# plan, so the functions cannot unpersist it themselves — instead the
+# handle is recorded here and released explicitly.  In a long-lived
+# session (a multi-stage pipeline chaining several dedup passes), call
+# :func:`unpersist_caches` after each stage's action, or leaked
+# InMemoryRelations accumulate executor storage until LRU eviction.
+# ``pipelines.build_training_corpus`` does this at its stage barrier.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _cache(df: DataFrame) -> DataFrame:
+    """Cache ``df`` and record the handle for later release."""
+    c = df.cache()
+    _LIVE_CACHES.append(c)
+    return c
+
+
+def unpersist_caches() -> int:
+    """Release every cached dedup intermediate registered since the
+    last call.  Safe to call any time AFTER the plans returned by
+    ``minhash_lsh_pairs`` / ``simhash_pairs`` have been materialized
+    (calling earlier is still correct — Spark just recomputes the
+    signatures on the next action).  Returns the number released."""
+    n = 0
+    while _LIVE_CACHES:
+        c = _LIVE_CACHES.pop()
+        try:
+            c.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing leaks
+            pass
+    return n
+
 # word 3-gram shingles of a text column (Spark SQL expression; the
 # DuckDB oracle mirrors it with list_transform/array slicing)
 SHINGLE_EXPR = (
@@ -158,7 +195,7 @@ def minhash_lsh_pairs(df: DataFrame, min_equal: int = 4, bucket_cap: int = 64) -
     over-full bucket costs at most its member list in one aggregation
     buffer, never a pair explosion.
     """
-    sig = minhash_signatures(df).cache()
+    sig = _cache(minhash_signatures(df))
     buckets = _band_explode(sig).groupBy("band", "bkey").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
@@ -293,7 +330,7 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 2) -> DataFrame:
     both sides; a hot band value is a skewed JOIN key, which AQE's
     skew-join split can subdivide (a groupBy key could not be).
     """
-    s = simhash(df).cache()
+    s = _cache(simhash(df))
     structs = F.array(
         *[
             F.struct(

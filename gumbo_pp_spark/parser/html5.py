@@ -2165,12 +2165,18 @@ class _TreeBuilder:
             self._reconstruct_formatting()
 
         if name == "form":
-            if self.form_ptr >= 0:
+            # WHATWG in-body <form>: both the ignore check and the form
+            # pointer assignment are waived while a template element is
+            # on the stack (libgumbo: !has_open_element(TEMPLATE))
+            no_template = not self._stack_has("template")
+            if self.form_ptr >= 0 and no_template:
                 self._err("nested-form-ignored", t0)
                 return None
             if self.open_p > 0 and self._in_scope("p", _BUTTON_SCOPE):
                 self._pop_until("p", t0)
-            self.form_ptr = self._insert_element(name, attrs, t0, t1)
+            nid = self._insert_element(name, attrs, t0, t1)
+            if no_template:
+                self.form_ptr = nid
             return None
         if name in _FRAMESET_BREAKERS:
             self.frameset_ok = False
@@ -2211,14 +2217,19 @@ class _TreeBuilder:
             # table mode (in table/caption/colgroup/tbody/row/cell)
             # switches to "in select in table" — recorded as a flag.
             # foster is True exactly while the in-table "anything
-            # else" delegation runs; IN_CELL reaches here directly;
-            # the stack check covers real captions, the frag check a
-            # caption-context fragment (round-4 fragment fuzz)
+            # else" delegation runs (the delegating table mode is
+            # saved); IN_CELL reaches here directly; "in caption" is
+            # approximated by IN_BODY, so a caption in TABLE scope
+            # (boundary: template — a select inside <template> nested
+            # in a table stays plain in-select, mode is in-template
+            # there) stands in for the caption modes; the frag check
+            # covers a caption-context fragment (round-4 fragment
+            # fuzz), likewise only outside any open template
             self.select_in_table = (
                 self.mode == IN_CELL
                 or self.foster
-                or self._stack_has("table")
-                or self.frag_name == "caption"
+                or self._in_table_scope("caption")
+                or (self.frag_name == "caption" and not self.tmpl_modes)
             )
             self.mode = IN_SELECT
             return None

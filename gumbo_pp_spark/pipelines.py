@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .operators.dedup import exact_dedup, minhash_lsh_pairs
+from .operators.dedup import exact_dedup, minhash_lsh_pairs, unpersist_caches
 from .operators.extract import extract_main_text
 from .operators.textstats import quality_filter, repetition_stats, scrub_pii
 
@@ -73,3 +73,58 @@ def build_training_corpus(
             F.md5("clean_text").alias("fp_md5"),
         )
     )
+
+
+def run_training_corpus(
+    pages: DataFrame,
+    out_dir: str,
+    *,
+    embeddings: DataFrame | None = None,
+    ann_queries: DataFrame | None = None,
+    ann_recall_floor_e4: int = 0,
+    **corpus_kwargs,
+) -> dict:
+    """Materialize :func:`build_training_corpus` to parquet and release
+    the dedup signature caches (the stage barrier the cached
+    intermediates are scoped to — see ``dedup.unpersist_caches``).
+
+    Optional ANN-recall audit (the in-pipeline mirror of the LSH
+    cap-accounting rule: no silent approximation): when ``embeddings``
+    (+ optionally ``ann_queries``, default a 16-row deterministic
+    sample) is supplied, the measured recall@k of the hyperplane-LSH
+    path vs the exact cosine baseline is computed on the SAME session
+    and returned in the metrics — at 100 TB this is the cheap canary
+    that the ANN configuration (dim/n_planes) still holds before any
+    downstream consumer trusts bucketed neighbors.  If the measured
+    recall falls below ``ann_recall_floor_e4`` the run still completes
+    but the metrics carry ``ann_recall_ok=False``.
+
+    Returns ``{"rows": n, "out_dir": ..., "caches_released": k,
+    "ann_recall_e4": r | None, "ann_recall_ok": bool | None}``.
+    """
+    corpus = build_training_corpus(pages, **corpus_kwargs)
+    corpus.write.mode("overwrite").parquet(out_dir)
+    spark = pages.sparkSession
+    n = spark.read.parquet(out_dir).count()
+
+    ann_recall_e4 = None
+    ann_ok = None
+    if embeddings is not None:
+        from .operators.similarity import lsh_recall_vs_exact
+
+        q = ann_queries
+        if q is None:
+            # deterministic small query sample: lowest 16 vec_ids
+            q = embeddings.orderBy("vec_id").limit(16)
+        row = lsh_recall_vs_exact(embeddings, q).collect()[0]
+        ann_recall_e4 = int(row["recall_e4"])
+        ann_ok = ann_recall_e4 >= ann_recall_floor_e4
+
+    released = unpersist_caches()
+    return {
+        "rows": int(n),
+        "out_dir": out_dir,
+        "caches_released": released,
+        "ann_recall_e4": ann_recall_e4,
+        "ann_recall_ok": ann_ok,
+    }

@@ -1010,3 +1010,77 @@ class TestQuirksModeSurface:
 
     def test_fragment_no_quirks(self):
         assert parse_html("<p>x", {"fragment_context": "div"}).quirks is False
+
+
+class TestFormTemplateGate:
+    """WHATWG in-body <form>: both the nested-form ignore check and
+    the form-pointer assignment are waived while a template element is
+    on the stack of open elements (libgumbo parser.c:
+    !has_open_element(GUMBO_TAG_TEMPLATE)).  Round-5 ADVICE fix."""
+
+    def test_template_form_does_not_claim_pointer(self):
+        # a form inside a template must not set the global form
+        # pointer — the later top-level form is real
+        nt = parse_html("<template><form></template><form><input>")
+        forms = np.flatnonzero(nt.tag_name == "form")
+        assert len(forms) == 2
+        inp = first(nt, nt.tag_name == "input")
+        assert nt.parent[inp] == forms[1]
+        assert nt.tag_name[nt.parent[forms[1]]] == "body"
+
+    def test_form_inside_template_under_open_form(self):
+        # an open outer form normally suppresses nested forms, but a
+        # form inside a template is exempt
+        nt = parse_html(
+            "<form><div><template><form><input name=q></form></template></div>"
+        )
+        forms = np.flatnonzero(nt.tag_name == "form")
+        assert len(forms) == 2
+        assert nt.tag_name[nt.parent[forms[1]]] == "template"
+
+    def test_plain_nested_form_still_ignored(self):
+        nt = parse_html("<form><div><form><input>")
+        forms = np.flatnonzero(nt.tag_name == "form")
+        assert len(forms) == 1
+
+
+class TestSelectInTableMode:
+    """'in select in table' applies iff the insertion MODE at select
+    open is a table mode — not whenever a table element exists on the
+    stack.  A select inside a <template> nested in a table is plain
+    in-select (mode is in-template there).  Round-5 ADVICE fix."""
+
+    def test_select_in_template_in_table_is_plain(self):
+        # <caption> must be IGNORED by plain in-select, not break out
+        nt = parse_html(
+            "<table><template><select><caption>x</select></template></table>"
+        )
+        sel = first(nt, nt.tag_name == "select")
+        assert nt.tag_name[nt.parent[sel]] == "template"
+        kids = list(nt.children_ids(sel))
+        assert len(kids) == 1 and nt.text[kids[0]] == "x"
+        assert not np.any(nt.tag_name == "caption")
+
+    def test_select_in_table_still_breaks_out(self):
+        nt = parse_html("<table><select><caption>x")
+        cap = first(nt, nt.tag_name == "caption")
+        assert nt.tag_name[nt.parent[cap]] == "table"
+        sel = first(nt, nt.tag_name == "select")
+        assert len(list(nt.children_ids(sel))) == 0
+
+    def test_select_in_caption_is_in_table_mode(self):
+        # real caption: select_in_table applies (in-caption is a table
+        # mode), second <caption> pops the select and closes the first
+        nt = parse_html("<table><caption><select><caption>y")
+        caps = np.flatnonzero(nt.tag_name == "caption")
+        assert len(caps) == 2
+        sel = first(nt, nt.tag_name == "select")
+        assert len(list(nt.children_ids(sel))) == 0
+
+    def test_select_in_template_in_caption_is_plain(self):
+        nt = parse_html("<table><caption><template><select><caption>z")
+        caps = np.flatnonzero(nt.tag_name == "caption")
+        assert len(caps) == 1
+        sel = first(nt, nt.tag_name == "select")
+        kids = list(nt.children_ids(sel))
+        assert len(kids) == 1 and nt.text[kids[0]] == "z"

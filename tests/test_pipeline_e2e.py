@@ -51,3 +51,36 @@ def test_pipeline_drops_repetitive_docs(spark):
     out = build_training_corpus(pages, min_tokens=20, min_alpha_ratio_e4=5000)
     kept = {r.doc_id for r in out.collect()}
     assert kept == {2}
+
+
+def test_run_training_corpus_releases_caches_and_audits_recall(spark, tmp_path):
+    """run_training_corpus = materialize + dedup-cache release (round-5
+    cache-lifecycle fix) + optional ANN-recall audit stage."""
+    from gumbo_pp_spark.pipelines import run_training_corpus
+
+    pages = synth_pages(spark, SF_SMOKE).select("doc_id", "url", "html")
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    out = str(tmp_path / "corpus")
+    # other tests in the session may hold their own caches — assert on
+    # the DELTA of persistent RDDs across the pipeline run
+    n_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    m = run_training_corpus(
+        pages, out, embeddings=emb, ann_recall_floor_e4=2500
+    )
+    assert m["rows"] > 0
+    assert spark.read.parquet(out).count() == m["rows"]
+    # the minhash signature cache was registered and released
+    assert m["caches_released"] >= 1
+    # NO leaked InMemoryRelations from the pipeline after its barrier
+    n_after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert n_after <= n_before, (n_before, n_after)
+    # the ANN audit ran and produced a sane recall
+    assert m["ann_recall_e4"] is not None and 0 <= m["ann_recall_e4"] <= 10000
+    assert m["ann_recall_ok"] in (True, False)
+
+
+def test_unpersist_caches_idempotent(spark):
+    from gumbo_pp_spark.operators.dedup import unpersist_caches
+
+    assert unpersist_caches() == 0
+    assert unpersist_caches() == 0
