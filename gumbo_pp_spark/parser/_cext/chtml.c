@@ -1,0 +1,2082 @@
+/* C fast-path HTML5 parser for gumbo_pp_spark.
+ *
+ * Covers the NO-PARSE-ERROR, pure-ASCII (no CR / NUL) subset of the
+ * pure-Python engine in ../html5.py, which remains the reference
+ * implementation.  Any path where the Python engine would record a
+ * parse error — plus foreign content (svg/math), <template>,
+ * <frameset>, <plaintext>, <isindex>, fragments, non-ASCII input —
+ * BAILS: cparse() returns None and the caller re-parses in Python.
+ * That makes C-vs-Python byte identity provable on the conformance
+ * corpus: whenever C produces a tree at all, it must equal the Python
+ * tree column-for-column (tests/test_cengine.py).
+ *
+ * All data tables (tag ids, per-tag behavior flags, WHATWG entities,
+ * numeric-charref remaps) are code-generated from the Python engine's
+ * own frozensets by gen_tables.py into chtml_tables.h.
+ *
+ * Semantics anchor: gumbo_pp reference src/gumbo_pp.cpp:27-34 (parse
+ * of a whole document); the tree shape contract is parser/html5.py.
+ */
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <string.h>
+#include <stdint.h>
+#include <stdlib.h>
+
+#include "chtml_tables.h"
+
+/* node types (nodetable.py:31-37) */
+enum { T_DOCUMENT = 0, T_ELEMENT = 1, T_TEXT = 2, T_CDATA = 3,
+       T_COMMENT = 4, T_WHITESPACE = 5, T_TEMPLATE = 6 };
+
+/* insertion modes (html5.py:121-140; same order) */
+enum { M_INITIAL, M_BEFORE_HTML, M_BEFORE_HEAD, M_IN_HEAD, M_AFTER_HEAD,
+       M_IN_BODY, M_IN_TABLE, M_IN_TABLE_BODY, M_IN_ROW, M_IN_CELL,
+       M_AFTER_BODY, M_IN_SELECT, M_IN_FRAMESET, M_AFTER_FRAMESET,
+       M_IN_COLGROUP, M_AFTER_AFTER_BODY, M_IN_TEMPLATE };
+
+#define WS_CHAR(c) ((c) == ' ' || (c) == '\t' || (c) == '\n' || (c) == '\f' || (c) == '\r')
+
+static PyObject *tag_objs[N_TAGS];   /* interned tag-name strings */
+static PyObject *empty_str;          /* "" */
+static PyObject *empty_attrs;        /* shared {} (copy-on-write only) */
+
+/* ---- per-node store (struct of arrays) ---------------------------- */
+typedef struct {
+    int8_t   *type;
+    int16_t  *tid;
+    int32_t  *parent;
+    int32_t  *iwp;
+    int32_t  *nkids;      /* running child count (iwp source)   */
+    int32_t  *last_child; /* for subtree_end + text-node merging */
+    int64_t  *span;       /* 6 per node: s0 s1 t0 t1 e0 e1      */
+    PyObject **tag;       /* owned; NULL for known tags / non-elements */
+    PyObject **text;      /* owned; NULL means ""                      */
+    PyObject **attrs;     /* owned; NULL means None                    */
+    Py_ssize_t count, cap;
+} Store;
+
+/* active-formatting entry; tid of a _FORMATTING tag (all known) */
+typedef struct { int16_t tid; int32_t nid; int64_t t0, t1; PyObject *attrs; /* borrowed */ } AfeEnt;
+
+#define STACK_MAX 512
+#define AFE_MAX 128
+#define DEFER_MAX 64
+#define PEND_MAX 64
+
+typedef struct {
+    const unsigned char *s;
+    Py_ssize_t n;
+    Store st;
+    int mode;
+    int bail;
+    int quirks;        /* 1 until <!doctype html> */
+    int skip_newline;
+    int32_t stack[STACK_MAX];
+    int stack_n;
+    /* unknown-tag names for stack entries (owned, usually NULL) */
+    PyObject *stack_name[STACK_MAX];
+    AfeEnt afe[AFE_MAX];        /* .tid == -1 → scope marker */
+    int afe_n;
+    int32_t html_id, head_id, body_id;
+    int open_p;
+    int32_t form_ptr;
+    /* "in table text" pending runs: (start, end) source spans */
+    int64_t pend[PEND_MAX][2];
+    int pend_n;
+    /* deferred after-body comments: (text owned, t0, t1, target) */
+    struct { PyObject *text; int64_t t0, t1; int32_t target; } defer[DEFER_MAX];
+    int defer_n;
+    /* scratch UCS4 buffer for decoding */
+    Py_UCS4 *scratch;
+    Py_ssize_t scratch_cap;
+} P;
+
+#define BAILV(p)   do { (p)->bail = 1; return; } while (0)
+#define BAILI(p)   do { (p)->bail = 1; return -1; } while (0)
+#define CHKV(p)    do { if ((p)->bail) return; } while (0)
+#define CHKI(p)    do { if ((p)->bail) return -1; } while (0)
+
+static int store_grow(Store *st) {
+    Py_ssize_t nc = st->cap ? st->cap * 2 : 256;
+    void *a;
+#define GROW(f, t) a = realloc(st->f, nc * sizeof(t)); if (!a) return -1; st->f = a;
+    GROW(type, int8_t) GROW(tid, int16_t) GROW(parent, int32_t)
+    GROW(iwp, int32_t) GROW(nkids, int32_t) GROW(last_child, int32_t)
+    GROW(tag, PyObject *) GROW(text, PyObject *) GROW(attrs, PyObject *)
+#undef GROW
+    a = realloc(st->span, nc * 6 * sizeof(int64_t));
+    if (!a) return -1;
+    st->span = a;
+    st->cap = nc;
+    return 0;
+}
+
+/* append a node; steals refs to tagobj/text/attrs (each may be NULL) */
+static int32_t new_node(P *p, int type, int tid, PyObject *tagobj,
+                        PyObject *text, PyObject *attrs,
+                        int64_t s0, int64_t s1, int64_t t0, int64_t t1,
+                        int64_t e0, int64_t e1) {
+    Store *st = &p->st;
+    if (st->count >= st->cap && store_grow(st) < 0) { Py_XDECREF(tagobj); Py_XDECREF(text); Py_XDECREF(attrs); BAILI(p); }
+    Py_ssize_t i = st->count++;
+    st->type[i] = (int8_t)type;
+    st->tid[i] = (int16_t)((type == T_ELEMENT || type == T_TEMPLATE) ? tid : -1);
+    st->parent[i] = -1;
+    st->iwp[i] = 0;
+    st->nkids[i] = 0;
+    st->last_child[i] = -1;
+    st->tag[i] = tagobj;
+    st->text[i] = text;
+    st->attrs[i] = attrs;
+    int64_t *sp = st->span + 6 * i;
+    sp[0] = s0; sp[1] = s1; sp[2] = t0; sp[3] = t1; sp[4] = e0; sp[5] = e1;
+    return (int32_t)i;
+}
+
+static void attach(P *p, int32_t nid, int32_t parent) {
+    Store *st = &p->st;
+    st->parent[nid] = parent;
+    st->iwp[nid] = st->nkids[parent]++;
+    st->last_child[parent] = nid;
+}
+
+static inline int32_t cur(P *p) { return p->stack_n ? p->stack[p->stack_n - 1] : 0; }
+static inline int16_t cur_tid(P *p) { return p->stack_n ? p->st.tid[p->stack[p->stack_n - 1]] : -1; }
+
+static void push_node(P *p, int32_t nid, PyObject *name_if_unknown /* borrowed */) {
+    if (p->stack_n >= STACK_MAX) { p->bail = 1; return; }
+    p->stack[p->stack_n] = nid;
+    Py_XINCREF(name_if_unknown);
+    p->stack_name[p->stack_n] = name_if_unknown;
+    p->stack_n++;
+}
+
+static void pop_node(P *p) {
+    if (!p->stack_n) return;
+    p->stack_n--;
+    Py_CLEAR(p->stack_name[p->stack_n]);
+}
+
+static inline unsigned int tflags(int tid) {
+    return tid >= 0 && tid < N_TAGS ? TAG_FLAGS[tid] : UNKNOWN_FLAGS;
+}
+
+/* ---- tag-name lookup (bsearch over TAG_SORTED) -------------------- */
+static int tag_lookup(const char *name, Py_ssize_t len) {
+    int lo = 0, hi = N_TAGS - 1;
+    while (lo <= hi) {
+        int mid = (lo + hi) / 2;
+        const char *t = TAG_STRS[TAG_SORTED[mid]];
+        int c = strncmp(name, t, (size_t)len);
+        if (c == 0 && t[len] != '\0') c = -1;  /* name is a prefix */
+        if (c == 0) return TAG_SORTED[mid];
+        if (c < 0) hi = mid - 1; else lo = mid + 1;
+    }
+    return TID_UNKNOWN;
+}
+
+/* node's tag matches a token (tid, name): by id for known tags, by
+ * string for unknown ones (html5.py compares lowercase names; all
+ * HTML namespace in the C subset) */
+static int tag_eq(P *p, int32_t nid, int tid, PyObject *name) {
+    if (tid != TID_UNKNOWN) return p->st.tid[nid] == tid;
+    if (p->st.tid[nid] != TID_UNKNOWN) return 0;
+    PyObject *nt = p->st.tag[nid];
+    if (!nt || !name) return 0;
+    return PyUnicode_Compare(nt, name) == 0;
+}
+
+/* ---- entity tables ------------------------------------------------ */
+static int ent_lookup(const char *name, Py_ssize_t len) {
+    int lo = 0, hi = N_ENTITIES - 1;
+    while (lo <= hi) {
+        int mid = (lo + hi) / 2;
+        const char *t = ENT_NAMES[mid];
+        int c = strncmp(name, t, (size_t)len);
+        if (c == 0 && t[len] != '\0') c = -1;
+        if (c == 0) return mid;
+        if (c < 0) hi = mid - 1; else lo = mid + 1;
+    }
+    return -1;
+}
+
+/* append one UTF-8 string to a UCS4 buffer (entity values are
+ * pre-validated UTF-8 from the stdlib tables) */
+static Py_ssize_t ucs4_append_utf8(Py_UCS4 *out, Py_ssize_t k, const char *u) {
+    const unsigned char *b = (const unsigned char *)u;
+    while (*b) {
+        Py_UCS4 cp;
+        if (*b < 0x80) { cp = *b; b += 1; }
+        else if ((*b & 0xe0) == 0xc0) { cp = (Py_UCS4)(*b & 0x1f) << 6 | (b[1] & 0x3f); b += 2; }
+        else if ((*b & 0xf0) == 0xe0) { cp = (Py_UCS4)(*b & 0x0f) << 12 | (Py_UCS4)(b[1] & 0x3f) << 6 | (b[2] & 0x3f); b += 3; }
+        else { cp = (Py_UCS4)(*b & 0x07) << 18 | (Py_UCS4)(b[1] & 0x3f) << 12 | (Py_UCS4)(b[2] & 0x3f) << 6 | (b[3] & 0x3f); b += 4; }
+        out[k++] = cp;
+    }
+    return k;
+}
+
+/* numeric reference resolution — html._replace_charref numeric branch */
+static Py_ssize_t numref_append(Py_UCS4 *out, Py_ssize_t k, long num) {
+    for (int i = 0; i < N_INVALID_CHARREFS; i++) {
+        if (INVALID_CHARREF_KEYS[i] == (int)num)
+            return ucs4_append_utf8(out, k, INVALID_CHARREF_VALS[i]);
+        if (INVALID_CHARREF_KEYS[i] > (int)num) break;
+    }
+    if ((num >= 0xD800 && num <= 0xDFFF) || num > 0x10FFFF) { out[k++] = 0xFFFD; return k; }
+    for (int i = 0; i < N_INVALID_CODEPOINTS; i++)
+        if (INVALID_CODEPOINTS[i] == (int)num) return k;  /* dropped */
+    out[k++] = (Py_UCS4)num;
+    return k;
+}
+
+/* One reference at s[i] ('&'), html.unescape regex semantics:
+ *   &(#[0-9]+;?|#[xX][0-9a-fA-F]+;?|[^\t\n\f <&#;]{1,32};?)
+ * Writes the replacement to out/k, returns chars consumed from s
+ * (0 = no match, '&' is literal). */
+static Py_ssize_t unescape_ref(const unsigned char *s, Py_ssize_t i, Py_ssize_t n,
+                               Py_UCS4 *out, Py_ssize_t *k) {
+    Py_ssize_t j = i + 1;
+    if (j < n && s[j] == '#') {
+        Py_ssize_t d = j + 1;
+        long num = 0;
+        int overflow = 0;
+        if (d < n && (s[d] == 'x' || s[d] == 'X')) {
+            Py_ssize_t h = d + 1, h0 = h;
+            while (h < n && ((s[h] >= '0' && s[h] <= '9') || (s[h] >= 'a' && s[h] <= 'f') || (s[h] >= 'A' && s[h] <= 'F'))) {
+                if (!overflow) {
+                    int v = s[h] <= '9' ? s[h] - '0' : (s[h] | 32) - 'a' + 10;
+                    num = num * 16 + v;
+                    if (num > 0x7FFFFFF) overflow = 1;
+                }
+                h++;
+            }
+            if (h == h0) return 0;
+            if (h < n && s[h] == ';') h++;
+            *k = numref_append(out, *k, overflow ? 0x110000 : num);
+            return h - i;
+        }
+        Py_ssize_t h = d, h0 = d;
+        while (h < n && s[h] >= '0' && s[h] <= '9') {
+            if (!overflow) {
+                num = num * 10 + (s[h] - '0');
+                if (num > 0x7FFFFFF) overflow = 1;
+            }
+            h++;
+        }
+        if (h == h0) return 0;
+        if (h < n && s[h] == ';') h++;
+        *k = numref_append(out, *k, overflow ? 0x110000 : num);
+        return h - i;
+    }
+    /* named: [^\t\n\f <&#;]{1,32} then optional ';' */
+    Py_ssize_t m = 0;
+    char name[34];
+    while (j + m < n && m < 32) {
+        unsigned char c = s[j + m];
+        if (c == '\t' || c == '\n' || c == '\f' || c == ' ' || c == '<' || c == '&' || c == '#' || c == ';')
+            break;
+        name[m] = (char)c;
+        m++;
+    }
+    if (m == 0) return 0;
+    Py_ssize_t mlen = m;
+    if (j + m < n && s[j + m] == ';') { name[mlen++] = ';'; }
+    name[mlen] = '\0';
+    /* full lookup, then the longest-prefix walk (prefix length >= 2) */
+    int e = ent_lookup(name, mlen);
+    if (e >= 0) { *k = ucs4_append_utf8(out, *k, ENT_VALUES[e]); return 1 + mlen; }
+    for (Py_ssize_t x = mlen - 1; x >= 2; x--) {
+        e = ent_lookup(name, x);
+        if (e >= 0) {
+            *k = ucs4_append_utf8(out, *k, ENT_VALUES[e]);
+            for (Py_ssize_t q = x; q < mlen; q++) out[(*k)++] = (Py_UCS4)(unsigned char)name[q];
+            return 1 + mlen;
+        }
+    }
+    out[(*k)++] = '&';
+    for (Py_ssize_t q = 0; q < mlen; q++) out[(*k)++] = (Py_UCS4)(unsigned char)name[q];
+    return 1 + mlen;
+}
+
+static int scratch_ensure(P *p, Py_ssize_t need) {
+    if (p->scratch_cap >= need) return 0;
+    Py_ssize_t nc = need + 64;
+    Py_UCS4 *a = realloc(p->scratch, (size_t)nc * sizeof(Py_UCS4));
+    if (!a) return -1;
+    p->scratch = a; p->scratch_cap = nc;
+    return 0;
+}
+
+/* _decode(raw) == html.unescape(raw) for the span [a, b) */
+static PyObject *decode_text(P *p, Py_ssize_t a, Py_ssize_t b) {
+    const unsigned char *s = p->s;
+    const unsigned char *amp = memchr(s + a, '&', (size_t)(b - a));
+    if (!amp) {
+        PyObject *u = PyUnicode_New(b - a, 127);
+        if (!u) return NULL;
+        memcpy(PyUnicode_1BYTE_DATA(u), s + a, (size_t)(b - a));
+        return u;
+    }
+    if (scratch_ensure(p, b - a) < 0) return NULL;
+    Py_UCS4 *out = p->scratch;
+    Py_ssize_t k = 0;
+    for (Py_ssize_t i = a; i < b; ) {
+        if (s[i] == '&') {
+            Py_ssize_t used = unescape_ref(s, i, b, out, &k);
+            if (used) { i += used; continue; }
+        }
+        out[k++] = s[i++];
+    }
+    return PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND, out, k);
+}
+
+/* ascii slice as str (no decoding) */
+static PyObject *ascii_slice(P *p, Py_ssize_t a, Py_ssize_t b) {
+    PyObject *u = PyUnicode_New(b - a, 127);
+    if (!u) return NULL;
+    memcpy(PyUnicode_1BYTE_DATA(u), p->s + a, (size_t)(b - a));
+    return u;
+}
+
+/* _decode_attr (html5.py:411-441): _CHARREF_RE =
+ *   &(#[0-9]+;?|#[xX][0-9a-fA-F]+;?|[a-zA-Z][a-zA-Z0-9]*;?)
+ * '#'-refs and ';'-terminated named refs go through full unescape
+ * semantics; a no-semicolon named ref is decoded only on an EXACT
+ * table hit not followed by '='. */
+static PyObject *decode_attr(P *p, const unsigned char *s, Py_ssize_t len) {
+    if (!memchr(s, '&', (size_t)len)) {
+        PyObject *u = PyUnicode_New(len, 127);
+        if (!u) return NULL;
+        memcpy(PyUnicode_1BYTE_DATA(u), s, (size_t)len);
+        return u;
+    }
+    if (scratch_ensure(p, len) < 0) return NULL;
+    Py_UCS4 *out = p->scratch;
+    Py_ssize_t k = 0;
+    for (Py_ssize_t i = 0; i < len; ) {
+        if (s[i] != '&') { out[k++] = s[i++]; continue; }
+        Py_ssize_t j = i + 1;
+        if (j < len && s[j] == '#') {
+            /* numeric: match #[0-9]+;? or #[xX]hex+;? then replay
+             * unescape on exactly the matched span */
+            Py_ssize_t h = j + 1;
+            if (h < len && (s[h] == 'x' || s[h] == 'X')) {
+                Py_ssize_t h0 = ++h;
+                while (h < len && ((s[h] >= '0' && s[h] <= '9') || ((s[h] | 32) >= 'a' && (s[h] | 32) <= 'f'))) h++;
+                if (h == h0) { out[k++] = s[i++]; continue; }
+            } else {
+                Py_ssize_t h0 = h;
+                while (h < len && s[h] >= '0' && s[h] <= '9') h++;
+                if (h == h0) { out[k++] = s[i++]; continue; }
+            }
+            if (h < len && s[h] == ';') h++;
+            Py_ssize_t used = unescape_ref(s, i, h, out, &k);
+            if (!used) { out[k++] = s[i++]; continue; }
+            i += used;
+            /* unescape_ref may consume less than the attr-regex match
+             * (e.g. >32-char digit runs are impossible for numerics
+             * here since both regexes agree on numerics) */
+            continue;
+        }
+        /* named: [a-zA-Z][a-zA-Z0-9]* then optional ';' */
+        Py_ssize_t m = 0;
+        while (j + m < len) {
+            unsigned char c = s[j + m];
+            int alpha = (c | 32) >= 'a' && (c | 32) <= 'z';
+            int digit = c >= '0' && c <= '9';
+            if (m == 0 ? !alpha : !(alpha || digit)) break;
+            m++;
+        }
+        if (m == 0) { out[k++] = s[i++]; continue; }
+        if (j + m < len && s[j + m] == ';') {
+            /* replay full unescape semantics on "&name;" */
+            Py_ssize_t end = j + m + 1;
+            Py_ssize_t used = unescape_ref(s, i, end, out, &k);
+            if (used) i += used;
+            /* if unescape consumed less than the whole match (name
+             * longer than 32 chars), the remainder is emitted
+             * literally by the outer loop */
+            else out[k++] = s[i++];
+            continue;
+        }
+        /* no semicolon: exact hit not followed by '=' decodes */
+        unsigned char nxt = (j + m < len) ? s[j + m] : 0;
+        int e = (m <= 64) ? ent_lookup((const char *)(s + j), m) : -1;
+        if (nxt != '=' && e >= 0) {
+            k = ucs4_append_utf8(out, k, ENT_VALUES[e]);
+        } else {
+            out[k++] = '&';
+            for (Py_ssize_t q = 0; q < m; q++) out[k++] = s[j + q];
+        }
+        i = j + m;
+    }
+    return PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND, out, k);
+}
+
+/* ---- AFE ---------------------------------------------------------- */
+static void afe_push_marker(P *p) {
+    if (p->afe_n >= AFE_MAX) { p->bail = 1; return; }
+    p->afe[p->afe_n].tid = -1;
+    p->afe[p->afe_n].attrs = NULL;
+    p->afe_n++;
+}
+
+/* Noah's Ark (html5.py:1132-1150): >=3 same (tag, attrs) after the
+ * last marker evict the earliest */
+static void afe_push(P *p, int tid, PyObject *attrs /* borrowed */, int64_t t0, int64_t t1, int32_t nid) {
+    int count = 0, earliest = -1;
+    for (int k = p->afe_n - 1; k >= 0; k--) {
+        AfeEnt *e = &p->afe[k];
+        if (e->tid == -1) break;
+        if (e->tid == tid) {
+            int eq = PyObject_RichCompareBool(e->attrs ? e->attrs : empty_attrs,
+                                              attrs ? attrs : empty_attrs, Py_EQ);
+            if (eq < 0) { PyErr_Clear(); eq = 0; }
+            if (eq) { count++; earliest = k; }
+        }
+    }
+    if (count >= 3 && earliest >= 0) {
+        memmove(&p->afe[earliest], &p->afe[earliest + 1],
+                (size_t)(p->afe_n - earliest - 1) * sizeof(AfeEnt));
+        p->afe_n--;
+    }
+    if (p->afe_n >= AFE_MAX) { p->bail = 1; return; }
+    AfeEnt *e = &p->afe[p->afe_n++];
+    e->tid = (int16_t)tid; e->attrs = attrs; e->t0 = t0; e->t1 = t1; e->nid = nid;
+}
+
+static void afe_remove_nid(P *p, int32_t nid) {
+    for (int k = p->afe_n - 1; k >= 0; k--) {
+        if (p->afe[k].tid != -1 && p->afe[k].nid == nid) {
+            memmove(&p->afe[k], &p->afe[k + 1], (size_t)(p->afe_n - k - 1) * sizeof(AfeEnt));
+            p->afe_n--;
+            return;
+        }
+    }
+}
+
+static void afe_clear_to_marker(P *p) {
+    while (p->afe_n) {
+        p->afe_n--;
+        if (p->afe[p->afe_n].tid == -1) return;
+    }
+}
+
+static int nid_on_stack(P *p, int32_t nid) {
+    for (int k = p->stack_n - 1; k >= 0; k--) if (p->stack[k] == nid) return k;
+    return -1;
+}
+
+/* ---- scope checks ------------------------------------------------- */
+/* _in_scope (html5.py:840-852): boundaries F_SCOPE_BOUNDARY plus up
+ * to two extra tids (button scope / list-item scope extras) */
+static int in_scope(P *p, int tid, int extra1, int extra2) {
+    for (int k = p->stack_n - 1; k >= 0; k--) {
+        int t = p->st.tid[p->stack[k]];
+        if (t == tid) return 1;
+        if (t >= 0 && t < N_TAGS && (TAG_FLAGS[t] & F_SCOPE_BOUNDARY)) return 0;
+        if (t == extra1 || t == extra2) return 0;
+    }
+    return 0;
+}
+
+static int node_in_scope(P *p, int32_t target) {
+    for (int k = p->stack_n - 1; k >= 0; k--) {
+        int32_t nid = p->stack[k];
+        if (nid == target) return 1;
+        int t = p->st.tid[nid];
+        if (t >= 0 && t < N_TAGS && (TAG_FLAGS[t] & F_SCOPE_BOUNDARY)) return 0;
+    }
+    return 0;
+}
+
+/* _in_table_scope: boundaries html, table, template */
+static int in_table_scope(P *p, int tid) {
+    for (int k = p->stack_n - 1; k >= 0; k--) {
+        int t = p->st.tid[p->stack[k]];
+        if (t == tid) return 1;
+        if (t == TID_HTML || t == TID_TABLE || t == TID_TEMPLATE) return 0;
+    }
+    return 0;
+}
+
+/* ---- close/pop helpers -------------------------------------------- */
+/* _close_implied (html5.py:1163-1170) */
+static void close_implied(P *p, int32_t nid, int64_t pos) {
+    int64_t *sp = p->st.span + 6 * nid;
+    sp[4] = sp[5] = pos;
+    sp[1] = pos;
+    if (p->st.tid[nid] == TID_P) p->open_p--;
+}
+
+static void set_end_span(P *p, int32_t nid, int64_t e0, int64_t e1) {
+    int64_t *sp = p->st.span + 6 * nid;
+    sp[4] = e0; sp[5] = e1; sp[1] = e1;
+}
+
+/* _pop_until (html5.py:1313-1364) for a token (tid, name); e0 < 0 →
+ * zero-length implied span at pos */
+static int pop_until(P *p, int tid, PyObject *name, int64_t pos, int64_t e0, int64_t e1) {
+    Store *st = &p->st;
+    if (p->stack_n && tag_eq(p, p->stack[p->stack_n - 1], tid, name)) {
+        int32_t nid = p->stack[p->stack_n - 1];
+        pop_node(p);
+        if (tid == TID_P) p->open_p--;
+        if (e0 >= 0) set_end_span(p, nid, e0, e1);
+        else set_end_span(p, nid, pos, pos);
+        unsigned int fl = tflags(tid);
+        if (fl & F_FORMATTING) afe_remove_nid(p, nid);
+        else if (tid == TID_TD || tid == TID_TH || tid == TID_CAPTION ||
+                 tid == TID_APPLET || tid == TID_MARQUEE || tid == TID_OBJECT)
+            afe_clear_to_marker(p);
+        return 1;
+    }
+    int found = -1;
+    for (int k = p->stack_n - 1; k >= 0; k--)
+        if (tag_eq(p, p->stack[k], tid, name)) { found = k; break; }
+    if (found < 0) return 0;
+    while (p->stack_n) {
+        int32_t nid = p->stack[p->stack_n - 1];
+        pop_node(p);
+        if (st->tid[nid] == TID_P) p->open_p--;
+        if (tag_eq(p, nid, tid, name)) {
+            if (e0 >= 0) set_end_span(p, nid, e0, e1);
+            else set_end_span(p, nid, pos, pos);
+            unsigned int fl = tflags(tid);
+            if (fl & F_FORMATTING) afe_remove_nid(p, nid);
+            else if (tid == TID_TD || tid == TID_TH || tid == TID_CAPTION ||
+                     tid == TID_APPLET || tid == TID_MARQUEE || tid == TID_OBJECT)
+                afe_clear_to_marker(p);
+            return 1;
+        }
+        set_end_span(p, nid, pos, pos);
+    }
+    return 0;
+}
+
+/* ---- element/text insertion --------------------------------------- */
+static void reconstruct_formatting(P *p);
+
+/* _insert_element (html5.py:1065-1095); attrs BORROWED (token
+ * dispatcher owns the token's attrs dict).
+ * tagobj: borrowed unknown-tag name or NULL. */
+static int32_t insert_element(P *p, int tid, PyObject *tagobj, PyObject *attrs,
+                              int64_t t0, int64_t t1, int push) {
+    Py_XINCREF(attrs);
+    PyObject *towned = NULL;
+    if (tid == TID_UNKNOWN && tagobj) { towned = tagobj; Py_INCREF(towned); }
+    int32_t nid;
+    if (push)
+        nid = new_node(p, T_ELEMENT, tid, towned, NULL, attrs, t0, p->n, t0, t1, p->n, p->n);
+    else
+        nid = new_node(p, T_ELEMENT, tid, towned, NULL, attrs, t0, t1, t0, t1, t1, t1);
+    if (nid < 0) return -1;
+    if (tid == TID_P) p->open_p++;
+    attach(p, nid, cur(p));
+    if (push) { push_node(p, nid, tid == TID_UNKNOWN ? tagobj : NULL); if (p->bail) return -1; }
+    return nid;
+}
+
+/* _insert_text (html5.py:1009-1063); steals `decoded`.
+ * rawtextual NUL case bails earlier (prescan forbids NUL). */
+static void insert_text(P *p, PyObject *decoded, int64_t s0, int64_t s1,
+                        int rawtextual, int reconstruct) {
+    if (!decoded) BAILV(p);
+    if (PyUnicode_GET_LENGTH(decoded) == 0) { Py_DECREF(decoded); return; }
+    if (reconstruct && !rawtextual && p->afe_n && p->mode != M_IN_SELECT)
+        reconstruct_formatting(p);
+    if (p->bail) { Py_DECREF(decoded); return; }
+    int32_t parent = cur(p);
+    Store *st = &p->st;
+    int32_t prev = st->last_child[parent];
+    if (prev >= 0 && (st->type[prev] == T_TEXT || st->type[prev] == T_WHITESPACE)) {
+        PyObject *merged = PyUnicode_Concat(st->text[prev] ? st->text[prev] : empty_str, decoded);
+        Py_DECREF(decoded);
+        if (!merged) BAILV(p);
+        Py_XSETREF(st->text[prev], merged);
+        st->span[6 * prev + 1] = s1;
+        if (st->type[prev] == T_WHITESPACE) {
+            /* upgrade when the appended run has any non-ws char */
+            int ws = 1;
+            Py_ssize_t L = PyUnicode_GET_LENGTH(merged);
+            int kind = PyUnicode_KIND(merged);
+            const void *data = PyUnicode_DATA(merged);
+            for (Py_ssize_t q = 0; q < L; q++) {
+                Py_UCS4 c = PyUnicode_READ(kind, data, q);
+                if (!(c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r')) { ws = 0; break; }
+            }
+            if (!ws) st->type[prev] = T_TEXT;
+        }
+        return;
+    }
+    int ws = 0;
+    if (!rawtextual) {
+        ws = 1;
+        Py_ssize_t L = PyUnicode_GET_LENGTH(decoded);
+        int kind = PyUnicode_KIND(decoded);
+        const void *data = PyUnicode_DATA(decoded);
+        for (Py_ssize_t q = 0; q < L; q++) {
+            Py_UCS4 c = PyUnicode_READ(kind, data, q);
+            if (!(c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r')) { ws = 0; break; }
+        }
+    }
+    int32_t nid = new_node(p, ws ? T_WHITESPACE : T_TEXT, -1, NULL, decoded, NULL,
+                           s0, s1, 0, 0, 0, 0);
+    if (nid < 0) return;
+    attach(p, nid, parent);
+}
+
+/* _reconstruct_formatting (html5.py:1097-1131); no foster in C */
+static void reconstruct_formatting(P *p) {
+    if (!p->afe_n) return;
+    AfeEnt *last = &p->afe[p->afe_n - 1];
+    if (last->tid == -1) return;
+    if (nid_on_stack(p, last->nid) >= 0) return;
+    int i = p->afe_n - 1;
+    while (i > 0) {
+        AfeEnt *prev = &p->afe[i - 1];
+        if (prev->tid == -1 || nid_on_stack(p, prev->nid) >= 0) break;
+        i--;
+    }
+    for (int k = i; k < p->afe_n; k++) {
+        AfeEnt *e = &p->afe[k];
+        PyObject *attrs = e->attrs;  /* SHARED with the original (html5.py:1122) */
+        Py_XINCREF(attrs);
+        int32_t nid = new_node(p, T_ELEMENT, e->tid, NULL, NULL, attrs,
+                               e->t0, p->n, e->t0, e->t1, p->n, p->n);
+        if (nid < 0) return;
+        attach(p, nid, cur(p));
+        push_node(p, nid, NULL);
+        if (p->bail) return;
+        e->nid = nid;
+    }
+}
+
+/* _adoption_agency (html5.py:1172-1311) — CLEAN cases only:
+ *  step 1 (current is <name>, not in AFE) and the current==fe
+ *  no-furthest-block case.  Everything else is a parse error in the
+ *  Python engine → bail. Returns 1 handled, 0 → any-other-end-tag. */
+static int adoption_agency(P *p, int tid, int64_t t0, int64_t t1) {
+    if (p->stack_n) {
+        int32_t c = p->stack[p->stack_n - 1];
+        if (p->st.tid[c] == tid) {
+            int in_afe = 0;
+            for (int k = 0; k < p->afe_n; k++)
+                if (p->afe[k].tid != -1 && p->afe[k].nid == c) { in_afe = 1; break; }
+            if (!in_afe) { pop_until(p, tid, NULL, t0, t0, t1); return 1; }
+        }
+    }
+    int fe_idx = -1;
+    for (int k = p->afe_n - 1; k >= 0; k--) {
+        if (p->afe[k].tid == -1) break;
+        if (p->afe[k].tid == tid) { fe_idx = k; break; }
+    }
+    if (fe_idx < 0) return 0;
+    int32_t fe = p->afe[fe_idx].nid;
+    if (nid_on_stack(p, fe) < 0) BAILI(p);       /* stale entry: parse error */
+    if (!node_in_scope(p, fe)) BAILI(p);          /* parse error */
+    if (!p->stack_n || p->stack[p->stack_n - 1] != fe) BAILI(p);  /* parse error */
+    /* fe is the current node → no furthest block above it: pop it */
+    pop_node(p);
+    set_end_span(p, fe, t0, t1);
+    if (p->st.tid[fe] == TID_P) p->open_p--;  /* unreachable (p not formatting) */
+    memmove(&p->afe[fe_idx], &p->afe[fe_idx + 1],
+            (size_t)(p->afe_n - fe_idx - 1) * sizeof(AfeEnt));
+    p->afe_n--;
+    return 1;
+}
+
+/* ---- implied structure (html5.py:962-1007) ------------------------ */
+static void ensure_html(P *p, int64_t pos) {
+    if (p->html_id >= 0) return;
+    PyObject *attrs = empty_attrs; Py_INCREF(attrs);
+    int32_t nid = new_node(p, T_ELEMENT, TID_HTML, NULL, NULL, attrs,
+                           pos, p->n, pos, pos, p->n, p->n);
+    if (nid < 0) return;
+    attach(p, nid, 0);
+    push_node(p, nid, NULL);
+    p->html_id = nid;
+    p->mode = M_BEFORE_HEAD;
+}
+
+static void ensure_head(P *p, int64_t pos) {
+    ensure_html(p, pos); CHKV(p);
+    if (p->head_id >= 0) return;
+    PyObject *attrs = empty_attrs; Py_INCREF(attrs);
+    int32_t nid = new_node(p, T_ELEMENT, TID_HEAD, NULL, NULL, attrs,
+                           pos, pos, pos, pos, pos, pos);
+    if (nid < 0) return;
+    attach(p, nid, p->html_id);
+    push_node(p, nid, NULL);
+    p->head_id = nid;
+    p->mode = M_IN_HEAD;
+}
+
+static void pop_head(P *p, int64_t pos, int64_t e0, int64_t e1) {
+    if (p->stack_n && p->stack[p->stack_n - 1] == p->head_id) pop_node(p);
+    if (p->head_id >= 0) {
+        int64_t *sp = p->st.span + 6 * p->head_id;
+        sp[1] = e1 < 0 ? pos : e1;
+        if (e0 >= 0) { sp[4] = e0; sp[5] = e1; }
+        else { sp[4] = sp[5] = pos; }
+    }
+    p->mode = M_AFTER_HEAD;
+}
+
+static void ensure_body(P *p, int64_t pos) {
+    ensure_html(p, pos); CHKV(p);
+    if (p->head_id < 0) { ensure_head(p, pos); CHKV(p); pop_head(p, pos, -1, -1); }
+    else if (p->mode == M_IN_HEAD) pop_head(p, pos, -1, -1);
+    if (p->body_id < 0) {
+        PyObject *attrs = empty_attrs; Py_INCREF(attrs);
+        int32_t nid = new_node(p, T_ELEMENT, TID_BODY, NULL, NULL, attrs,
+                               pos, p->n, pos, pos, p->n, p->n);
+        if (nid < 0) return;
+        attach(p, nid, p->html_id);
+        push_node(p, nid, NULL);
+        p->body_id = nid;
+    }
+    p->mode = M_IN_BODY;
+}
+
+/* _reset_mode (html5.py:1434-1497) — no fragment / template / foreign
+ * in the C subset */
+static void reset_mode(P *p) {
+    for (int k = p->stack_n - 1; k >= 0; k--) {
+        int t = p->st.tid[p->stack[k]];
+        switch (t) {
+        case TID_SELECT:   p->mode = M_IN_SELECT; return;
+        case TID_TD: case TID_TH: p->mode = M_IN_CELL; return;
+        case TID_CAPTION:  p->mode = M_IN_BODY; return;  /* in-caption ≈ in-body */
+        case TID_TR:       p->mode = M_IN_ROW; return;
+        case TID_TBODY: case TID_THEAD: case TID_TFOOT: p->mode = M_IN_TABLE_BODY; return;
+        case TID_TABLE:    p->mode = M_IN_TABLE; return;
+        case TID_FRAMESET: p->bail = 1; return;  /* unreachable in C subset */
+        case TID_COLGROUP: p->mode = M_IN_COLGROUP; return;
+        case TID_HEAD:     p->mode = M_IN_HEAD; return;
+        case TID_BODY:     p->mode = M_IN_BODY; return;
+        case TID_HTML:
+            p->mode = p->head_id < 0 ? M_BEFORE_HEAD : (p->body_id < 0 ? M_AFTER_HEAD : M_IN_BODY);
+            return;
+        default: break;
+        }
+    }
+    p->mode = M_IN_BODY;
+}
+
+/* ---- "in table text" (html5.py:1591-1633) ------------------------- */
+/* pending runs are raw source spans; a batch with ANY non-space char
+ * foster-parents (a parse error) → bail */
+static void flush_tt(P *p) {
+    int np = p->pend_n;
+    p->pend_n = 0;
+    for (int i = 0; i < np; i++) {
+        for (int64_t q = p->pend[i][0]; q < p->pend[i][1]; q++)
+            if (!WS_CHAR(p->s[q])) BAILV(p);
+    }
+    for (int i = 0; i < np; i++) {
+        PyObject *u = ascii_slice(p, p->pend[i][0], p->pend[i][1]);
+        insert_text(p, u, p->pend[i][0], p->pend[i][1], 0, 0);
+        CHKV(p);
+    }
+}
+
+/* ---- character tokens (html5.py:1634-1718 _chars_html) ------------ */
+static void chars_html(P *p, int64_t a, int64_t b);
+
+static void handle_chars_span(P *p, int64_t a, int64_t b) { chars_html(p, a, b); }
+
+static void chars_in_table(P *p, int64_t a, int64_t b) {
+    int t = cur_tid(p);
+    if (t == TID_TABLE || t == TID_TBODY || t == TID_TFOOT || t == TID_THEAD || t == TID_TR) {
+        if (p->pend_n >= PEND_MAX) BAILV(p);
+        p->pend[p->pend_n][0] = a;
+        p->pend[p->pend_n][1] = b;
+        p->pend_n++;
+        return;
+    }
+    int allws = 1;
+    for (int64_t q = a; q < b; q++) if (!WS_CHAR(p->s[q])) { allws = 0; break; }
+    if (allws) insert_text(p, ascii_slice(p, a, b), a, b, 0, 1);
+    else insert_text(p, decode_text(p, a, b), a, b, 0, 1);
+}
+
+static void chars_html(P *p, int64_t a, int64_t b) {
+    /* NUL bails at prescan; CR never present */
+    if (p->skip_newline) {
+        p->skip_newline = 0;
+        if (a < b && p->s[a] == '\n') { a++; if (a == b) return; }
+    }
+    int mode = p->mode;
+    if (mode == M_IN_BODY || mode == M_IN_CELL) {
+        insert_text(p, decode_text(p, a, b), a, b, 0, 1);
+        return;
+    }
+    if (mode == M_INITIAL || mode == M_BEFORE_HTML || mode == M_BEFORE_HEAD) {
+        int64_t k = a;
+        while (k < b && WS_CHAR(p->s[k])) k++;
+        if (k == b) return;  /* all-whitespace: ignored */
+        ensure_body(p, k); CHKV(p);
+        insert_text(p, decode_text(p, k, b), k, b, 0, 1);
+        return;
+    }
+    if (mode == M_IN_HEAD || mode == M_AFTER_HEAD) {
+        int64_t k = a;
+        while (k < b && WS_CHAR(p->s[k])) k++;
+        if (k > a) { insert_text(p, ascii_slice(p, a, k), a, k, 0, 1); CHKV(p); }
+        if (k < b) {
+            if (mode == M_IN_HEAD && cur_tid(p) == TID_NOSCRIPT) BAILV(p);  /* parse error path */
+            ensure_body(p, k); CHKV(p);
+            insert_text(p, decode_text(p, k, b), k, b, 0, 1);
+        }
+        return;
+    }
+    if (mode == M_IN_TABLE || mode == M_IN_TABLE_BODY || mode == M_IN_ROW) {
+        chars_in_table(p, a, b);
+        return;
+    }
+    if (mode == M_IN_SELECT) {
+        insert_text(p, decode_text(p, a, b), a, b, 0, 0);
+        return;
+    }
+    if (mode == M_IN_COLGROUP) {
+        int64_t k = a;
+        while (k < b && WS_CHAR(p->s[k])) k++;
+        if (k > a) { insert_text(p, ascii_slice(p, a, k), a, k, 0, 0); CHKV(p); }
+        if (k < b) {
+            if (cur_tid(p) == TID_COLGROUP) {
+                int32_t nid = p->stack[p->stack_n - 1];
+                pop_node(p);
+                close_implied(p, nid, k);
+                p->mode = M_IN_TABLE;
+                handle_chars_span(p, k, b);
+            } else BAILV(p);  /* colgroup fragment: parse error */
+        }
+        return;
+    }
+    if (mode == M_IN_FRAMESET || mode == M_AFTER_FRAMESET) BAILV(p);  /* unreachable */
+    if (mode == M_AFTER_BODY || mode == M_AFTER_AFTER_BODY) {
+        for (int64_t q = a; q < b; q++)
+            if (!WS_CHAR(p->s[q])) BAILV(p);  /* parse error: body reopens */
+        insert_text(p, decode_text(p, a, b), a, b, 0, 1);
+        return;
+    }
+    insert_text(p, decode_text(p, a, b), a, b, 0, 1);
+}
+
+/* ---- comments / doctype (html5.py:2890-2942) ---------------------- */
+static void handle_comment(P *p, int64_t a, int64_t b, int64_t t0, int64_t t1) {
+    if (p->pend_n) { flush_tt(p); CHKV(p); }
+    p->skip_newline = 0;
+    /* NUL impossible (prescan) */
+    if (p->mode == M_INITIAL || p->mode == M_BEFORE_HTML) {
+        PyObject *txt = ascii_slice(p, a, b);
+        int32_t nid = new_node(p, T_COMMENT, -1, NULL, txt, NULL, t0, t1, 0, 0, 0, 0);
+        if (nid < 0) return;
+        attach(p, nid, 0);
+        return;
+    }
+    if (p->mode == M_AFTER_BODY || p->mode == M_AFTER_AFTER_BODY) {
+        /* Python attaches now and re-sorts in finalize (preorder_ok=
+         * False); the C store is append-only, so DEFER materializing
+         * to EOF — sound because the target (html / document) gains
+         * no later children on any non-bailing path */
+        if (p->defer_n >= DEFER_MAX) BAILV(p);
+        PyObject *txt = ascii_slice(p, a, b);
+        if (!txt) BAILV(p);
+        p->defer[p->defer_n].text = txt;
+        p->defer[p->defer_n].t0 = t0;
+        p->defer[p->defer_n].t1 = t1;
+        p->defer[p->defer_n].target = p->mode == M_AFTER_BODY ? p->html_id : 0;
+        p->defer_n++;
+        return;
+    }
+    PyObject *txt = ascii_slice(p, a, b);
+    int32_t nid = new_node(p, T_COMMENT, -1, NULL, txt, NULL, t0, t1, 0, 0, 0, 0);
+    if (nid < 0) return;
+    attach(p, nid, cur(p));
+}
+
+static void handle_doctype(P *p, int ok, int64_t t0) {
+    if (p->pend_n) { flush_tt(p); CHKV(p); }
+    if (p->mode == M_INITIAL) {
+        p->quirks = !ok;
+        p->mode = M_BEFORE_HTML;
+    } else BAILV(p);  /* unexpected-doctype */
+}
+
+/* ---- start-tag rules ---------------------------------------------- */
+enum { CM_NONE = 0, CM_RAWTEXT, CM_RCDATA };
+
+static int handle_start(P *p, int tid, PyObject *name, PyObject *attrs,
+                        int self_closing, int64_t t0, int64_t t1);
+
+/* _close_list_item (html5.py:2246-2264); names given as two tids */
+static void close_list_item(P *p, int tid1, int tid2, int64_t pos) {
+    for (int k = p->stack_n - 1; k >= 0; k--) {
+        int t = p->st.tid[p->stack[k]];
+        if (t == tid1 || t == tid2) { pop_until(p, t, NULL, pos, -1, -1); break; }
+        if (t >= 0 && t < N_TAGS && (TAG_FLAGS[t] & F_LI_STOP)) break;
+    }
+    if (p->open_p > 0 && in_scope(p, TID_P, TID_BUTTON, -1))
+        pop_until(p, TID_P, NULL, pos, -1, -1);
+}
+
+/* _close_cell (html5.py:868-882) */
+static int close_cell(P *p, int64_t pos) {
+    for (int k = p->stack_n - 1; k >= 0; k--) {
+        int t = p->st.tid[p->stack[k]];
+        if (t == TID_TD || t == TID_TH) return pop_until(p, t, NULL, pos, -1, -1);
+        if (t == TID_TABLE || t == TID_HTML || t == TID_TEMPLATE) return 0;
+    }
+    return 0;
+}
+
+/* _start_in_body (html5.py:1967-2245), clean subset */
+static int start_in_body(P *p, int tid, PyObject *name, PyObject *attrs,
+                         int self_closing, int64_t t0, int64_t t1) {
+    unsigned int fl = tflags(tid);
+    if (!(fl & F_BESPOKE)) {
+        /* fast path (html5.py:1968-1989): generic steps from flags */
+        if ((fl & F_PCLOSE) && p->open_p > 0 && in_scope(p, TID_P, TID_BUTTON, -1)) {
+            if (!(tid == TID_TABLE && p->quirks))
+                pop_until(p, TID_P, NULL, t0, -1, -1);
+        }
+        if (p->afe_n && (fl & F_RECON_SET)) { reconstruct_formatting(p); CHKI(p); }
+        if (fl & F_VOID) {
+            insert_element(p, tid, name, attrs, t0, t1, 0);
+            return CM_NONE;
+        }
+        int32_t nid = insert_element(p, tid, name, attrs, t0, t1, 1);
+        if (nid < 0) return -1;
+        if (fl & F_FORMATTING) { afe_push(p, tid, attrs, t0, t1, nid); CHKI(p); }
+        if (fl & F_RAWTEXT) return CM_RAWTEXT;
+        if (fl & F_RCDATA) return CM_RCDATA;
+        return CM_NONE;
+    }
+    /* bespoke chain — parse-error branches bail */
+    switch (tid) {
+    case TID_IMAGE: case TID_ISINDEX:
+    case TID_HTML: case TID_HEAD: case TID_BODY: case TID_FRAME:
+    case TID_FRAMESET: case TID_SVG: case TID_MATH: case TID_TEMPLATE:
+    case TID_PLAINTEXT:
+        BAILI(p);
+    default: break;
+    }
+    if (fl & F_TABLEISH) {
+        if (p->mode == M_IN_CELL) {
+            if (!close_cell(p, t0)) BAILI(p);  /* parse error */
+            reset_mode(p); CHKI(p);
+            return handle_start(p, tid, name, attrs, self_closing, t0, t1);
+        }
+        if (in_table_scope(p, TID_CAPTION) && cur_tid(p) != TID_TABLE) {
+            pop_until(p, TID_CAPTION, NULL, t0, -1, -1);
+            reset_mode(p); CHKI(p);
+            return handle_start(p, tid, name, attrs, self_closing, t0, t1);
+        }
+        BAILI(p);  /* table part outside a table: parse error / odd state */
+    }
+    if ((fl & F_PCLOSE) && p->open_p > 0 && in_scope(p, TID_P, TID_BUTTON, -1)) {
+        if (!(tid == TID_TABLE && p->quirks) && !(tid == TID_FORM && p->form_ptr >= 0))
+            pop_until(p, TID_P, NULL, t0, -1, -1);
+    }
+    if (fl & F_HEADING) {
+        int c = cur_tid(p);
+        if (c >= 0 && c < N_TAGS && (TAG_FLAGS[c] & F_HEADING)) BAILI(p);  /* parse error */
+    } else if (tid == TID_LI) {
+        close_list_item(p, TID_LI, -1, t0);
+    } else if (tid == TID_DD || tid == TID_DT) {
+        close_list_item(p, TID_DD, TID_DT, t0);
+    } else if (tid == TID_A) {
+        for (int k = p->afe_n - 1; k >= 0; k--) {
+            if (p->afe[k].tid == -1) break;
+            if (p->afe[k].tid == TID_A) BAILI(p);  /* parse error + AAA */
+        }
+    } else if (tid == TID_NOBR) {
+        reconstruct_formatting(p); CHKI(p);
+        if (in_scope(p, TID_NOBR, -1, -1)) BAILI(p);  /* parse error + AAA */
+    } else if (tid == TID_BUTTON) {
+        if (in_scope(p, TID_BUTTON, -1, -1)) BAILI(p);  /* parse error */
+    } else if (tid == TID_OPTION || tid == TID_OPTGROUP) {
+        if (cur_tid(p) == TID_OPTION) pop_until(p, TID_OPTION, NULL, t0, -1, -1);
+    } else if (tid == TID_RP || tid == TID_RT) {
+        /* html5.py:2144-2155 */
+        if (in_scope(p, TID_RUBY, -1, -1)) {
+            while (p->stack_n) {
+                int c = cur_tid(p);
+                if (!(c >= 0 && c < N_TAGS && (TAG_FLAGS[c] & F_IMPLIED_END))) break;
+                int32_t nid = p->stack[p->stack_n - 1];
+                pop_node(p);
+                close_implied(p, nid, t0);
+            }
+            if (cur_tid(p) != TID_RUBY) BAILI(p);  /* parse error */
+        }
+        insert_element(p, tid, name, attrs, t0, t1, 1);
+        return CM_NONE;
+    }
+    /* common tail (html5.py:2150-2245) */
+    if (p->afe_n) {
+        int recon = (fl & F_FORMATTING) ||
+            (!(fl & (F_PCLOSE | F_HEADING | F_VOID | F_RAWTEXT)) &&
+             tid != TID_LI && tid != TID_DD && tid != TID_DT &&
+             tid != TID_TEMPLATE && tid != TID_TEXTAREA);
+        if (recon) { reconstruct_formatting(p); CHKI(p); }
+    }
+    if (tid == TID_FORM) {
+        if (p->form_ptr >= 0) BAILI(p);  /* nested-form parse error */
+        int32_t nid = insert_element(p, tid, name, attrs, t0, t1, 1);
+        if (nid < 0) return -1;
+        p->form_ptr = nid;
+        return CM_NONE;
+    }
+    if (tid == TID_APPLET || tid == TID_MARQUEE || tid == TID_OBJECT) {
+        insert_element(p, tid, name, attrs, t0, t1, 1);
+        CHKI(p);
+        afe_push_marker(p); CHKI(p);
+        return CM_NONE;
+    }
+    if (fl & F_VOID) {  /* bespoke voids (none expected beyond frame) */
+        insert_element(p, tid, name, attrs, t0, t1, 0);
+        return CM_NONE;
+    }
+    int32_t nid = insert_element(p, tid, name, attrs, t0, t1, 1);
+    if (nid < 0) return -1;
+    if (fl & F_FORMATTING) { afe_push(p, tid, attrs, t0, t1, nid); CHKI(p); }
+    if (tid == TID_TABLE) { p->mode = M_IN_TABLE; return CM_NONE; }
+    if (tid == TID_SELECT) {
+        /* select_in_table untracked: every path consulting it is a
+         * parse error in the Python engine → bails there instead */
+        p->mode = M_IN_SELECT;
+        return CM_NONE;
+    }
+    if (tid == TID_PRE || tid == TID_LISTING || tid == TID_TEXTAREA)
+        p->skip_newline = 1;
+    if (fl & F_RAWTEXT) return CM_RAWTEXT;
+    if (fl & F_RCDATA) return CM_RCDATA;
+    return CM_NONE;
+}
+
+/* _clear_to_table_context (html5.py:2266-2282) */
+static void clear_to_table_context(P *p, int s1, int s2, int s3, int s4, int64_t pos) {
+    while (p->stack_n) {
+        int t = cur_tid(p);
+        if (t == s1 || t == s2 || t == s3 || t == s4 || t == TID_HTML) break;
+        if (p->stack_n && p->st.type[p->stack[p->stack_n - 1]] == T_TEMPLATE) break;
+        int32_t nid = p->stack[p->stack_n - 1];
+        pop_node(p);
+        close_implied(p, nid, pos);
+    }
+}
+
+/* _start_in_table (html5.py:2283-2417); parse-error branches bail */
+static int start_in_table(P *p, int tid, PyObject *name, PyObject *attrs,
+                          int self_closing, int64_t t0, int64_t t1) {
+    int mode = p->mode;
+    if (tid == TID_TEMPLATE) BAILI(p);
+    if (mode == M_IN_TABLE) {
+        if (tid == TID_TBODY || tid == TID_THEAD || tid == TID_TFOOT) {
+            clear_to_table_context(p, TID_TABLE, -1, -1, -1, t0);
+            insert_element(p, tid, name, attrs, t0, t1, 1);
+            p->mode = M_IN_TABLE_BODY;
+            return CM_NONE;
+        }
+        if (tid == TID_TD || tid == TID_TH || tid == TID_TR) BAILI(p);  /* implied tbody: parse error */
+        if (tid == TID_CAPTION) {
+            clear_to_table_context(p, TID_TABLE, -1, -1, -1, t0);
+            insert_element(p, tid, name, attrs, t0, t1, 1);
+            CHKI(p);
+            afe_push_marker(p); CHKI(p);
+            p->mode = M_IN_BODY;  /* in-caption ≈ in-body */
+            return CM_NONE;
+        }
+        if (tid == TID_COLGROUP) {
+            clear_to_table_context(p, TID_TABLE, -1, -1, -1, t0);
+            insert_element(p, tid, name, attrs, t0, t1, 1);
+            p->mode = M_IN_COLGROUP;
+            return CM_NONE;
+        }
+        if (tid == TID_COL) {
+            /* implied <colgroup> (no parse error) */
+            clear_to_table_context(p, TID_TABLE, -1, -1, -1, t0);
+            PyObject *ea = empty_attrs; Py_INCREF(ea);
+            int32_t nid = new_node(p, T_ELEMENT, TID_COLGROUP, NULL, NULL, ea,
+                                   t0, p->n, t0, t0, p->n, p->n);
+            if (nid < 0) return -1;
+            attach(p, nid, cur(p));
+            push_node(p, nid, NULL); CHKI(p);
+            p->mode = M_IN_COLGROUP;
+            return handle_start(p, tid, name, attrs, self_closing, t0, t1);
+        }
+        if (tid == TID_TABLE) BAILI(p);  /* parse error */
+        if (tid == TID_STYLE || tid == TID_SCRIPT) {
+            insert_element(p, tid, name, attrs, t0, t1, 1);
+            return CM_RAWTEXT;
+        }
+        BAILI(p);  /* form / foster-parenting: parse errors */
+    }
+    if (mode == M_IN_TABLE_BODY) {
+        if (tid == TID_TR) {
+            clear_to_table_context(p, TID_TBODY, TID_THEAD, TID_TFOOT, TID_TABLE, t0);
+            insert_element(p, tid, name, attrs, t0, t1, 1);
+            p->mode = M_IN_ROW;
+            return CM_NONE;
+        }
+        if (tid == TID_TD || tid == TID_TH) BAILI(p);  /* implied tr: parse error */
+        if (tid == TID_TBODY || tid == TID_THEAD || tid == TID_TFOOT ||
+            tid == TID_CAPTION || tid == TID_COL || tid == TID_COLGROUP || tid == TID_TABLE) {
+            if (!in_table_scope(p, TID_TBODY) && !in_table_scope(p, TID_THEAD) &&
+                !in_table_scope(p, TID_TFOOT)) BAILI(p);  /* fragment case: parse error */
+            for (int k = p->stack_n - 1; k >= 0; k--) {
+                int t = p->st.tid[p->stack[k]];
+                if (t == TID_TBODY || t == TID_THEAD || t == TID_TFOOT) {
+                    pop_until(p, t, NULL, t0, -1, -1);
+                    break;
+                }
+                if (t == TID_TABLE) break;
+            }
+            p->mode = M_IN_TABLE;
+            return handle_start(p, tid, name, attrs, self_closing, t0, t1);
+        }
+        p->mode = M_IN_TABLE;
+        int r = handle_start(p, tid, name, attrs, self_closing, t0, t1);
+        if (p->mode == M_IN_TABLE) p->mode = M_IN_TABLE_BODY;
+        return r;
+    }
+    /* M_IN_ROW */
+    if (tid == TID_TD || tid == TID_TH) {
+        clear_to_table_context(p, TID_TR, TID_TABLE, -1, -1, t0);
+        insert_element(p, tid, name, attrs, t0, t1, 1);
+        CHKI(p);
+        afe_push_marker(p); CHKI(p);
+        p->mode = M_IN_CELL;
+        return CM_NONE;
+    }
+    if (tid == TID_TR || tid == TID_CAPTION || tid == TID_COL || tid == TID_COLGROUP ||
+        tid == TID_TABLE || tid == TID_TBODY || tid == TID_THEAD || tid == TID_TFOOT) {
+        if (!in_table_scope(p, TID_TR)) BAILI(p);  /* fragment case: parse error */
+        pop_until(p, TID_TR, NULL, t0, -1, -1);
+        p->mode = M_IN_TABLE_BODY;
+        return handle_start(p, tid, name, attrs, self_closing, t0, t1);
+    }
+    p->mode = M_IN_TABLE;
+    int r = handle_start(p, tid, name, attrs, self_closing, t0, t1);
+    if (p->mode == M_IN_TABLE) p->mode = M_IN_ROW;
+    return r;
+}
+
+/* _start_in_select (html5.py:1908-1965); parse-error branches bail */
+static int start_in_select(P *p, int tid, PyObject *name, PyObject *attrs,
+                           int self_closing, int64_t t0, int64_t t1) {
+    if (tid == TID_TEMPLATE) BAILI(p);
+    if (tid == TID_OPTION) {
+        if (cur_tid(p) == TID_OPTION) pop_until(p, TID_OPTION, NULL, t0, -1, -1);
+        insert_element(p, tid, name, attrs, t0, t1, 1);
+        return CM_NONE;
+    }
+    if (tid == TID_OPTGROUP) {
+        if (cur_tid(p) == TID_OPTION) pop_until(p, TID_OPTION, NULL, t0, -1, -1);
+        if (cur_tid(p) == TID_OPTGROUP) pop_until(p, TID_OPTGROUP, NULL, t0, -1, -1);
+        insert_element(p, tid, name, attrs, t0, t1, 1);
+        return CM_NONE;
+    }
+    if (tid == TID_SCRIPT) {
+        insert_element(p, tid, name, attrs, t0, t1, 1);
+        return CM_RAWTEXT;
+    }
+    BAILI(p);  /* html merge / break-out / table tags / anything else: parse errors */
+}
+
+/* _start_html (html5.py:1739-1906) */
+static int start_html(P *p, int tid, PyObject *name, PyObject *attrs,
+                      int self_closing, int64_t t0, int64_t t1) {
+    if (p->pend_n) { flush_tt(p); CHKI(p); }
+    p->skip_newline = 0;
+    int mode = p->mode;
+    if (mode == M_IN_BODY || mode == M_IN_CELL)
+        return start_in_body(p, tid, name, attrs, self_closing, t0, t1);
+    if (mode == M_INITIAL) {
+        p->mode = M_BEFORE_HTML;
+        return handle_start(p, tid, name, attrs, self_closing, t0, t1);
+    }
+    if (mode == M_BEFORE_HTML) {
+        if (tid == TID_HTML) {
+            PyObject *a2 = attrs; Py_XINCREF(a2);
+            int32_t nid = new_node(p, T_ELEMENT, TID_HTML, NULL, NULL, a2,
+                                   t0, p->n, t0, t1, p->n, p->n);
+            if (nid < 0) return -1;
+            attach(p, nid, 0);
+            push_node(p, nid, NULL); CHKI(p);
+            p->html_id = nid;
+            p->mode = M_BEFORE_HEAD;
+            return CM_NONE;
+        }
+        ensure_html(p, t0); CHKI(p);
+        return handle_start(p, tid, name, attrs, self_closing, t0, t1);
+    }
+    if (mode == M_BEFORE_HEAD) {
+        if (tid == TID_HTML) BAILI(p);  /* parse error (attr merge) */
+        if (tid == TID_HEAD) {
+            PyObject *a2 = attrs; Py_XINCREF(a2);
+            int32_t nid = new_node(p, T_ELEMENT, TID_HEAD, NULL, NULL, a2,
+                                   t0, p->n, t0, t1, p->n, p->n);
+            if (nid < 0) return -1;
+            attach(p, nid, p->html_id);
+            push_node(p, nid, NULL); CHKI(p);
+            p->head_id = nid;
+            p->mode = M_IN_HEAD;
+            return CM_NONE;
+        }
+        ensure_head(p, t0); CHKI(p);
+        return handle_start(p, tid, name, attrs, self_closing, t0, t1);
+    }
+    if (mode == M_IN_HEAD) {
+        if (tid == TID_HTML) BAILI(p);  /* parse error */
+        if (cur_tid(p) == TID_NOSCRIPT) {
+            /* in-head-noscript: only these may nest; all else errs */
+            if (!(tid == TID_BASEFONT || tid == TID_BGSOUND || tid == TID_LINK ||
+                  tid == TID_META || tid == TID_NOFRAMES || tid == TID_STYLE))
+                BAILI(p);
+        }
+        if (tid == TID_BASE || tid == TID_BASEFONT || tid == TID_BGSOUND ||
+            tid == TID_LINK || tid == TID_META) {
+            insert_element(p, tid, name, attrs, t0, t1, 0);
+            return CM_NONE;
+        }
+        if (tid == TID_NOSCRIPT) {
+            insert_element(p, tid, name, attrs, t0, t1, 1);
+            return CM_NONE;
+        }
+        if (tid == TID_TEMPLATE) BAILI(p);
+        if (tid == TID_TITLE || tid == TID_STYLE || tid == TID_SCRIPT || tid == TID_NOFRAMES) {
+            insert_element(p, tid, name, attrs, t0, t1, 1);
+            return tid == TID_TITLE ? CM_RCDATA : CM_RAWTEXT;
+        }
+        if (tid == TID_HEAD) BAILI(p);  /* parse error */
+        pop_head(p, t0, -1, -1);
+        return handle_start(p, tid, name, attrs, self_closing, t0, t1);
+    }
+    if (mode == M_AFTER_HEAD) {
+        if (tid == TID_FRAMESET) BAILI(p);
+        if (tid == TID_BODY) {
+            PyObject *a2 = attrs; Py_XINCREF(a2);
+            int32_t nid = new_node(p, T_ELEMENT, TID_BODY, NULL, NULL, a2,
+                                   t0, p->n, t0, t1, p->n, p->n);
+            if (nid < 0) return -1;
+            attach(p, nid, p->html_id);
+            push_node(p, nid, NULL); CHKI(p);
+            p->body_id = nid;
+            p->mode = M_IN_BODY;
+            return CM_NONE;
+        }
+        if (tid == TID_HTML || tid == TID_HEAD) BAILI(p);
+        if (tid == TID_BASE || tid == TID_BASEFONT || tid == TID_BGSOUND ||
+            tid == TID_LINK || tid == TID_META || tid == TID_NOFRAMES ||
+            tid == TID_SCRIPT || tid == TID_STYLE || tid == TID_TEMPLATE ||
+            tid == TID_TITLE)
+            BAILI(p);  /* after-head head-element re-entry: parse error */
+        ensure_body(p, t0); CHKI(p);
+        return handle_start(p, tid, name, attrs, self_closing, t0, t1);
+    }
+    if (mode == M_IN_TEMPLATE) BAILI(p);  /* unreachable */
+    if (mode == M_IN_TABLE || mode == M_IN_TABLE_BODY || mode == M_IN_ROW)
+        return start_in_table(p, tid, name, attrs, self_closing, t0, t1);
+    if (mode == M_IN_SELECT)
+        return start_in_select(p, tid, name, attrs, self_closing, t0, t1);
+    if (mode == M_IN_COLGROUP) {
+        if (tid == TID_COL) {
+            insert_element(p, tid, name, attrs, t0, t1, 0);
+            return CM_NONE;
+        }
+        if (tid == TID_HTML) BAILI(p);
+        if (cur_tid(p) == TID_COLGROUP) {
+            int32_t nid = p->stack[p->stack_n - 1];
+            pop_node(p);
+            close_implied(p, nid, t0);
+            p->mode = M_IN_TABLE;
+            return handle_start(p, tid, name, attrs, self_closing, t0, t1);
+        }
+        BAILI(p);  /* colgroup fragment: parse error */
+    }
+    if (mode == M_IN_FRAMESET || mode == M_AFTER_FRAMESET) BAILI(p);
+    if (mode == M_AFTER_BODY || mode == M_AFTER_AFTER_BODY) BAILI(p);  /* parse error either way */
+    return start_in_body(p, tid, name, attrs, self_closing, t0, t1);
+}
+
+static int handle_start(P *p, int tid, PyObject *name, PyObject *attrs,
+                        int self_closing, int64_t t0, int64_t t1) {
+    return start_html(p, tid, name, attrs, self_closing, t0, t1);
+}
+
+/* ---- end-tag rules ------------------------------------------------ */
+static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1);
+
+/* _end_in_table (html5.py:2798-2888); parse-error/foster paths bail */
+static void end_in_table(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
+    int mode = p->mode;
+    if (tid == TID_TEMPLATE) BAILV(p);
+    if (tid == TID_TABLE) {
+        if (mode == M_IN_ROW) {
+            if (!in_table_scope(p, TID_TR)) BAILV(p);  /* parse error */
+            pop_until(p, TID_TR, NULL, t0, -1, -1);
+            p->mode = M_IN_TABLE_BODY;
+            end_in_table(p, tid, name, t0, t1);
+            return;
+        }
+        if (mode == M_IN_TABLE_BODY) {
+            if (!in_table_scope(p, TID_TBODY) && !in_table_scope(p, TID_THEAD) &&
+                !in_table_scope(p, TID_TFOOT)) BAILV(p);  /* parse error */
+            for (int k = p->stack_n - 1; k >= 0; k--) {
+                int t = p->st.tid[p->stack[k]];
+                if (t == TID_TBODY || t == TID_THEAD || t == TID_TFOOT) {
+                    pop_until(p, t, NULL, t0, -1, -1);
+                    break;
+                }
+                if (t == TID_TABLE) break;
+            }
+            p->mode = M_IN_TABLE;
+            end_in_table(p, tid, name, t0, t1);
+            return;
+        }
+        if (!in_table_scope(p, TID_TABLE)) BAILV(p);  /* parse error */
+        pop_until(p, TID_TABLE, NULL, t0, t0, t1);
+        reset_mode(p);
+        return;
+    }
+    if (mode == M_IN_TABLE_BODY &&
+        (tid == TID_TBODY || tid == TID_THEAD || tid == TID_TFOOT)) {
+        if (!in_table_scope(p, tid)) BAILV(p);  /* parse error */
+        pop_until(p, tid, NULL, t0, t0, t1);
+        p->mode = M_IN_TABLE;
+        return;
+    }
+    if (mode == M_IN_ROW && tid == TID_TR) {
+        if (!in_table_scope(p, TID_TR)) BAILV(p);  /* parse error */
+        pop_until(p, TID_TR, NULL, t0, t0, t1);
+        p->mode = M_IN_TABLE_BODY;
+        return;
+    }
+    if (mode == M_IN_ROW &&
+        (tid == TID_TBODY || tid == TID_THEAD || tid == TID_TFOOT)) {
+        if (!in_table_scope(p, tid)) BAILV(p);  /* parse error */
+        pop_until(p, TID_TR, NULL, t0, -1, -1);
+        p->mode = M_IN_TABLE_BODY;
+        end_in_table(p, tid, name, t0, t1);
+        return;
+    }
+    if (tid == TID_BODY || tid == TID_HTML || tid == TID_TD || tid == TID_TH ||
+        tid == TID_TR || tid == TID_CAPTION || tid == TID_COL || tid == TID_COLGROUP)
+        BAILV(p);  /* parse error */
+    BAILV(p);  /* anything else: foster-parented in-body (parse-error context) */
+}
+
+/* _end_html (html5.py:2419-2798) */
+static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
+    if (p->pend_n) { flush_tt(p); CHKV(p); }
+    p->skip_newline = 0;
+    int mode = p->mode;
+    if (mode != M_IN_BODY && mode != M_IN_CELL) {
+        if (mode == M_IN_TEMPLATE) BAILV(p);
+        if (mode == M_INITIAL || mode == M_BEFORE_HTML || mode == M_BEFORE_HEAD) {
+            if (tid == TID_HEAD || tid == TID_BODY || tid == TID_HTML || tid == TID_BR) {
+                ensure_head(p, t0); CHKV(p);
+                end_html(p, tid, name, t0, t1);
+            } else p->bail = 1;  /* parse error */
+            return;
+        }
+        if (mode == M_IN_HEAD) {
+            if (cur_tid(p) == TID_NOSCRIPT) {
+                if (tid == TID_BR) BAILV(p);          /* parse error */
+                if (tid != TID_NOSCRIPT) BAILV(p);    /* parse error */
+            }
+            if (tid == TID_HEAD) { pop_head(p, t0, t0, t1); return; }
+            if (tid == TID_BODY || tid == TID_HTML || tid == TID_BR) {
+                pop_head(p, t0, -1, -1);
+                end_html(p, tid, name, t0, t1);
+                return;
+            }
+            if (tid == TID_TEMPLATE) BAILV(p);
+            if (tid == TID_TITLE || tid == TID_STYLE || tid == TID_SCRIPT || tid == TID_NOSCRIPT) {
+                pop_until(p, tid, NULL, t0, t0, t1);
+                return;
+            }
+            BAILV(p);  /* parse error */
+        }
+        if (mode == M_AFTER_HEAD) {
+            if (tid == TID_BODY || tid == TID_HTML || tid == TID_BR) {
+                ensure_body(p, t0); CHKV(p);
+                end_html(p, tid, name, t0, t1);
+                return;
+            }
+            if (tid == TID_TITLE || tid == TID_NOFRAMES || tid == TID_SCRIPT || tid == TID_STYLE) {
+                /* stray close (no error recorded when nothing pops) */
+                pop_until(p, tid, NULL, t0, t0, t1);
+                if (p->stack_n && p->stack[p->stack_n - 1] == p->head_id) pop_node(p);
+                return;
+            }
+            BAILV(p);  /* parse error */
+        }
+        if (mode == M_IN_TABLE || mode == M_IN_TABLE_BODY || mode == M_IN_ROW) {
+            end_in_table(p, tid, name, t0, t1);
+            return;
+        }
+        if (mode == M_IN_SELECT) {
+            if (tid == TID_TEMPLATE) BAILV(p);
+            if (tid == TID_OPTION) {
+                if (cur_tid(p) == TID_OPTION) pop_until(p, TID_OPTION, NULL, t0, t0, t1);
+                else p->bail = 1;  /* parse error */
+                return;
+            }
+            if (tid == TID_OPTGROUP) {
+                if (p->stack_n >= 2 && cur_tid(p) == TID_OPTION &&
+                    p->st.tid[p->stack[p->stack_n - 2]] == TID_OPTGROUP) {
+                    int32_t nid = p->stack[p->stack_n - 1];
+                    pop_node(p);
+                    close_implied(p, nid, t0);
+                }
+                if (cur_tid(p) == TID_OPTGROUP) pop_until(p, TID_OPTGROUP, NULL, t0, t0, t1);
+                else p->bail = 1;  /* parse error */
+                return;
+            }
+            if (tid == TID_SELECT) {
+                if (pop_until(p, TID_SELECT, NULL, t0, t0, t1)) reset_mode(p);
+                else p->bail = 1;  /* parse error */
+                return;
+            }
+            BAILV(p);  /* select-in-table break-outs + anything else: parse errors */
+        }
+        if (mode == M_IN_FRAMESET || mode == M_AFTER_FRAMESET) BAILV(p);
+        if (mode == M_IN_COLGROUP) {
+            if (tid == TID_COLGROUP) {
+                if (cur_tid(p) == TID_COLGROUP) {
+                    pop_until(p, TID_COLGROUP, NULL, t0, t0, t1);
+                    p->mode = M_IN_TABLE;
+                } else p->bail = 1;  /* parse error */
+                return;
+            }
+            if (tid == TID_COL) BAILV(p);  /* parse error */
+            if (cur_tid(p) == TID_COLGROUP) {
+                int32_t nid = p->stack[p->stack_n - 1];
+                pop_node(p);
+                close_implied(p, nid, t0);
+                p->mode = M_IN_TABLE;
+                end_html(p, tid, name, t0, t1);
+            } else p->bail = 1;  /* parse error */
+            return;
+        }
+        if (mode == M_AFTER_AFTER_BODY) BAILV(p);  /* parse error */
+        if (mode == M_AFTER_BODY) {
+            if (tid == TID_HTML) {
+                if (p->html_id >= 0) {
+                    set_end_span(p, p->html_id, t0, t1);
+                    p->mode = M_AFTER_AFTER_BODY;
+                }
+                return;
+            }
+            BAILV(p);  /* parse error */
+        }
+    }
+    /* IN_BODY / IN_CELL */
+    unsigned int fl = tflags(tid);
+    if (p->stack_n && !(fl & F_END_BESPOKE) &&
+        tag_eq(p, p->stack[p->stack_n - 1], tid, name)) {
+        int32_t nid = p->stack[p->stack_n - 1];
+        pop_node(p);
+        if (tid == TID_P) p->open_p--;
+        else if (tid == TID_APPLET || tid == TID_MARQUEE || tid == TID_OBJECT)
+            afe_clear_to_marker(p);
+        set_end_span(p, nid, t0, t1);
+        return;
+    }
+    if (tid == TID_BODY) {
+        if (p->body_id >= 0 && node_in_scope(p, p->body_id)) {
+            set_end_span(p, p->body_id, t0, t1);
+            p->mode = M_AFTER_BODY;
+        } else p->bail = 1;  /* parse error */
+        return;
+    }
+    if (tid == TID_HTML) {
+        if (!(p->body_id >= 0 && node_in_scope(p, p->body_id))) BAILV(p);  /* parse error */
+        p->mode = M_AFTER_BODY;
+        int64_t *sp = p->st.span + 6 * p->body_id;
+        sp[1] = t0; sp[4] = sp[5] = t0;
+        end_html(p, tid, name, t0, t1);
+        return;
+    }
+    if (mode == M_IN_CELL && (tid == TID_TD || tid == TID_TH)) {
+        if (!in_table_scope(p, tid)) BAILV(p);  /* parse error */
+        if (pop_until(p, tid, NULL, t0, t0, t1)) reset_mode(p);
+        else p->bail = 1;  /* parse error */
+        return;
+    }
+    if (mode == M_IN_CELL && (tid == TID_TABLE || tid == TID_TR ||
+        tid == TID_TBODY || tid == TID_THEAD || tid == TID_TFOOT)) {
+        if (!in_table_scope(p, tid)) BAILV(p);  /* parse error */
+        close_cell(p, t0);
+        reset_mode(p);
+        end_html(p, tid, name, t0, t1);
+        return;
+    }
+    if (tid == TID_P) {
+        if (p->open_p > 0 && in_scope(p, TID_P, TID_BUTTON, -1))
+            pop_until(p, TID_P, NULL, t0, t0, t1);
+        else p->bail = 1;  /* parse error (synthesized empty <p>) */
+        return;
+    }
+    if (fl & F_HEADING) {
+        int target = -1;
+        for (int k = p->stack_n - 1; k >= 0; k--) {
+            int t = p->st.tid[p->stack[k]];
+            if (t >= 0 && t < N_TAGS && (TAG_FLAGS[t] & F_HEADING)) { target = t; break; }
+            if (t >= 0 && t < N_TAGS && (TAG_FLAGS[t] & F_SCOPE_BOUNDARY)) break;
+        }
+        if (target < 0) p->bail = 1;  /* parse error */
+        else pop_until(p, target, NULL, t0, t0, t1);
+        return;
+    }
+    if (tid == TID_BR) BAILV(p);  /* </br> acts as start tag: parse error */
+    if (tid == TID_APPLET || tid == TID_MARQUEE || tid == TID_OBJECT) {
+        if (in_scope(p, tid, -1, -1)) pop_until(p, tid, NULL, t0, t0, t1);
+        else p->bail = 1;  /* parse error */
+        return;
+    }
+    if (fl & F_FORMATTING) {
+        int r = adoption_agency(p, tid, t0, t1);
+        CHKV(p);
+        if (r) return;
+        /* fall through to any-other-end-tag */
+    }
+    if (tid == TID_CAPTION) {
+        if (pop_until(p, TID_CAPTION, NULL, t0, t0, t1)) reset_mode(p);
+        else p->bail = 1;  /* parse error */
+        return;
+    }
+    if (tid == TID_TABLE && in_table_scope(p, TID_CAPTION)) {
+        pop_until(p, TID_CAPTION, NULL, t0, -1, -1);
+        reset_mode(p);
+        end_html(p, tid, name, t0, t1);
+        return;
+    }
+    if (tid == TID_TEMPLATE) BAILV(p);
+    if (tid == TID_FORM) {
+        int32_t nid = p->form_ptr;
+        p->form_ptr = -1;
+        if (nid >= 0 && nid_on_stack(p, nid) >= 0 && node_in_scope(p, nid)) {
+            while (p->stack_n && p->stack[p->stack_n - 1] != nid) {
+                int c = cur_tid(p);
+                if (!(c >= 0 && c < N_TAGS && (TAG_FLAGS[c] & F_IMPLIED_END))) break;
+                int32_t x = p->stack[p->stack_n - 1];
+                pop_node(p);
+                close_implied(p, x, t0);
+            }
+            if (!p->stack_n || p->stack[p->stack_n - 1] != nid) BAILV(p);  /* parse error */
+            pop_node(p);
+            set_end_span(p, nid, t0, t1);
+            return;
+        }
+        BAILV(p);  /* parse error */
+    }
+    if (tid == TID_LI || tid == TID_DD || tid == TID_DT) {
+        int e1x = tid == TID_LI ? TID_UL : -1;
+        int e2x = tid == TID_LI ? TID_OL : -1;
+        if (in_scope(p, tid, e1x, e2x)) pop_until(p, tid, NULL, t0, t0, t1);
+        else p->bail = 1;  /* parse error */
+        return;
+    }
+    if (fl & F_BLOCK_END) {
+        if (in_scope(p, tid, -1, -1)) pop_until(p, tid, NULL, t0, t0, t1);
+        else p->bail = 1;  /* parse error */
+        return;
+    }
+    /* _end_any_other (html5.py:2781-2797) */
+    for (int k = p->stack_n - 1; k >= 0; k--) {
+        int32_t nid = p->stack[k];
+        if (tag_eq(p, nid, tid, name)) {
+            pop_until(p, tid, name, t0, t0, t1);
+            return;
+        }
+        int t = p->st.tid[nid];
+        unsigned int nf = tflags(t);
+        if (nf & F_SPECIAL) BAILV(p);  /* parse error */
+    }
+    BAILV(p);  /* parse error */
+}
+
+/* ---- start-tag attribute scanner (_scan_start_attrs, html5.py:285) */
+/* returns end pos, sets *self_closing / *found_gt; fills attrs dict.
+ * duplicate attributes are a parse error → bail. */
+static Py_ssize_t scan_start_attrs(P *p, Py_ssize_t pos, PyObject *attrs,
+                                   int *self_closing, int *found_gt) {
+    const unsigned char *s = p->s;
+    Py_ssize_t n = p->n;
+    char namebuf[256];
+    *self_closing = 0;
+    *found_gt = 0;
+    while (pos < n) {
+        unsigned char ch = s[pos];
+        if (WS_CHAR(ch)) { pos++; continue; }
+        if (ch == '>') { pos++; *found_gt = 1; break; }
+        if (ch == '/') {
+            if (pos + 1 < n && s[pos + 1] == '>') { *self_closing = 1; pos += 2; *found_gt = 1; break; }
+            pos++;
+            continue;
+        }
+        /* attribute name: [^ \t\n\f\r/>=]+ or the '=' bogus-name rule */
+        Py_ssize_t a0 = pos, nb = 0;
+        int overflow = 0;
+        if (ch == '=') {
+            namebuf[nb++] = '=';
+            pos++;
+            while (pos < n) {
+                unsigned char c2 = s[pos];
+                if (c2 == ' ' || c2 == '\t' || c2 == '\n' || c2 == '\f' || c2 == '\r' ||
+                    c2 == '/' || c2 == '>' || c2 == '=') break;
+                if (nb < 255) namebuf[nb++] = (char)(c2 >= 'A' && c2 <= 'Z' ? c2 + 32 : c2);
+                else overflow = 1;
+                pos++;
+            }
+        } else {
+            while (pos < n) {
+                unsigned char c2 = s[pos];
+                if (c2 == ' ' || c2 == '\t' || c2 == '\n' || c2 == '\f' || c2 == '\r' ||
+                    c2 == '/' || c2 == '>' || c2 == '=') break;
+                if (nb < 255) namebuf[nb++] = (char)(c2 >= 'A' && c2 <= 'Z' ? c2 + 32 : c2);
+                else overflow = 1;
+                pos++;
+            }
+            if (pos == a0) { pos++; continue; }  /* lone stray char */
+        }
+        if (overflow) BAILI(p);  /* >255-char attr name: punt to Python */
+        while (pos < n && WS_CHAR(s[pos])) pos++;
+        const unsigned char *v = NULL;
+        Py_ssize_t vlen = 0;
+        if (pos < n && s[pos] == '=') {
+            pos++;
+            while (pos < n && WS_CHAR(s[pos])) pos++;
+            if (pos < n && (s[pos] == '"' || s[pos] == '\'')) {
+                unsigned char q = s[pos];
+                const unsigned char *endq = memchr(s + pos + 1, q, (size_t)(n - pos - 1));
+                Py_ssize_t e = endq ? (Py_ssize_t)(endq - s) : n;
+                v = s + pos + 1;
+                vlen = e - (pos + 1);
+                pos = e + 1 < n ? e + 1 : n;
+            } else {
+                Py_ssize_t v0 = pos;
+                while (pos < n) {
+                    unsigned char c2 = s[pos];
+                    if (c2 == ' ' || c2 == '\t' || c2 == '\n' || c2 == '\f' || c2 == '\r' || c2 == '>') break;
+                    pos++;
+                }
+                v = s + v0;
+                vlen = pos - v0;
+            }
+        }
+        PyObject *key = PyUnicode_New(nb, 127);
+        if (!key) BAILI(p);
+        memcpy(PyUnicode_1BYTE_DATA(key), namebuf, (size_t)nb);
+        int has = PyDict_Contains(attrs, key);
+        if (has < 0) { Py_DECREF(key); PyErr_Clear(); BAILI(p); }
+        if (has) { Py_DECREF(key); BAILI(p); }  /* duplicate-attribute: parse error */
+        PyObject *val = v ? decode_attr(p, v, vlen) : (Py_INCREF(empty_str), empty_str);
+        if (!val) { Py_DECREF(key); BAILI(p); }
+        if (PyDict_SetItem(attrs, key, val) < 0) { Py_DECREF(key); Py_DECREF(val); PyErr_Clear(); BAILI(p); }
+        Py_DECREF(key);
+        Py_DECREF(val);
+    }
+    return pos;
+}
+
+/* ---- EOF (html5.py:2943-2959 handle_eof + deferred comments) ------ */
+static void handle_eof(P *p) {
+    if (p->pend_n) { flush_tt(p); CHKV(p); }
+    int64_t pos = p->n;
+    if (p->html_id < 0) { ensure_html(p, pos); CHKV(p); }
+    if (p->head_id < 0) { ensure_head(p, pos); CHKV(p); pop_head(p, pos, -1, -1); }
+    if (p->body_id < 0) { ensure_body(p, pos); CHKV(p); }
+    /* materialize deferred after-body comments (creation order ==
+     * preorder: their targets gained no later children) */
+    for (int k = 0; k < p->defer_n; k++) {
+        int32_t nid = new_node(p, T_COMMENT, -1, NULL, p->defer[k].text, NULL,
+                               p->defer[k].t0, p->defer[k].t1, 0, 0, 0, 0);
+        if (nid < 0) { /* text ref stolen on failure path too */
+            for (int q = k + 1; q < p->defer_n; q++) Py_CLEAR(p->defer[q].text);
+            p->defer_n = 0;
+            return;
+        }
+        p->defer[k].text = NULL;  /* ownership moved into the store */
+        attach(p, nid, p->defer[k].target);
+    }
+    p->defer_n = 0;
+    while (p->stack_n) pop_node(p);
+}
+
+/* ---- main tokenizer loop (parse_html, html5.py:3155-3395) --------- */
+static void dispatch_chars(P *p, int64_t a, int64_t b) { chars_html(p, a, b); }
+
+static void run_parse(P *p) {
+    const unsigned char *s = p->s;
+    Py_ssize_t n = p->n, i = 0;
+    while (i < n && !p->bail) {
+        const unsigned char *ltp = memchr(s + i, '<', (size_t)(n - i));
+        if (!ltp) { dispatch_chars(p, i, n); break; }
+        Py_ssize_t lt = ltp - s;
+        if (lt > i) { dispatch_chars(p, i, lt); if (p->bail) break; }
+        if (lt + 1 >= n) { dispatch_chars(p, lt, n); break; }
+        unsigned char c = s[lt + 1];
+        if (c == '/') {
+            unsigned char c2 = lt + 2 < n ? s[lt + 2] : 0;
+            if ((c2 | 32) >= 'a' && (c2 | 32) <= 'z') {
+                /* end tag: name then only [ws/]* '>' stays clean */
+                Py_ssize_t j = lt + 2;
+                char nbuf[256];
+                Py_ssize_t nb = 0;
+                while (j < n) {
+                    unsigned char cc = s[j];
+                    if (cc == '\t' || cc == '\n' || cc == '\f' || cc == '\r' ||
+                        cc == ' ' || cc == '/' || cc == '>') break;
+                    if (nb < 255) nbuf[nb++] = (char)(cc >= 'A' && cc <= 'Z' ? cc + 32 : cc);
+                    else { p->bail = 1; break; }
+                    j++;
+                }
+                if (p->bail) break;
+                while (j < n && (WS_CHAR(s[j]) || s[j] == '/')) j++;
+                if (j >= n || s[j] != '>') { p->bail = 1; break; }  /* attrs/EOF: parse error */
+                j++;
+                int tid = tag_lookup(nbuf, nb);
+                PyObject *name = NULL;
+                if (tid == TID_UNKNOWN) {
+                    name = PyUnicode_New(nb, 127);
+                    if (!name) { p->bail = 1; break; }
+                    memcpy(PyUnicode_1BYTE_DATA(name), nbuf, (size_t)nb);
+                }
+                end_html(p, tid, name, lt, j);
+                Py_XDECREF(name);
+                i = j;
+                continue;
+            }
+            if (lt + 2 >= n) { p->bail = 1; break; }     /* '</' at EOF: parse error */
+            if (c2 == '>') { p->bail = 1; break; }        /* '</>': parse error */
+            {   /* bogus comment (no parse error recorded) */
+                const unsigned char *gtp = memchr(s + lt + 2, '>', (size_t)(n - lt - 2));
+                if (!gtp) { handle_comment(p, lt + 2, n, lt, n); break; }
+                Py_ssize_t gt = gtp - s;
+                handle_comment(p, lt + 2, gt, lt, gt + 1);
+                i = gt + 1;
+                continue;
+            }
+        }
+        if (c == '!') {
+            if (n - lt >= 4 && memcmp(s + lt, "<!--", 4) == 0) {
+                if (lt + 4 < n && (s[lt + 4] == '>' ||
+                    (lt + 5 < n && s[lt + 4] == '-' && s[lt + 5] == '>'))) {
+                    p->bail = 1; break;  /* abrupt comment close: parse error */
+                }
+                Py_ssize_t close = -1, bang = -1;
+                for (Py_ssize_t k = lt + 4; k + 2 < n; k++) {
+                    const unsigned char *d = memchr(s + k, '-', (size_t)(n - k - 2));
+                    if (!d) break;
+                    k = d - s;
+                    if (s[k + 1] == '-') {
+                        if (s[k + 2] == '>') { close = k; break; }
+                        if (k + 3 < n && s[k + 2] == '!' && s[k + 3] == '>') { bang = k; break; }
+                    }
+                }
+                if (bang >= 0 && (close < 0 || bang < close)) { p->bail = 1; break; }  /* --!> */
+                if (close < 0) {
+                    Py_ssize_t e = n;  /* EOF in comment: trim pending dashes */
+                    if (e - (lt + 4) >= 2 && s[e - 1] == '-' && s[e - 2] == '-') e -= 2;
+                    else if (e - (lt + 4) >= 1 && s[e - 1] == '-') e -= 1;
+                    handle_comment(p, lt + 4, e, lt, n);
+                    break;
+                }
+                handle_comment(p, lt + 4, close, lt, close + 3);
+                i = close + 3;
+                continue;
+            }
+            if (n - lt >= 9 &&
+                (s[lt+2]|32)=='d' && (s[lt+3]|32)=='o' && (s[lt+4]|32)=='c' &&
+                (s[lt+5]|32)=='t' && (s[lt+6]|32)=='y' && (s[lt+7]|32)=='p' &&
+                (s[lt+8]|32)=='e') {
+                const unsigned char *gtp = memchr(s + lt + 2, '>', (size_t)(n - lt - 2));
+                if (!gtp) break;  /* EOF: doctype token dropped, no error */
+                Py_ssize_t gt = gtp - s;
+                Py_ssize_t a = lt + 9, b = gt;
+                while (a < b && WS_CHAR(s[a])) a++;
+                while (b > a && WS_CHAR(s[b - 1])) b--;
+                int ok = (b - a == 4) &&
+                         (s[a]|32)=='h' && (s[a+1]|32)=='t' && (s[a+2]|32)=='m' && (s[a+3]|32)=='l';
+                if (!ok) { p->bail = 1; break; }  /* non-plain doctype: Python decides quirks */
+                handle_doctype(p, 1, lt);
+                if (p->bail) break;
+                i = gt + 1;
+                continue;
+            }
+            {   /* bogus comment from '<!' (no parse error) */
+                const unsigned char *gtp = memchr(s + lt + 2, '>', (size_t)(n - lt - 2));
+                if (!gtp) { handle_comment(p, lt + 2, n, lt, n); break; }
+                Py_ssize_t gt = gtp - s;
+                handle_comment(p, lt + 2, gt, lt, gt + 1);
+                i = gt + 1;
+                continue;
+            }
+        }
+        if (c == '?') { p->bail = 1; break; }  /* processing-instruction: parse error */
+        if (!((c | 32) >= 'a' && (c | 32) <= 'z')) {
+            dispatch_chars(p, lt, lt + 1);  /* literal '<' */
+            i = lt + 1;
+            continue;
+        }
+        /* start tag */
+        Py_ssize_t j = lt + 1;
+        char nbuf[256];
+        Py_ssize_t nb = 0;
+        while (j < n) {
+            unsigned char cc = s[j];
+            if (cc == '\t' || cc == '\n' || cc == '\f' || cc == '\r' ||
+                cc == ' ' || cc == '/' || cc == '>') break;
+            if (nb < 255) nbuf[nb++] = (char)(cc >= 'A' && cc <= 'Z' ? cc + 32 : cc);
+            else { p->bail = 1; break; }
+            j++;
+        }
+        if (p->bail) break;
+        int tid = tag_lookup(nbuf, nb);
+        PyObject *name = NULL;
+        if (tid == TID_UNKNOWN) {
+            name = PyUnicode_New(nb, 127);
+            if (!name) { p->bail = 1; break; }
+            memcpy(PyUnicode_1BYTE_DATA(name), nbuf, (size_t)nb);
+        }
+        PyObject *attrs = PyDict_New();
+        if (!attrs) { Py_XDECREF(name); p->bail = 1; break; }
+        int self_closing = 0, found_gt = 0;
+        Py_ssize_t pos = scan_start_attrs(p, j, attrs, &self_closing, &found_gt);
+        if (p->bail || !found_gt) { Py_XDECREF(name); Py_DECREF(attrs); p->bail = 1; break; }
+        int cm;
+        if (p->mode == M_IN_BODY) {
+            p->skip_newline = 0;
+            cm = start_in_body(p, tid, name, attrs, self_closing, lt, pos);
+        } else {
+            cm = handle_start(p, tid, name, attrs, self_closing, lt, pos);
+        }
+        i = pos;
+        if (p->bail) { Py_XDECREF(name); Py_DECREF(attrs); break; }
+        if (cm == CM_RAWTEXT || cm == CM_RCDATA) {
+            /* rawtext/RCDATA content until the matching close tag
+             * (html5.py:3345-3390) */
+            Py_ssize_t mstart = -1, mend = -1;
+            for (Py_ssize_t k = i; k < n; k++) {
+                const unsigned char *ltp2 = memchr(s + k, '<', (size_t)(n - k));
+                if (!ltp2) break;
+                k = ltp2 - s;
+                if (k + 1 >= n || s[k + 1] != '/') continue;
+                if (k + 2 + nb > n) continue;
+                Py_ssize_t q = 0;
+                for (; q < nb; q++) {
+                    unsigned char cc = s[k + 2 + q];
+                    if ((char)(cc >= 'A' && cc <= 'Z' ? cc + 32 : cc) != nbuf[q]) break;
+                }
+                if (q < nb) continue;
+                unsigned char after = k + 2 + nb < n ? s[k + 2 + nb] : 0;
+                if (k + 2 + nb == n || WS_CHAR(after) || after == '/' || after == '>') {
+                    mstart = k;
+                    mend = k + 2 + nb;
+                    break;
+                }
+            }
+            if (mstart >= 0) {
+                Py_ssize_t a = i;
+                if (a < mstart && p->skip_newline) {
+                    p->skip_newline = 0;
+                    if (s[a] == '\n') a++;
+                }
+                if (a < mstart) {
+                    PyObject *decoded = cm == CM_RCDATA ? decode_text(p, a, mstart)
+                                                        : ascii_slice(p, a, mstart);
+                    /* span keeps the PRE-strip start (html5.py:3350) */
+                    insert_text(p, decoded, i, mstart, 1, 1);
+                    if (p->bail) { Py_XDECREF(name); Py_DECREF(attrs); break; }
+                }
+                /* end-tag tail: only [ws/]* '>' stays clean; EOF
+                 * consumes the rest with no error (html5.py:3361) */
+                Py_ssize_t e = mend;
+                while (e < n && (WS_CHAR(s[e]) || s[e] == '/')) e++;
+                Py_ssize_t endpos;
+                if (e >= n) endpos = n;
+                else if (s[e] == '>') endpos = e + 1;
+                else { Py_XDECREF(name); Py_DECREF(attrs); p->bail = 1; break; }
+                if (p->mode == M_IN_SELECT && p->stack_n &&
+                    tag_eq(p, p->stack[p->stack_n - 1], tid, name)) {
+                    pop_until(p, tid, name, mstart, mstart, endpos);
+                } else {
+                    end_html(p, tid, name, mstart, endpos);
+                }
+                i = endpos;
+            } else {
+                Py_ssize_t a = i;
+                if (a < n && p->skip_newline) {
+                    p->skip_newline = 0;
+                    if (s[a] == '\n') a++;
+                }
+                if (a < n) {
+                    PyObject *decoded = cm == CM_RCDATA ? decode_text(p, a, n)
+                                                        : ascii_slice(p, a, n);
+                    insert_text(p, decoded, a, n, 1, 1);
+                }
+                i = n;
+            }
+        }
+        Py_XDECREF(name);
+        Py_DECREF(attrs);
+        if (p->bail) break;
+    }
+    if (!p->bail) handle_eof(p);
+}
+
+/* ---- result assembly / lifecycle ---------------------------------- */
+static void p_free(P *p) {
+    Store *st = &p->st;
+    for (Py_ssize_t i = 0; i < st->count; i++) {
+        Py_XDECREF(st->tag[i]);
+        Py_XDECREF(st->text[i]);
+        Py_XDECREF(st->attrs[i]);
+    }
+    free(st->type); free(st->tid); free(st->parent); free(st->iwp);
+    free(st->nkids); free(st->last_child); free(st->span);
+    free(st->tag); free(st->text); free(st->attrs);
+    while (p->stack_n) pop_node(p);
+    for (int k = 0; k < p->defer_n; k++) Py_CLEAR(p->defer[k].text);
+    free(p->scratch);
+}
+
+static PyObject *build_result(P *p, PyObject *src_obj /* new ref or NULL */) {
+    Store *st = &p->st;
+    Py_ssize_t cnt = st->count;
+    int32_t *subend = malloc((size_t)cnt * sizeof(int32_t));
+    if (!subend) { Py_XDECREF(src_obj); return PyErr_NoMemory(); }
+    for (Py_ssize_t i = cnt - 1; i >= 0; i--)
+        subend[i] = st->last_child[i] >= 0 ? subend[st->last_child[i]] : (int32_t)(i + 1);
+    PyObject *res = NULL, *tags = NULL, *texts = NULL, *attrs = NULL;
+    PyObject *b_type = PyByteArray_FromStringAndSize((char *)st->type, cnt);
+    PyObject *b_tid = PyByteArray_FromStringAndSize((char *)st->tid, cnt * (Py_ssize_t)sizeof(int16_t));
+    PyObject *b_parent = PyByteArray_FromStringAndSize((char *)st->parent, cnt * (Py_ssize_t)sizeof(int32_t));
+    PyObject *b_iwp = PyByteArray_FromStringAndSize((char *)st->iwp, cnt * (Py_ssize_t)sizeof(int32_t));
+    PyObject *b_sub = PyByteArray_FromStringAndSize((char *)subend, cnt * (Py_ssize_t)sizeof(int32_t));
+    PyObject *b_span = PyByteArray_FromStringAndSize((char *)st->span, cnt * 6 * (Py_ssize_t)sizeof(int64_t));
+    free(subend);
+    tags = PyList_New(cnt);
+    texts = PyList_New(cnt);
+    attrs = PyList_New(cnt);
+    if (!b_type || !b_tid || !b_parent || !b_iwp || !b_sub || !b_span ||
+        !tags || !texts || !attrs) goto fail;
+    for (Py_ssize_t i = 0; i < cnt; i++) {
+        PyObject *tg;
+        if (st->tag[i]) { tg = st->tag[i]; Py_INCREF(tg); }
+        else if (st->tid[i] >= 0 && st->tid[i] < N_TAGS) { tg = tag_objs[st->tid[i]]; Py_INCREF(tg); }
+        else { tg = empty_str; Py_INCREF(tg); }
+        PyList_SET_ITEM(tags, i, tg);
+        PyObject *tx = st->text[i] ? st->text[i] : empty_str;
+        Py_INCREF(tx);
+        PyList_SET_ITEM(texts, i, tx);
+        PyObject *at = st->attrs[i] ? st->attrs[i] : Py_None;
+        Py_INCREF(at);
+        PyList_SET_ITEM(attrs, i, at);
+    }
+    res = Py_BuildValue("(nNNNNNNNNNiO)", cnt, b_type, b_tid, b_parent, b_iwp,
+                        b_sub, b_span, tags, texts, attrs, p->quirks,
+                        src_obj ? src_obj : Py_None);
+    Py_XDECREF(src_obj);
+    return res;
+fail:
+    Py_XDECREF(b_type); Py_XDECREF(b_tid); Py_XDECREF(b_parent);
+    Py_XDECREF(b_iwp); Py_XDECREF(b_sub); Py_XDECREF(b_span);
+    Py_XDECREF(tags); Py_XDECREF(texts); Py_XDECREF(attrs);
+    Py_XDECREF(src_obj);
+    return NULL;
+}
+
+static PyObject *cparse(PyObject *self, PyObject *arg) {
+    const unsigned char *data = NULL;
+    Py_ssize_t n = -1;
+    Py_buffer view = {0};
+    int have_view = 0;
+    PyObject *src_str = NULL;  /* borrowed */
+    if (PyUnicode_Check(arg)) {
+        if (!PyUnicode_IS_COMPACT_ASCII(arg)) Py_RETURN_NONE;
+        data = PyUnicode_1BYTE_DATA(arg);
+        n = PyUnicode_GET_LENGTH(arg);
+        src_str = arg;
+    } else if (PyObject_CheckBuffer(arg)) {
+        if (PyObject_GetBuffer(arg, &view, PyBUF_SIMPLE) < 0) { PyErr_Clear(); Py_RETURN_NONE; }
+        have_view = 1;
+        data = view.buf;
+        n = view.len;
+    } else {
+        PyErr_SetString(PyExc_TypeError, "cparse expects str or bytes-like");
+        return NULL;
+    }
+    /* prescan: ASCII only, no CR (input preprocessing) and no NUL
+     * (every NUL path is a parse error) — else the Python engine's
+     * byte-map/mojibake machinery must run */
+    for (Py_ssize_t i = 0; i < n; i++) {
+        unsigned char ch = data[i];
+        if (ch >= 0x80 || ch == '\r' || ch == 0) {
+            if (have_view) PyBuffer_Release(&view);
+            Py_RETURN_NONE;
+        }
+    }
+    P p;
+    memset(&p, 0, sizeof(P));
+    p.s = data;
+    p.n = n;
+    p.quirks = 1;
+    p.html_id = p.head_id = p.body_id = -1;
+    p.form_ptr = -1;
+    /* document node (html5.py:691) */
+    if (new_node(&p, T_DOCUMENT, -1, NULL, NULL, NULL, 0, n, 0, 0, 0, 0) < 0) {
+        p_free(&p);
+        if (have_view) PyBuffer_Release(&view);
+        if (PyErr_Occurred()) return NULL;
+        Py_RETURN_NONE;
+    }
+    run_parse(&p);
+    if (p.bail || PyErr_Occurred()) {
+        PyErr_Clear();
+        p_free(&p);
+        if (have_view) PyBuffer_Release(&view);
+        Py_RETURN_NONE;
+    }
+    PyObject *src_obj;
+    if (src_str) { Py_INCREF(src_str); src_obj = src_str; }
+    else {
+        src_obj = PyUnicode_New(n, 127);
+        if (src_obj) memcpy(PyUnicode_1BYTE_DATA(src_obj), data, (size_t)n);
+    }
+    PyObject *res = src_obj ? build_result(&p, src_obj) : NULL;
+    p_free(&p);
+    if (have_view) PyBuffer_Release(&view);
+    return res;
+}
+
+static PyMethodDef methods[] = {
+    {"cparse", cparse, METH_O,
+     "Parse ASCII HTML bytes/str; returns the node-table columns or "
+     "None when the document needs the pure-Python engine."},
+    {NULL, NULL, 0, NULL},
+};
+
+static struct PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "_chtml", NULL, -1, methods, NULL, NULL, NULL, NULL,
+};
+
+PyMODINIT_FUNC PyInit__chtml(void) {
+    PyObject *m = PyModule_Create(&moduledef);
+    if (!m) return NULL;
+    for (int i = 0; i < N_TAGS; i++) {
+        tag_objs[i] = PyUnicode_InternFromString(TAG_STRS[i]);
+        if (!tag_objs[i]) return NULL;
+    }
+    empty_str = PyUnicode_InternFromString("");
+    empty_attrs = PyDict_New();
+    if (!empty_str || !empty_attrs) return NULL;
+    return m;
+}
