@@ -47,17 +47,17 @@ def _build() -> bool:
 
         _gen()
     inc = sysconfig.get_paths()["include"]
-    cmd = [
-        "gcc", "-O2", "-fPIC", "-shared",
-        "-I", inc, src, "-o", _SO + ".tmp",
-    ]
+    # pid-suffixed temp: many Spark python workers may import (and so
+    # build) concurrently on a fresh checkout; os.replace is atomic
+    tmp = f"{_SO}.{os.getpid()}.tmp"
+    cmd = ["gcc", "-O2", "-fPIC", "-shared", "-I", inc, src, "-o", tmp]
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=120)
     except Exception:
         return False
     if r.returncode != 0:
         return False
-    os.replace(_SO + ".tmp", _SO)
+    os.replace(tmp, _SO)
     return True
 
 

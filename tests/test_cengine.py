@@ -1,0 +1,126 @@
+"""C fast-path engine gate (parser/cengine.py + _cext/chtml.c).
+
+Contract: whenever the C engine accepts a document it must be
+column-for-column identical to the pure-Python reference engine —
+tree shape, spans, attrs, text, quirks, tag ids.  Anything outside
+its subset must return None (and parse_html transparently falls back),
+so the 42k-case conformance suite doubles as an end-to-end check:
+parse_html dispatches to C wherever it engages.
+
+These tests additionally pin:
+* full-corpus A/B equality on every document case the C engine accepts
+* 100% engagement on the synthetic bench corpora (the flagship
+  extraction path must stay on the fast engine)
+* the bail conditions (non-ASCII, CR, NUL, fragments, parse errors)
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from gumbo_pp_spark.parser import cengine
+from gumbo_pp_spark.parser.html5 import parse_html
+from gumbo_pp_spark.parser.serialize import serialize_tree
+
+from .test_conformance import CASES
+
+pytestmark = pytest.mark.skipif(
+    not cengine.available(), reason="C engine not built in this environment"
+)
+
+INT_COLS = (
+    "type", "tag_id", "parent", "index_within_parent", "subtree_end",
+    "src_start", "src_end", "tag_start", "tag_end",
+    "endtag_start", "endtag_end", "ns",
+)
+
+
+def assert_identical(c, py, doc):
+    assert serialize_tree(c) == serialize_tree(py), doc
+    for col in INT_COLS:
+        a, b = np.asarray(getattr(c, col)), np.asarray(getattr(py, col))
+        assert a.shape == b.shape and np.array_equal(a, b), (col, doc)
+    assert all((ca or {}) == (pa or {}) for ca, pa in zip(c.attrs, py.attrs)), doc
+    assert all(ct == pt for ct, pt in zip(c.text, py.text)), doc
+    assert all(ct == pt for ct, pt in zip(c.tag_name, py.tag_name)), doc
+    assert c.quirks == py.quirks, doc
+    assert c.parse_errors == 0 and py.parse_errors == 0, doc
+
+
+def test_conformance_corpus_ab():
+    """Every document-mode conformance case the C engine accepts must
+    be identical to the Python engine's output — and only error-free
+    parses may be accepted at all."""
+    os.environ.pop("GUMBO_PP_CENGINE", None)
+    engaged = 0
+    for ctx, data, _ in CASES:
+        if ctx is not None:
+            continue
+        c = cengine.cparse(data)
+        if c is None:
+            continue
+        engaged += 1
+        # compare against the PURE-PYTHON result: force-disable C
+        import gumbo_pp_spark.parser.html5 as H
+
+        saved = H._cparse_fast
+        H._cparse_fast = None
+        try:
+            py = parse_html(data)
+        finally:
+            H._cparse_fast = saved
+        assert_identical(c, py, data[:120])
+    # the corpus is deliberately error-heavy fuzz; a floor documents
+    # that the clean subset is non-trivially exercised
+    assert engaged >= 800, engaged
+
+
+def test_bench_corpora_fully_engaged():
+    """The flagship extraction corpora must stay 100% on the C path."""
+    import duckdb
+
+    from gumbo_pp_spark.sources.pages import PAGES_SQL, TABLE_PAGES_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    pages = [r[2] for r in con.execute(PAGES_SQL).fetchall()]
+    tpages = [r[1] for r in con.execute(TABLE_PAGES_SQL).fetchall()]
+    for corpus in (pages, tpages):
+        for d in corpus:
+            c = cengine.cparse(d.encode())
+            assert c is not None, d[:100]
+
+
+def test_bail_conditions():
+    assert cengine.cparse("café") is None          # non-ASCII
+    assert cengine.cparse(b"a\rb") is None               # CR normalization
+    assert cengine.cparse(b"a\x00b") is None             # NUL
+    assert cengine.cparse(b"<svg><rect/></svg>") is None # foreign content
+    assert cengine.cparse(b"<template>x</template>") is None
+    assert cengine.cparse(b"<b><i></b>") is None         # AAA parse error
+    assert cengine.cparse(b"<table>x</table>") is None   # fostered text
+    assert cengine.cparse(b"<p></div>") is None          # stray end tag
+
+
+def test_parse_html_dispatch_and_fallback():
+    """parse_html returns the same tree whether C engages or not, and
+    bytes input through the C path keeps the identity byte map."""
+    doc = b"<html><body><p id=x>hi &amp; bye</p></body></html>"
+    nt = parse_html(doc)
+    assert nt.parse_errors == 0
+    p = int(np.flatnonzero(nt.tag_name == "p")[0])
+    assert nt.attrs[p] == {"id": "x"}
+    assert nt.content_text(p) == "hi & bye"
+    assert nt._byte_map_built
+    # a document outside the C subset still parses (Python fallback)
+    nt2 = parse_html(b"<b><i>x</b></i>")
+    assert nt2.parse_errors > 0
+
+
+def test_tab_stop_option_passthrough():
+    nt = parse_html("<p>x</p>", {"tab_stop": 4})
+    assert nt.tab_stop == 4

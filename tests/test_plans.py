@@ -176,6 +176,10 @@ class TestPerSplitWall:
         run_wall = next(iter(recs.values()))["run_wall_ms"]
         assert all(r["run_wall_ms"] == run_wall for r in recs.values())
         assert sum(walls) <= run_wall
-        # busy-proportional: the heaviest split gets the most wall
-        assert walls.index(max(walls)) == busys.index(max(busys))
+        # busy-proportional: the heaviest split gets the most wall.
+        # With the C parse engine a 24-doc split's busy_ms can collapse
+        # to a tie at timer resolution — the argmax comparison is only
+        # meaningful when the busy maximum is unique.
+        if busys.count(max(busys)) == 1:
+            assert walls.index(max(walls)) == busys.index(max(busys))
         assert len(set(walls)) > 1  # distinct attribution
