@@ -60,21 +60,19 @@ def make_session(master: str, shuffle_partitions: int):
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
-        # parse cost ≫ scan cost: small input partitions keep all
-        # threads busy and bound per-task Arrow memory.  8 MB (2 task
-        # waves at 32 threads on the bench corpus) beat 4 MB (4 waves,
-        # more per-task overhead) and 16 MB (1 wave, straggler-bound)
-        # in interleaved A/B duels.
-        .config("spark.sql.files.maxPartitionBytes", str(8 << 20))
-        # CAPTURE-GAP FIX (round 4): the default 10k-row Arrow batch
-        # is LARGER than a whole task's partition, so the Python
-        # worker received one giant batch per task — zero overlap
-        # between JVM scan/serialization and Python parse.  1024-row
-        # batches pipeline the two sides (~3-8 batches in flight per
-        # task); measured 1.22x on the flagship extract at local[32]
-        # in two interleaved A/B duels (and the noop-stage Arrow floor
-        # dropped 1.32s -> 0.51s).
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # ROUND-5 RETUNE for the C parse engine: with parse ~10x
+        # faster, the round-4 1024-row/8MB settings (tuned when parse
+        # dominated) left the job per-batch/per-task overhead-bound.
+        # Interleaved A/B duels (3 sessions, 2 passes each, b1024_p8
+        # vs b4096_p16 vs b10000_p32 at local[8]+local[32]): 4096/16MB
+        # had the best median AND the tightest spread at both levels
+        # (local[8] ~15-20% over 1024/8; local[32] medians 2.7s vs
+        # ~4.9s with 1024/8's wild 1.3-28.8s spread); 10000/32MB was
+        # fastest in lucky windows but straggler-bound in others.
+        # Batches still pipeline JVM scan against Python parse
+        # (several batches in flight per 16MB task).
+        .config("spark.sql.files.maxPartitionBytes", str(16 << 20))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
         .getOrCreate()

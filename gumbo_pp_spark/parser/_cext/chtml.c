@@ -898,6 +898,80 @@ static void handle_comment(P *p, int64_t a, int64_t b, int64_t t0, int64_t t1) {
     attach(p, nid, cur(p));
 }
 
+/* _doctype_quirks (html5.py:519-591): WHATWG 13.2.5 doctype states +
+ * the 13.2.6.4.1 public-id table (code-generated).  Operates on the
+ * body span between '<!doctype' and '>' — ASCII guaranteed. */
+static int ci_span_eq(const unsigned char *s, Py_ssize_t a, Py_ssize_t b, const char *t) {
+    Py_ssize_t k = 0;
+    for (; a + k < b; k++) {
+        unsigned char c = s[a + k];
+        if (c >= 'A' && c <= 'Z') c += 32;
+        if (t[k] == '\0' || (unsigned char)t[k] != c) return 0;
+    }
+    return t[k] == '\0';
+}
+
+static int ci_span_prefix(const unsigned char *s, Py_ssize_t a, Py_ssize_t b, const char *t) {
+    Py_ssize_t k = 0;
+    for (; t[k] != '\0'; k++) {
+        if (a + k >= b) return 0;
+        unsigned char c = s[a + k];
+        if (c >= 'A' && c <= 'Z') c += 32;
+        if ((unsigned char)t[k] != c) return 0;
+    }
+    return 1;
+}
+
+static int doctype_quirks(const unsigned char *s, Py_ssize_t a, Py_ssize_t b) {
+    Py_ssize_t i = a;
+    while (i < b && WS_CHAR(s[i])) i++;
+    if (i >= b) return 1;  /* missing name: force-quirks */
+    Py_ssize_t j = i;
+    while (j < b && !WS_CHAR(s[j])) j++;
+    if (!ci_span_eq(s, i, j, "html")) return 1;
+    i = j;
+    while (i < b && WS_CHAR(s[i])) i++;
+    if (i >= b) return 0;  /* bare <!DOCTYPE html> */
+    int is_public = ci_span_prefix(s, i, b, "public");
+    int is_system = !is_public && ci_span_prefix(s, i, b, "system");
+    if (!is_public && !is_system) return 1;  /* unknown keyword */
+    Py_ssize_t pub0 = -1, pub1 = -1, sys0 = -1, sys1 = -1;
+    Py_ssize_t k = i + 6;
+    /* read_quoted #1 */
+    while (k < b && WS_CHAR(s[k])) k++;
+    if (!(k < b && (s[k] == '"' || s[k] == '\''))) return 1;  /* missing quote */
+    {
+        unsigned char q = s[k];
+        const unsigned char *e = memchr(s + k + 1, q, (size_t)(b - k - 1));
+        if (!e) return 1;  /* abrupt identifier */
+        if (is_public) { pub0 = k + 1; pub1 = e - s; }
+        else { sys0 = k + 1; sys1 = e - s; }
+        k = (e - s) + 1;
+    }
+    if (is_public) {
+        while (k < b && WS_CHAR(s[k])) k++;
+        if (k < b) {
+            if (s[k] == '"' || s[k] == '\'') {
+                unsigned char q = s[k];
+                const unsigned char *e = memchr(s + k + 1, q, (size_t)(b - k - 1));
+                if (!e) return 1;  /* abrupt system identifier */
+                sys0 = k + 1; sys1 = e - s;
+            } else return 1;  /* junk between the identifiers */
+        }
+    }
+    if (pub0 >= 0) {
+        for (int x = 0; x < N_QUIRKS_PUB_EXACT; x++)
+            if (ci_span_eq(s, pub0, pub1, QUIRKS_PUB_EXACT[x])) return 1;
+        for (int x = 0; x < N_QUIRKS_PUB_PREFIX; x++)
+            if (ci_span_prefix(s, pub0, pub1, QUIRKS_PUB_PREFIX[x])) return 1;
+        if (sys0 < 0)
+            for (int x = 0; x < N_QUIRKS_NOSYS_PREFIX; x++)
+                if (ci_span_prefix(s, pub0, pub1, QUIRKS_NOSYS_PREFIX[x])) return 1;
+    }
+    if (sys0 >= 0 && ci_span_eq(s, sys0, sys1, QUIRKS_SYSTEM)) return 1;
+    return 0;
+}
+
 static void handle_doctype(P *p, int ok, int64_t t0) {
     if (p->pend_n) { flush_tt(p); CHKV(p); }
     if (p->mode == M_INITIAL) {
@@ -1800,13 +1874,7 @@ static void run_parse(P *p) {
                 const unsigned char *gtp = memchr(s + lt + 2, '>', (size_t)(n - lt - 2));
                 if (!gtp) break;  /* EOF: doctype token dropped, no error */
                 Py_ssize_t gt = gtp - s;
-                Py_ssize_t a = lt + 9, b = gt;
-                while (a < b && WS_CHAR(s[a])) a++;
-                while (b > a && WS_CHAR(s[b - 1])) b--;
-                int ok = (b - a == 4) &&
-                         (s[a]|32)=='h' && (s[a+1]|32)=='t' && (s[a+2]|32)=='m' && (s[a+3]|32)=='l';
-                if (!ok) { p->bail = 1; break; }  /* non-plain doctype: Python decides quirks */
-                handle_doctype(p, 1, lt);
+                handle_doctype(p, !doctype_quirks(s, lt + 9, gt), lt);
                 if (p->bail) break;
                 i = gt + 1;
                 continue;

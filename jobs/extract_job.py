@@ -38,8 +38,11 @@ def main() -> None:
         .config("spark.sql.files.maxPartitionBytes", str(64 << 20))
         # Arrow batches much smaller than a task's partition keep the
         # JVM scan/serialize side and the Python parse side pipelined
-        # (one-batch-per-task means no overlap; see bench.py)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # (one-batch-per-task means no overlap; see bench.py).  4096
+        # rows per batch retuned for the C parse engine (round 5) —
+        # with parse ~10x faster, 1024-row batches were per-batch
+        # overhead-bound.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .getOrCreate()
     )
 
