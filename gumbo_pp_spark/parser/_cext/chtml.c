@@ -81,6 +81,11 @@ typedef struct {
     int32_t html_id, head_id, body_id;
     int open_p;
     int32_t form_ptr;
+    /* foster-END delegation flag: pops proceed, any INSERTION bails
+     * (foster-parented inserts break the append-only preorder) */
+    int foster;
+    /* 'in select in table' (html5.py select_in_table, round-5 form) */
+    int select_in_table;
     /* "in table text" pending runs: (start, end) source spans */
     int64_t pend[PEND_MAX][2];
     int pend_n;
@@ -90,7 +95,58 @@ typedef struct {
     /* scratch UCS4 buffer for decoding */
     Py_UCS4 *scratch;
     Py_ssize_t scratch_cap;
+    /* recorded parse errors: (code id, position) pairs */
+    int16_t *err_code;
+    int64_t *err_pos;
+    Py_ssize_t err_n, err_cap;
 } P;
+
+static void err(P *p, int code, int64_t pos) {
+    if (p->err_n >= p->err_cap) {
+        Py_ssize_t nc = p->err_cap ? p->err_cap * 2 : 16;
+        int16_t *c = realloc(p->err_code, (size_t)nc * sizeof(int16_t));
+        if (!c) { p->bail = 1; return; }
+        p->err_code = c;
+        int64_t *q = realloc(p->err_pos, (size_t)nc * sizeof(int64_t));
+        if (!q) { p->bail = 1; return; }
+        p->err_pos = q;
+        p->err_cap = nc;
+    }
+    p->err_code[p->err_n] = (int16_t)code;
+    p->err_pos[p->err_n] = pos;
+    p->err_n++;
+}
+
+/* parse-error codes the C engine can RECORD (exactly the strings the
+ * Python engine uses at the converted sites); paths still outside the
+ * C subset keep bailing. */
+enum {
+    E_UNEXPECTED_END_TAG, E_UNEXPECTED_START_TAG,
+    E_UNEXPECTED_START_TAG_IN_TABLE, E_UNEXPECTED_END_TAG_IN_TABLE,
+    E_UNEXPECTED_CHARACTER, E_DUPLICATE_ATTRIBUTE,
+    E_PROCESSING_INSTRUCTION, E_NESTED_FORM_IGNORED,
+    E_EMPTY_END_TAG, E_EOF_IN_TAG, E_EOF_IN_END_TAG,
+    E_EOF_BEFORE_TAG_NAME, E_END_TAG_WITH_ATTRIBUTES,
+    E_ABRUPT_EMPTY_COMMENT, E_INCORRECTLY_CLOSED_COMMENT,
+    E_UNEXPECTED_DOCTYPE, E_UNEXPECTED_START_TAG_IN_SELECT,
+    E_ADOPTION_AGENCY, E_UNEXPECTED_CHARACTER_TT,
+    E_UNEXPECTED_START_TAG_AFTER_HEAD,
+    E_UNEXPECTED_END_TAG_IN_SELECT_IN_TABLE,
+    N_ERR_CODES
+};
+static const char *ERR_CODE_STRS[N_ERR_CODES] = {
+    "unexpected-end-tag", "unexpected-start-tag",
+    "unexpected-start-tag-in-table", "unexpected-end-tag-in-table",
+    "unexpected-character", "duplicate-attribute",
+    "processing-instruction", "nested-form-ignored",
+    "empty-end-tag", "eof-in-tag", "eof-in-end-tag",
+    "eof-before-tag-name", "end-tag-with-attributes",
+    "abrupt-closing-of-empty-comment", "incorrectly-closed-comment",
+    "unexpected-doctype", "unexpected-start-tag-in-select",
+    "adoption-agency", "unexpected-character",
+    "unexpected-start-tag-after-head",
+    "unexpected-end-tag-in-select-in-table",
+};
 
 #define BAILV(p)   do { (p)->bail = 1; return; } while (0)
 #define BAILI(p)   do { (p)->bail = 1; return -1; } while (0)
@@ -555,6 +611,46 @@ static int pop_until(P *p, int tid, PyObject *name, int64_t pos, int64_t e0, int
     return 0;
 }
 
+/* remove a node from the MIDDLE of the open-element stack (the
+ * in-body </form> rule removes the form pointer's element in place) */
+static void stack_remove_at(P *p, int k) {
+    Py_CLEAR(p->stack_name[k]);
+    memmove(&p->stack[k], &p->stack[k + 1], (size_t)(p->stack_n - k - 1) * sizeof(int32_t));
+    memmove(&p->stack_name[k], &p->stack_name[k + 1],
+            (size_t)(p->stack_n - k - 1) * sizeof(PyObject *));
+    p->stack_n--;
+    p->stack_name[p->stack_n] = NULL;
+}
+
+static int stack_has_tid(P *p, int tid) {
+    for (int k = p->stack_n - 1; k >= 0; k--)
+        if (p->st.tid[p->stack[k]] == tid) return 1;
+    return 0;
+}
+
+/* _merge_root_attrs (html5.py:1720-1737): duplicate <html>/<body>
+ * start tags merge MISSING attributes copy-on-write */
+static void merge_root_attrs(P *p, int32_t target, PyObject *attrs /* borrowed */) {
+    if (target < 0 || !attrs || PyDict_GET_SIZE(attrs) == 0) return;
+    PyObject *existing = p->st.attrs[target];
+    if (!existing) return;
+    PyObject *merged = NULL;
+    PyObject *key, *value;
+    Py_ssize_t it = 0;
+    while (PyDict_Next(attrs, &it, &key, &value)) {
+        int has = PyDict_Contains(existing, key);
+        if (has < 0) { PyErr_Clear(); Py_XDECREF(merged); BAILV(p); }
+        if (!has) {
+            if (!merged) {
+                merged = PyDict_Copy(existing);
+                if (!merged) { PyErr_Clear(); BAILV(p); }
+            }
+            if (PyDict_SetItem(merged, key, value) < 0) { PyErr_Clear(); Py_DECREF(merged); BAILV(p); }
+        }
+    }
+    if (merged) Py_XSETREF(p->st.attrs[target], merged);
+}
+
 /* ---- element/text insertion --------------------------------------- */
 static void reconstruct_formatting(P *p);
 
@@ -563,6 +659,7 @@ static void reconstruct_formatting(P *p);
  * tagobj: borrowed unknown-tag name or NULL. */
 static int32_t insert_element(P *p, int tid, PyObject *tagobj, PyObject *attrs,
                               int64_t t0, int64_t t1, int push) {
+    if (p->foster) BAILI(p);  /* foster-parented insert: not in C subset */
     Py_XINCREF(attrs);
     PyObject *towned = NULL;
     if (tid == TID_UNKNOWN && tagobj) { towned = tagobj; Py_INCREF(towned); }
@@ -583,6 +680,7 @@ static int32_t insert_element(P *p, int tid, PyObject *tagobj, PyObject *attrs,
 static void insert_text(P *p, PyObject *decoded, int64_t s0, int64_t s1,
                         int rawtextual, int reconstruct) {
     if (!decoded) BAILV(p);
+    if (p->foster) { Py_DECREF(decoded); BAILV(p); }
     if (PyUnicode_GET_LENGTH(decoded) == 0) { Py_DECREF(decoded); return; }
     if (reconstruct && !rawtextual && p->afe_n && p->mode != M_IN_SELECT)
         reconstruct_formatting(p);
@@ -639,6 +737,7 @@ static void reconstruct_formatting(P *p) {
         if (prev->tid == -1 || nid_on_stack(p, prev->nid) >= 0) break;
         i--;
     }
+    if (p->foster) { p->bail = 1; return; }  /* fostered clones: bail */
     for (int k = i; k < p->afe_n; k++) {
         AfeEnt *e = &p->afe[k];
         PyObject *attrs = e->attrs;  /* SHARED with the original (html5.py:1122) */
@@ -674,8 +773,18 @@ static int adoption_agency(P *p, int tid, int64_t t0, int64_t t1) {
     }
     if (fe_idx < 0) return 0;
     int32_t fe = p->afe[fe_idx].nid;
-    if (nid_on_stack(p, fe) < 0) BAILI(p);       /* stale entry: parse error */
-    if (!node_in_scope(p, fe)) BAILI(p);          /* parse error */
+    if (nid_on_stack(p, fe) < 0) {
+        /* stale entry: err, drop it, token ignored (html5.py:1247) */
+        err(p, E_ADOPTION_AGENCY, t0); CHKI(p);
+        memmove(&p->afe[fe_idx], &p->afe[fe_idx + 1],
+                (size_t)(p->afe_n - fe_idx - 1) * sizeof(AfeEnt));
+        p->afe_n--;
+        return 1;
+    }
+    if (!node_in_scope(p, fe)) {
+        err(p, E_ADOPTION_AGENCY, t0); CHKI(p);
+        return 1;  /* token ignored */
+    }
     if (!p->stack_n || p->stack[p->stack_n - 1] != fe) BAILI(p);  /* parse error */
     /* fe is the current node → no furthest block above it: pop it */
     pop_node(p);
@@ -826,7 +935,13 @@ static void chars_html(P *p, int64_t a, int64_t b) {
         while (k < b && WS_CHAR(p->s[k])) k++;
         if (k > a) { insert_text(p, ascii_slice(p, a, k), a, k, 0, 1); CHKV(p); }
         if (k < b) {
-            if (mode == M_IN_HEAD && cur_tid(p) == TID_NOSCRIPT) BAILV(p);  /* parse error path */
+            if (mode == M_IN_HEAD && cur_tid(p) == TID_NOSCRIPT) {
+                /* in-head-noscript anything-else: pop the noscript */
+                err(p, E_UNEXPECTED_CHARACTER, k); CHKV(p);
+                int32_t nsid = p->stack[p->stack_n - 1];
+                pop_node(p);
+                close_implied(p, nsid, k);
+            }
             ensure_body(p, k); CHKV(p);
             insert_text(p, decode_text(p, k, b), k, b, 0, 1);
         }
@@ -851,14 +966,22 @@ static void chars_html(P *p, int64_t a, int64_t b) {
                 close_implied(p, nid, k);
                 p->mode = M_IN_TABLE;
                 handle_chars_span(p, k, b);
-            } else BAILV(p);  /* colgroup fragment: parse error */
+            } else err(p, E_UNEXPECTED_CHARACTER, k);  /* ignored */
         }
         return;
     }
     if (mode == M_IN_FRAMESET || mode == M_AFTER_FRAMESET) BAILV(p);  /* unreachable */
     if (mode == M_AFTER_BODY || mode == M_AFTER_AFTER_BODY) {
+        int allws = 1;
         for (int64_t q = a; q < b; q++)
-            if (!WS_CHAR(p->s[q])) BAILV(p);  /* parse error: body reopens */
+            if (!WS_CHAR(p->s[q])) { allws = 0; break; }
+        if (!allws) {
+            /* err + reopen body — append-safe only while no trailing
+             * comment has been deferred */
+            if (p->defer_n) BAILV(p);
+            err(p, E_UNEXPECTED_CHARACTER, a); CHKV(p);
+            p->mode = M_IN_BODY;
+        }
         insert_text(p, decode_text(p, a, b), a, b, 0, 1);
         return;
     }
@@ -977,7 +1100,7 @@ static void handle_doctype(P *p, int ok, int64_t t0) {
     if (p->mode == M_INITIAL) {
         p->quirks = !ok;
         p->mode = M_BEFORE_HTML;
-    } else BAILV(p);  /* unexpected-doctype */
+    } else err(p, E_UNEXPECTED_DOCTYPE, t0);  /* ignored */
 }
 
 /* ---- start-tag rules ---------------------------------------------- */
@@ -1029,18 +1152,41 @@ static int start_in_body(P *p, int tid, PyObject *name, PyObject *attrs,
         if (fl & F_RCDATA) return CM_RCDATA;
         return CM_NONE;
     }
-    /* bespoke chain — parse-error branches bail */
+    /* bespoke chain — remaining non-convertible branches bail */
     switch (tid) {
-    case TID_IMAGE: case TID_ISINDEX:
-    case TID_HTML: case TID_HEAD: case TID_BODY: case TID_FRAME:
+    case TID_ISINDEX:
     case TID_FRAMESET: case TID_SVG: case TID_MATH: case TID_TEMPLATE:
     case TID_PLAINTEXT:
         BAILI(p);
+    case TID_IMAGE:
+        /* html5.py:1991-1993: image → img (parse error), then the
+         * generic img path: reconstruct + void insert */
+        err(p, E_UNEXPECTED_START_TAG, t0); CHKI(p);
+        if (p->afe_n) { reconstruct_formatting(p); CHKI(p); }
+        insert_element(p, TID_IMG, NULL, attrs, t0, t1, 0);
+        return CM_NONE;
+    case TID_HTML:
+        /* duplicate <html>: err + merge missing attrs (html5.py:2026) */
+        err(p, E_UNEXPECTED_START_TAG, t0); CHKI(p);
+        merge_root_attrs(p, p->html_id, attrs); CHKI(p);
+        return CM_NONE;
+    case TID_BODY:
+        err(p, E_UNEXPECTED_START_TAG, t0); CHKI(p);
+        if (p->body_id >= 0 && p->body_id != p->html_id) {
+            merge_root_attrs(p, p->body_id, attrs); CHKI(p);
+        }
+        return CM_NONE;
+    case TID_HEAD: case TID_FRAME:
+        err(p, E_UNEXPECTED_START_TAG, t0);  /* ignored */
+        return CM_NONE;
     default: break;
     }
     if (fl & F_TABLEISH) {
         if (p->mode == M_IN_CELL) {
-            if (!close_cell(p, t0)) BAILI(p);  /* parse error */
+            if (!close_cell(p, t0)) {
+                err(p, E_UNEXPECTED_START_TAG_IN_TABLE, t0);  /* ignored */
+                return CM_NONE;
+            }
             reset_mode(p); CHKI(p);
             return handle_start(p, tid, name, attrs, self_closing, t0, t1);
         }
@@ -1049,7 +1195,11 @@ static int start_in_body(P *p, int tid, PyObject *name, PyObject *attrs,
             reset_mode(p); CHKI(p);
             return handle_start(p, tid, name, attrs, self_closing, t0, t1);
         }
-        BAILI(p);  /* table part outside a table: parse error / odd state */
+        if (!in_table_scope(p, TID_TABLE)) {
+            err(p, E_UNEXPECTED_START_TAG, t0);  /* table parts outside a table */
+            return CM_NONE;
+        }
+        BAILI(p);  /* in-table-scope fall-through: odd fostered state */
     }
     if ((fl & F_PCLOSE) && p->open_p > 0 && in_scope(p, TID_P, TID_BUTTON, -1)) {
         if (!(tid == TID_TABLE && p->quirks) && !(tid == TID_FORM && p->form_ptr >= 0))
@@ -1057,21 +1207,53 @@ static int start_in_body(P *p, int tid, PyObject *name, PyObject *attrs,
     }
     if (fl & F_HEADING) {
         int c = cur_tid(p);
-        if (c >= 0 && c < N_TAGS && (TAG_FLAGS[c] & F_HEADING)) BAILI(p);  /* parse error */
+        if (c >= 0 && c < N_TAGS && (TAG_FLAGS[c] & F_HEADING)) {
+            err(p, E_UNEXPECTED_START_TAG, t0); CHKI(p);
+            pop_until(p, c, NULL, t0, -1, -1);
+        }
     } else if (tid == TID_LI) {
         close_list_item(p, TID_LI, -1, t0);
     } else if (tid == TID_DD || tid == TID_DT) {
         close_list_item(p, TID_DD, TID_DT, t0);
     } else if (tid == TID_A) {
+        int a_idx = -1;
         for (int k = p->afe_n - 1; k >= 0; k--) {
             if (p->afe[k].tid == -1) break;
-            if (p->afe[k].tid == TID_A) BAILI(p);  /* parse error + AAA */
+            if (p->afe[k].tid == TID_A) { a_idx = k; break; }
+        }
+        if (a_idx >= 0) {
+            /* err; AAA for "a" (trivial cases only — complex bails),
+             * then force-drop the old entry/element */
+            int32_t a_nid = p->afe[a_idx].nid;
+            err(p, E_UNEXPECTED_START_TAG, t0); CHKI(p);
+            adoption_agency(p, TID_A, t0, t0); CHKI(p);
+            for (int k = p->afe_n - 1; k >= 0; k--) {
+                if (p->afe[k].tid != -1 && p->afe[k].nid == a_nid) {
+                    memmove(&p->afe[k], &p->afe[k + 1],
+                            (size_t)(p->afe_n - k - 1) * sizeof(AfeEnt));
+                    p->afe_n--;
+                    break;
+                }
+            }
+            int sk = nid_on_stack(p, a_nid);
+            if (sk >= 0) {
+                stack_remove_at(p, sk);
+                close_implied(p, a_nid, t0);
+            }
         }
     } else if (tid == TID_NOBR) {
         reconstruct_formatting(p); CHKI(p);
-        if (in_scope(p, TID_NOBR, -1, -1)) BAILI(p);  /* parse error + AAA */
+        if (in_scope(p, TID_NOBR, -1, -1)) {
+            err(p, E_UNEXPECTED_START_TAG, t0); CHKI(p);
+            adoption_agency(p, TID_NOBR, t0, t0); CHKI(p);
+            reconstruct_formatting(p); CHKI(p);
+        }
     } else if (tid == TID_BUTTON) {
-        if (in_scope(p, TID_BUTTON, -1, -1)) BAILI(p);  /* parse error */
+        if (in_scope(p, TID_BUTTON, -1, -1)) {
+            err(p, E_UNEXPECTED_START_TAG, t0); CHKI(p);
+            pop_until(p, TID_BUTTON, NULL, t0, -1, -1);
+            return handle_start(p, tid, name, attrs, self_closing, t0, t1);
+        }
     } else if (tid == TID_OPTION || tid == TID_OPTGROUP) {
         if (cur_tid(p) == TID_OPTION) pop_until(p, TID_OPTION, NULL, t0, -1, -1);
     } else if (tid == TID_RP || tid == TID_RT) {
@@ -1084,7 +1266,7 @@ static int start_in_body(P *p, int tid, PyObject *name, PyObject *attrs,
                 pop_node(p);
                 close_implied(p, nid, t0);
             }
-            if (cur_tid(p) != TID_RUBY) BAILI(p);  /* parse error */
+            if (cur_tid(p) != TID_RUBY) { err(p, E_UNEXPECTED_START_TAG, t0); CHKI(p); }
         }
         insert_element(p, tid, name, attrs, t0, t1, 1);
         return CM_NONE;
@@ -1098,7 +1280,10 @@ static int start_in_body(P *p, int tid, PyObject *name, PyObject *attrs,
         if (recon) { reconstruct_formatting(p); CHKI(p); }
     }
     if (tid == TID_FORM) {
-        if (p->form_ptr >= 0) BAILI(p);  /* nested-form parse error */
+        if (p->form_ptr >= 0) {
+            err(p, E_NESTED_FORM_IGNORED, t0);  /* ignored */
+            return CM_NONE;
+        }
         int32_t nid = insert_element(p, tid, name, attrs, t0, t1, 1);
         if (nid < 0) return -1;
         p->form_ptr = nid;
@@ -1119,8 +1304,9 @@ static int start_in_body(P *p, int tid, PyObject *name, PyObject *attrs,
     if (fl & F_FORMATTING) { afe_push(p, tid, attrs, t0, t1, nid); CHKI(p); }
     if (tid == TID_TABLE) { p->mode = M_IN_TABLE; return CM_NONE; }
     if (tid == TID_SELECT) {
-        /* select_in_table untracked: every path consulting it is a
-         * parse error in the Python engine → bails there instead */
+        /* html5.py:2209-2226 (round-5 mode-based form; the foster and
+         * caption-fragment legs cannot occur in the C subset) */
+        p->select_in_table = (p->mode == M_IN_CELL) || in_table_scope(p, TID_CAPTION);
         p->mode = M_IN_SELECT;
         return CM_NONE;
     }
@@ -1155,7 +1341,19 @@ static int start_in_table(P *p, int tid, PyObject *name, PyObject *attrs,
             p->mode = M_IN_TABLE_BODY;
             return CM_NONE;
         }
-        if (tid == TID_TD || tid == TID_TH || tid == TID_TR) BAILI(p);  /* implied tbody: parse error */
+        if (tid == TID_TD || tid == TID_TH || tid == TID_TR) {
+            /* err + implied <tbody> + reprocess (html5.py:2297-2304) */
+            err(p, E_UNEXPECTED_START_TAG_IN_TABLE, t0); CHKI(p);
+            clear_to_table_context(p, TID_TABLE, -1, -1, -1, t0);
+            PyObject *ea = empty_attrs; Py_INCREF(ea);
+            int32_t nid = new_node(p, T_ELEMENT, TID_TBODY, NULL, NULL, ea,
+                                   t0, p->n, t0, t0, p->n, p->n);
+            if (nid < 0) return -1;
+            attach(p, nid, cur(p));
+            push_node(p, nid, NULL); CHKI(p);
+            p->mode = M_IN_TABLE_BODY;
+            return handle_start(p, tid, name, attrs, self_closing, t0, t1);
+        }
         if (tid == TID_CAPTION) {
             clear_to_table_context(p, TID_TABLE, -1, -1, -1, t0);
             insert_element(p, tid, name, attrs, t0, t1, 1);
@@ -1182,12 +1380,30 @@ static int start_in_table(P *p, int tid, PyObject *name, PyObject *attrs,
             p->mode = M_IN_COLGROUP;
             return handle_start(p, tid, name, attrs, self_closing, t0, t1);
         }
-        if (tid == TID_TABLE) BAILI(p);  /* parse error */
+        if (tid == TID_TABLE) {
+            /* err; </table>-then-reprocess unless no table in scope */
+            err(p, E_UNEXPECTED_START_TAG_IN_TABLE, t0); CHKI(p);
+            if (!in_table_scope(p, TID_TABLE)) return CM_NONE;
+            pop_until(p, TID_TABLE, NULL, t0, -1, -1);
+            reset_mode(p); CHKI(p);
+            return handle_start(p, tid, name, attrs, self_closing, t0, t1);
+        }
         if (tid == TID_STYLE || tid == TID_SCRIPT) {
             insert_element(p, tid, name, attrs, t0, t1, 1);
             return CM_RAWTEXT;
         }
-        BAILI(p);  /* form / foster-parenting: parse errors */
+        if (tid == TID_FORM) {
+            /* html5.py:2339-2343: err; inserted un-pushed only when
+             * no form pointer is set */
+            err(p, E_UNEXPECTED_START_TAG_IN_TABLE, t0); CHKI(p);
+            if (p->form_ptr < 0) {
+                int32_t nid = insert_element(p, tid, name, attrs, t0, t1, 0);
+                CHKI(p);
+                p->form_ptr = nid;
+            }
+            return CM_NONE;
+        }
+        BAILI(p);  /* anything else: foster-parented insert */
     }
     if (mode == M_IN_TABLE_BODY) {
         if (tid == TID_TR) {
@@ -1196,11 +1412,26 @@ static int start_in_table(P *p, int tid, PyObject *name, PyObject *attrs,
             p->mode = M_IN_ROW;
             return CM_NONE;
         }
-        if (tid == TID_TD || tid == TID_TH) BAILI(p);  /* implied tr: parse error */
+        if (tid == TID_TD || tid == TID_TH) {
+            /* err + implied <tr> + reprocess (html5.py:2361-2368) */
+            err(p, E_UNEXPECTED_START_TAG_IN_TABLE, t0); CHKI(p);
+            clear_to_table_context(p, TID_TBODY, TID_THEAD, TID_TFOOT, TID_TABLE, t0);
+            PyObject *ea = empty_attrs; Py_INCREF(ea);
+            int32_t nid = new_node(p, T_ELEMENT, TID_TR, NULL, NULL, ea,
+                                   t0, p->n, t0, t0, p->n, p->n);
+            if (nid < 0) return -1;
+            attach(p, nid, cur(p));
+            push_node(p, nid, NULL); CHKI(p);
+            p->mode = M_IN_ROW;
+            return handle_start(p, tid, name, attrs, self_closing, t0, t1);
+        }
         if (tid == TID_TBODY || tid == TID_THEAD || tid == TID_TFOOT ||
             tid == TID_CAPTION || tid == TID_COL || tid == TID_COLGROUP || tid == TID_TABLE) {
             if (!in_table_scope(p, TID_TBODY) && !in_table_scope(p, TID_THEAD) &&
-                !in_table_scope(p, TID_TFOOT)) BAILI(p);  /* fragment case: parse error */
+                !in_table_scope(p, TID_TFOOT)) {
+                err(p, E_UNEXPECTED_START_TAG_IN_TABLE, t0);  /* ignored */
+                return CM_NONE;
+            }
             for (int k = p->stack_n - 1; k >= 0; k--) {
                 int t = p->st.tid[p->stack[k]];
                 if (t == TID_TBODY || t == TID_THEAD || t == TID_TFOOT) {
@@ -1228,7 +1459,10 @@ static int start_in_table(P *p, int tid, PyObject *name, PyObject *attrs,
     }
     if (tid == TID_TR || tid == TID_CAPTION || tid == TID_COL || tid == TID_COLGROUP ||
         tid == TID_TABLE || tid == TID_TBODY || tid == TID_THEAD || tid == TID_TFOOT) {
-        if (!in_table_scope(p, TID_TR)) BAILI(p);  /* fragment case: parse error */
+        if (!in_table_scope(p, TID_TR)) {
+            err(p, E_UNEXPECTED_START_TAG_IN_TABLE, t0);  /* ignored */
+            return CM_NONE;
+        }
         pop_until(p, TID_TR, NULL, t0, -1, -1);
         p->mode = M_IN_TABLE_BODY;
         return handle_start(p, tid, name, attrs, self_closing, t0, t1);
@@ -1258,7 +1492,35 @@ static int start_in_select(P *p, int tid, PyObject *name, PyObject *attrs,
         insert_element(p, tid, name, attrs, t0, t1, 1);
         return CM_RAWTEXT;
     }
-    BAILI(p);  /* html merge / break-out / table tags / anything else: parse errors */
+    if (tid == TID_HTML) {
+        err(p, E_UNEXPECTED_START_TAG_IN_SELECT, t0); CHKI(p);
+        merge_root_attrs(p, p->html_id, attrs); CHKI(p);
+        return CM_NONE;
+    }
+    if (tid == TID_SELECT || tid == TID_INPUT || tid == TID_KEYGEN || tid == TID_TEXTAREA) {
+        /* err; close the select and reprocess (dup <select> just closes) */
+        err(p, E_UNEXPECTED_START_TAG_IN_SELECT, t0); CHKI(p);
+        if (!stack_has_tid(p, TID_SELECT)) return CM_NONE;  /* fragment case */
+        pop_until(p, TID_SELECT, NULL, t0, -1, -1);
+        reset_mode(p); CHKI(p);
+        if (tid == TID_SELECT) return CM_NONE;
+        return handle_start(p, tid, name, attrs, self_closing, t0, t1);
+    }
+    if (tid == TID_CAPTION || tid == TID_TABLE || tid == TID_TBODY ||
+        tid == TID_TFOOT || tid == TID_THEAD || tid == TID_TR ||
+        tid == TID_TD || tid == TID_TH) {
+        /* html5.py:1948-1960: break out only for select-in-table */
+        if (p->select_in_table && stack_has_tid(p, TID_SELECT)) {
+            err(p, E_UNEXPECTED_START_TAG_IN_SELECT, t0); CHKI(p);
+            pop_until(p, TID_SELECT, NULL, t0, -1, -1);
+            reset_mode(p); CHKI(p);
+            return handle_start(p, tid, name, attrs, self_closing, t0, t1);
+        }
+        err(p, E_UNEXPECTED_START_TAG_IN_SELECT, t0);  /* ignored */
+        return CM_NONE;
+    }
+    err(p, E_UNEXPECTED_START_TAG_IN_SELECT, t0);  /* anything else: ignored */
+    return CM_NONE;
 }
 
 /* _start_html (html5.py:1739-1906) */
@@ -1289,7 +1551,11 @@ static int start_html(P *p, int tid, PyObject *name, PyObject *attrs,
         return handle_start(p, tid, name, attrs, self_closing, t0, t1);
     }
     if (mode == M_BEFORE_HEAD) {
-        if (tid == TID_HTML) BAILI(p);  /* parse error (attr merge) */
+        if (tid == TID_HTML) {
+            err(p, E_UNEXPECTED_START_TAG, t0); CHKI(p);
+            merge_root_attrs(p, p->html_id, attrs); CHKI(p);
+            return CM_NONE;
+        }
         if (tid == TID_HEAD) {
             PyObject *a2 = attrs; Py_XINCREF(a2);
             int32_t nid = new_node(p, T_ELEMENT, TID_HEAD, NULL, NULL, a2,
@@ -1305,12 +1571,25 @@ static int start_html(P *p, int tid, PyObject *name, PyObject *attrs,
         return handle_start(p, tid, name, attrs, self_closing, t0, t1);
     }
     if (mode == M_IN_HEAD) {
-        if (tid == TID_HTML) BAILI(p);  /* parse error */
+        if (tid == TID_HTML) {
+            err(p, E_UNEXPECTED_START_TAG, t0); CHKI(p);
+            merge_root_attrs(p, p->html_id, attrs); CHKI(p);
+            return CM_NONE;
+        }
         if (cur_tid(p) == TID_NOSCRIPT) {
-            /* in-head-noscript: only these may nest; all else errs */
+            /* in-head-noscript (html5.py:1783-1795) */
+            if (tid == TID_NOSCRIPT || tid == TID_HEAD) {
+                err(p, E_UNEXPECTED_START_TAG, t0);  /* ignored */
+                return CM_NONE;
+            }
             if (!(tid == TID_BASEFONT || tid == TID_BGSOUND || tid == TID_LINK ||
-                  tid == TID_META || tid == TID_NOFRAMES || tid == TID_STYLE))
-                BAILI(p);
+                  tid == TID_META || tid == TID_NOFRAMES || tid == TID_STYLE)) {
+                err(p, E_UNEXPECTED_START_TAG, t0); CHKI(p);
+                int32_t nsid = p->stack[p->stack_n - 1];
+                pop_node(p);
+                close_implied(p, nsid, t0);
+                return handle_start(p, tid, name, attrs, self_closing, t0, t1);
+            }
         }
         if (tid == TID_BASE || tid == TID_BASEFONT || tid == TID_BGSOUND ||
             tid == TID_LINK || tid == TID_META) {
@@ -1326,7 +1605,10 @@ static int start_html(P *p, int tid, PyObject *name, PyObject *attrs,
             insert_element(p, tid, name, attrs, t0, t1, 1);
             return tid == TID_TITLE ? CM_RCDATA : CM_RAWTEXT;
         }
-        if (tid == TID_HEAD) BAILI(p);  /* parse error */
+        if (tid == TID_HEAD) {
+            err(p, E_UNEXPECTED_START_TAG, t0);  /* ignored */
+            return CM_NONE;
+        }
         pop_head(p, t0, -1, -1);
         return handle_start(p, tid, name, attrs, self_closing, t0, t1);
     }
@@ -1343,12 +1625,31 @@ static int start_html(P *p, int tid, PyObject *name, PyObject *attrs,
             p->mode = M_IN_BODY;
             return CM_NONE;
         }
-        if (tid == TID_HTML || tid == TID_HEAD) BAILI(p);
+        if (tid == TID_HTML || tid == TID_HEAD) {
+            err(p, E_UNEXPECTED_START_TAG, t0); CHKI(p);
+            if (tid == TID_HTML) { merge_root_attrs(p, p->html_id, attrs); CHKI(p); }
+            return CM_NONE;
+        }
+        if (tid == TID_TEMPLATE) BAILI(p);
         if (tid == TID_BASE || tid == TID_BASEFONT || tid == TID_BGSOUND ||
             tid == TID_LINK || tid == TID_META || tid == TID_NOFRAMES ||
-            tid == TID_SCRIPT || tid == TID_STYLE || tid == TID_TEMPLATE ||
-            tid == TID_TITLE)
-            BAILI(p);  /* after-head head-element re-entry: parse error */
+            tid == TID_SCRIPT || tid == TID_STYLE || tid == TID_TITLE) {
+            /* html5.py:1833-1855: err; re-push the head, process per
+             * in-head, the element lands INSIDE the head.  Append-only
+             * preorder survives ONLY while the head is still html's
+             * last child (after-head whitespace appends to html). */
+            if (p->st.last_child[p->html_id] != p->head_id) BAILI(p);
+            err(p, E_UNEXPECTED_START_TAG_AFTER_HEAD, t0); CHKI(p);
+            push_node(p, p->head_id, NULL); CHKI(p);
+            if (tid == TID_BASE || tid == TID_BASEFONT || tid == TID_BGSOUND ||
+                tid == TID_LINK || tid == TID_META) {
+                insert_element(p, tid, name, attrs, t0, t1, 0); CHKI(p);
+                pop_node(p);
+                return CM_NONE;
+            }
+            insert_element(p, tid, name, attrs, t0, t1, 1); CHKI(p);
+            return tid == TID_TITLE ? CM_RCDATA : CM_RAWTEXT;
+        }
         ensure_body(p, t0); CHKI(p);
         return handle_start(p, tid, name, attrs, self_closing, t0, t1);
     }
@@ -1362,7 +1663,11 @@ static int start_html(P *p, int tid, PyObject *name, PyObject *attrs,
             insert_element(p, tid, name, attrs, t0, t1, 0);
             return CM_NONE;
         }
-        if (tid == TID_HTML) BAILI(p);
+        if (tid == TID_HTML) {
+            err(p, E_UNEXPECTED_START_TAG, t0); CHKI(p);
+            merge_root_attrs(p, p->html_id, attrs); CHKI(p);
+            return CM_NONE;
+        }
         if (cur_tid(p) == TID_COLGROUP) {
             int32_t nid = p->stack[p->stack_n - 1];
             pop_node(p);
@@ -1370,10 +1675,22 @@ static int start_html(P *p, int tid, PyObject *name, PyObject *attrs,
             p->mode = M_IN_TABLE;
             return handle_start(p, tid, name, attrs, self_closing, t0, t1);
         }
-        BAILI(p);  /* colgroup fragment: parse error */
+        err(p, E_UNEXPECTED_START_TAG, t0);  /* colgroup fragment: ignored */
+        return CM_NONE;
     }
     if (mode == M_IN_FRAMESET || mode == M_AFTER_FRAMESET) BAILI(p);
-    if (mode == M_AFTER_BODY || mode == M_AFTER_AFTER_BODY) BAILI(p);  /* parse error either way */
+    if (mode == M_AFTER_BODY || mode == M_AFTER_AFTER_BODY) {
+        if (tid == TID_HTML) {
+            /* err + merge WITHOUT leaving the after-body state */
+            err(p, E_UNEXPECTED_START_TAG, t0); CHKI(p);
+            merge_root_attrs(p, p->html_id, attrs); CHKI(p);
+            return CM_NONE;
+        }
+        if (p->defer_n) BAILI(p);  /* deferred trailing comment: reopen breaks preorder */
+        err(p, E_UNEXPECTED_START_TAG, t0); CHKI(p);
+        p->mode = M_IN_BODY;
+        return handle_start(p, tid, name, attrs, self_closing, t0, t1);
+    }
     return start_in_body(p, tid, name, attrs, self_closing, t0, t1);
 }
 
@@ -1391,7 +1708,7 @@ static void end_in_table(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) 
     if (tid == TID_TEMPLATE) BAILV(p);
     if (tid == TID_TABLE) {
         if (mode == M_IN_ROW) {
-            if (!in_table_scope(p, TID_TR)) BAILV(p);  /* parse error */
+            if (!in_table_scope(p, TID_TR)) { err(p, E_UNEXPECTED_END_TAG_IN_TABLE, t0); return; }
             pop_until(p, TID_TR, NULL, t0, -1, -1);
             p->mode = M_IN_TABLE_BODY;
             end_in_table(p, tid, name, t0, t1);
@@ -1399,7 +1716,7 @@ static void end_in_table(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) 
         }
         if (mode == M_IN_TABLE_BODY) {
             if (!in_table_scope(p, TID_TBODY) && !in_table_scope(p, TID_THEAD) &&
-                !in_table_scope(p, TID_TFOOT)) BAILV(p);  /* parse error */
+                !in_table_scope(p, TID_TFOOT)) { err(p, E_UNEXPECTED_END_TAG_IN_TABLE, t0); return; }
             for (int k = p->stack_n - 1; k >= 0; k--) {
                 int t = p->st.tid[p->stack[k]];
                 if (t == TID_TBODY || t == TID_THEAD || t == TID_TFOOT) {
@@ -1412,36 +1729,48 @@ static void end_in_table(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) 
             end_in_table(p, tid, name, t0, t1);
             return;
         }
-        if (!in_table_scope(p, TID_TABLE)) BAILV(p);  /* parse error */
+        if (!in_table_scope(p, TID_TABLE)) { err(p, E_UNEXPECTED_END_TAG_IN_TABLE, t0); return; }
         pop_until(p, TID_TABLE, NULL, t0, t0, t1);
         reset_mode(p);
         return;
     }
     if (mode == M_IN_TABLE_BODY &&
         (tid == TID_TBODY || tid == TID_THEAD || tid == TID_TFOOT)) {
-        if (!in_table_scope(p, tid)) BAILV(p);  /* parse error */
+        if (!in_table_scope(p, tid)) { err(p, E_UNEXPECTED_END_TAG_IN_TABLE, t0); return; }
         pop_until(p, tid, NULL, t0, t0, t1);
         p->mode = M_IN_TABLE;
         return;
     }
     if (mode == M_IN_ROW && tid == TID_TR) {
-        if (!in_table_scope(p, TID_TR)) BAILV(p);  /* parse error */
+        if (!in_table_scope(p, TID_TR)) { err(p, E_UNEXPECTED_END_TAG_IN_TABLE, t0); return; }
         pop_until(p, TID_TR, NULL, t0, t0, t1);
         p->mode = M_IN_TABLE_BODY;
         return;
     }
     if (mode == M_IN_ROW &&
         (tid == TID_TBODY || tid == TID_THEAD || tid == TID_TFOOT)) {
-        if (!in_table_scope(p, tid)) BAILV(p);  /* parse error */
+        if (!in_table_scope(p, tid)) { err(p, E_UNEXPECTED_END_TAG_IN_TABLE, t0); return; }
         pop_until(p, TID_TR, NULL, t0, -1, -1);
         p->mode = M_IN_TABLE_BODY;
         end_in_table(p, tid, name, t0, t1);
         return;
     }
     if (tid == TID_BODY || tid == TID_HTML || tid == TID_TD || tid == TID_TH ||
-        tid == TID_TR || tid == TID_CAPTION || tid == TID_COL || tid == TID_COLGROUP)
-        BAILV(p);  /* parse error */
-    BAILV(p);  /* anything else: foster-parented in-body (parse-error context) */
+        tid == TID_TR || tid == TID_CAPTION || tid == TID_COL || tid == TID_COLGROUP) {
+        err(p, E_UNEXPECTED_END_TAG_IN_TABLE, t0);  /* ignored */
+        return;
+    }
+    /* anything else: in-body rules with foster parenting for any
+     * INSERTION (html5.py:2880-2888) — pops proceed; an actual
+     * fostered insert (</br>, the </p> synth) bails via p->foster */
+    {
+        int saved = p->mode;
+        p->foster = 1;
+        p->mode = M_IN_BODY;
+        end_html(p, tid, name, t0, t1);
+        if (p->mode == M_IN_BODY) p->mode = saved;
+        p->foster = 0;
+    }
 }
 
 /* _end_html (html5.py:2419-2798) */
@@ -1455,13 +1784,21 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
             if (tid == TID_HEAD || tid == TID_BODY || tid == TID_HTML || tid == TID_BR) {
                 ensure_head(p, t0); CHKV(p);
                 end_html(p, tid, name, t0, t1);
-            } else p->bail = 1;  /* parse error */
+            } else err(p, E_UNEXPECTED_END_TAG, t0);  /* ignored */
             return;
         }
         if (mode == M_IN_HEAD) {
             if (cur_tid(p) == TID_NOSCRIPT) {
-                if (tid == TID_BR) BAILV(p);          /* parse error */
-                if (tid != TID_NOSCRIPT) BAILV(p);    /* parse error */
+                if (tid == TID_BR) {
+                    /* html5.py:2447-2451: err, pop noscript, reprocess */
+                    err(p, E_UNEXPECTED_END_TAG, t0); CHKV(p);
+                    int32_t nid = p->stack[p->stack_n - 1];
+                    pop_node(p);
+                    close_implied(p, nid, t0);
+                    end_html(p, tid, name, t0, t1);
+                    return;
+                }
+                if (tid != TID_NOSCRIPT) { err(p, E_UNEXPECTED_END_TAG, t0); return; }
             }
             if (tid == TID_HEAD) { pop_head(p, t0, t0, t1); return; }
             if (tid == TID_BODY || tid == TID_HTML || tid == TID_BR) {
@@ -1474,7 +1811,8 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
                 pop_until(p, tid, NULL, t0, t0, t1);
                 return;
             }
-            BAILV(p);  /* parse error */
+            err(p, E_UNEXPECTED_END_TAG, t0);  /* ignored */
+            return;
         }
         if (mode == M_AFTER_HEAD) {
             if (tid == TID_BODY || tid == TID_HTML || tid == TID_BR) {
@@ -1488,7 +1826,8 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
                 if (p->stack_n && p->stack[p->stack_n - 1] == p->head_id) pop_node(p);
                 return;
             }
-            BAILV(p);  /* parse error */
+            err(p, E_UNEXPECTED_END_TAG, t0);  /* ignored */
+            return;
         }
         if (mode == M_IN_TABLE || mode == M_IN_TABLE_BODY || mode == M_IN_ROW) {
             end_in_table(p, tid, name, t0, t1);
@@ -1498,7 +1837,7 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
             if (tid == TID_TEMPLATE) BAILV(p);
             if (tid == TID_OPTION) {
                 if (cur_tid(p) == TID_OPTION) pop_until(p, TID_OPTION, NULL, t0, t0, t1);
-                else p->bail = 1;  /* parse error */
+                else err(p, E_UNEXPECTED_END_TAG, t0);
                 return;
             }
             if (tid == TID_OPTGROUP) {
@@ -1509,15 +1848,27 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
                     close_implied(p, nid, t0);
                 }
                 if (cur_tid(p) == TID_OPTGROUP) pop_until(p, TID_OPTGROUP, NULL, t0, t0, t1);
-                else p->bail = 1;  /* parse error */
+                else err(p, E_UNEXPECTED_END_TAG, t0);
                 return;
             }
             if (tid == TID_SELECT) {
                 if (pop_until(p, TID_SELECT, NULL, t0, t0, t1)) reset_mode(p);
-                else p->bail = 1;  /* parse error */
+                else err(p, E_UNEXPECTED_END_TAG, t0);
                 return;
             }
-            BAILV(p);  /* select-in-table break-outs + anything else: parse errors */
+            if (tid == TID_CAPTION || tid == TID_TABLE || tid == TID_TBODY ||
+                tid == TID_TFOOT || tid == TID_THEAD || tid == TID_TR ||
+                tid == TID_TD || tid == TID_TH) {
+                err(p, E_UNEXPECTED_END_TAG_IN_SELECT_IN_TABLE, t0); CHKV(p);
+                if (in_table_scope(p, tid)) {
+                    pop_until(p, TID_SELECT, NULL, t0, -1, -1);
+                    reset_mode(p); CHKV(p);
+                    end_html(p, tid, name, t0, t1);
+                }
+                return;
+            }
+            err(p, E_UNEXPECTED_END_TAG, t0);  /* anything else: ignored */
+            return;
         }
         if (mode == M_IN_FRAMESET || mode == M_AFTER_FRAMESET) BAILV(p);
         if (mode == M_IN_COLGROUP) {
@@ -1525,20 +1876,28 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
                 if (cur_tid(p) == TID_COLGROUP) {
                     pop_until(p, TID_COLGROUP, NULL, t0, t0, t1);
                     p->mode = M_IN_TABLE;
-                } else p->bail = 1;  /* parse error */
+                } else err(p, E_UNEXPECTED_END_TAG, t0);
                 return;
             }
-            if (tid == TID_COL) BAILV(p);  /* parse error */
+            if (tid == TID_COL) { err(p, E_UNEXPECTED_END_TAG, t0); return; }
             if (cur_tid(p) == TID_COLGROUP) {
                 int32_t nid = p->stack[p->stack_n - 1];
                 pop_node(p);
                 close_implied(p, nid, t0);
                 p->mode = M_IN_TABLE;
                 end_html(p, tid, name, t0, t1);
-            } else p->bail = 1;  /* parse error */
+            } else err(p, E_UNEXPECTED_END_TAG, t0);  /* colgroup fragment: ignore */
             return;
         }
-        if (mode == M_AFTER_AFTER_BODY) BAILV(p);  /* parse error */
+        if (mode == M_AFTER_AFTER_BODY) {
+            /* html5.py:2581-2584: err, back to in-body, reprocess —
+             * only append-safe while no trailing comment is deferred */
+            if (p->defer_n) BAILV(p);
+            err(p, E_UNEXPECTED_END_TAG, t0); CHKV(p);
+            p->mode = M_IN_BODY;
+            end_html(p, tid, name, t0, t1);
+            return;
+        }
         if (mode == M_AFTER_BODY) {
             if (tid == TID_HTML) {
                 if (p->html_id >= 0) {
@@ -1547,7 +1906,11 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
                 }
                 return;
             }
-            BAILV(p);  /* parse error */
+            if (p->defer_n) BAILV(p);
+            err(p, E_UNEXPECTED_END_TAG, t0); CHKV(p);
+            p->mode = M_IN_BODY;
+            end_html(p, tid, name, t0, t1);
+            return;
         }
     }
     /* IN_BODY / IN_CELL */
@@ -1566,11 +1929,14 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
         if (p->body_id >= 0 && node_in_scope(p, p->body_id)) {
             set_end_span(p, p->body_id, t0, t1);
             p->mode = M_AFTER_BODY;
-        } else p->bail = 1;  /* parse error */
+        } else err(p, E_UNEXPECTED_END_TAG, t0);  /* ignored */
         return;
     }
     if (tid == TID_HTML) {
-        if (!(p->body_id >= 0 && node_in_scope(p, p->body_id))) BAILV(p);  /* parse error */
+        if (!(p->body_id >= 0 && node_in_scope(p, p->body_id))) {
+            err(p, E_UNEXPECTED_END_TAG, t0);  /* ignored */
+            return;
+        }
         p->mode = M_AFTER_BODY;
         int64_t *sp = p->st.span + 6 * p->body_id;
         sp[1] = t0; sp[4] = sp[5] = t0;
@@ -1578,14 +1944,14 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
         return;
     }
     if (mode == M_IN_CELL && (tid == TID_TD || tid == TID_TH)) {
-        if (!in_table_scope(p, tid)) BAILV(p);  /* parse error */
+        if (!in_table_scope(p, tid)) { err(p, E_UNEXPECTED_END_TAG, t0); return; }
         if (pop_until(p, tid, NULL, t0, t0, t1)) reset_mode(p);
-        else p->bail = 1;  /* parse error */
+        else err(p, E_UNEXPECTED_END_TAG, t0);
         return;
     }
     if (mode == M_IN_CELL && (tid == TID_TABLE || tid == TID_TR ||
         tid == TID_TBODY || tid == TID_THEAD || tid == TID_TFOOT)) {
-        if (!in_table_scope(p, tid)) BAILV(p);  /* parse error */
+        if (!in_table_scope(p, tid)) { err(p, E_UNEXPECTED_END_TAG_IN_TABLE, t0); return; }
         close_cell(p, t0);
         reset_mode(p);
         end_html(p, tid, name, t0, t1);
@@ -1594,7 +1960,18 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
     if (tid == TID_P) {
         if (p->open_p > 0 && in_scope(p, TID_P, TID_BUTTON, -1))
             pop_until(p, TID_P, NULL, t0, t0, t1);
-        else p->bail = 1;  /* parse error (synthesized empty <p>) */
+        else {
+            /* err + synthesize an empty <p> then close it */
+            err(p, E_UNEXPECTED_END_TAG, t0); CHKV(p);
+            PyObject *ea = empty_attrs;
+            int32_t nid = insert_element(p, TID_P, NULL, ea, t0, t0, 1);
+            CHKV(p);
+            if (nid >= 0) {
+                pop_node(p);
+                p->open_p--;
+                set_end_span(p, nid, t0, t1);
+            }
+        }
         return;
     }
     if (fl & F_HEADING) {
@@ -1604,14 +1981,19 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
             if (t >= 0 && t < N_TAGS && (TAG_FLAGS[t] & F_HEADING)) { target = t; break; }
             if (t >= 0 && t < N_TAGS && (TAG_FLAGS[t] & F_SCOPE_BOUNDARY)) break;
         }
-        if (target < 0) p->bail = 1;  /* parse error */
+        if (target < 0) err(p, E_UNEXPECTED_END_TAG, t0);  /* ignored */
         else pop_until(p, target, NULL, t0, t0, t1);
         return;
     }
-    if (tid == TID_BR) BAILV(p);  /* </br> acts as start tag: parse error */
+    if (tid == TID_BR) {
+        err(p, E_UNEXPECTED_END_TAG, t0); CHKV(p);
+        if (p->afe_n) { reconstruct_formatting(p); CHKV(p); }
+        insert_element(p, TID_BR, NULL, empty_attrs, t0, t1, 0);
+        return;
+    }
     if (tid == TID_APPLET || tid == TID_MARQUEE || tid == TID_OBJECT) {
         if (in_scope(p, tid, -1, -1)) pop_until(p, tid, NULL, t0, t0, t1);
-        else p->bail = 1;  /* parse error */
+        else err(p, E_UNEXPECTED_END_TAG, t0);
         return;
     }
     if (fl & F_FORMATTING) {
@@ -1622,7 +2004,7 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
     }
     if (tid == TID_CAPTION) {
         if (pop_until(p, TID_CAPTION, NULL, t0, t0, t1)) reset_mode(p);
-        else p->bail = 1;  /* parse error */
+        else err(p, E_UNEXPECTED_END_TAG, t0);
         return;
     }
     if (tid == TID_TABLE && in_table_scope(p, TID_CAPTION)) {
@@ -1643,23 +2025,44 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
                 pop_node(p);
                 close_implied(p, x, t0);
             }
-            if (!p->stack_n || p->stack[p->stack_n - 1] != nid) BAILV(p);  /* parse error */
-            pop_node(p);
+            if (!p->stack_n || p->stack[p->stack_n - 1] != nid) {
+                /* err; the form is STILL removed in place (elements
+                 * above stay open) */
+                err(p, E_UNEXPECTED_END_TAG, t0); CHKV(p);
+                stack_remove_at(p, nid_on_stack(p, nid));
+            } else pop_node(p);
             set_end_span(p, nid, t0, t1);
             return;
         }
-        BAILV(p);  /* parse error */
+        err(p, E_UNEXPECTED_END_TAG, t0);  /* ignored */
+        return;
     }
     if (tid == TID_LI || tid == TID_DD || tid == TID_DT) {
         int e1x = tid == TID_LI ? TID_UL : -1;
         int e2x = tid == TID_LI ? TID_OL : -1;
         if (in_scope(p, tid, e1x, e2x)) pop_until(p, tid, NULL, t0, t0, t1);
-        else p->bail = 1;  /* parse error */
+        else err(p, E_UNEXPECTED_END_TAG, t0);
         return;
     }
     if (fl & F_BLOCK_END) {
         if (in_scope(p, tid, -1, -1)) pop_until(p, tid, NULL, t0, t0, t1);
-        else p->bail = 1;  /* parse error */
+        else err(p, E_UNEXPECTED_END_TAG, t0);
+        return;
+    }
+    if (tid == TID_UNKNOWN && name &&
+        PyUnicode_CompareWithASCIIString(name, "dialog") == 0) {
+        /* "dialog" sits in the Python engine's _BLOCK_END by NAME but
+         * outside the tag vocabulary (its START side deliberately
+         * takes the generic _IB_FAST default) — mirror the asymmetry */
+        int found = 0;
+        for (int k = p->stack_n - 1; k >= 0; k--) {
+            int32_t nid = p->stack[k];
+            if (tag_eq(p, nid, tid, name)) { found = 1; break; }
+            int t = p->st.tid[nid];
+            if (t >= 0 && t < N_TAGS && (TAG_FLAGS[t] & F_SCOPE_BOUNDARY)) break;
+        }
+        if (found) pop_until(p, tid, name, t0, t0, t1);
+        else err(p, E_UNEXPECTED_END_TAG, t0);
         return;
     }
     /* _end_any_other (html5.py:2781-2797) */
@@ -1671,16 +2074,16 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
         }
         int t = p->st.tid[nid];
         unsigned int nf = tflags(t);
-        if (nf & F_SPECIAL) BAILV(p);  /* parse error */
+        if (nf & F_SPECIAL) { err(p, E_UNEXPECTED_END_TAG, t0); return; }
     }
-    BAILV(p);  /* parse error */
+    err(p, E_UNEXPECTED_END_TAG, t0);  /* ignored */
 }
 
 /* ---- start-tag attribute scanner (_scan_start_attrs, html5.py:285) */
 /* returns end pos, sets *self_closing / *found_gt; fills attrs dict.
  * duplicate attributes are a parse error → bail. */
 static Py_ssize_t scan_start_attrs(P *p, Py_ssize_t pos, PyObject *attrs,
-                                   int *self_closing, int *found_gt) {
+                                   int *self_closing, int *found_gt, int *dups) {
     const unsigned char *s = p->s;
     Py_ssize_t n = p->n;
     char namebuf[256];
@@ -1750,7 +2153,7 @@ static Py_ssize_t scan_start_attrs(P *p, Py_ssize_t pos, PyObject *attrs,
         memcpy(PyUnicode_1BYTE_DATA(key), namebuf, (size_t)nb);
         int has = PyDict_Contains(attrs, key);
         if (has < 0) { Py_DECREF(key); PyErr_Clear(); BAILI(p); }
-        if (has) { Py_DECREF(key); BAILI(p); }  /* duplicate-attribute: parse error */
+        if (has) { Py_DECREF(key); (*dups)++; continue; }  /* first wins (parse error) */
         PyObject *val = v ? decode_attr(p, v, vlen) : (Py_INCREF(empty_str), empty_str);
         if (!val) { Py_DECREF(key); BAILI(p); }
         if (PyDict_SetItem(attrs, key, val) < 0) { Py_DECREF(key); Py_DECREF(val); PyErr_Clear(); BAILI(p); }
@@ -1784,6 +2187,59 @@ static void handle_eof(P *p) {
     while (p->stack_n) pop_node(p);
 }
 
+
+/* _scan_end_tag_tail (html5.py:356-399): tokenize-and-discard the
+ * attribute region of an end tag, quote-aware; returns index past the
+ * closing '>' or -1 on EOF-in-tag; sets *had when attrs were seen. */
+static Py_ssize_t scan_end_tag_tail(P *p, Py_ssize_t pos, int *had) {
+    const unsigned char *s = p->s;
+    Py_ssize_t n = p->n;
+    *had = 0;
+    while (pos < n) {
+        unsigned char ch = s[pos];
+        if (WS_CHAR(ch) || ch == '/') { pos++; continue; }
+        if (ch == '>') return pos + 1;
+        Py_ssize_t a0 = pos;
+        if (ch == '=') {
+            pos++;
+            while (pos < n) {
+                unsigned char c2 = s[pos];
+                if (c2 == ' ' || c2 == '\t' || c2 == '\n' || c2 == '\f' ||
+                    c2 == '\r' || c2 == '/' || c2 == '>' || c2 == '=') break;
+                pos++;
+            }
+            *had = 1;
+        } else {
+            while (pos < n) {
+                unsigned char c2 = s[pos];
+                if (c2 == ' ' || c2 == '\t' || c2 == '\n' || c2 == '\f' ||
+                    c2 == '\r' || c2 == '/' || c2 == '>' || c2 == '=') break;
+                pos++;
+            }
+            if (pos == a0) { pos++; continue; }
+            *had = 1;
+        }
+        while (pos < n && WS_CHAR(s[pos])) pos++;
+        if (pos < n && s[pos] == '=') {
+            pos++;
+            while (pos < n && WS_CHAR(s[pos])) pos++;
+            if (pos < n && (s[pos] == '"' || s[pos] == '\'')) {
+                const unsigned char *e = memchr(s + pos + 1, s[pos], (size_t)(n - pos - 1));
+                if (!e) return -1;
+                pos = (e - s) + 1;
+            } else {
+                while (pos < n) {
+                    unsigned char c2 = s[pos];
+                    if (c2 == ' ' || c2 == '\t' || c2 == '\n' || c2 == '\f' ||
+                        c2 == '\r' || c2 == '>') break;
+                    pos++;
+                }
+            }
+        }
+    }
+    return -1;
+}
+
 /* ---- main tokenizer loop (parse_html, html5.py:3155-3395) --------- */
 static void dispatch_chars(P *p, int64_t a, int64_t b) { chars_html(p, a, b); }
 
@@ -1813,9 +2269,20 @@ static void run_parse(P *p) {
                     j++;
                 }
                 if (p->bail) break;
+                Py_ssize_t j0 = j;
                 while (j < n && (WS_CHAR(s[j]) || s[j] == '/')) j++;
-                if (j >= n || s[j] != '>') { p->bail = 1; break; }  /* attrs/EOF: parse error */
-                j++;
+                if (j < n && s[j] == '>') j++;  /* fast '</name>' form */
+                else {
+                    /* end tag with attribute junk (html5.py:3193-3204) */
+                    int had = 0;
+                    Py_ssize_t endpos = scan_end_tag_tail(p, j0, &had);
+                    if (endpos < 0) {
+                        err(p, E_EOF_IN_END_TAG, lt);
+                        break;  /* token ignored at EOF */
+                    }
+                    if (had) { err(p, E_END_TAG_WITH_ATTRIBUTES, lt); if (p->bail) break; }
+                    j = endpos;
+                }
                 int tid = tag_lookup(nbuf, nb);
                 PyObject *name = NULL;
                 if (tid == TID_UNKNOWN) {
@@ -1828,8 +2295,19 @@ static void run_parse(P *p) {
                 i = j;
                 continue;
             }
-            if (lt + 2 >= n) { p->bail = 1; break; }     /* '</' at EOF: parse error */
-            if (c2 == '>') { p->bail = 1; break; }        /* '</>': parse error */
+            if (lt + 2 >= n) {
+                /* '</' at EOF: parse error, emitted as TEXT (html5.py:3213) */
+                err(p, E_EOF_BEFORE_TAG_NAME, lt);
+                if (p->bail) break;
+                dispatch_chars(p, lt, n);
+                break;
+            }
+            if (c2 == '>') {  /* '</>' ignored entirely (html5.py:3219) */
+                err(p, E_EMPTY_END_TAG, lt);
+                if (p->bail) break;
+                i = lt + 3;
+                continue;
+            }
             {   /* bogus comment (no parse error recorded) */
                 const unsigned char *gtp = memchr(s + lt + 2, '>', (size_t)(n - lt - 2));
                 if (!gtp) { handle_comment(p, lt + 2, n, lt, n); break; }
@@ -1841,9 +2319,21 @@ static void run_parse(P *p) {
         }
         if (c == '!') {
             if (n - lt >= 4 && memcmp(s + lt, "<!--", 4) == 0) {
-                if (lt + 4 < n && (s[lt + 4] == '>' ||
-                    (lt + 5 < n && s[lt + 4] == '-' && s[lt + 5] == '>'))) {
-                    p->bail = 1; break;  /* abrupt comment close: parse error */
+                if (lt + 4 < n && s[lt + 4] == '>') {
+                    /* '<!-->': parse error, empty comment (html5.py:3224) */
+                    err(p, E_ABRUPT_EMPTY_COMMENT, lt);
+                    if (p->bail) break;
+                    handle_comment(p, lt + 4, lt + 4, lt, lt + 5);
+                    i = lt + 5;
+                    continue;
+                }
+                if (lt + 5 < n && s[lt + 4] == '-' && s[lt + 5] == '>') {
+                    /* '<!--->' (html5.py:3229) */
+                    err(p, E_ABRUPT_EMPTY_COMMENT, lt);
+                    if (p->bail) break;
+                    handle_comment(p, lt + 4, lt + 4, lt, lt + 6);
+                    i = lt + 6;
+                    continue;
                 }
                 Py_ssize_t close = -1, bang = -1;
                 for (Py_ssize_t k = lt + 4; k + 2 < n; k++) {
@@ -1855,7 +2345,14 @@ static void run_parse(P *p) {
                         if (k + 3 < n && s[k + 2] == '!' && s[k + 3] == '>') { bang = k; break; }
                     }
                 }
-                if (bang >= 0 && (close < 0 || bang < close)) { p->bail = 1; break; }  /* --!> */
+                if (bang >= 0 && (close < 0 || bang < close)) {
+                    /* '--!>' also closes the comment (html5.py:3239) */
+                    err(p, E_INCORRECTLY_CLOSED_COMMENT, lt);
+                    if (p->bail) break;
+                    handle_comment(p, lt + 4, bang, lt, bang + 4);
+                    i = bang + 4;
+                    continue;
+                }
                 if (close < 0) {
                     Py_ssize_t e = n;  /* EOF in comment: trim pending dashes */
                     if (e - (lt + 4) >= 2 && s[e - 1] == '-' && s[e - 2] == '-') e -= 2;
@@ -1888,7 +2385,18 @@ static void run_parse(P *p) {
                 continue;
             }
         }
-        if (c == '?') { p->bail = 1; break; }  /* processing-instruction: parse error */
+        if (c == '?') {
+            /* processing instruction → bogus comment (parse error),
+             * html5.py:3272-3280: text INCLUDES the '?' */
+            const unsigned char *gtp = memchr(s + lt + 2, '>', (size_t)(n - lt - 2));
+            err(p, E_PROCESSING_INSTRUCTION, lt);
+            if (p->bail) break;
+            if (!gtp) { handle_comment(p, lt + 1, n, lt, n); break; }
+            Py_ssize_t gt = gtp - s;
+            handle_comment(p, lt + 1, gt, lt, gt + 1);
+            i = gt + 1;
+            continue;
+        }
         if (!((c | 32) >= 'a' && (c | 32) <= 'z')) {
             dispatch_chars(p, lt, lt + 1);  /* literal '<' */
             i = lt + 1;
@@ -1916,9 +2424,17 @@ static void run_parse(P *p) {
         }
         PyObject *attrs = PyDict_New();
         if (!attrs) { Py_XDECREF(name); p->bail = 1; break; }
-        int self_closing = 0, found_gt = 0;
-        Py_ssize_t pos = scan_start_attrs(p, j, attrs, &self_closing, &found_gt);
-        if (p->bail || !found_gt) { Py_XDECREF(name); Py_DECREF(attrs); p->bail = 1; break; }
+        int self_closing = 0, found_gt = 0, dups = 0;
+        Py_ssize_t pos = scan_start_attrs(p, j, attrs, &self_closing, &found_gt, &dups);
+        if (p->bail) { Py_XDECREF(name); Py_DECREF(attrs); break; }
+        for (int dk = 0; dk < dups; dk++) err(p, E_DUPLICATE_ATTRIBUTE, lt);
+        if (!found_gt) {
+            /* EOF in tag: parse error, token ignored (html5.py:3310) */
+            err(p, E_EOF_IN_TAG, lt);
+            Py_XDECREF(name); Py_DECREF(attrs);
+            break;
+        }
+        if (p->bail) { Py_XDECREF(name); Py_DECREF(attrs); break; }
         int cm;
         if (p->mode == M_IN_BODY) {
             p->skip_newline = 0;
@@ -1964,14 +2480,15 @@ static void run_parse(P *p) {
                     insert_text(p, decoded, i, mstart, 1, 1);
                     if (p->bail) { Py_XDECREF(name); Py_DECREF(attrs); break; }
                 }
-                /* end-tag tail: only [ws/]* '>' stays clean; EOF
-                 * consumes the rest with no error (html5.py:3361) */
-                Py_ssize_t e = mend;
-                while (e < n && (WS_CHAR(s[e]) || s[e] == '/')) e++;
-                Py_ssize_t endpos;
-                if (e >= n) endpos = n;
-                else if (s[e] == '>') endpos = e + 1;
-                else { Py_XDECREF(name); Py_DECREF(attrs); p->bail = 1; break; }
+                /* end-tag tail (html5.py:3356-3362): EOF consumes the
+                 * rest with NO error; attrs are a parse error */
+                int had = 0;
+                Py_ssize_t endpos = scan_end_tag_tail(p, mend, &had);
+                if (endpos < 0) endpos = n;
+                else if (had) {
+                    err(p, E_END_TAG_WITH_ATTRIBUTES, mstart);
+                    if (p->bail) { Py_XDECREF(name); Py_DECREF(attrs); break; }
+                }
                 if (p->mode == M_IN_SELECT && p->stack_n &&
                     tag_eq(p, p->stack[p->stack_n - 1], tid, name)) {
                     pop_until(p, tid, name, mstart, mstart, endpos);
@@ -2014,6 +2531,8 @@ static void p_free(P *p) {
     while (p->stack_n) pop_node(p);
     for (int k = 0; k < p->defer_n; k++) Py_CLEAR(p->defer[k].text);
     free(p->scratch);
+    free(p->err_code);
+    free(p->err_pos);
 }
 
 static PyObject *build_result(P *p, PyObject *src_obj /* new ref or NULL */) {
@@ -2049,9 +2568,19 @@ static PyObject *build_result(P *p, PyObject *src_obj /* new ref or NULL */) {
         Py_INCREF(at);
         PyList_SET_ITEM(attrs, i, at);
     }
-    res = Py_BuildValue("(nNNNNNNNNNiO)", cnt, b_type, b_tid, b_parent, b_iwp,
-                        b_sub, b_span, tags, texts, attrs, p->quirks,
-                        src_obj ? src_obj : Py_None);
+    {
+        PyObject *errs = PyList_New(p->err_n);
+        if (!errs) goto fail;
+        for (Py_ssize_t k = 0; k < p->err_n; k++) {
+            PyObject *t = Py_BuildValue("(sn)", ERR_CODE_STRS[p->err_code[k]],
+                                        (Py_ssize_t)p->err_pos[k]);
+            if (!t) { Py_DECREF(errs); goto fail; }
+            PyList_SET_ITEM(errs, k, t);
+        }
+        res = Py_BuildValue("(nNNNNNNNNNiNO)", cnt, b_type, b_tid, b_parent, b_iwp,
+                            b_sub, b_span, tags, texts, attrs, p->quirks, errs,
+                            src_obj ? src_obj : Py_None);
+    }
     Py_XDECREF(src_obj);
     return res;
 fail:

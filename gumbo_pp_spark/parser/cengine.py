@@ -93,7 +93,7 @@ def cparse(source):
     if res is None:
         return None
     (cnt, b_type, b_tid, b_parent, b_iwp, b_sub, b_span,
-     tags, texts, attrs, quirks, src) = res
+     tags, texts, attrs, quirks, errors, src) = res
     from ..nodetable import NodeTable
 
     spans = np.frombuffer(b_span, dtype=np.int64).reshape(cnt, 6)
@@ -117,9 +117,9 @@ def cparse(source):
         tag_end=spans[:, 3],
         endtag_start=spans[:, 4],
         endtag_end=spans[:, 5],
-        parse_errors=0,
+        parse_errors=len(errors),
         ns=np.zeros(cnt, dtype=np.int8),
-        error_records=[],
+        error_records=errors,
         quirks=bool(quirks),
     )
     # the C subset is ASCII-only: decoded offsets == byte offsets

@@ -3095,6 +3095,11 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
         if nt is not None:
             if options:
                 nt.tab_stop = int(options.get("tab_stop", 8))
+                me = options.get("max_errors", -1)
+                if me is not None and me >= 0 and len(nt.error_records) > me:
+                    # gumbo max_errors caps the RECORD vector; the
+                    # count keeps counting (same as _TreeBuilder._err)
+                    nt.error_records = nt.error_records[:me]
             _cstats["c"] += 1
             return nt
         _cstats["py"] += 1
