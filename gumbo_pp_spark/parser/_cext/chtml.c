@@ -368,12 +368,8 @@ static int scratch_ensure(P *p, Py_ssize_t need) {
 static PyObject *decode_text(P *p, Py_ssize_t a, Py_ssize_t b) {
     const unsigned char *s = p->s;
     const unsigned char *amp = memchr(s + a, '&', (size_t)(b - a));
-    if (!amp) {
-        PyObject *u = PyUnicode_New(b - a, 127);
-        if (!u) return NULL;
-        memcpy(PyUnicode_1BYTE_DATA(u), s + a, (size_t)(b - a));
-        return u;
-    }
+    if (!amp)
+        return PyUnicode_FromKindAndData(PyUnicode_1BYTE_KIND, s + a, b - a);
     if (scratch_ensure(p, b - a) < 0) return NULL;
     Py_UCS4 *out = p->scratch;
     Py_ssize_t k = 0;
@@ -387,12 +383,10 @@ static PyObject *decode_text(P *p, Py_ssize_t a, Py_ssize_t b) {
     return PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND, out, k);
 }
 
-/* ascii slice as str (no decoding) */
+/* source slice as str (no decoding; bytes are codepoints — ASCII or
+ * Latin-1 kind-1 input) */
 static PyObject *ascii_slice(P *p, Py_ssize_t a, Py_ssize_t b) {
-    PyObject *u = PyUnicode_New(b - a, 127);
-    if (!u) return NULL;
-    memcpy(PyUnicode_1BYTE_DATA(u), p->s + a, (size_t)(b - a));
-    return u;
+    return PyUnicode_FromKindAndData(PyUnicode_1BYTE_KIND, p->s + a, b - a);
 }
 
 /* _decode_attr (html5.py:411-441): _CHARREF_RE =
@@ -401,12 +395,8 @@ static PyObject *ascii_slice(P *p, Py_ssize_t a, Py_ssize_t b) {
  * semantics; a no-semicolon named ref is decoded only on an EXACT
  * table hit not followed by '='. */
 static PyObject *decode_attr(P *p, const unsigned char *s, Py_ssize_t len) {
-    if (!memchr(s, '&', (size_t)len)) {
-        PyObject *u = PyUnicode_New(len, 127);
-        if (!u) return NULL;
-        memcpy(PyUnicode_1BYTE_DATA(u), s, (size_t)len);
-        return u;
-    }
+    if (!memchr(s, '&', (size_t)len))
+        return PyUnicode_FromKindAndData(PyUnicode_1BYTE_KIND, s, len);
     if (scratch_ensure(p, len) < 0) return NULL;
     Py_UCS4 *out = p->scratch;
     Py_ssize_t k = 0;
@@ -2108,6 +2098,7 @@ static Py_ssize_t scan_start_attrs(P *p, Py_ssize_t pos, PyObject *attrs,
                 unsigned char c2 = s[pos];
                 if (c2 == ' ' || c2 == '\t' || c2 == '\n' || c2 == '\f' || c2 == '\r' ||
                     c2 == '/' || c2 == '>' || c2 == '=') break;
+                if (c2 >= 0x80) BAILI(p);  /* non-ASCII attr name */
                 if (nb < 255) namebuf[nb++] = (char)(c2 >= 'A' && c2 <= 'Z' ? c2 + 32 : c2);
                 else overflow = 1;
                 pos++;
@@ -2117,6 +2108,7 @@ static Py_ssize_t scan_start_attrs(P *p, Py_ssize_t pos, PyObject *attrs,
                 unsigned char c2 = s[pos];
                 if (c2 == ' ' || c2 == '\t' || c2 == '\n' || c2 == '\f' || c2 == '\r' ||
                     c2 == '/' || c2 == '>' || c2 == '=') break;
+                if (c2 >= 0x80) BAILI(p);  /* non-ASCII attr name */
                 if (nb < 255) namebuf[nb++] = (char)(c2 >= 'A' && c2 <= 'Z' ? c2 + 32 : c2);
                 else overflow = 1;
                 pos++;
@@ -2264,6 +2256,7 @@ static void run_parse(P *p) {
                     unsigned char cc = s[j];
                     if (cc == '\t' || cc == '\n' || cc == '\f' || cc == '\r' ||
                         cc == ' ' || cc == '/' || cc == '>') break;
+                    if (cc >= 0x80) { p->bail = 1; break; }  /* non-ASCII tag name */
                     if (nb < 255) nbuf[nb++] = (char)(cc >= 'A' && cc <= 'Z' ? cc + 32 : cc);
                     else { p->bail = 1; break; }
                     j++;
@@ -2410,6 +2403,7 @@ static void run_parse(P *p) {
             unsigned char cc = s[j];
             if (cc == '\t' || cc == '\n' || cc == '\f' || cc == '\r' ||
                 cc == ' ' || cc == '/' || cc == '>') break;
+            if (cc >= 0x80) { p->bail = 1; break; }  /* non-ASCII tag name */
             if (nb < 255) nbuf[nb++] = (char)(cc >= 'A' && cc <= 'Z' ? cc + 32 : cc);
             else { p->bail = 1; break; }
             j++;
@@ -2597,11 +2591,19 @@ static PyObject *cparse(PyObject *self, PyObject *arg) {
     Py_buffer view = {0};
     int have_view = 0;
     PyObject *src_str = NULL;  /* borrowed */
+    int latin1 = 0;
     if (PyUnicode_Check(arg)) {
-        if (!PyUnicode_IS_COMPACT_ASCII(arg)) Py_RETURN_NONE;
+        /* kind-1 strings (ASCII + Latin-1 range) parse natively: all
+         * markup chars are ASCII; 0x80-0xFF appear only inside text /
+         * attribute values / comments, where byte == codepoint.
+         * 2/4-byte kinds (BMP+/astral chars) stay on the Python
+         * engine. */
+        if (PyUnicode_READY(arg) < 0) { PyErr_Clear(); Py_RETURN_NONE; }
+        if (PyUnicode_KIND(arg) != PyUnicode_1BYTE_KIND) Py_RETURN_NONE;
         data = PyUnicode_1BYTE_DATA(arg);
         n = PyUnicode_GET_LENGTH(arg);
         src_str = arg;
+        latin1 = !PyUnicode_IS_ASCII(arg);
     } else if (PyObject_CheckBuffer(arg)) {
         if (PyObject_GetBuffer(arg, &view, PyBUF_SIMPLE) < 0) { PyErr_Clear(); Py_RETURN_NONE; }
         have_view = 1;
@@ -2611,16 +2613,19 @@ static PyObject *cparse(PyObject *self, PyObject *arg) {
         PyErr_SetString(PyExc_TypeError, "cparse expects str or bytes-like");
         return NULL;
     }
-    /* prescan: ASCII only, no CR (input preprocessing) and no NUL
-     * (every NUL path is a parse error) — else the Python engine's
-     * byte-map/mojibake machinery must run */
+    /* prescan: no CR (input-stream normalization must run first; the
+     * second parse_html dispatch offers the NORMALIZED string) and no
+     * NUL (every NUL path is a parse error).  Raw bytes additionally
+     * must be pure ASCII — multibyte UTF-8 shifts decoded offsets, so
+     * those decode Python-side and come back as kind-1 strs. */
     for (Py_ssize_t i = 0; i < n; i++) {
         unsigned char ch = data[i];
-        if (ch >= 0x80 || ch == '\r' || ch == 0) {
+        if ((ch >= 0x80 && src_str == NULL) || ch == '\r' || ch == 0) {
             if (have_view) PyBuffer_Release(&view);
             Py_RETURN_NONE;
         }
     }
+    (void)latin1;
     P p;
     memset(&p, 0, sizeof(P));
     p.s = data;

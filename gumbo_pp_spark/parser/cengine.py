@@ -122,8 +122,9 @@ def cparse(source):
         error_records=errors,
         quirks=bool(quirks),
     )
-    # the C subset is ASCII-only: decoded offsets == byte offsets
-    nt._byte_map_built = True
+    # NOTE: byte-map state (raw / _prenorm / _byte_map_built) is set
+    # by the caller (parse_html), which knows whether the input was
+    # raw bytes, identity-mapped, or CR/multibyte-normalized.
     return nt
 
 

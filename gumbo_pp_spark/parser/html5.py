@@ -3090,19 +3090,17 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
     its subset and this pure-Python engine — the reference
     implementation — runs instead.
     """
-    if _cparse_fast is not None and (options is None or not options.get("fragment_context")):
+    _try_c = _cparse_fast is not None and (
+        options is None or not options.get("fragment_context")
+    )
+    if _try_c:
+        # FIRST C dispatch — the raw input, zero-copy (covers pure-
+        # ASCII CR-free pages, the dominant shape; decoded offsets ==
+        # byte offsets, so the identity byte map is pinned)
         nt = _cparse_fast(source)
         if nt is not None:
-            if options:
-                nt.tab_stop = int(options.get("tab_stop", 8))
-                me = options.get("max_errors", -1)
-                if me is not None and me >= 0 and len(nt.error_records) > me:
-                    # gumbo max_errors caps the RECORD vector; the
-                    # count keeps counting (same as _TreeBuilder._err)
-                    nt.error_records = nt.error_records[:me]
-            _cstats["c"] += 1
-            return nt
-        _cstats["py"] += 1
+            nt._byte_map_built = True
+            return _c_done(nt, options)
     raw_bytes = None
     raw_len = -1
     buf = None
@@ -3117,7 +3115,8 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
     # pre-normalization string only when it differs — it feeds the lazy
     # byte-offset map, NodeTable.byte_offsets)
     prenorm = None
-    if "\r" in source:
+    _had_cr = "\r" in source
+    if _had_cr:
         prenorm = source
         source = source.replace("\r\n", "\n").replace("\r", "\n")
         if len(prenorm) == len(source):
@@ -3136,6 +3135,18 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
         raw_bytes = bytes(buf)
     s = source
     n = len(s)
+    if _try_c and (_had_cr or (buf is not None and not byte_identity)):
+        # SECOND C dispatch — the decoded, CR-normalized string (covers
+        # CRLF pages and Latin-1-range text; the C engine itself
+        # rejects 2/4-byte-kind strings).  Byte-map state mirrors the
+        # Python path exactly: identity pages pin the flag, everything
+        # else keeps raw + prenorm for the lazy exact map.
+        nt = _cparse_fast(s)
+        if nt is not None:
+            nt.raw, nt._prenorm = raw_bytes, prenorm
+            if byte_identity:
+                nt._byte_map_built = True
+            return _c_done(nt, options)
     fragment = None
     max_errors = -1
     tab_stop = 8
@@ -3150,6 +3161,8 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
         # stop_on_first_error accepted for GumboOptions-struct parity;
         # libgumbo never implemented the field (see docstring)
         options.get("stop_on_first_error")
+    if _try_c:
+        _cstats["py"] += 1  # both C dispatches declined this document
     tb = _TreeBuilder(s, fragment=fragment, max_errors=max_errors)
     if fragment and fragment[1] == NS_HTML and (
         fragment[0] in RAWTEXT_ELEMENTS or fragment[0] in RCDATA_ELEMENTS
@@ -3422,6 +3435,19 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
 # namespace above is complete; parse_html dispatches to the compiled
 # engine for documents inside its subset and falls back here.
 # GUMBO_PP_CENGINE=0 disables it.
+def _c_done(nt, options):
+    """Apply the options tail to a C-engine NodeTable and count it."""
+    if options:
+        nt.tab_stop = int(options.get("tab_stop", 8))
+        me = options.get("max_errors", -1)
+        if me is not None and me >= 0 and len(nt.error_records) > me:
+            # gumbo max_errors caps the RECORD vector; the count
+            # keeps counting (same as _TreeBuilder._err)
+            nt.error_records = nt.error_records[:me]
+    _cstats["c"] += 1
+    return nt
+
+
 _cparse_fast = None
 _cstats = {"c": 0, "py": 0}
 try:  # pragma: no cover - environment-dependent (needs gcc once)

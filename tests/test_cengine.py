@@ -101,7 +101,11 @@ def test_bench_corpora_fully_engaged():
 
 
 def test_bail_conditions():
-    assert cengine.cparse("café") is None          # non-ASCII
+    # round-5 widening: Latin-1-range strs are ACCEPTED at this layer;
+    # 2/4-byte-kind strs and non-ASCII raw bytes are not
+    assert cengine.cparse("café") is not None
+    assert cengine.cparse("中文") is None                 # 2-byte kind
+    assert cengine.cparse("caf\xe9".encode()) is None    # multibyte bytes
     assert cengine.cparse(b"a\rb") is None               # CR normalization
     assert cengine.cparse(b"a\x00b") is None             # NUL
     assert cengine.cparse(b"<svg><rect/></svg>") is None # foreign content
@@ -156,3 +160,39 @@ def test_parse_html_dispatch_and_fallback():
 def test_tab_stop_option_passthrough():
     nt = parse_html("<p>x</p>", {"tab_stop": 4})
     assert nt.tab_stop == 4
+
+
+def test_second_dispatch_cr_and_latin1():
+    """Round-5 widening: CRLF-normalized pages and Latin-1-range text
+    take the C path via the post-normalization dispatch, with
+    byte-map state identical to the Python path."""
+    import gumbo_pp_spark.parser.html5 as H
+
+    cases = [
+        b"<p>line1\r\nline2</p>",
+        b"<p>lone\rcr</p>",
+        "<p>caf\xe9 latin</p>".encode(),
+        b"<div class='a\r\nb'>x</div>",
+    ]
+    for src in cases:
+        before = cengine.stats["c"]
+        nt = parse_html(src)
+        assert cengine.stats["c"] == before + 1, src  # C engaged
+        saved = H._cparse_fast
+        H._cparse_fast = None
+        try:
+            py = parse_html(src)
+        finally:
+            H._cparse_fast = saved
+        assert_identical(nt, py, src)
+        assert nt.raw == py.raw and nt._prenorm == py._prenorm, src
+        starts = np.asarray(nt.src_start)
+        assert np.array_equal(nt.byte_offsets(starts), py.byte_offsets(starts)), src
+
+
+def test_cjk_and_mojibake_stay_python():
+    before = cengine.stats["py"]
+    nt = parse_html("<p>中文</p>".encode())
+    assert nt is not None and cengine.stats["py"] == before + 1
+    nt2 = parse_html(b"\xff<p>mojibake</p>")
+    assert nt2 is not None and cengine.stats["py"] == before + 2
