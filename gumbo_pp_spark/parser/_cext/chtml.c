@@ -46,9 +46,10 @@ typedef struct {
     int8_t   *type;
     int16_t  *tid;
     int32_t  *parent;
-    int32_t  *iwp;
-    int32_t  *nkids;      /* running child count (iwp source)   */
-    int32_t  *last_child; /* for subtree_end + text-node merging */
+    int32_t  *iwp;        /* filled at finalize from the child lists */
+    int32_t  *first_child;
+    int32_t  *last_child;
+    int32_t  *next_sib;
     int64_t  *span;       /* 6 per node: s0 s1 t0 t1 e0 e1      */
     PyObject **tag;       /* owned; NULL for known tags / non-elements */
     PyObject **text;      /* owned; NULL means ""                      */
@@ -89,12 +90,10 @@ typedef struct {
     /* "in table text" pending runs: (start, end) source spans */
     int64_t pend[PEND_MAX][2];
     int pend_n;
-    /* deferred after-body comments: (text owned, t0, t1, target) */
-    struct { PyObject *text; int64_t t0, t1; int32_t target; } defer[DEFER_MAX];
-    int defer_n;
     /* scratch UCS4 buffer for decoding */
     Py_UCS4 *scratch;
     Py_ssize_t scratch_cap;
+    int preorder_ok;  /* creation order == preorder (html5.py:675) */
     /* recorded parse errors: (code id, position) pairs */
     int16_t *err_code;
     int64_t *err_pos;
@@ -158,7 +157,8 @@ static int store_grow(Store *st) {
     void *a;
 #define GROW(f, t) a = realloc(st->f, nc * sizeof(t)); if (!a) return -1; st->f = a;
     GROW(type, int8_t) GROW(tid, int16_t) GROW(parent, int32_t)
-    GROW(iwp, int32_t) GROW(nkids, int32_t) GROW(last_child, int32_t)
+    GROW(iwp, int32_t) GROW(first_child, int32_t) GROW(last_child, int32_t)
+    GROW(next_sib, int32_t)
     GROW(tag, PyObject *) GROW(text, PyObject *) GROW(attrs, PyObject *)
 #undef GROW
     a = realloc(st->span, nc * 6 * sizeof(int64_t));
@@ -180,8 +180,9 @@ static int32_t new_node(P *p, int type, int tid, PyObject *tagobj,
     st->tid[i] = (int16_t)((type == T_ELEMENT || type == T_TEMPLATE) ? tid : -1);
     st->parent[i] = -1;
     st->iwp[i] = 0;
-    st->nkids[i] = 0;
+    st->first_child[i] = -1;
     st->last_child[i] = -1;
+    st->next_sib[i] = -1;
     st->tag[i] = tagobj;
     st->text[i] = text;
     st->attrs[i] = attrs;
@@ -193,8 +194,52 @@ static int32_t new_node(P *p, int type, int tid, PyObject *tagobj,
 static void attach(P *p, int32_t nid, int32_t parent) {
     Store *st = &p->st;
     st->parent[nid] = parent;
-    st->iwp[nid] = st->nkids[parent]++;
+    st->next_sib[nid] = -1;
+    if (st->last_child[parent] < 0) st->first_child[parent] = nid;
+    else st->next_sib[st->last_child[parent]] = nid;
     st->last_child[parent] = nid;
+}
+
+/* insert nid into parent's child list BEFORE `before` (the foster-
+ * parenting location).  Creation order is no longer preorder →
+ * finalize takes the DFS-renumber path (html5.py preorder_ok). */
+static void attach_before(P *p, int32_t nid, int32_t parent, int32_t before) {
+    Store *st = &p->st;
+    if (before < 0) { attach(p, nid, parent); return; }
+    st->parent[nid] = parent;
+    st->next_sib[nid] = before;
+    if (st->first_child[parent] == before) {
+        st->first_child[parent] = nid;
+    } else {
+        int32_t c = st->first_child[parent];
+        while (c >= 0 && st->next_sib[c] != before) c = st->next_sib[c];
+        if (c < 0) { p->bail = 1; return; }  /* invariant: before is a child */
+        st->next_sib[c] = nid;
+    }
+    p->preorder_ok = 0;
+}
+
+/* previous sibling of `child` under `parent` (-1 when first) */
+static int32_t prev_sibling(P *p, int32_t parent, int32_t child) {
+    Store *st = &p->st;
+    int32_t c = st->first_child[parent];
+    if (c == child) return -1;
+    while (c >= 0 && st->next_sib[c] != child) c = st->next_sib[c];
+    return c;
+}
+
+/* _detach (html5.py:1158-1162) */
+static void detach(P *p, int32_t nid) {
+    Store *st = &p->st;
+    int32_t parent = st->parent[nid];
+    if (parent >= 0) {
+        int32_t prev = prev_sibling(p, parent, nid);
+        if (prev < 0) st->first_child[parent] = st->next_sib[nid];
+        else st->next_sib[prev] = st->next_sib[nid];
+        if (st->last_child[parent] == nid) st->last_child[parent] = prev;
+    }
+    st->parent[nid] = -1;
+    st->next_sib[nid] = -1;
 }
 
 static inline int32_t cur(P *p) { return p->stack_n ? p->stack[p->stack_n - 1] : 0; }
@@ -612,6 +657,16 @@ static void stack_remove_at(P *p, int k) {
     p->stack_name[p->stack_n] = NULL;
 }
 
+static void stack_insert_at(P *p, int k, int32_t nid) {
+    if (p->stack_n >= STACK_MAX) { p->bail = 1; return; }
+    memmove(&p->stack[k + 1], &p->stack[k], (size_t)(p->stack_n - k) * sizeof(int32_t));
+    memmove(&p->stack_name[k + 1], &p->stack_name[k],
+            (size_t)(p->stack_n - k) * sizeof(PyObject *));
+    p->stack[k] = nid;
+    p->stack_name[k] = NULL;
+    p->stack_n++;
+}
+
 static int stack_has_tid(P *p, int tid) {
     for (int k = p->stack_n - 1; k >= 0; k--)
         if (p->st.tid[p->stack[k]] == tid) return 1;
@@ -644,12 +699,39 @@ static void merge_root_attrs(P *p, int32_t target, PyObject *attrs /* borrowed *
 /* ---- element/text insertion --------------------------------------- */
 static void reconstruct_formatting(P *p);
 
+/* _foster_spot (html5.py:820-838; no templates/fragments in C):
+ * before the last open table, in the table's parent */
+static void foster_spot(P *p, int32_t *parent, int32_t *before) {
+    *parent = cur(p);
+    *before = -1;
+    for (int k = p->stack_n - 1; k >= 0; k--) {
+        if (p->st.tid[p->stack[k]] == TID_TABLE) {
+            int32_t tbl = p->stack[k];
+            int32_t par = p->st.parent[tbl];
+            if (par >= 0) { *parent = par; *before = tbl; }
+            return;
+        }
+    }
+}
+
+/* _insert_target (html5.py:808-818): foster only while the CURRENT
+ * node is table context */
+static void insert_target(P *p, int32_t *parent, int32_t *before) {
+    *parent = cur(p);
+    *before = -1;
+    if (p->foster) {
+        int t = cur_tid(p);
+        if (t == TID_TABLE || t == TID_TBODY || t == TID_TFOOT ||
+            t == TID_THEAD || t == TID_TR)
+            foster_spot(p, parent, before);
+    }
+}
+
 /* _insert_element (html5.py:1065-1095); attrs BORROWED (token
  * dispatcher owns the token's attrs dict).
  * tagobj: borrowed unknown-tag name or NULL. */
 static int32_t insert_element(P *p, int tid, PyObject *tagobj, PyObject *attrs,
                               int64_t t0, int64_t t1, int push) {
-    if (p->foster) BAILI(p);  /* foster-parented insert: not in C subset */
     Py_XINCREF(attrs);
     PyObject *towned = NULL;
     if (tid == TID_UNKNOWN && tagobj) { towned = tagobj; Py_INCREF(towned); }
@@ -660,7 +742,14 @@ static int32_t insert_element(P *p, int tid, PyObject *tagobj, PyObject *attrs,
         nid = new_node(p, T_ELEMENT, tid, towned, NULL, attrs, t0, t1, t0, t1, t1, t1);
     if (nid < 0) return -1;
     if (tid == TID_P) p->open_p++;
-    attach(p, nid, cur(p));
+    if (p->foster) {
+        int32_t parent, before;
+        insert_target(p, &parent, &before);
+        attach_before(p, nid, parent, before);
+        if (p->bail) return -1;
+    } else {
+        attach(p, nid, cur(p));
+    }
     if (push) { push_node(p, nid, tid == TID_UNKNOWN ? tagobj : NULL); if (p->bail) return -1; }
     return nid;
 }
@@ -670,14 +759,16 @@ static int32_t insert_element(P *p, int tid, PyObject *tagobj, PyObject *attrs,
 static void insert_text(P *p, PyObject *decoded, int64_t s0, int64_t s1,
                         int rawtextual, int reconstruct) {
     if (!decoded) BAILV(p);
-    if (p->foster) { Py_DECREF(decoded); BAILV(p); }
     if (PyUnicode_GET_LENGTH(decoded) == 0) { Py_DECREF(decoded); return; }
     if (reconstruct && !rawtextual && p->afe_n && p->mode != M_IN_SELECT)
         reconstruct_formatting(p);
     if (p->bail) { Py_DECREF(decoded); return; }
-    int32_t parent = cur(p);
+    int32_t parent, before = -1;
+    if (p->foster) insert_target(p, &parent, &before);
+    else parent = cur(p);
     Store *st = &p->st;
-    int32_t prev = st->last_child[parent];
+    int32_t prev = before >= 0 ? prev_sibling(p, parent, before)
+                               : st->last_child[parent];
     if (prev >= 0 && (st->type[prev] == T_TEXT || st->type[prev] == T_WHITESPACE)) {
         PyObject *merged = PyUnicode_Concat(st->text[prev] ? st->text[prev] : empty_str, decoded);
         Py_DECREF(decoded);
@@ -712,7 +803,7 @@ static void insert_text(P *p, PyObject *decoded, int64_t s0, int64_t s1,
     int32_t nid = new_node(p, ws ? T_WHITESPACE : T_TEXT, -1, NULL, decoded, NULL,
                            s0, s1, 0, 0, 0, 0);
     if (nid < 0) return;
-    attach(p, nid, parent);
+    attach_before(p, nid, parent, before);
 }
 
 /* _reconstruct_formatting (html5.py:1097-1131); no foster in C */
@@ -727,7 +818,6 @@ static void reconstruct_formatting(P *p) {
         if (prev->tid == -1 || nid_on_stack(p, prev->nid) >= 0) break;
         i--;
     }
-    if (p->foster) { p->bail = 1; return; }  /* fostered clones: bail */
     for (int k = i; k < p->afe_n; k++) {
         AfeEnt *e = &p->afe[k];
         PyObject *attrs = e->attrs;  /* SHARED with the original (html5.py:1122) */
@@ -735,54 +825,178 @@ static void reconstruct_formatting(P *p) {
         int32_t nid = new_node(p, T_ELEMENT, e->tid, NULL, NULL, attrs,
                                e->t0, p->n, e->t0, e->t1, p->n, p->n);
         if (nid < 0) return;
-        attach(p, nid, cur(p));
+        int32_t parent, before;
+        insert_target(p, &parent, &before);
+        attach_before(p, nid, parent, before);
+        if (p->bail) return;
         push_node(p, nid, NULL);
         if (p->bail) return;
         e->nid = nid;
     }
 }
 
-/* _adoption_agency (html5.py:1172-1311) — CLEAN cases only:
- *  step 1 (current is <name>, not in AFE) and the current==fe
- *  no-furthest-block case.  Everything else is a parse error in the
- *  Python engine → bail. Returns 1 handled, 0 → any-other-end-tag. */
+/* _adoption_agency (html5.py:1172-1311): the FULL WHATWG algorithm —
+ * 8-iteration outer loop, inner node-lifting loop with the >3
+ * active-formatting ejection rule, foster-aware step 14.  Reparenting
+ * breaks creation-order preorder → finalize takes the DFS path.
+ * Returns 1 handled, 0 → any-other-end-tag. */
+static void afe_remove_at(P *p, int k) {
+    memmove(&p->afe[k], &p->afe[k + 1], (size_t)(p->afe_n - k - 1) * sizeof(AfeEnt));
+    p->afe_n--;
+}
+
 static int adoption_agency(P *p, int tid, int64_t t0, int64_t t1) {
+    Store *st = &p->st;
+    /* step 1: current node is <name> (HTML ns) and not in AFE → pop */
     if (p->stack_n) {
         int32_t c = p->stack[p->stack_n - 1];
-        if (p->st.tid[c] == tid) {
+        if (st->tid[c] == tid) {
             int in_afe = 0;
             for (int k = 0; k < p->afe_n; k++)
                 if (p->afe[k].tid != -1 && p->afe[k].nid == c) { in_afe = 1; break; }
             if (!in_afe) { pop_until(p, tid, NULL, t0, t0, t1); return 1; }
         }
     }
-    int fe_idx = -1;
-    for (int k = p->afe_n - 1; k >= 0; k--) {
-        if (p->afe[k].tid == -1) break;
-        if (p->afe[k].tid == tid) { fe_idx = k; break; }
+    for (int outer = 0; outer < 8; outer++) {
+        int fe_idx = -1;
+        for (int k = p->afe_n - 1; k >= 0; k--) {
+            if (p->afe[k].tid == -1) break;
+            if (p->afe[k].tid == tid) { fe_idx = k; break; }
+        }
+        if (fe_idx < 0) return 0;  /* act as any-other-end-tag */
+        AfeEnt fe_ent = p->afe[fe_idx];  /* value copy (python `entry`) */
+        int32_t fe = fe_ent.nid;
+        if (nid_on_stack(p, fe) < 0) {
+            err(p, E_ADOPTION_AGENCY, t0); CHKI(p);
+            afe_remove_at(p, fe_idx);
+            return 1;  /* stale entry: token ignored */
+        }
+        if (!node_in_scope(p, fe)) {
+            err(p, E_ADOPTION_AGENCY, t0); CHKI(p);
+            return 1;  /* token ignored */
+        }
+        if (p->stack[p->stack_n - 1] != fe) {
+            err(p, E_ADOPTION_AGENCY, t0); CHKI(p);  /* continue anyway */
+        }
+        int si = nid_on_stack(p, fe);
+        int fb_i = -1;
+        for (int j = si + 1; j < p->stack_n; j++) {
+            int t = st->tid[p->stack[j]];
+            if (t >= 0 && t < N_TAGS && (TAG_FLAGS[t] & F_SPECIAL)) { fb_i = j; break; }
+        }
+        if (fb_i < 0) {
+            /* no furthest block: pop through FE, drop its entry */
+            while (p->stack_n) {
+                int32_t nid = p->stack[p->stack_n - 1];
+                pop_node(p);
+                if (nid == fe) { set_end_span(p, nid, t0, t1); break; }
+                close_implied(p, nid, t0);
+            }
+            afe_remove_at(p, fe_idx);
+            return 1;
+        }
+        int32_t fb = p->stack[fb_i];
+        int32_t ca = si > 0 ? p->stack[si - 1] : 0;
+        int bookmark = fe_idx;
+        int32_t last_node = fb;
+        int node_i = fb_i;
+        int inner = 0;
+        while (1) {
+            inner++;
+            node_i--;
+            int32_t node = p->stack[node_i];
+            if (node == fe) break;
+            int nai = -1;
+            for (int k = p->afe_n - 1; k >= 0; k--)
+                if (p->afe[k].tid != -1 && p->afe[k].nid == node) { nai = k; break; }
+            if (inner > 3 && nai >= 0) {
+                afe_remove_at(p, nai);
+                if (nai < bookmark) bookmark--;
+                nai = -1;
+            }
+            if (nai < 0) {
+                stack_remove_at(p, node_i);
+                close_implied(p, node, t0);
+                continue;
+            }
+            /* clone node; the clone replaces it in AFE and on the
+             * stack (clone keeps the original token's tag span; the
+             * clone NODE gets a COPY of the entry attrs, the AFE
+             * entry keeps the ORIGINAL attrs object) */
+            AfeEnt e2 = p->afe[nai];
+            PyObject *cattrs = PyDict_Copy(e2.attrs ? e2.attrs : empty_attrs);
+            if (!cattrs) { PyErr_Clear(); BAILI(p); }
+            int32_t clone = new_node(p, T_ELEMENT, e2.tid, NULL, NULL, cattrs,
+                                     e2.t0, p->n, e2.t0, e2.t1, p->n, p->n);
+            if (clone < 0) return -1;
+            p->afe[nai].nid = clone;
+            Py_CLEAR(p->stack_name[node_i]);
+            p->stack[node_i] = clone;
+            close_implied(p, node, t0);
+            if (last_node == fb) bookmark = nai + 1;
+            detach(p, last_node);
+            attach(p, last_node, clone);
+            last_node = clone;
+        }
+        /* step 14: common ancestor adopts last_node; foster is keyed
+         * on the OVERRIDE target (the common ancestor) */
+        detach(p, last_node);
+        {
+            int cat = st->tid[ca];
+            if (cat == TID_TABLE || cat == TID_TBODY || cat == TID_TFOOT ||
+                cat == TID_THEAD || cat == TID_TR) {
+                int32_t parent, before;
+                foster_spot(p, &parent, &before);
+                attach_before(p, last_node, parent, before);
+                CHKI(p);
+            } else {
+                attach(p, last_node, ca);
+            }
+        }
+        /* steps 15-17: clone FE around the furthest block's children */
+        PyObject *c2attrs = PyDict_Copy(fe_ent.attrs ? fe_ent.attrs : empty_attrs);
+        if (!c2attrs) { PyErr_Clear(); BAILI(p); }
+        int32_t clone2 = new_node(p, T_ELEMENT, fe_ent.tid, NULL, NULL, c2attrs,
+                                  fe_ent.t0, p->n, fe_ent.t0, fe_ent.t1, p->n, p->n);
+        if (clone2 < 0) return -1;
+        st->first_child[clone2] = st->first_child[fb];
+        st->last_child[clone2] = st->last_child[fb];
+        for (int32_t c = st->first_child[clone2]; c >= 0; c = st->next_sib[c])
+            st->parent[c] = clone2;
+        st->first_child[fb] = st->last_child[fb] = -1;
+        attach(p, clone2, fb);
+        /* step 18: AFE — remove FE's entry (find by node id; indexes
+         * may have shifted), insert the clone's at the bookmark */
+        {
+            int cur_idx = -1;
+            for (int k = 0; k < p->afe_n; k++)
+                if (p->afe[k].tid != -1 && p->afe[k].nid == fe) { cur_idx = k; break; }
+            if (cur_idx < 0) BAILI(p);  /* invariant */
+            afe_remove_at(p, cur_idx);
+            int ins = bookmark > p->afe_n ? p->afe_n : bookmark;
+            if (p->afe_n >= AFE_MAX) BAILI(p);
+            memmove(&p->afe[ins + 1], &p->afe[ins],
+                    (size_t)(p->afe_n - ins) * sizeof(AfeEnt));
+            p->afe[ins].tid = fe_ent.tid;
+            p->afe[ins].attrs = fe_ent.attrs;
+            p->afe[ins].t0 = fe_ent.t0;
+            p->afe[ins].t1 = fe_ent.t1;
+            p->afe[ins].nid = clone2;
+            p->afe_n++;
+        }
+        /* step 19: stack — remove FE, insert clone below the block */
+        {
+            int sk = nid_on_stack(p, fe);
+            if (sk < 0) BAILI(p);
+            stack_remove_at(p, sk);
+            set_end_span(p, fe, t0, t1);
+            int fbk = nid_on_stack(p, fb);
+            if (fbk < 0) BAILI(p);
+            stack_insert_at(p, fbk + 1, clone2);
+            CHKI(p);
+        }
+        p->preorder_ok = 0;  /* reparenting broke creation order */
     }
-    if (fe_idx < 0) return 0;
-    int32_t fe = p->afe[fe_idx].nid;
-    if (nid_on_stack(p, fe) < 0) {
-        /* stale entry: err, drop it, token ignored (html5.py:1247) */
-        err(p, E_ADOPTION_AGENCY, t0); CHKI(p);
-        memmove(&p->afe[fe_idx], &p->afe[fe_idx + 1],
-                (size_t)(p->afe_n - fe_idx - 1) * sizeof(AfeEnt));
-        p->afe_n--;
-        return 1;
-    }
-    if (!node_in_scope(p, fe)) {
-        err(p, E_ADOPTION_AGENCY, t0); CHKI(p);
-        return 1;  /* token ignored */
-    }
-    if (!p->stack_n || p->stack[p->stack_n - 1] != fe) BAILI(p);  /* parse error */
-    /* fe is the current node → no furthest block above it: pop it */
-    pop_node(p);
-    set_end_span(p, fe, t0, t1);
-    if (p->st.tid[fe] == TID_P) p->open_p--;  /* unreachable (p not formatting) */
-    memmove(&p->afe[fe_idx], &p->afe[fe_idx + 1],
-            (size_t)(p->afe_n - fe_idx - 1) * sizeof(AfeEnt));
-    p->afe_n--;
     return 1;
 }
 
@@ -870,15 +1084,28 @@ static void reset_mode(P *p) {
 static void flush_tt(P *p) {
     int np = p->pend_n;
     p->pend_n = 0;
-    for (int i = 0; i < np; i++) {
+    int allws = 1;
+    for (int i = 0; i < np && allws; i++) {
         for (int64_t q = p->pend[i][0]; q < p->pend[i][1]; q++)
-            if (!WS_CHAR(p->s[q])) BAILV(p);
+            if (!WS_CHAR(p->s[q])) { allws = 0; break; }
     }
+    if (allws) {
+        for (int i = 0; i < np; i++) {
+            PyObject *u = ascii_slice(p, p->pend[i][0], p->pend[i][1]);
+            insert_text(p, u, p->pend[i][0], p->pend[i][1], 0, 0);
+            CHKV(p);
+        }
+        return;
+    }
+    /* ANY non-space char foster-parents EVERY run (parse error) */
+    err(p, E_UNEXPECTED_CHARACTER, p->pend[0][0]); CHKV(p);
+    p->foster = 1;
     for (int i = 0; i < np; i++) {
-        PyObject *u = ascii_slice(p, p->pend[i][0], p->pend[i][1]);
-        insert_text(p, u, p->pend[i][0], p->pend[i][1], 0, 0);
-        CHKV(p);
+        insert_text(p, decode_text(p, p->pend[i][0], p->pend[i][1]),
+                    p->pend[i][0], p->pend[i][1], 0, 1);
+        if (p->bail) break;
     }
+    p->foster = 0;
 }
 
 /* ---- character tokens (html5.py:1634-1718 _chars_html) ------------ */
@@ -966,11 +1193,8 @@ static void chars_html(P *p, int64_t a, int64_t b) {
         for (int64_t q = a; q < b; q++)
             if (!WS_CHAR(p->s[q])) { allws = 0; break; }
         if (!allws) {
-            /* err + reopen body — append-safe only while no trailing
-             * comment has been deferred */
-            if (p->defer_n) BAILV(p);
             err(p, E_UNEXPECTED_CHARACTER, a); CHKV(p);
-            p->mode = M_IN_BODY;
+            p->mode = M_IN_BODY;  /* body reopens (parse error) */
         }
         insert_text(p, decode_text(p, a, b), a, b, 0, 1);
         return;
@@ -983,26 +1207,23 @@ static void handle_comment(P *p, int64_t a, int64_t b, int64_t t0, int64_t t1) {
     if (p->pend_n) { flush_tt(p); CHKV(p); }
     p->skip_newline = 0;
     /* NUL impossible (prescan) */
-    if (p->mode == M_INITIAL || p->mode == M_BEFORE_HTML) {
+    if (p->mode == M_INITIAL || p->mode == M_BEFORE_HTML ||
+        p->mode == M_AFTER_AFTER_BODY) {
+        /* document-level comment; after <html> exists, later tokens
+         * can reopen body content → DFS finalize (html5.py:2910-2918) */
         PyObject *txt = ascii_slice(p, a, b);
         int32_t nid = new_node(p, T_COMMENT, -1, NULL, txt, NULL, t0, t1, 0, 0, 0, 0);
         if (nid < 0) return;
         attach(p, nid, 0);
+        if (p->html_id >= 0) p->preorder_ok = 0;
         return;
     }
-    if (p->mode == M_AFTER_BODY || p->mode == M_AFTER_AFTER_BODY) {
-        /* Python attaches now and re-sorts in finalize (preorder_ok=
-         * False); the C store is append-only, so DEFER materializing
-         * to EOF — sound because the target (html / document) gains
-         * no later children on any non-bailing path */
-        if (p->defer_n >= DEFER_MAX) BAILV(p);
+    if (p->mode == M_AFTER_BODY && p->html_id >= 0) {
         PyObject *txt = ascii_slice(p, a, b);
-        if (!txt) BAILV(p);
-        p->defer[p->defer_n].text = txt;
-        p->defer[p->defer_n].t0 = t0;
-        p->defer[p->defer_n].t1 = t1;
-        p->defer[p->defer_n].target = p->mode == M_AFTER_BODY ? p->html_id : 0;
-        p->defer_n++;
+        int32_t nid = new_node(p, T_COMMENT, -1, NULL, txt, NULL, t0, t1, 0, 0, 0, 0);
+        if (nid < 0) return;
+        attach(p, nid, p->html_id);
+        p->preorder_ok = 0;  /* body content may reopen after */
         return;
     }
     PyObject *txt = ascii_slice(p, a, b);
@@ -1294,9 +1515,11 @@ static int start_in_body(P *p, int tid, PyObject *name, PyObject *attrs,
     if (fl & F_FORMATTING) { afe_push(p, tid, attrs, t0, t1, nid); CHKI(p); }
     if (tid == TID_TABLE) { p->mode = M_IN_TABLE; return CM_NONE; }
     if (tid == TID_SELECT) {
-        /* html5.py:2209-2226 (round-5 mode-based form; the foster and
-         * caption-fragment legs cannot occur in the C subset) */
-        p->select_in_table = (p->mode == M_IN_CELL) || in_table_scope(p, TID_CAPTION);
+        /* html5.py:2209-2226 (round-5 mode-based form; the caption-
+         * fragment leg cannot occur in the C subset; the foster leg
+         * covers a select opened via in-table delegation) */
+        p->select_in_table = (p->mode == M_IN_CELL) || p->foster ||
+                             in_table_scope(p, TID_CAPTION);
         p->mode = M_IN_SELECT;
         return CM_NONE;
     }
@@ -1393,7 +1616,18 @@ static int start_in_table(P *p, int tid, PyObject *name, PyObject *attrs,
             }
             return CM_NONE;
         }
-        BAILI(p);  /* anything else: foster-parented insert */
+        /* anything else: foster-parented in-body processing
+         * (html5.py:2345-2354) */
+        err(p, E_UNEXPECTED_START_TAG_IN_TABLE, t0); CHKI(p);
+        {
+            int saved = p->mode;
+            p->foster = 1;
+            p->mode = M_IN_BODY;
+            int r = start_in_body(p, tid, name, attrs, self_closing, t0, t1);
+            if (p->mode == M_IN_BODY) p->mode = saved;
+            p->foster = 0;
+            return r;
+        }
     }
     if (mode == M_IN_TABLE_BODY) {
         if (tid == TID_TR) {
@@ -1676,7 +1910,6 @@ static int start_html(P *p, int tid, PyObject *name, PyObject *attrs,
             merge_root_attrs(p, p->html_id, attrs); CHKI(p);
             return CM_NONE;
         }
-        if (p->defer_n) BAILI(p);  /* deferred trailing comment: reopen breaks preorder */
         err(p, E_UNEXPECTED_START_TAG, t0); CHKI(p);
         p->mode = M_IN_BODY;
         return handle_start(p, tid, name, attrs, self_closing, t0, t1);
@@ -1882,7 +2115,6 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
         if (mode == M_AFTER_AFTER_BODY) {
             /* html5.py:2581-2584: err, back to in-body, reprocess —
              * only append-safe while no trailing comment is deferred */
-            if (p->defer_n) BAILV(p);
             err(p, E_UNEXPECTED_END_TAG, t0); CHKV(p);
             p->mode = M_IN_BODY;
             end_html(p, tid, name, t0, t1);
@@ -1896,7 +2128,6 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
                 }
                 return;
             }
-            if (p->defer_n) BAILV(p);
             err(p, E_UNEXPECTED_END_TAG, t0); CHKV(p);
             p->mode = M_IN_BODY;
             end_html(p, tid, name, t0, t1);
@@ -2162,20 +2393,6 @@ static void handle_eof(P *p) {
     if (p->html_id < 0) { ensure_html(p, pos); CHKV(p); }
     if (p->head_id < 0) { ensure_head(p, pos); CHKV(p); pop_head(p, pos, -1, -1); }
     if (p->body_id < 0) { ensure_body(p, pos); CHKV(p); }
-    /* materialize deferred after-body comments (creation order ==
-     * preorder: their targets gained no later children) */
-    for (int k = 0; k < p->defer_n; k++) {
-        int32_t nid = new_node(p, T_COMMENT, -1, NULL, p->defer[k].text, NULL,
-                               p->defer[k].t0, p->defer[k].t1, 0, 0, 0, 0);
-        if (nid < 0) { /* text ref stolen on failure path too */
-            for (int q = k + 1; q < p->defer_n; q++) Py_CLEAR(p->defer[q].text);
-            p->defer_n = 0;
-            return;
-        }
-        p->defer[k].text = NULL;  /* ownership moved into the store */
-        attach(p, nid, p->defer[k].target);
-    }
-    p->defer_n = 0;
     while (p->stack_n) pop_node(p);
 }
 
@@ -2520,10 +2737,10 @@ static void p_free(P *p) {
         Py_XDECREF(st->attrs[i]);
     }
     free(st->type); free(st->tid); free(st->parent); free(st->iwp);
-    free(st->nkids); free(st->last_child); free(st->span);
+    free(st->first_child); free(st->last_child); free(st->next_sib);
+    free(st->span);
     free(st->tag); free(st->text); free(st->attrs);
     while (p->stack_n) pop_node(p);
-    for (int k = 0; k < p->defer_n; k++) Py_CLEAR(p->defer[k].text);
     free(p->scratch);
     free(p->err_code);
     free(p->err_pos);
@@ -2532,33 +2749,105 @@ static void p_free(P *p) {
 static PyObject *build_result(P *p, PyObject *src_obj /* new ref or NULL */) {
     Store *st = &p->st;
     Py_ssize_t cnt = st->count;
-    int32_t *subend = malloc((size_t)cnt * sizeof(int32_t));
-    if (!subend) { Py_XDECREF(src_obj); return PyErr_NoMemory(); }
-    for (Py_ssize_t i = cnt - 1; i >= 0; i--)
-        subend[i] = st->last_child[i] >= 0 ? subend[st->last_child[i]] : (int32_t)(i + 1);
+    int32_t *order = NULL, *parent_new = NULL, *iwp = NULL, *subend = NULL;
     PyObject *res = NULL, *tags = NULL, *texts = NULL, *attrs = NULL;
-    PyObject *b_type = PyByteArray_FromStringAndSize((char *)st->type, cnt);
-    PyObject *b_tid = PyByteArray_FromStringAndSize((char *)st->tid, cnt * (Py_ssize_t)sizeof(int16_t));
-    PyObject *b_parent = PyByteArray_FromStringAndSize((char *)st->parent, cnt * (Py_ssize_t)sizeof(int32_t));
-    PyObject *b_iwp = PyByteArray_FromStringAndSize((char *)st->iwp, cnt * (Py_ssize_t)sizeof(int32_t));
-    PyObject *b_sub = PyByteArray_FromStringAndSize((char *)subend, cnt * (Py_ssize_t)sizeof(int32_t));
-    PyObject *b_span = PyByteArray_FromStringAndSize((char *)st->span, cnt * 6 * (Py_ssize_t)sizeof(int64_t));
-    free(subend);
+    PyObject *b_type = NULL, *b_tid = NULL, *b_parent = NULL, *b_iwp = NULL,
+             *b_sub = NULL, *b_span = NULL;
+    parent_new = malloc((size_t)cnt * sizeof(int32_t));
+    iwp = malloc((size_t)cnt * sizeof(int32_t));
+    subend = malloc((size_t)cnt * sizeof(int32_t));
+    if (!parent_new || !iwp || !subend) goto nomem;
+    if (p->preorder_ok) {
+        /* creation order IS preorder: iwp from one child-list pass,
+         * subtree_end from a reverse last-child pass (html5.py:2963) */
+        for (Py_ssize_t i = 0; i < cnt; i++) {
+            int32_t j = 0;
+            for (int32_t c = st->first_child[i]; c >= 0; c = st->next_sib[c])
+                iwp[c] = j++;
+        }
+        iwp[0] = 0;
+        memcpy(parent_new, st->parent, (size_t)cnt * sizeof(int32_t));
+        for (Py_ssize_t i = cnt - 1; i >= 0; i--)
+            subend[i] = st->last_child[i] >= 0 ? subend[st->last_child[i]] : (int32_t)(i + 1);
+    } else {
+        /* general path: DFS flatten to preorder (html5.py:2991-3032).
+         * All nodes stay reachable in the C subset (the body-discard
+         * frameset takeover bails), so idx must equal cnt. */
+        int32_t *new_id = malloc((size_t)cnt * sizeof(int32_t));
+        struct frame { int32_t bid, pnew, k; uint8_t done; } *fstk =
+            malloc((size_t)(2 * cnt + 2) * sizeof(struct frame));
+        int32_t *kids = malloc((size_t)cnt * sizeof(int32_t));
+        order = malloc((size_t)cnt * sizeof(int32_t));
+        if (!new_id || !fstk || !kids || !order) {
+            free(new_id); free(fstk); free(kids);
+            goto nomem;
+        }
+        Py_ssize_t sp = 0, idx = 0;
+        fstk[sp++] = (struct frame){0, -1, 0, 0};
+        while (sp) {
+            struct frame f = fstk[--sp];
+            if (f.done) { subend[new_id[f.bid]] = (int32_t)idx; continue; }
+            int32_t nid = (int32_t)idx++;
+            order[nid] = f.bid;
+            new_id[f.bid] = nid;
+            parent_new[nid] = f.pnew;
+            iwp[nid] = f.k;
+            fstk[sp++] = (struct frame){f.bid, f.pnew, f.k, 1};
+            int32_t nk = 0;
+            for (int32_t c = st->first_child[f.bid]; c >= 0; c = st->next_sib[c])
+                kids[nk++] = c;
+            for (int32_t j = nk - 1; j >= 0; j--)
+                fstk[sp++] = (struct frame){kids[j], nid, j, 0};
+        }
+        free(new_id);
+        free(fstk);
+        free(kids);
+        if (idx != cnt) {  /* unreachable nodes: outside the C subset */
+            free(order); free(parent_new); free(iwp); free(subend);
+            Py_XDECREF(src_obj);
+            Py_RETURN_NONE;
+        }
+    }
+    if (order) {
+        /* permute the per-node columns into preorder */
+        int8_t *ty = malloc((size_t)cnt);
+        int16_t *ti = malloc((size_t)cnt * sizeof(int16_t));
+        int64_t *spn = malloc((size_t)cnt * 6 * sizeof(int64_t));
+        if (!ty || !ti || !spn) { free(ty); free(ti); free(spn); goto nomem; }
+        for (Py_ssize_t i = 0; i < cnt; i++) {
+            int32_t b = order[i];
+            ty[i] = st->type[b];
+            ti[i] = st->tid[b];
+            memcpy(spn + 6 * i, st->span + 6 * b, 6 * sizeof(int64_t));
+        }
+        b_type = PyByteArray_FromStringAndSize((char *)ty, cnt);
+        b_tid = PyByteArray_FromStringAndSize((char *)ti, cnt * (Py_ssize_t)sizeof(int16_t));
+        b_span = PyByteArray_FromStringAndSize((char *)spn, cnt * 6 * (Py_ssize_t)sizeof(int64_t));
+        free(ty); free(ti); free(spn);
+    } else {
+        b_type = PyByteArray_FromStringAndSize((char *)st->type, cnt);
+        b_tid = PyByteArray_FromStringAndSize((char *)st->tid, cnt * (Py_ssize_t)sizeof(int16_t));
+        b_span = PyByteArray_FromStringAndSize((char *)st->span, cnt * 6 * (Py_ssize_t)sizeof(int64_t));
+    }
+    b_parent = PyByteArray_FromStringAndSize((char *)parent_new, cnt * (Py_ssize_t)sizeof(int32_t));
+    b_iwp = PyByteArray_FromStringAndSize((char *)iwp, cnt * (Py_ssize_t)sizeof(int32_t));
+    b_sub = PyByteArray_FromStringAndSize((char *)subend, cnt * (Py_ssize_t)sizeof(int32_t));
     tags = PyList_New(cnt);
     texts = PyList_New(cnt);
     attrs = PyList_New(cnt);
     if (!b_type || !b_tid || !b_parent || !b_iwp || !b_sub || !b_span ||
         !tags || !texts || !attrs) goto fail;
     for (Py_ssize_t i = 0; i < cnt; i++) {
+        Py_ssize_t b = order ? order[i] : i;
         PyObject *tg;
-        if (st->tag[i]) { tg = st->tag[i]; Py_INCREF(tg); }
-        else if (st->tid[i] >= 0 && st->tid[i] < N_TAGS) { tg = tag_objs[st->tid[i]]; Py_INCREF(tg); }
+        if (st->tag[b]) { tg = st->tag[b]; Py_INCREF(tg); }
+        else if (st->tid[b] >= 0 && st->tid[b] < N_TAGS) { tg = tag_objs[st->tid[b]]; Py_INCREF(tg); }
         else { tg = empty_str; Py_INCREF(tg); }
         PyList_SET_ITEM(tags, i, tg);
-        PyObject *tx = st->text[i] ? st->text[i] : empty_str;
+        PyObject *tx = st->text[b] ? st->text[b] : empty_str;
         Py_INCREF(tx);
         PyList_SET_ITEM(texts, i, tx);
-        PyObject *at = st->attrs[i] ? st->attrs[i] : Py_None;
+        PyObject *at = st->attrs[b] ? st->attrs[b] : Py_None;
         Py_INCREF(at);
         PyList_SET_ITEM(attrs, i, at);
     }
@@ -2575,9 +2864,15 @@ static PyObject *build_result(P *p, PyObject *src_obj /* new ref or NULL */) {
                             b_sub, b_span, tags, texts, attrs, p->quirks, errs,
                             src_obj ? src_obj : Py_None);
     }
+    free(order); free(parent_new); free(iwp); free(subend);
     Py_XDECREF(src_obj);
     return res;
+nomem:
+    free(order); free(parent_new); free(iwp); free(subend);
+    Py_XDECREF(src_obj);
+    return PyErr_NoMemory();
 fail:
+    free(order); free(parent_new); free(iwp); free(subend);
     Py_XDECREF(b_type); Py_XDECREF(b_tid); Py_XDECREF(b_parent);
     Py_XDECREF(b_iwp); Py_XDECREF(b_sub); Py_XDECREF(b_span);
     Py_XDECREF(tags); Py_XDECREF(texts); Py_XDECREF(attrs);
@@ -2631,6 +2926,7 @@ static PyObject *cparse(PyObject *self, PyObject *arg) {
     p.s = data;
     p.n = n;
     p.quirks = 1;
+    p.preorder_ok = 1;
     p.html_id = p.head_id = p.body_id = -1;
     p.form_ptr = -1;
     /* document node (html5.py:691) */

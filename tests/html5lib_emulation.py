@@ -133,12 +133,21 @@ class patched_legacy_aaa:
     """Context manager: parse with html5lib's legacy AAA."""
 
     def __enter__(self):
+        import gumbo_pp_spark.parser.html5 as _H
+
         self._orig = _TreeBuilder._adoption_agency
         _TreeBuilder._adoption_agency = legacy_adoption_agency
+        # the C fast path implements the UNPATCHED semantics — force
+        # the pure-Python engine while the patch is live (round 5)
+        self._c = _H._cparse_fast
+        _H._cparse_fast = None
         return self
 
     def __exit__(self, *exc):
+        import gumbo_pp_spark.parser.html5 as _H
+
         _TreeBuilder._adoption_agency = self._orig
+        _H._cparse_fast = self._c
         return False
 
 
@@ -200,12 +209,21 @@ class patched_legacy_end_any_other:
     """Context manager: parse with html5lib's legacy any-other-end-tag."""
 
     def __enter__(self):
+        import gumbo_pp_spark.parser.html5 as _H
+
         self._orig = _TreeBuilder._end_any_other
         _TreeBuilder._end_any_other = legacy_end_any_other
+        # the C fast path implements the UNPATCHED semantics — force
+        # the pure-Python engine while the patch is live (round 5)
+        self._c = _H._cparse_fast
+        _H._cparse_fast = None
         return self
 
     def __exit__(self, *exc):
+        import gumbo_pp_spark.parser.html5 as _H
+
         _TreeBuilder._end_any_other = self._orig
+        _H._cparse_fast = self._c
         return False
 
 
@@ -234,10 +252,19 @@ class patched_unconditional_tt:
     in-table-text pending."""
 
     def __enter__(self):
+        import gumbo_pp_spark.parser.html5 as _H
+
         self._orig = _TreeBuilder._chars_in_table
         _TreeBuilder._chars_in_table = legacy_chars_in_table
+        # the C fast path implements the UNPATCHED semantics — force
+        # the pure-Python engine while the patch is live (round 5)
+        self._c = _H._cparse_fast
+        _H._cparse_fast = None
         return self
 
     def __exit__(self, *exc):
+        import gumbo_pp_spark.parser.html5 as _H
+
         _TreeBuilder._chars_in_table = self._orig
+        _H._cparse_fast = self._c
         return False

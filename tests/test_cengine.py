@@ -76,9 +76,9 @@ def test_conformance_corpus_ab():
             H._cparse_fast = saved
         assert_identical(c, py, data[:120])
     # the corpus is deliberately error-heavy fuzz; with the round-5
-    # benign-error conversion the C engine takes ~43% of even this
-    # corpus (real webtext errors are exactly the converted ones)
-    assert engaged >= 12000, engaged
+    # error recording + full adoption agency + foster parenting the C
+    # engine takes ~71% of even this corpus
+    assert engaged >= 22000, engaged
 
 
 def test_bench_corpora_fully_engaged():
@@ -110,9 +110,71 @@ def test_bail_conditions():
     assert cengine.cparse(b"a\x00b") is None             # NUL
     assert cengine.cparse(b"<svg><rect/></svg>") is None # foreign content
     assert cengine.cparse(b"<template>x</template>") is None
-    assert cengine.cparse(b"<b><i></b>") is None         # complex AAA
-    assert cengine.cparse(b"<table>x</table>") is None   # fostered text
     assert cengine.cparse(b"<frameset>") is None         # frameset takeover
+    assert cengine.cparse(b"<plaintext>x") is None       # PLAINTEXT state
+    assert cengine.cparse(b"<isindex>") is None          # legacy expansion
+
+
+def test_aaa_and_foster_now_engage():
+    """Round-5 phase 3: the full adoption agency and foster parenting
+    run in C (DFS-renumber finalize), byte-identical to Python."""
+    import gumbo_pp_spark.parser.html5 as H
+
+    cases = [
+        b"<b><i>bold italic</b> just italic</i> plain",
+        b"<p><b>one<p>two</b>three",
+        b"<a href=1>x<div>y</a>z</div>",
+        b"<table>stray<tr><td>c</td></tr></table>",
+        b"<table><b>bold<tr><td>c</td></tr></table>",
+        b"x</body><!--tail--><p>reopened",
+        b"<font color=red><p>styled</font>tail",
+    ]
+    for doc in cases:
+        c = cengine.cparse(doc)
+        assert c is not None, doc
+        saved = H._cparse_fast
+        H._cparse_fast = None
+        try:
+            py = H.parse_html(doc.decode())
+        finally:
+            H._cparse_fast = saved
+        assert_identical(c, py, doc)
+
+
+def test_dirty_web_corpus_fully_engaged():
+    """A realistic messy-CC-page mix (CRLF, legacy doctypes, unclosed
+    and misnested tags, stray table text, dup attrs) must stay on the
+    C engine end to end."""
+    import random
+
+    import gumbo_pp_spark.parser.html5 as H
+
+    rng = random.Random(42)
+    words = "the quick brown fox jumps over lazy dog web page".split()
+
+    def txt(n):
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    eng = 0
+    for i in range(80):
+        parts = ['<!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN">']
+        parts.append("\r\n<html><head><title>P%d &amp; co</title></head><body>\r\n" % i)
+        parts.append("<div id=h class=a class=b><a href='/?a=1&b=2'>x</a></div>")
+        for _ in range(5):
+            k = rng.randrange(6)
+            if k == 0: parts.append("<p>%s" % txt(8))
+            elif k == 1: parts.append("<b><i>%s</b></i>" % txt(4))
+            elif k == 2: parts.append("<table>%s<tr><td>c</td></tr></table>" % txt(2))
+            elif k == 3: parts.append("<p>%s</p></div>" % txt(5))
+            elif k == 4: parts.append("<ul><li>%s<li>%s</ul>" % (txt(3), txt(3)))
+            else: parts.append("<b>%s<p>in</p>" % txt(3))
+        parts.append("</body></html><!-- t -->")
+        doc = "".join(parts).encode()
+        before = cengine.stats["c"]
+        H.parse_html(doc)
+        if cengine.stats["c"] == before + 1:
+            eng += 1
+    assert eng == 80, eng
 
 
 def test_benign_errors_recorded_in_c():
