@@ -68,6 +68,14 @@ typedef struct { int16_t tid; int32_t nid; int64_t t0, t1; PyObject *attrs; /* b
 typedef struct {
     const unsigned char *s;
     Py_ssize_t n;
+    /* kind-2/4 source strings are TRANSCODED to a byte buffer where
+     * every char > 0x7F becomes the placeholder 0x80 (structure is
+     * pure ASCII, so offsets are preserved 1 char = 1 byte); text is
+     * emitted by reading the ORIGINAL string back.  src_obj/src_kind/
+     * src_data are set only in that mode. */
+    PyObject *src_obj;        /* borrowed */
+    int src_kind;
+    const void *src_data;
     Store st;
     int mode;
     int bail;
@@ -302,6 +310,13 @@ static int ent_lookup(const char *name, Py_ssize_t len) {
     return -1;
 }
 
+/* original codepoint at index i (placeholder-transcoded mode) */
+static inline Py_UCS4 rd(P *p, Py_ssize_t i) {
+    if (p->src_data)
+        return PyUnicode_READ(p->src_kind, p->src_data, i);
+    return p->s[i];
+}
+
 /* append one UTF-8 string to a UCS4 buffer (entity values are
  * pre-validated UTF-8 from the stdlib tables) */
 static Py_ssize_t ucs4_append_utf8(Py_UCS4 *out, Py_ssize_t k, const char *u) {
@@ -335,7 +350,8 @@ static Py_ssize_t numref_append(Py_UCS4 *out, Py_ssize_t k, long num) {
  *   &(#[0-9]+;?|#[xX][0-9a-fA-F]+;?|[^\t\n\f <&#;]{1,32};?)
  * Writes the replacement to out/k, returns chars consumed from s
  * (0 = no match, '&' is literal). */
-static Py_ssize_t unescape_ref(const unsigned char *s, Py_ssize_t i, Py_ssize_t n,
+static Py_ssize_t unescape_ref(P *p, const unsigned char *s, Py_ssize_t base,
+                               Py_ssize_t i, Py_ssize_t n,
                                Py_UCS4 *out, Py_ssize_t *k) {
     Py_ssize_t j = i + 1;
     if (j < n && s[j] == '#') {
@@ -384,19 +400,21 @@ static Py_ssize_t unescape_ref(const unsigned char *s, Py_ssize_t i, Py_ssize_t 
     Py_ssize_t mlen = m;
     if (j + m < n && s[j + m] == ';') { name[mlen++] = ';'; }
     name[mlen] = '\0';
-    /* full lookup, then the longest-prefix walk (prefix length >= 2) */
+    /* full lookup, then the longest-prefix walk (prefix length >= 2).
+     * Literal fallbacks re-read ORIGINAL codepoints (a placeholder
+     * byte stands for any non-ASCII char in the name run). */
     int e = ent_lookup(name, mlen);
     if (e >= 0) { *k = ucs4_append_utf8(out, *k, ENT_VALUES[e]); return 1 + mlen; }
     for (Py_ssize_t x = mlen - 1; x >= 2; x--) {
         e = ent_lookup(name, x);
         if (e >= 0) {
             *k = ucs4_append_utf8(out, *k, ENT_VALUES[e]);
-            for (Py_ssize_t q = x; q < mlen; q++) out[(*k)++] = (Py_UCS4)(unsigned char)name[q];
+            for (Py_ssize_t q = x; q < mlen; q++) out[(*k)++] = rd(p, base + j + q);
             return 1 + mlen;
         }
     }
     out[(*k)++] = '&';
-    for (Py_ssize_t q = 0; q < mlen; q++) out[(*k)++] = (Py_UCS4)(unsigned char)name[q];
+    for (Py_ssize_t q = 0; q < mlen; q++) out[(*k)++] = rd(p, base + j + q);
     return 1 + mlen;
 }
 
@@ -413,24 +431,28 @@ static int scratch_ensure(P *p, Py_ssize_t need) {
 static PyObject *decode_text(P *p, Py_ssize_t a, Py_ssize_t b) {
     const unsigned char *s = p->s;
     const unsigned char *amp = memchr(s + a, '&', (size_t)(b - a));
-    if (!amp)
+    if (!amp) {
+        if (p->src_data) return PyUnicode_Substring(p->src_obj, a, b);
         return PyUnicode_FromKindAndData(PyUnicode_1BYTE_KIND, s + a, b - a);
+    }
     if (scratch_ensure(p, b - a) < 0) return NULL;
     Py_UCS4 *out = p->scratch;
     Py_ssize_t k = 0;
     for (Py_ssize_t i = a; i < b; ) {
         if (s[i] == '&') {
-            Py_ssize_t used = unescape_ref(s, i, b, out, &k);
+            Py_ssize_t used = unescape_ref(p, s, 0, i, b, out, &k);
             if (used) { i += used; continue; }
         }
-        out[k++] = s[i++];
+        out[k++] = rd(p, i);
+        i++;
     }
     return PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND, out, k);
 }
 
-/* source slice as str (no decoding; bytes are codepoints — ASCII or
- * Latin-1 kind-1 input) */
+/* source slice as str (no decoding); bytes are codepoints for kind-1
+ * input, and the ORIGINAL string is sliced in transcoded mode */
 static PyObject *ascii_slice(P *p, Py_ssize_t a, Py_ssize_t b) {
+    if (p->src_data) return PyUnicode_Substring(p->src_obj, a, b);
     return PyUnicode_FromKindAndData(PyUnicode_1BYTE_KIND, p->s + a, b - a);
 }
 
@@ -439,14 +461,17 @@ static PyObject *ascii_slice(P *p, Py_ssize_t a, Py_ssize_t b) {
  * '#'-refs and ';'-terminated named refs go through full unescape
  * semantics; a no-semicolon named ref is decoded only on an EXACT
  * table hit not followed by '='. */
-static PyObject *decode_attr(P *p, const unsigned char *s, Py_ssize_t len) {
-    if (!memchr(s, '&', (size_t)len))
+static PyObject *decode_attr(P *p, Py_ssize_t off, Py_ssize_t len) {
+    const unsigned char *s = p->s + off;
+    if (!memchr(s, '&', (size_t)len)) {
+        if (p->src_data) return PyUnicode_Substring(p->src_obj, off, off + len);
         return PyUnicode_FromKindAndData(PyUnicode_1BYTE_KIND, s, len);
+    }
     if (scratch_ensure(p, len) < 0) return NULL;
     Py_UCS4 *out = p->scratch;
     Py_ssize_t k = 0;
     for (Py_ssize_t i = 0; i < len; ) {
-        if (s[i] != '&') { out[k++] = s[i++]; continue; }
+        if (s[i] != '&') { out[k++] = rd(p, off + i); i++; continue; }
         Py_ssize_t j = i + 1;
         if (j < len && s[j] == '#') {
             /* numeric: match #[0-9]+;? or #[xX]hex+;? then replay
@@ -455,15 +480,15 @@ static PyObject *decode_attr(P *p, const unsigned char *s, Py_ssize_t len) {
             if (h < len && (s[h] == 'x' || s[h] == 'X')) {
                 Py_ssize_t h0 = ++h;
                 while (h < len && ((s[h] >= '0' && s[h] <= '9') || ((s[h] | 32) >= 'a' && (s[h] | 32) <= 'f'))) h++;
-                if (h == h0) { out[k++] = s[i++]; continue; }
+                if (h == h0) { out[k++] = s[i++]; continue; }  /* '&#x': ASCII */
             } else {
                 Py_ssize_t h0 = h;
                 while (h < len && s[h] >= '0' && s[h] <= '9') h++;
-                if (h == h0) { out[k++] = s[i++]; continue; }
+                if (h == h0) { out[k++] = s[i++]; continue; }  /* '&#': ASCII */
             }
             if (h < len && s[h] == ';') h++;
-            Py_ssize_t used = unescape_ref(s, i, h, out, &k);
-            if (!used) { out[k++] = s[i++]; continue; }
+            Py_ssize_t used = unescape_ref(p, s, off, i, h, out, &k);
+            if (!used) { out[k++] = rd(p, off + i); i++; continue; }
             i += used;
             /* unescape_ref may consume less than the attr-regex match
              * (e.g. >32-char digit runs are impossible for numerics
@@ -479,16 +504,16 @@ static PyObject *decode_attr(P *p, const unsigned char *s, Py_ssize_t len) {
             if (m == 0 ? !alpha : !(alpha || digit)) break;
             m++;
         }
-        if (m == 0) { out[k++] = s[i++]; continue; }
+        if (m == 0) { out[k++] = '&'; i++; continue; }  /* lone '&': ASCII */
         if (j + m < len && s[j + m] == ';') {
             /* replay full unescape semantics on "&name;" */
             Py_ssize_t end = j + m + 1;
-            Py_ssize_t used = unescape_ref(s, i, end, out, &k);
+            Py_ssize_t used = unescape_ref(p, s, off, i, end, out, &k);
             if (used) i += used;
             /* if unescape consumed less than the whole match (name
              * longer than 32 chars), the remainder is emitted
              * literally by the outer loop */
-            else out[k++] = s[i++];
+            else { out[k++] = '&'; i++; }
             continue;
         }
         /* no semicolon: exact hit not followed by '=' decodes */
@@ -498,7 +523,7 @@ static PyObject *decode_attr(P *p, const unsigned char *s, Py_ssize_t len) {
             k = ucs4_append_utf8(out, k, ENT_VALUES[e]);
         } else {
             out[k++] = '&';
-            for (Py_ssize_t q = 0; q < m; q++) out[k++] = s[j + q];
+            for (Py_ssize_t q = 0; q < m; q++) out[k++] = rd(p, off + j + q);
         }
         i = j + m;
     }
@@ -2377,7 +2402,8 @@ static Py_ssize_t scan_start_attrs(P *p, Py_ssize_t pos, PyObject *attrs,
         int has = PyDict_Contains(attrs, key);
         if (has < 0) { Py_DECREF(key); PyErr_Clear(); BAILI(p); }
         if (has) { Py_DECREF(key); (*dups)++; continue; }  /* first wins (parse error) */
-        PyObject *val = v ? decode_attr(p, v, vlen) : (Py_INCREF(empty_str), empty_str);
+        PyObject *val = v ? decode_attr(p, (Py_ssize_t)(v - p->s), vlen)
+                          : (Py_INCREF(empty_str), empty_str);
         if (!val) { Py_DECREF(key); BAILI(p); }
         if (PyDict_SetItem(attrs, key, val) < 0) { Py_DECREF(key); Py_DECREF(val); PyErr_Clear(); BAILI(p); }
         Py_DECREF(key);
@@ -2887,18 +2913,34 @@ static PyObject *cparse(PyObject *self, PyObject *arg) {
     int have_view = 0;
     PyObject *src_str = NULL;  /* borrowed */
     int latin1 = 0;
+    unsigned char *transcoded = NULL;
+    int src_kind = 0;
+    const void *src_kdata = NULL;
     if (PyUnicode_Check(arg)) {
         /* kind-1 strings (ASCII + Latin-1 range) parse natively: all
          * markup chars are ASCII; 0x80-0xFF appear only inside text /
          * attribute values / comments, where byte == codepoint.
-         * 2/4-byte kinds (BMP+/astral chars) stay on the Python
-         * engine. */
+         * kind-2/4 strings (CJK/astral text) are TRANSCODED: every
+         * char > 0x7F becomes the placeholder byte 0x80 — structure
+         * is byte-scannable with offsets preserved (1 char = 1 byte),
+         * and emitted text re-reads the original codepoints. */
         if (PyUnicode_READY(arg) < 0) { PyErr_Clear(); Py_RETURN_NONE; }
-        if (PyUnicode_KIND(arg) != PyUnicode_1BYTE_KIND) Py_RETURN_NONE;
-        data = PyUnicode_1BYTE_DATA(arg);
         n = PyUnicode_GET_LENGTH(arg);
         src_str = arg;
-        latin1 = !PyUnicode_IS_ASCII(arg);
+        if (PyUnicode_KIND(arg) == PyUnicode_1BYTE_KIND) {
+            data = PyUnicode_1BYTE_DATA(arg);
+            latin1 = !PyUnicode_IS_ASCII(arg);
+        } else {
+            src_kind = PyUnicode_KIND(arg);
+            src_kdata = PyUnicode_DATA(arg);
+            transcoded = malloc((size_t)n + 1);
+            if (!transcoded) return PyErr_NoMemory();
+            for (Py_ssize_t i = 0; i < n; i++) {
+                Py_UCS4 c = PyUnicode_READ(src_kind, src_kdata, i);
+                transcoded[i] = c > 0x7F ? 0x80 : (unsigned char)c;
+            }
+            data = transcoded;
+        }
     } else if (PyObject_CheckBuffer(arg)) {
         if (PyObject_GetBuffer(arg, &view, PyBUF_SIMPLE) < 0) { PyErr_Clear(); Py_RETURN_NONE; }
         have_view = 1;
@@ -2916,6 +2958,7 @@ static PyObject *cparse(PyObject *self, PyObject *arg) {
     for (Py_ssize_t i = 0; i < n; i++) {
         unsigned char ch = data[i];
         if ((ch >= 0x80 && src_str == NULL) || ch == '\r' || ch == 0) {
+            free(transcoded);
             if (have_view) PyBuffer_Release(&view);
             Py_RETURN_NONE;
         }
@@ -2925,6 +2968,11 @@ static PyObject *cparse(PyObject *self, PyObject *arg) {
     memset(&p, 0, sizeof(P));
     p.s = data;
     p.n = n;
+    if (transcoded) {
+        p.src_obj = src_str;   /* borrowed */
+        p.src_kind = src_kind;
+        p.src_data = src_kdata;
+    }
     p.quirks = 1;
     p.preorder_ok = 1;
     p.html_id = p.head_id = p.body_id = -1;
@@ -2932,6 +2980,7 @@ static PyObject *cparse(PyObject *self, PyObject *arg) {
     /* document node (html5.py:691) */
     if (new_node(&p, T_DOCUMENT, -1, NULL, NULL, NULL, 0, n, 0, 0, 0, 0) < 0) {
         p_free(&p);
+        free(transcoded);
         if (have_view) PyBuffer_Release(&view);
         if (PyErr_Occurred()) return NULL;
         Py_RETURN_NONE;
@@ -2940,6 +2989,7 @@ static PyObject *cparse(PyObject *self, PyObject *arg) {
     if (p.bail || PyErr_Occurred()) {
         PyErr_Clear();
         p_free(&p);
+        free(transcoded);
         if (have_view) PyBuffer_Release(&view);
         Py_RETURN_NONE;
     }
@@ -2951,6 +3001,7 @@ static PyObject *cparse(PyObject *self, PyObject *arg) {
     }
     PyObject *res = src_obj ? build_result(&p, src_obj) : NULL;
     p_free(&p);
+    free(transcoded);
     if (have_view) PyBuffer_Release(&view);
     return res;
 }

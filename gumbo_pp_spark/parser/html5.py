@@ -3094,12 +3094,16 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
         options is None or not options.get("fragment_context")
     )
     if _try_c:
-        # FIRST C dispatch — the raw input, zero-copy (covers pure-
-        # ASCII CR-free pages, the dominant shape; decoded offsets ==
-        # byte offsets, so the identity byte map is pinned)
+        # FIRST C dispatch — the raw input, zero-copy (pure-ASCII
+        # CR-free bytes, the dominant shape, plus CR-free strs of any
+        # kind).  The identity byte map is pinned only for BYTES input
+        # (decoded offsets == byte offsets there); str inputs keep the
+        # Python path's lazy byte-map semantics (identity for ASCII,
+        # utf-8-shifted otherwise).
         nt = _cparse_fast(source)
         if nt is not None:
-            nt._byte_map_built = True
+            if isinstance(source, (bytes, bytearray, memoryview)):
+                nt._byte_map_built = True
             return _c_done(nt, options)
     raw_bytes = None
     raw_len = -1
@@ -3135,7 +3139,7 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
         raw_bytes = bytes(buf)
     s = source
     n = len(s)
-    if _try_c and (_had_cr or (buf is not None and not byte_identity)):
+    if _try_c and (_had_cr or (buf is not None and not source.isascii())):
         # SECOND C dispatch — the decoded, CR-normalized string (covers
         # CRLF pages and Latin-1-range text; the C engine itself
         # rejects 2/4-byte-kind strings).  Byte-map state mirrors the

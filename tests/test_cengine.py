@@ -101,10 +101,13 @@ def test_bench_corpora_fully_engaged():
 
 
 def test_bail_conditions():
-    # round-5 widening: Latin-1-range strs are ACCEPTED at this layer;
-    # 2/4-byte-kind strs and non-ASCII raw bytes are not
+    # round-5 widening: strs of ANY kind are accepted at this layer
+    # (kind-2/4 via placeholder transcoding); raw BYTES must be pure
+    # ASCII — multibyte bytes decode Python-side and come back as strs
+    # through parse_html's second dispatch
     assert cengine.cparse("café") is not None
-    assert cengine.cparse("中文") is None                 # 2-byte kind
+    assert cengine.cparse("中文") is not None             # 2-byte kind
+    assert cengine.cparse("emoji 🎉") is not None         # 4-byte kind
     assert cengine.cparse("caf\xe9".encode()) is None    # multibyte bytes
     assert cengine.cparse(b"a\rb") is None               # CR normalization
     assert cengine.cparse(b"a\x00b") is None             # NUL
@@ -252,9 +255,75 @@ def test_second_dispatch_cr_and_latin1():
         assert np.array_equal(nt.byte_offsets(starts), py.byte_offsets(starts)), src
 
 
-def test_cjk_and_mojibake_stay_python():
-    before = cengine.stats["py"]
-    nt = parse_html("<p>中文</p>".encode())
-    assert nt is not None and cengine.stats["py"] == before + 1
-    nt2 = parse_html(b"\xff<p>mojibake</p>")
-    assert nt2 is not None and cengine.stats["py"] == before + 2
+def test_cjk_and_mojibake_engage_via_second_dispatch():
+    """Round-5: CJK/astral and mojibake-replacement pages reach the C
+    engine through the post-decode dispatch, byte-map included."""
+    import gumbo_pp_spark.parser.html5 as H
+
+    for src in ("<p>中文内容</p>".encode(), b"\xff<p>mojibake</p>",
+                "<p>emoji 🎉 done</p>".encode()):
+        before = cengine.stats["c"]
+        nt = parse_html(src)
+        assert cengine.stats["c"] == before + 1, src
+        saved = H._cparse_fast
+        H._cparse_fast = None
+        try:
+            py = parse_html(src)
+        finally:
+            H._cparse_fast = saved
+        assert_identical(nt, py, src)
+        starts = np.asarray(nt.src_start)
+        assert np.array_equal(nt.byte_offsets(starts), py.byte_offsets(starts)), src
+
+
+def test_unicode_fuzz_ab():
+    """Transcoded-mode (kind-2/4) fuzz: unicode-rich documents with
+    entities, misnesting, tables and attribute junk must be identical
+    to the Python engine whenever the C engine engages.  (The
+    conformance corpus is all-ASCII, so this is the dedicated gate for
+    the placeholder-transcode path.)"""
+    import random
+
+    import gumbo_pp_spark.parser.html5 as H
+
+    rng = random.Random(7)
+    uni = ["中", "文", "漢字", "日本語", "é", "ü", "ß", "α", "🎉", "𝕏", "—", "…"]
+    ent = ["&amp;", "&lt;", "&mdash;", "&unknown;", "&amp", "&ampx",
+           "&#65;", "&#x4e2d;", "&copy 1", "&no"]
+    tags = ["p", "div", "b", "i", "span", "li", "td", "tr", "table",
+            "ul", "title", "a", "h2", "select", "option", "textarea",
+            "script", "style", "font"]
+
+    def frag(depth=0):
+        k = rng.randrange(10)
+        if k < 3:
+            return rng.choice(uni) * rng.randrange(1, 4)
+        if k < 5:
+            return "word" + rng.choice(uni) + rng.choice(ent)
+        if k == 5:
+            return rng.choice(ent)
+        if k == 6:
+            return "<!--" + rng.choice(uni) + "-->"
+        t = rng.choice(tags)
+        attrs = ""
+        if rng.randrange(3) == 0:
+            attrs = f' title="{rng.choice(uni)}{rng.choice(ent)}" class={rng.choice(uni)}'
+        inner = "".join(frag(depth + 1) for _ in range(rng.randrange(3))) if depth < 3 else "x"
+        closing = f"</{t}>" if rng.randrange(4) else ""
+        return f"<{t}{attrs}>{inner}{closing}"
+
+    engaged = 0
+    for _ in range(400):
+        d = "".join(frag() for _ in range(rng.randrange(1, 8)))
+        c = cengine.cparse(d)
+        if c is None:
+            continue
+        engaged += 1
+        saved = H._cparse_fast
+        H._cparse_fast = None
+        try:
+            py = H.parse_html(d)
+        finally:
+            H._cparse_fast = saved
+        assert_identical(c, py, d[:120])
+    assert engaged >= 350, engaged
