@@ -33,6 +33,7 @@ _SO = os.path.join(_DIR, "_chtml.so")
 stats = {"c": 0, "py": 0}
 
 _cparse = None
+_NodeTable = None
 
 
 def _build() -> bool:
@@ -94,14 +95,19 @@ def cparse(source):
         return None
     (cnt, b_type, b_tid, b_parent, b_iwp, b_sub, b_span,
      tags, texts, attrs, quirks, errors, src) = res
-    from ..nodetable import NodeTable
+    global _NodeTable
+    if _NodeTable is None:
+        from ..nodetable import NodeTable as _NT
 
+        _NodeTable = _NT
     spans = np.frombuffer(b_span, dtype=np.int64).reshape(cnt, 6)
-    tag_name = np.array(tags, dtype=object)
-    text = np.array(texts, dtype=object)
+    tag_name = np.empty(cnt, dtype=object)
+    tag_name[:] = tags
+    text = np.empty(cnt, dtype=object)
+    text[:] = texts
     attrs_arr = np.empty(cnt, dtype=object)
     attrs_arr[:] = attrs
-    nt = NodeTable(
+    nt = _NodeTable(
         source=src,
         type=np.frombuffer(b_type, dtype=np.int8),
         tag_id=np.frombuffer(b_tid, dtype=np.int16),
