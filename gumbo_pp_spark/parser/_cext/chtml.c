@@ -25,6 +25,9 @@
 
 #include "chtml_tables.h"
 
+/* namespaces (nodetable.py:41-43) */
+enum { NSP_HTML = 0, NSP_SVG = 1, NSP_MATHML = 2 };
+
 /* node types (nodetable.py:31-37) */
 enum { T_DOCUMENT = 0, T_ELEMENT = 1, T_TEXT = 2, T_CDATA = 3,
        T_COMMENT = 4, T_WHITESPACE = 5, T_TEMPLATE = 6 };
@@ -35,6 +38,9 @@ enum { M_INITIAL, M_BEFORE_HTML, M_BEFORE_HEAD, M_IN_HEAD, M_AFTER_HEAD,
        M_AFTER_BODY, M_IN_SELECT, M_IN_FRAMESET, M_AFTER_FRAMESET,
        M_IN_COLGROUP, M_AFTER_AFTER_BODY, M_IN_TEMPLATE };
 
+/* content models returned by start handlers */
+enum { CM_NONE = 0, CM_RAWTEXT, CM_RCDATA };
+
 #define WS_CHAR(c) ((c) == ' ' || (c) == '\t' || (c) == '\n' || (c) == '\f' || (c) == '\r')
 
 static PyObject *tag_objs[N_TAGS];   /* interned tag-name strings */
@@ -44,6 +50,7 @@ static PyObject *empty_attrs;        /* shared {} (copy-on-write only) */
 /* ---- per-node store (struct of arrays) ---------------------------- */
 typedef struct {
     int8_t   *type;
+    int8_t   *ns;
     int16_t  *tid;
     int32_t  *parent;
     int32_t  *iwp;        /* filled at finalize from the child lists */
@@ -95,6 +102,8 @@ typedef struct {
     int foster;
     /* 'in select in table' (html5.py select_in_table, round-5 form) */
     int select_in_table;
+    /* svg/math seen: tokens dispatch through the foreign rules */
+    int has_foreign;
     /* "in table text" pending runs: (start, end) source spans */
     int64_t pend[PEND_MAX][2];
     int pend_n;
@@ -139,6 +148,7 @@ enum {
     E_ADOPTION_AGENCY, E_UNEXPECTED_CHARACTER_TT,
     E_UNEXPECTED_START_TAG_AFTER_HEAD,
     E_UNEXPECTED_END_TAG_IN_SELECT_IN_TABLE,
+    E_HTML_IN_FOREIGN_CONTENT,
     N_ERR_CODES
 };
 static const char *ERR_CODE_STRS[N_ERR_CODES] = {
@@ -153,6 +163,7 @@ static const char *ERR_CODE_STRS[N_ERR_CODES] = {
     "adoption-agency", "unexpected-character",
     "unexpected-start-tag-after-head",
     "unexpected-end-tag-in-select-in-table",
+    "html-in-foreign-content",
 };
 
 #define BAILV(p)   do { (p)->bail = 1; return; } while (0)
@@ -164,7 +175,7 @@ static int store_grow(Store *st) {
     Py_ssize_t nc = st->cap ? st->cap * 2 : 256;
     void *a;
 #define GROW(f, t) a = realloc(st->f, nc * sizeof(t)); if (!a) return -1; st->f = a;
-    GROW(type, int8_t) GROW(tid, int16_t) GROW(parent, int32_t)
+    GROW(type, int8_t) GROW(ns, int8_t) GROW(tid, int16_t) GROW(parent, int32_t)
     GROW(iwp, int32_t) GROW(first_child, int32_t) GROW(last_child, int32_t)
     GROW(next_sib, int32_t)
     GROW(tag, PyObject *) GROW(text, PyObject *) GROW(attrs, PyObject *)
@@ -185,6 +196,7 @@ static int32_t new_node(P *p, int type, int tid, PyObject *tagobj,
     if (st->count >= st->cap && store_grow(st) < 0) { Py_XDECREF(tagobj); Py_XDECREF(text); Py_XDECREF(attrs); BAILI(p); }
     Py_ssize_t i = st->count++;
     st->type[i] = (int8_t)type;
+    st->ns[i] = NSP_HTML;  /* foreign inserts overwrite after creation */
     st->tid[i] = (int16_t)((type == T_ELEMENT || type == T_TEMPLATE) ? tid : -1);
     st->parent[i] = -1;
     st->iwp[i] = 0;
@@ -585,14 +597,82 @@ static int nid_on_stack(P *p, int32_t nid) {
 }
 
 /* ---- scope checks ------------------------------------------------- */
+/* _is_mtext_ip / _is_html_ip / _is_foreign_boundary (html5.py:912-931,
+ * 960-...): MathML text IPs + annotation-xml[encoding] + SVG HTML IPs */
+static int attr_encoding_is_html(P *p, int32_t nid) {
+    PyObject *a = p->st.attrs[nid];
+    if (!a) return 0;
+    PyObject *v = PyDict_GetItemString(a, "encoding");
+    if (!v) return 0;
+    static const char *wants[2] = {"text/html", "application/xhtml+xml"};
+    Py_ssize_t L = PyUnicode_GET_LENGTH(v);
+    int kind = PyUnicode_KIND(v);
+    const void *data = PyUnicode_DATA(v);
+    for (int w = 0; w < 2; w++) {
+        const char *t = wants[w];
+        Py_ssize_t q = 0;
+        for (; q < L; q++) {
+            Py_UCS4 c = PyUnicode_READ(kind, data, q);
+            if (c >= 'A' && c <= 'Z') c += 32;
+            if (t[q] == '\0' || (Py_UCS4)(unsigned char)t[q] != c) break;
+        }
+        if (q == L && t[q] == '\0') return 1;
+    }
+    return 0;
+}
+
+static int name_is(P *p, int32_t nid, const char *want) {
+    PyObject *nm = p->st.tag[nid];
+    if (!nm) {
+        int t = p->st.tid[nid];
+        return t >= 0 && t < N_TAGS && strcmp(TAG_STRS[t], want) == 0;
+    }
+    return PyUnicode_CompareWithASCIIString(nm, want) == 0;
+}
+
+static int is_mtext_ip(P *p, int32_t nid) {
+    if (p->st.ns[nid] != NSP_MATHML) return 0;
+    int t = p->st.tid[nid];
+    return t == TID_MI || t == TID_MO || t == TID_MN || t == TID_MS || t == TID_MTEXT;
+}
+
+static int is_html_ip(P *p, int32_t nid) {
+    int ns = p->st.ns[nid];
+    if (ns == NSP_SVG) {
+        int t = p->st.tid[nid];
+        if (t == TID_DESC || t == TID_TITLE) return 1;
+        return name_is(p, nid, "foreignObject");
+    }
+    if (ns == NSP_MATHML && p->st.tid[nid] == TID_ANNOTATION_XML)
+        return attr_encoding_is_html(p, nid);
+    return 0;
+}
+
+static int is_foreign_boundary(P *p, int32_t nid) {
+    if (p->st.ns[nid] == NSP_MATHML) {
+        int t = p->st.tid[nid];
+        return t == TID_MI || t == TID_MO || t == TID_MN || t == TID_MS ||
+               t == TID_MTEXT || t == TID_ANNOTATION_XML;
+    }
+    if (p->st.ns[nid] == NSP_SVG) {
+        int t = p->st.tid[nid];
+        return t == TID_DESC || t == TID_TITLE || name_is(p, nid, "foreignObject");
+    }
+    return 0;
+}
+
 /* _in_scope (html5.py:840-852): boundaries F_SCOPE_BOUNDARY plus up
- * to two extra tids (button scope / list-item scope extras) */
+ * to two extra tids (button scope / list-item scope extras); foreign
+ * integration points are boundaries too */
 static int in_scope(P *p, int tid, int extra1, int extra2) {
     for (int k = p->stack_n - 1; k >= 0; k--) {
-        int t = p->st.tid[p->stack[k]];
-        if (t == tid) return 1;
-        if (t >= 0 && t < N_TAGS && (TAG_FLAGS[t] & F_SCOPE_BOUNDARY)) return 0;
-        if (t == extra1 || t == extra2) return 0;
+        int32_t nid = p->stack[k];
+        if (p->st.ns[nid] == NSP_HTML) {
+            int t = p->st.tid[nid];
+            if (t == tid) return 1;
+            if (t >= 0 && t < N_TAGS && (TAG_FLAGS[t] & F_SCOPE_BOUNDARY)) return 0;
+            if (t == extra1 || t == extra2) return 0;
+        } else if (is_foreign_boundary(p, nid)) return 0;
     }
     return 0;
 }
@@ -601,16 +681,21 @@ static int node_in_scope(P *p, int32_t target) {
     for (int k = p->stack_n - 1; k >= 0; k--) {
         int32_t nid = p->stack[k];
         if (nid == target) return 1;
-        int t = p->st.tid[nid];
-        if (t >= 0 && t < N_TAGS && (TAG_FLAGS[t] & F_SCOPE_BOUNDARY)) return 0;
+        if (p->st.ns[nid] == NSP_HTML) {
+            int t = p->st.tid[nid];
+            if (t >= 0 && t < N_TAGS && (TAG_FLAGS[t] & F_SCOPE_BOUNDARY)) return 0;
+        } else if (is_foreign_boundary(p, nid)) return 0;
     }
     return 0;
 }
 
-/* _in_table_scope: boundaries html, table, template */
+/* _in_table_scope: boundaries html, table, template; only HTML-ns
+ * nodes match or bound (html5.py:883-896) */
 static int in_table_scope(P *p, int tid) {
     for (int k = p->stack_n - 1; k >= 0; k--) {
-        int t = p->st.tid[p->stack[k]];
+        int32_t nid = p->stack[k];
+        if (p->st.ns[nid] != NSP_HTML) continue;
+        int t = p->st.tid[nid];
         if (t == tid) return 1;
         if (t == TID_HTML || t == TID_TABLE || t == TID_TEMPLATE) return 0;
     }
@@ -669,6 +754,15 @@ static int pop_until(P *p, int tid, PyObject *name, int64_t pos, int64_t e0, int
         set_end_span(p, nid, pos, pos);
     }
     return 0;
+}
+
+/* _is_special (html5.py:904-909), namespace-aware */
+static int is_special_nid(P *p, int32_t nid) {
+    if (p->st.ns[nid] == NSP_HTML) {
+        int t = p->st.tid[nid];
+        return t >= 0 && t < N_TAGS && (TAG_FLAGS[t] & F_SPECIAL);
+    }
+    return is_foreign_boundary(p, nid);
 }
 
 /* remove a node from the MIDDLE of the open-element stack (the
@@ -906,8 +1000,7 @@ static int adoption_agency(P *p, int tid, int64_t t0, int64_t t1) {
         int si = nid_on_stack(p, fe);
         int fb_i = -1;
         for (int j = si + 1; j < p->stack_n; j++) {
-            int t = st->tid[p->stack[j]];
-            if (t >= 0 && t < N_TAGS && (TAG_FLAGS[t] & F_SPECIAL)) { fb_i = j; break; }
+            if (is_special_nid(p, p->stack[j])) { fb_i = j; break; }
         }
         if (fb_i < 0) {
             /* no furthest block: pop through FE, drop its entry */
@@ -1082,6 +1175,7 @@ static void ensure_body(P *p, int64_t pos) {
  * in the C subset */
 static void reset_mode(P *p) {
     for (int k = p->stack_n - 1; k >= 0; k--) {
+        if (p->st.ns[p->stack[k]] != NSP_HTML) continue;
         int t = p->st.tid[p->stack[k]];
         switch (t) {
         case TID_SELECT:   p->mode = M_IN_SELECT; return;
@@ -1131,6 +1225,225 @@ static void flush_tt(P *p) {
         if (p->bail) break;
     }
     p->foster = 0;
+}
+
+/* ---- foreign-content dispatch (html5.py:933-959 _use_foreign) ----- */
+enum { UF_CHARS, UF_START, UF_END, UF_COMMENT };
+
+static int use_foreign(P *p, int kind, int start_tid, PyObject *start_name) {
+    if (!p->stack_n) return 0;
+    int32_t top = p->stack[p->stack_n - 1];
+    int ns = p->st.ns[top];
+    if (ns == NSP_HTML) return 0;
+    if (ns == NSP_MATHML && is_mtext_ip(p, top)) {
+        if (kind == UF_CHARS) return 0;
+        if (kind == UF_START &&
+            start_tid != TID_MGLYPH && start_tid != TID_MALIGNMARK) return 0;
+    }
+    if (ns == NSP_MATHML && p->st.tid[top] == TID_ANNOTATION_XML) {
+        if (kind == UF_START && start_tid == TID_SVG) return 0;
+        if ((kind == UF_CHARS || kind == UF_START) && attr_encoding_is_html(p, top))
+            return 0;
+    }
+    if (ns == NSP_SVG && is_html_ip(p, top) && (kind == UF_CHARS || kind == UF_START))
+        return 0;
+    (void)start_name;
+    return 1;
+}
+
+/* lowercased node name == token name (html5.py _foreign_end compares
+ * ntag.lower(); names are ASCII — non-ASCII names bail at scan) */
+static int node_name_lower_eq(P *p, int32_t nid, int tid, PyObject *name) {
+    PyObject *nm = p->st.tag[nid];
+    if (!nm) {
+        int nt = p->st.tid[nid];
+        if (nt < 0 || nt >= N_TAGS) return 0;
+        if (tid != TID_UNKNOWN) return nt == tid;
+        return PyUnicode_CompareWithASCIIString(name, TAG_STRS[nt]) == 0;
+    }
+    Py_ssize_t L = PyUnicode_GET_LENGTH(nm);
+    int kind = PyUnicode_KIND(nm);
+    const void *data = PyUnicode_DATA(nm);
+    const char *tok = tid != TID_UNKNOWN ? TAG_STRS[tid] : NULL;
+    if (tok) {
+        Py_ssize_t q = 0;
+        for (; q < L; q++) {
+            Py_UCS4 c = PyUnicode_READ(kind, data, q);
+            if (c >= 'A' && c <= 'Z') c += 32;
+            if (tok[q] == '\0' || (Py_UCS4)(unsigned char)tok[q] != c) return 0;
+        }
+        return tok[q] == '\0';
+    }
+    Py_ssize_t L2 = PyUnicode_GET_LENGTH(name);
+    if (L != L2) return 0;
+    int k2 = PyUnicode_KIND(name);
+    const void *d2 = PyUnicode_DATA(name);
+    for (Py_ssize_t q = 0; q < L; q++) {
+        Py_UCS4 c = PyUnicode_READ(kind, data, q);
+        if (c >= 'A' && c <= 'Z') c += 32;
+        if (c != PyUnicode_READ(k2, d2, q)) return 0;
+    }
+    return 1;
+}
+
+static int case_table_lookup(const char *const *lowers, int n_items,
+                             const char *name, Py_ssize_t len) {
+    int lo = 0, hi = n_items - 1;
+    while (lo <= hi) {
+        int mid = (lo + hi) / 2;
+        int c = strncmp(name, lowers[mid], (size_t)len);
+        if (c == 0 && lowers[mid][len] != '\0') c = -1;
+        if (c == 0) return mid;
+        if (c < 0) hi = mid - 1; else lo = mid + 1;
+    }
+    return -1;
+}
+
+/* rebuild an attrs dict with SVG / MathML case-adjusted keys
+ * (html5.py:1557-1564; always a FRESH dict when attrs non-empty) */
+static PyObject *adjust_foreign_attrs(P *p, PyObject *attrs, int ns) {
+    if (!attrs || PyDict_GET_SIZE(attrs) == 0) { Py_XINCREF(attrs); return attrs; }
+    if (ns == NSP_MATHML && !PyDict_GetItemString(attrs, "definitionurl")) {
+        Py_INCREF(attrs);
+        return attrs;
+    }
+    PyObject *out = PyDict_New();
+    if (!out) { PyErr_Clear(); p->bail = 1; return NULL; }
+    PyObject *key, *value;
+    Py_ssize_t it = 0;
+    while (PyDict_Next(attrs, &it, &key, &value)) {
+        PyObject *nk = key;
+        Py_ssize_t kl;
+        const char *ks = PyUnicode_AsUTF8AndSize(key, &kl);
+        if (ks) {
+            if (ns == NSP_SVG) {
+                int hit = case_table_lookup(SVG_ATTR_CASE_LOWER, N_SVG_ATTR_CASE, ks, kl);
+                if (hit >= 0) {
+                    nk = PyUnicode_FromString(SVG_ATTR_CASE_PROPER[hit]);
+                    if (!nk) { PyErr_Clear(); Py_DECREF(out); p->bail = 1; return NULL; }
+                }
+            } else if (ns == NSP_MATHML && kl == 13 && memcmp(ks, "definitionurl", 13) == 0) {
+                nk = PyUnicode_FromString("definitionURL");
+                if (!nk) { PyErr_Clear(); Py_DECREF(out); p->bail = 1; return NULL; }
+            }
+        } else PyErr_Clear();
+        int rc = PyDict_SetItem(out, nk, value);
+        if (nk != key) Py_DECREF(nk);
+        if (rc < 0) { PyErr_Clear(); Py_DECREF(out); p->bail = 1; return NULL; }
+    }
+    return out;
+}
+
+static int handle_start(P *p, int tid, PyObject *name, PyObject *attrs,
+                        int self_closing, int64_t t0, int64_t t1);
+static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1);
+
+/* _foreign_start (html5.py:1530-1566) */
+static int foreign_start(P *p, int tid, PyObject *name, PyObject *attrs,
+                         int self_closing, int64_t t0, int64_t t1) {
+    p->skip_newline = 0;
+    unsigned int fl = tflags(tid);
+    int breakout = (fl & F_FOREIGN_BREAKOUT) != 0;
+    if (!breakout && tid == TID_FONT && attrs &&
+        (PyDict_GetItemString(attrs, "color") || PyDict_GetItemString(attrs, "face") ||
+         PyDict_GetItemString(attrs, "size")))
+        breakout = 1;
+    if (breakout) {
+        err(p, E_HTML_IN_FOREIGN_CONTENT, t0); CHKI(p);
+        while (p->stack_n) {
+            int32_t nid = p->stack[p->stack_n - 1];
+            if (p->st.ns[nid] == NSP_HTML || is_mtext_ip(p, nid) || is_html_ip(p, nid))
+                break;
+            pop_node(p);
+            close_implied(p, nid, t0);
+        }
+        return handle_start(p, tid, name, attrs, self_closing, t0, t1);
+    }
+    int ns = p->st.ns[p->stack[p->stack_n - 1]];
+    PyObject *use_name = name;       /* borrowed or new */
+    PyObject *owned_name = NULL;
+    int use_tid = tid;
+    PyObject *use_attrs = NULL;      /* owned */
+    if (ns == NSP_SVG) {
+        /* tag-name case adjustment: the camel form is NOT in the tag
+         * vocabulary, so adjusted tags get TID_UNKNOWN + the camel
+         * display name (matches html5.py TAG_IDS.get semantics) */
+        const char *lname = NULL;
+        char buf[64];
+        if (tid != TID_UNKNOWN) lname = TAG_STRS[tid];
+        else if (name && PyUnicode_GET_LENGTH(name) < 63 && PyUnicode_IS_ASCII(name)) {
+            Py_ssize_t L = PyUnicode_GET_LENGTH(name);
+            memcpy(buf, PyUnicode_1BYTE_DATA(name), (size_t)L);
+            buf[L] = '\0';
+            lname = buf;
+        }
+        if (lname) {
+            int hit = case_table_lookup(SVG_TAG_CASE_LOWER, N_SVG_TAG_CASE,
+                                        lname, (Py_ssize_t)strlen(lname));
+            if (hit >= 0) {
+                /* the camel display name; the tid stays the LOWERCASE
+                 * lookup (tags.py aliases camel forms to the same id
+                 * where the lowercase name is in the vocabulary) */
+                owned_name = PyUnicode_InternFromString(SVG_TAG_CASE_PROPER[hit]);
+                if (!owned_name) { PyErr_Clear(); BAILI(p); }
+                use_name = owned_name;
+            }
+        }
+        use_attrs = adjust_foreign_attrs(p, attrs, NSP_SVG);
+        if (p->bail) { Py_XDECREF(owned_name); return -1; }
+    } else if (ns == NSP_MATHML) {
+        use_attrs = adjust_foreign_attrs(p, attrs, NSP_MATHML);
+        if (p->bail) return -1;
+    } else {
+        Py_XINCREF(attrs);
+        use_attrs = attrs;
+    }
+    int32_t nid = insert_element(p, use_tid, use_name, use_attrs, t0, t1,
+                                 !self_closing);
+    Py_XDECREF(use_attrs);
+    if (p->bail) { Py_XDECREF(owned_name); return -1; }
+    if (nid >= 0) {
+        p->st.ns[nid] = (int8_t)ns;
+        if (owned_name && !p->st.tag[nid]) {
+            /* camel display name for a known-tid tag (foreignObject) */
+            Py_INCREF(owned_name);
+            p->st.tag[nid] = owned_name;
+        }
+    }
+    Py_XDECREF(owned_name);
+    return CM_NONE;
+}
+
+/* _foreign_end (html5.py:1568-1589) */
+static void foreign_end(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
+    p->skip_newline = 0;
+    if (p->stack_n &&
+        !node_name_lower_eq(p, p->stack[p->stack_n - 1], tid, name)) {
+        err(p, E_UNEXPECTED_END_TAG, t0); CHKV(p);
+    }
+    int i = p->stack_n - 1;
+    while (i > 0) {
+        int32_t nid = p->stack[i];
+        if (node_name_lower_eq(p, nid, tid, name)) {
+            while (p->stack_n > i) {
+                int32_t popped = p->stack[p->stack_n - 1];
+                pop_node(p);
+                if (popped == nid) set_end_span(p, popped, t0, t1);
+                else close_implied(p, popped, t0);
+            }
+            return;
+        }
+        i--;
+        if (p->st.ns[p->stack[i]] == NSP_HTML) {
+            end_html(p, tid, name, t0, t1);
+            return;
+        }
+    }
+}
+
+/* _foreign_chars (html5.py:1524-1528); NUL bails at prescan */
+static void foreign_chars(P *p, int64_t a, int64_t b) {
+    insert_text(p, decode_text(p, a, b), a, b, 0, 0);
 }
 
 /* ---- character tokens (html5.py:1634-1718 _chars_html) ------------ */
@@ -1232,6 +1545,13 @@ static void handle_comment(P *p, int64_t a, int64_t b, int64_t t0, int64_t t1) {
     if (p->pend_n) { flush_tt(p); CHKV(p); }
     p->skip_newline = 0;
     /* NUL impossible (prescan) */
+    if (p->has_foreign && p->stack_n && use_foreign(p, UF_COMMENT, -1, NULL)) {
+        PyObject *txt = ascii_slice(p, a, b);
+        int32_t nid = new_node(p, T_COMMENT, -1, NULL, txt, NULL, t0, t1, 0, 0, 0, 0);
+        if (nid < 0) return;
+        attach(p, nid, cur(p));
+        return;
+    }
     if (p->mode == M_INITIAL || p->mode == M_BEFORE_HTML ||
         p->mode == M_AFTER_AFTER_BODY) {
         /* document-level comment; after <html> exists, later tokens
@@ -1340,7 +1660,6 @@ static void handle_doctype(P *p, int ok, int64_t t0) {
 }
 
 /* ---- start-tag rules ---------------------------------------------- */
-enum { CM_NONE = 0, CM_RAWTEXT, CM_RCDATA };
 
 static int handle_start(P *p, int tid, PyObject *name, PyObject *attrs,
                         int self_closing, int64_t t0, int64_t t1);
@@ -1348,7 +1667,12 @@ static int handle_start(P *p, int tid, PyObject *name, PyObject *attrs,
 /* _close_list_item (html5.py:2246-2264); names given as two tids */
 static void close_list_item(P *p, int tid1, int tid2, int64_t pos) {
     for (int k = p->stack_n - 1; k >= 0; k--) {
-        int t = p->st.tid[p->stack[k]];
+        int32_t nid = p->stack[k];
+        if (p->st.ns[nid] != NSP_HTML) {
+            if (is_foreign_boundary(p, nid)) break;
+            continue;
+        }
+        int t = p->st.tid[nid];
         if (t == tid1 || t == tid2) { pop_until(p, t, NULL, pos, -1, -1); break; }
         if (t >= 0 && t < N_TAGS && (TAG_FLAGS[t] & F_LI_STOP)) break;
     }
@@ -1391,7 +1715,7 @@ static int start_in_body(P *p, int tid, PyObject *name, PyObject *attrs,
     /* bespoke chain — remaining non-convertible branches bail */
     switch (tid) {
     case TID_ISINDEX:
-    case TID_FRAMESET: case TID_SVG: case TID_MATH: case TID_TEMPLATE:
+    case TID_FRAMESET: case TID_TEMPLATE:
     case TID_PLAINTEXT:
         BAILI(p);
     case TID_IMAGE:
@@ -1529,6 +1853,18 @@ static int start_in_body(P *p, int tid, PyObject *name, PyObject *attrs,
         insert_element(p, tid, name, attrs, t0, t1, 1);
         CHKI(p);
         afe_push_marker(p); CHKI(p);
+        return CM_NONE;
+    }
+    if (tid == TID_SVG || tid == TID_MATH) {
+        /* foreign-content root (html5.py:2185-2199) */
+        int ns = tid == TID_SVG ? NSP_SVG : NSP_MATHML;
+        PyObject *use_attrs = adjust_foreign_attrs(p, attrs, ns);
+        CHKI(p);
+        int32_t nid = insert_element(p, tid, name, use_attrs, t0, t1, !self_closing);
+        Py_XDECREF(use_attrs);
+        CHKI(p);
+        if (nid >= 0) p->st.ns[nid] = (int8_t)ns;
+        p->has_foreign = 1;
         return CM_NONE;
     }
     if (fl & F_VOID) {  /* bespoke voids (none expected beyond frame) */
@@ -1944,6 +2280,8 @@ static int start_html(P *p, int tid, PyObject *name, PyObject *attrs,
 
 static int handle_start(P *p, int tid, PyObject *name, PyObject *attrs,
                         int self_closing, int64_t t0, int64_t t1) {
+    if (p->has_foreign && use_foreign(p, UF_START, tid, name))
+        return foreign_start(p, tid, name, attrs, self_closing, t0, t1);
     return start_html(p, tid, name, attrs, self_closing, t0, t1);
 }
 
@@ -2162,7 +2500,8 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
     /* IN_BODY / IN_CELL */
     unsigned int fl = tflags(tid);
     if (p->stack_n && !(fl & F_END_BESPOKE) &&
-        tag_eq(p, p->stack[p->stack_n - 1], tid, name)) {
+        tag_eq(p, p->stack[p->stack_n - 1], tid, name) &&
+        p->st.ns[p->stack[p->stack_n - 1]] == NSP_HTML) {
         int32_t nid = p->stack[p->stack_n - 1];
         pop_node(p);
         if (tid == TID_P) p->open_p--;
@@ -2223,7 +2562,12 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
     if (fl & F_HEADING) {
         int target = -1;
         for (int k = p->stack_n - 1; k >= 0; k--) {
-            int t = p->st.tid[p->stack[k]];
+            int32_t nid = p->stack[k];
+            if (p->st.ns[nid] != NSP_HTML) {
+                if (is_foreign_boundary(p, nid)) break;
+                continue;
+            }
+            int t = p->st.tid[nid];
             if (t >= 0 && t < N_TAGS && (TAG_FLAGS[t] & F_HEADING)) { target = t; break; }
             if (t >= 0 && t < N_TAGS && (TAG_FLAGS[t] & F_SCOPE_BOUNDARY)) break;
         }
@@ -2314,13 +2658,11 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
     /* _end_any_other (html5.py:2781-2797) */
     for (int k = p->stack_n - 1; k >= 0; k--) {
         int32_t nid = p->stack[k];
-        if (tag_eq(p, nid, tid, name)) {
+        if (tag_eq(p, nid, tid, name) && p->st.ns[nid] == NSP_HTML) {
             pop_until(p, tid, name, t0, t0, t1);
             return;
         }
-        int t = p->st.tid[nid];
-        unsigned int nf = tflags(t);
-        if (nf & F_SPECIAL) { err(p, E_UNEXPECTED_END_TAG, t0); return; }
+        if (is_special_nid(p, nid)) { err(p, E_UNEXPECTED_END_TAG, t0); return; }
     }
     err(p, E_UNEXPECTED_END_TAG, t0);  /* ignored */
 }
@@ -2476,7 +2818,13 @@ static Py_ssize_t scan_end_tag_tail(P *p, Py_ssize_t pos, int *had) {
 }
 
 /* ---- main tokenizer loop (parse_html, html5.py:3155-3395) --------- */
-static void dispatch_chars(P *p, int64_t a, int64_t b) { chars_html(p, a, b); }
+static void dispatch_chars(P *p, int64_t a, int64_t b) {
+    if (p->has_foreign && use_foreign(p, UF_CHARS, -1, NULL)) {
+        foreign_chars(p, a, b);
+        return;
+    }
+    chars_html(p, a, b);
+}
 
 static void run_parse(P *p) {
     const unsigned char *s = p->s;
@@ -2526,7 +2874,10 @@ static void run_parse(P *p) {
                     if (!name) { p->bail = 1; break; }
                     memcpy(PyUnicode_1BYTE_DATA(name), nbuf, (size_t)nb);
                 }
-                end_html(p, tid, name, lt, j);
+                if (p->has_foreign && use_foreign(p, UF_END, tid, name))
+                    foreign_end(p, tid, name, lt, j);
+                else
+                    end_html(p, tid, name, lt, j);
                 Py_XDECREF(name);
                 i = j;
                 continue;
@@ -2598,6 +2949,27 @@ static void run_parse(P *p) {
                 }
                 handle_comment(p, lt + 4, close, lt, close + 3);
                 i = close + 3;
+                continue;
+            }
+            if (n - lt >= 9 && memcmp(s + lt, "<![CDATA[", 9) == 0 &&
+                p->stack_n && p->st.ns[p->stack[p->stack_n - 1]] != NSP_HTML) {
+                const unsigned char *cl = NULL;
+                for (Py_ssize_t k = lt + 9; k + 2 < n; k++) {
+                    const unsigned char *d = memchr(s + k, ']', (size_t)(n - k - 2));
+                    if (!d) break;
+                    k = d - s;
+                    if (s[k + 1] == ']' && s[k + 2] == '>') { cl = d; break; }
+                }
+                if (p->pend_n) { flush_tt(p); if (p->bail) break; }
+                p->skip_newline = 0;
+                Py_ssize_t e = cl ? (cl - s) : n;
+                Py_ssize_t t1c = cl ? (cl - s) + 3 : n;
+                PyObject *txt = ascii_slice(p, lt + 9, e);
+                int32_t nid = new_node(p, T_CDATA, -1, NULL, txt, NULL, lt, t1c, 0, 0, 0, 0);
+                if (nid < 0) break;
+                attach(p, nid, cur(p));
+                if (!cl) break;
+                i = t1c;
                 continue;
             }
             if (n - lt >= 9 &&
@@ -2673,7 +3045,9 @@ static void run_parse(P *p) {
         }
         if (p->bail) { Py_XDECREF(name); Py_DECREF(attrs); break; }
         int cm;
-        if (p->mode == M_IN_BODY) {
+        if (p->has_foreign && use_foreign(p, UF_START, tid, name)) {
+            cm = foreign_start(p, tid, name, attrs, self_closing, lt, pos);
+        } else if (p->mode == M_IN_BODY) {
             p->skip_newline = 0;
             cm = start_in_body(p, tid, name, attrs, self_closing, lt, pos);
         } else {
@@ -2762,7 +3136,7 @@ static void p_free(P *p) {
         Py_XDECREF(st->text[i]);
         Py_XDECREF(st->attrs[i]);
     }
-    free(st->type); free(st->tid); free(st->parent); free(st->iwp);
+    free(st->type); free(st->ns); free(st->tid); free(st->parent); free(st->iwp);
     free(st->first_child); free(st->last_child); free(st->next_sib);
     free(st->span);
     free(st->tag); free(st->text); free(st->attrs);
@@ -2777,8 +3151,8 @@ static PyObject *build_result(P *p, PyObject *src_obj /* new ref or NULL */) {
     Py_ssize_t cnt = st->count;
     int32_t *order = NULL, *parent_new = NULL, *iwp = NULL, *subend = NULL;
     PyObject *res = NULL, *tags = NULL, *texts = NULL, *attrs = NULL;
-    PyObject *b_type = NULL, *b_tid = NULL, *b_parent = NULL, *b_iwp = NULL,
-             *b_sub = NULL, *b_span = NULL;
+    PyObject *b_type = NULL, *b_ns = NULL, *b_tid = NULL, *b_parent = NULL,
+             *b_iwp = NULL, *b_sub = NULL, *b_span = NULL;
     parent_new = malloc((size_t)cnt * sizeof(int32_t));
     iwp = malloc((size_t)cnt * sizeof(int32_t));
     subend = malloc((size_t)cnt * sizeof(int32_t));
@@ -2837,21 +3211,25 @@ static PyObject *build_result(P *p, PyObject *src_obj /* new ref or NULL */) {
     if (order) {
         /* permute the per-node columns into preorder */
         int8_t *ty = malloc((size_t)cnt);
+        int8_t *nsb = malloc((size_t)cnt);
         int16_t *ti = malloc((size_t)cnt * sizeof(int16_t));
         int64_t *spn = malloc((size_t)cnt * 6 * sizeof(int64_t));
-        if (!ty || !ti || !spn) { free(ty); free(ti); free(spn); goto nomem; }
+        if (!ty || !nsb || !ti || !spn) { free(ty); free(nsb); free(ti); free(spn); goto nomem; }
         for (Py_ssize_t i = 0; i < cnt; i++) {
             int32_t b = order[i];
             ty[i] = st->type[b];
+            nsb[i] = st->ns[b];
             ti[i] = st->tid[b];
             memcpy(spn + 6 * i, st->span + 6 * b, 6 * sizeof(int64_t));
         }
         b_type = PyByteArray_FromStringAndSize((char *)ty, cnt);
+        b_ns = PyByteArray_FromStringAndSize((char *)nsb, cnt);
         b_tid = PyByteArray_FromStringAndSize((char *)ti, cnt * (Py_ssize_t)sizeof(int16_t));
         b_span = PyByteArray_FromStringAndSize((char *)spn, cnt * 6 * (Py_ssize_t)sizeof(int64_t));
-        free(ty); free(ti); free(spn);
+        free(ty); free(nsb); free(ti); free(spn);
     } else {
         b_type = PyByteArray_FromStringAndSize((char *)st->type, cnt);
+        b_ns = PyByteArray_FromStringAndSize((char *)st->ns, cnt);
         b_tid = PyByteArray_FromStringAndSize((char *)st->tid, cnt * (Py_ssize_t)sizeof(int16_t));
         b_span = PyByteArray_FromStringAndSize((char *)st->span, cnt * 6 * (Py_ssize_t)sizeof(int64_t));
     }
@@ -2861,7 +3239,7 @@ static PyObject *build_result(P *p, PyObject *src_obj /* new ref or NULL */) {
     tags = PyList_New(cnt);
     texts = PyList_New(cnt);
     attrs = PyList_New(cnt);
-    if (!b_type || !b_tid || !b_parent || !b_iwp || !b_sub || !b_span ||
+    if (!b_type || !b_ns || !b_tid || !b_parent || !b_iwp || !b_sub || !b_span ||
         !tags || !texts || !attrs) goto fail;
     for (Py_ssize_t i = 0; i < cnt; i++) {
         Py_ssize_t b = order ? order[i] : i;
@@ -2886,9 +3264,9 @@ static PyObject *build_result(P *p, PyObject *src_obj /* new ref or NULL */) {
             if (!t) { Py_DECREF(errs); goto fail; }
             PyList_SET_ITEM(errs, k, t);
         }
-        res = Py_BuildValue("(nNNNNNNNNNiNO)", cnt, b_type, b_tid, b_parent, b_iwp,
-                            b_sub, b_span, tags, texts, attrs, p->quirks, errs,
-                            src_obj ? src_obj : Py_None);
+        res = Py_BuildValue("(nNNNNNNNNNNiNO)", cnt, b_type, b_ns, b_tid, b_parent,
+                            b_iwp, b_sub, b_span, tags, texts, attrs, p->quirks,
+                            errs, src_obj ? src_obj : Py_None);
     }
     free(order); free(parent_new); free(iwp); free(subend);
     Py_XDECREF(src_obj);
@@ -2899,7 +3277,7 @@ nomem:
     return PyErr_NoMemory();
 fail:
     free(order); free(parent_new); free(iwp); free(subend);
-    Py_XDECREF(b_type); Py_XDECREF(b_tid); Py_XDECREF(b_parent);
+    Py_XDECREF(b_type); Py_XDECREF(b_ns); Py_XDECREF(b_tid); Py_XDECREF(b_parent);
     Py_XDECREF(b_iwp); Py_XDECREF(b_sub); Py_XDECREF(b_span);
     Py_XDECREF(tags); Py_XDECREF(texts); Py_XDECREF(attrs);
     Py_XDECREF(src_obj);

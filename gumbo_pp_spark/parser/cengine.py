@@ -93,7 +93,7 @@ def cparse(source):
     res = _cparse(source)
     if res is None:
         return None
-    (cnt, b_type, b_tid, b_parent, b_iwp, b_sub, b_span,
+    (cnt, b_type, b_ns, b_tid, b_parent, b_iwp, b_sub, b_span,
      tags, texts, attrs, quirks, errors, src) = res
     global _NodeTable
     if _NodeTable is None:
@@ -124,7 +124,7 @@ def cparse(source):
         endtag_start=spans[:, 4],
         endtag_end=spans[:, 5],
         parse_errors=len(errors),
-        ns=np.zeros(cnt, dtype=np.int8),
+        ns=np.frombuffer(b_ns, dtype=np.int8),
         error_records=errors,
         quirks=bool(quirks),
     )

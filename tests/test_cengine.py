@@ -111,7 +111,7 @@ def test_bail_conditions():
     assert cengine.cparse("caf\xe9".encode()) is None    # multibyte bytes
     assert cengine.cparse(b"a\rb") is None               # CR normalization
     assert cengine.cparse(b"a\x00b") is None             # NUL
-    assert cengine.cparse(b"<svg><rect/></svg>") is None # foreign content
+    assert cengine.cparse(b"<svg><rect/></svg>") is not None  # foreign: in C now
     assert cengine.cparse(b"<template>x</template>") is None
     assert cengine.cparse(b"<frameset>") is None         # frameset takeover
     assert cengine.cparse(b"<plaintext>x") is None       # PLAINTEXT state
@@ -327,3 +327,31 @@ def test_unicode_fuzz_ab():
             H._cparse_fast = saved
         assert_identical(c, py, d[:120])
     assert engaged >= 350, engaged
+
+
+def test_foreign_content_engages():
+    """Round-5: inline SVG/MathML (the largest modern-page class) runs
+    in C — namespaces, integration points, breakouts, case-adjusted
+    camel tags/attrs, CDATA sections."""
+    import gumbo_pp_spark.parser.html5 as H
+
+    cases = [
+        b'<svg width="20" viewBox="0 0 10 10"><path d="M0 0"/></svg>tail',
+        b'<p><svg><title>t</title><foreignObject><div>x</div></foreignObject></svg>',
+        b'<svg><linearGradient gradientUnits="u"><stop/></linearGradient></svg>',
+        b'<math><mi>x</mi><annotation-xml encoding="text/html"><p>h</p></annotation-xml></math>',
+        b'<svg><g><div>breakout</div></svg>',
+        b'<svg><![CDATA[cd & <x>]]></svg>after',
+        b'<b><svg><g>icon</g></svg></b>y',
+    ]
+    for doc in cases:
+        c = cengine.cparse(doc)
+        assert c is not None, doc
+        saved = H._cparse_fast
+        H._cparse_fast = None
+        try:
+            py = H.parse_html(doc.decode())
+        finally:
+            H._cparse_fast = saved
+        assert_identical(c, py, doc)
+        assert list(np.asarray(c.ns)) == list(np.asarray(py.ns)), doc
