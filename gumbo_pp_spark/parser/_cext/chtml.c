@@ -39,7 +39,7 @@ enum { M_INITIAL, M_BEFORE_HTML, M_BEFORE_HEAD, M_IN_HEAD, M_AFTER_HEAD,
        M_IN_COLGROUP, M_AFTER_AFTER_BODY, M_IN_TEMPLATE };
 
 /* content models returned by start handlers */
-enum { CM_NONE = 0, CM_RAWTEXT, CM_RCDATA };
+enum { CM_NONE = 0, CM_RAWTEXT, CM_RCDATA, CM_PLAINTEXT };
 
 #define WS_CHAR(c) ((c) == ' ' || (c) == '\t' || (c) == '\n' || (c) == '\f' || (c) == '\r')
 
@@ -104,6 +104,9 @@ typedef struct {
     int select_in_table;
     /* svg/math seen: tokens dispatch through the foreign rules */
     int has_foreign;
+    /* WHATWG stack of template insertion modes (one per open template) */
+    int tmpl_modes[64];
+    int tmpl_n;
     /* "in table text" pending runs: (start, end) source spans */
     int64_t pend[PEND_MAX][2];
     int pend_n;
@@ -824,6 +827,12 @@ static void foster_spot(P *p, int32_t *parent, int32_t *before) {
     *parent = cur(p);
     *before = -1;
     for (int k = p->stack_n - 1; k >= 0; k--) {
+        if (p->st.type[p->stack[k]] == T_TEMPLATE) {
+            /* last template LOWER than the last table wins: content
+             * appends inside the template, no before-node */
+            *parent = p->stack[k];
+            return;
+        }
         if (p->st.tid[p->stack[k]] == TID_TABLE) {
             int32_t tbl = p->stack[k];
             int32_t par = p->st.parent[tbl];
@@ -1176,6 +1185,10 @@ static void ensure_body(P *p, int64_t pos) {
 static void reset_mode(P *p) {
     for (int k = p->stack_n - 1; k >= 0; k--) {
         if (p->st.ns[p->stack[k]] != NSP_HTML) continue;
+        if (p->st.type[p->stack[k]] == T_TEMPLATE) {
+            p->mode = p->tmpl_n ? p->tmpl_modes[p->tmpl_n - 1] : M_IN_TEMPLATE;
+            return;
+        }
         int t = p->st.tid[p->stack[k]];
         switch (t) {
         case TID_SELECT:   p->mode = M_IN_SELECT; return;
@@ -1337,6 +1350,8 @@ static PyObject *adjust_foreign_attrs(P *p, PyObject *attrs, int ns) {
 static int handle_start(P *p, int tid, PyObject *name, PyObject *attrs,
                         int self_closing, int64_t t0, int64_t t1);
 static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1);
+static void start_template(P *p, PyObject *attrs, int64_t t0, int64_t t1);
+static void end_template(P *p, int64_t t0, int64_t t1);
 
 /* _foreign_start (html5.py:1530-1566) */
 static int foreign_start(P *p, int tid, PyObject *name, PyObject *attrs,
@@ -1473,7 +1488,8 @@ static void chars_html(P *p, int64_t a, int64_t b) {
         if (a < b && p->s[a] == '\n') { a++; if (a == b) return; }
     }
     int mode = p->mode;
-    if (mode == M_IN_BODY || mode == M_IN_CELL) {
+    if (mode == M_IN_BODY || mode == M_IN_CELL || mode == M_IN_TEMPLATE) {
+        /* in-template characters use the in-body rules */
         insert_text(p, decode_text(p, a, b), a, b, 0, 1);
         return;
     }
@@ -1715,8 +1731,7 @@ static int start_in_body(P *p, int tid, PyObject *name, PyObject *attrs,
     /* bespoke chain — remaining non-convertible branches bail */
     switch (tid) {
     case TID_ISINDEX:
-    case TID_FRAMESET: case TID_TEMPLATE:
-    case TID_PLAINTEXT:
+    case TID_FRAMESET:
         BAILI(p);
     case TID_IMAGE:
         /* html5.py:1991-1993: image → img (parse error), then the
@@ -1840,19 +1855,27 @@ static int start_in_body(P *p, int tid, PyObject *name, PyObject *attrs,
         if (recon) { reconstruct_formatting(p); CHKI(p); }
     }
     if (tid == TID_FORM) {
-        if (p->form_ptr >= 0) {
+        int no_tmpl = 1;
+        for (int k = 0; k < p->stack_n; k++)
+            if (p->st.type[p->stack[k]] == T_TEMPLATE) { no_tmpl = 0; break; }
+        if (p->form_ptr >= 0 && no_tmpl) {
             err(p, E_NESTED_FORM_IGNORED, t0);  /* ignored */
             return CM_NONE;
         }
         int32_t nid = insert_element(p, tid, name, attrs, t0, t1, 1);
         if (nid < 0) return -1;
-        p->form_ptr = nid;
+        if (no_tmpl) p->form_ptr = nid;
         return CM_NONE;
     }
     if (tid == TID_APPLET || tid == TID_MARQUEE || tid == TID_OBJECT) {
         insert_element(p, tid, name, attrs, t0, t1, 1);
         CHKI(p);
         afe_push_marker(p); CHKI(p);
+        return CM_NONE;
+    }
+    if (tid == TID_TEMPLATE) {
+        start_template(p, attrs, t0, t1);
+        CHKI(p);
         return CM_NONE;
     }
     if (tid == TID_SVG || tid == TID_MATH) {
@@ -1886,9 +1909,72 @@ static int start_in_body(P *p, int tid, PyObject *name, PyObject *attrs,
     }
     if (tid == TID_PRE || tid == TID_LISTING || tid == TID_TEXTAREA)
         p->skip_newline = 1;
+    if (tid == TID_PLAINTEXT) return CM_PLAINTEXT;  /* tokenizer: never exits */
     if (fl & F_RAWTEXT) return CM_RAWTEXT;
     if (fl & F_RCDATA) return CM_RCDATA;
     return CM_NONE;
+}
+
+/* _start_template / _end_template (html5.py:1370-1402) */
+static void start_template(P *p, PyObject *attrs, int64_t t0, int64_t t1) {
+    if (p->tmpl_n >= 64) BAILV(p);
+    int32_t nid = insert_element(p, TID_TEMPLATE, NULL, attrs, t0, t1, 1);
+    CHKV(p);
+    if (nid >= 0) p->st.type[nid] = T_TEMPLATE;
+    afe_push_marker(p); CHKV(p);
+    p->mode = M_IN_TEMPLATE;
+    p->tmpl_modes[p->tmpl_n++] = M_IN_TEMPLATE;
+}
+
+static void end_template(P *p, int64_t t0, int64_t t1) {
+    int found = 0;
+    for (int k = 0; k < p->stack_n; k++)
+        if (p->st.type[p->stack[k]] == T_TEMPLATE) { found = 1; break; }
+    if (!found) { err(p, E_UNEXPECTED_END_TAG, t0); return; }
+    while (p->stack_n) {
+        int32_t nid = p->stack[p->stack_n - 1];
+        pop_node(p);
+        if (p->st.type[nid] == T_TEMPLATE) {
+            set_end_span(p, nid, t0, t1);
+            break;
+        }
+        /* html5.py:1396-1399: the extra p decrement precedes
+         * close_implied's own — transcribed exactly */
+        if (p->st.tid[nid] == TID_P) p->open_p--;
+        close_implied(p, nid, t0);
+    }
+    afe_clear_to_marker(p);
+    if (p->tmpl_n) p->tmpl_n--;
+    reset_mode(p);
+}
+
+/* _start_in_template (html5.py:1404-1432) */
+static int start_in_template(P *p, int tid, PyObject *name, PyObject *attrs,
+                             int self_closing, int64_t t0, int64_t t1) {
+    if (tid == TID_BASE || tid == TID_BASEFONT || tid == TID_BGSOUND ||
+        tid == TID_LINK || tid == TID_META || tid == TID_NOFRAMES ||
+        tid == TID_SCRIPT || tid == TID_STYLE || tid == TID_TEMPLATE ||
+        tid == TID_TITLE) {
+        if (tid == TID_TEMPLATE) { start_template(p, attrs, t0, t1); return CM_NONE; }
+        if (tid == TID_BASE || tid == TID_BASEFONT || tid == TID_BGSOUND ||
+            tid == TID_LINK || tid == TID_META) {
+            insert_element(p, tid, name, attrs, t0, t1, 0);
+            return CM_NONE;
+        }
+        insert_element(p, tid, name, attrs, t0, t1, 1);
+        return tid == TID_TITLE ? CM_RCDATA : CM_RAWTEXT;
+    }
+    int remode;
+    if (tid == TID_CAPTION || tid == TID_COLGROUP || tid == TID_TBODY ||
+        tid == TID_TFOOT || tid == TID_THEAD)
+        remode = M_IN_TABLE;
+    else if (tid == TID_COL) remode = M_IN_COLGROUP;
+    else if (tid == TID_TR) remode = M_IN_TABLE_BODY;
+    else if (tid == TID_TD || tid == TID_TH) remode = M_IN_ROW;
+    else remode = M_IN_BODY;
+    if (p->tmpl_n) p->tmpl_modes[p->tmpl_n - 1] = remode;
+    p->mode = remode;
+    return handle_start(p, tid, name, attrs, self_closing, t0, t1);
 }
 
 /* _clear_to_table_context (html5.py:2266-2282) */
@@ -1907,7 +1993,12 @@ static void clear_to_table_context(P *p, int s1, int s2, int s3, int s4, int64_t
 static int start_in_table(P *p, int tid, PyObject *name, PyObject *attrs,
                           int self_closing, int64_t t0, int64_t t1) {
     int mode = p->mode;
-    if (tid == TID_TEMPLATE) BAILI(p);
+    if (tid == TID_TEMPLATE) {
+        /* in-head rule: inserted at the current location, no foster */
+        start_template(p, attrs, t0, t1);
+        CHKI(p);
+        return CM_NONE;
+    }
     if (mode == M_IN_TABLE) {
         if (tid == TID_TBODY || tid == TID_THEAD || tid == TID_TFOOT) {
             clear_to_table_context(p, TID_TABLE, -1, -1, -1, t0);
@@ -2061,7 +2152,11 @@ static int start_in_table(P *p, int tid, PyObject *name, PyObject *attrs,
 /* _start_in_select (html5.py:1908-1965); parse-error branches bail */
 static int start_in_select(P *p, int tid, PyObject *name, PyObject *attrs,
                            int self_closing, int64_t t0, int64_t t1) {
-    if (tid == TID_TEMPLATE) BAILI(p);
+    if (tid == TID_TEMPLATE) {
+        start_template(p, attrs, t0, t1);
+        CHKI(p);
+        return CM_NONE;
+    }
     if (tid == TID_OPTION) {
         if (cur_tid(p) == TID_OPTION) pop_until(p, TID_OPTION, NULL, t0, -1, -1);
         insert_element(p, tid, name, attrs, t0, t1, 1);
@@ -2185,7 +2280,11 @@ static int start_html(P *p, int tid, PyObject *name, PyObject *attrs,
             insert_element(p, tid, name, attrs, t0, t1, 1);
             return CM_NONE;
         }
-        if (tid == TID_TEMPLATE) BAILI(p);
+        if (tid == TID_TEMPLATE) {
+            start_template(p, attrs, t0, t1);
+            CHKI(p);
+            return CM_NONE;
+        }
         if (tid == TID_TITLE || tid == TID_STYLE || tid == TID_SCRIPT || tid == TID_NOFRAMES) {
             insert_element(p, tid, name, attrs, t0, t1, 1);
             return tid == TID_TITLE ? CM_RCDATA : CM_RAWTEXT;
@@ -2238,7 +2337,8 @@ static int start_html(P *p, int tid, PyObject *name, PyObject *attrs,
         ensure_body(p, t0); CHKI(p);
         return handle_start(p, tid, name, attrs, self_closing, t0, t1);
     }
-    if (mode == M_IN_TEMPLATE) BAILI(p);  /* unreachable */
+    if (mode == M_IN_TEMPLATE)
+        return start_in_template(p, tid, name, attrs, self_closing, t0, t1);
     if (mode == M_IN_TABLE || mode == M_IN_TABLE_BODY || mode == M_IN_ROW)
         return start_in_table(p, tid, name, attrs, self_closing, t0, t1);
     if (mode == M_IN_SELECT)
@@ -2291,7 +2391,7 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1);
 /* _end_in_table (html5.py:2798-2888); parse-error/foster paths bail */
 static void end_in_table(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
     int mode = p->mode;
-    if (tid == TID_TEMPLATE) BAILV(p);
+    if (tid == TID_TEMPLATE) { end_template(p, t0, t1); return; }
     if (tid == TID_TABLE) {
         if (mode == M_IN_ROW) {
             if (!in_table_scope(p, TID_TR)) { err(p, E_UNEXPECTED_END_TAG_IN_TABLE, t0); return; }
@@ -2365,7 +2465,13 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
     p->skip_newline = 0;
     int mode = p->mode;
     if (mode != M_IN_BODY && mode != M_IN_CELL) {
-        if (mode == M_IN_TEMPLATE) BAILV(p);
+        if (mode == M_IN_TEMPLATE) {
+            /* spec in-template end tags: template via in-head,
+             * anything else parse error + ignored */
+            if (tid == TID_TEMPLATE) end_template(p, t0, t1);
+            else err(p, E_UNEXPECTED_END_TAG, t0);
+            return;
+        }
         if (mode == M_INITIAL || mode == M_BEFORE_HTML || mode == M_BEFORE_HEAD) {
             if (tid == TID_HEAD || tid == TID_BODY || tid == TID_HTML || tid == TID_BR) {
                 ensure_head(p, t0); CHKV(p);
@@ -2392,7 +2498,7 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
                 end_html(p, tid, name, t0, t1);
                 return;
             }
-            if (tid == TID_TEMPLATE) BAILV(p);
+            if (tid == TID_TEMPLATE) { end_template(p, t0, t1); return; }
             if (tid == TID_TITLE || tid == TID_STYLE || tid == TID_SCRIPT || tid == TID_NOSCRIPT) {
                 pop_until(p, tid, NULL, t0, t0, t1);
                 return;
@@ -2420,7 +2526,7 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
             return;
         }
         if (mode == M_IN_SELECT) {
-            if (tid == TID_TEMPLATE) BAILV(p);
+            if (tid == TID_TEMPLATE) { end_template(p, t0, t1); return; }
             if (tid == TID_OPTION) {
                 if (cur_tid(p) == TID_OPTION) pop_until(p, TID_OPTION, NULL, t0, t0, t1);
                 else err(p, E_UNEXPECTED_END_TAG, t0);
@@ -2603,7 +2709,7 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
         end_html(p, tid, name, t0, t1);
         return;
     }
-    if (tid == TID_TEMPLATE) BAILV(p);
+    if (tid == TID_TEMPLATE) { end_template(p, t0, t1); return; }
     if (tid == TID_FORM) {
         int32_t nid = p->form_ptr;
         p->form_ptr = -1;
@@ -3055,6 +3161,19 @@ static void run_parse(P *p) {
         }
         i = pos;
         if (p->bail) { Py_XDECREF(name); Py_DECREF(attrs); break; }
+        if (cm == CM_PLAINTEXT) {
+            /* PLAINTEXT state never exits; chars are ordinary in-body
+             * character tokens, which RECONSTRUCT formatting but are
+             * emitted RAW (html5.py:3337-3344) */
+            if (pos < n) {
+                if (p->afe_n) { reconstruct_formatting(p); }
+                if (!p->bail)
+                    insert_text(p, ascii_slice(p, pos, n), pos, n, 1, 1);
+            }
+            Py_XDECREF(name);
+            Py_DECREF(attrs);
+            break;
+        }
         if (cm == CM_RAWTEXT || cm == CM_RCDATA) {
             /* rawtext/RCDATA content until the matching close tag
              * (html5.py:3345-3390) */

@@ -111,11 +111,34 @@ def test_bail_conditions():
     assert cengine.cparse("caf\xe9".encode()) is None    # multibyte bytes
     assert cengine.cparse(b"a\rb") is None               # CR normalization
     assert cengine.cparse(b"a\x00b") is None             # NUL
-    assert cengine.cparse(b"<svg><rect/></svg>") is not None  # foreign: in C now
-    assert cengine.cparse(b"<template>x</template>") is None
+    assert cengine.cparse(b"<svg><rect/></svg>") is not None   # foreign: in C
+    assert cengine.cparse(b"<template>x</template>") is not None  # templates: in C
+    assert cengine.cparse(b"<plaintext>raw") is not None          # plaintext: in C
     assert cengine.cparse(b"<frameset>") is None         # frameset takeover
-    assert cengine.cparse(b"<plaintext>x") is None       # PLAINTEXT state
     assert cengine.cparse(b"<isindex>") is None          # legacy expansion
+
+
+def test_template_and_plaintext_identical():
+    import gumbo_pp_spark.parser.html5 as H
+
+    cases = [
+        b"<template><p>x</p></template>ok",
+        b"<body><template><td>cell</td></template>",
+        b"<table><template><tr><td>c</td></tr></template></table>",
+        b"<template><template>nested</template></template>tail",
+        b"<template><form></template><form><input>",
+        b"<p>x<plaintext><b>raw &amp; unparsed",
+    ]
+    for doc in cases:
+        c = cengine.cparse(doc)
+        assert c is not None, doc
+        saved = H._cparse_fast
+        H._cparse_fast = None
+        try:
+            py = H.parse_html(doc.decode())
+        finally:
+            H._cparse_fast = saved
+        assert_identical(c, py, doc)
 
 
 def test_aaa_and_foster_now_engage():
