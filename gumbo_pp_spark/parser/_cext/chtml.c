@@ -107,6 +107,8 @@ typedef struct {
     /* WHATWG stack of template insertion modes (one per open template) */
     int tmpl_modes[64];
     int tmpl_n;
+    /* WHATWG frameset-ok flag (gates the in-body frameset takeover) */
+    int frameset_ok;
     /* "in table text" pending runs: (start, end) source spans */
     int64_t pend[PEND_MAX][2];
     int pend_n;
@@ -152,6 +154,10 @@ enum {
     E_UNEXPECTED_START_TAG_AFTER_HEAD,
     E_UNEXPECTED_END_TAG_IN_SELECT_IN_TABLE,
     E_HTML_IN_FOREIGN_CONTENT,
+    E_UNEXPECTED_FRAMESET, E_TEXT_IN_FRAMESET,
+    E_UNEXPECTED_START_TAG_IN_FRAMESET, E_UNEXPECTED_START_TAG_AFTER_FRAMESET,
+    E_UNEXPECTED_END_TAG_IN_FRAMESET, E_UNEXPECTED_END_TAG_AFTER_FRAMESET,
+    E_DEPRECATED_TAG,
     N_ERR_CODES
 };
 static const char *ERR_CODE_STRS[N_ERR_CODES] = {
@@ -167,6 +173,10 @@ static const char *ERR_CODE_STRS[N_ERR_CODES] = {
     "unexpected-start-tag-after-head",
     "unexpected-end-tag-in-select-in-table",
     "html-in-foreign-content",
+    "unexpected-frameset", "text-in-frameset",
+    "unexpected-start-tag-in-frameset", "unexpected-start-tag-after-frameset",
+    "unexpected-end-tag-in-frameset", "unexpected-end-tag-after-frameset",
+    "deprecated-tag",
 };
 
 #define BAILV(p)   do { (p)->bail = 1; return; } while (0)
@@ -928,6 +938,7 @@ static void insert_text(P *p, PyObject *decoded, int64_t s0, int64_t s1,
             if (!(c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r')) { ws = 0; break; }
         }
     }
+    if (!ws && !rawtextual) p->frameset_ok = 0;
     int32_t nid = new_node(p, ws ? T_WHITESPACE : T_TEXT, -1, NULL, decoded, NULL,
                            s0, s1, 0, 0, 0, 0);
     if (nid < 0) return;
@@ -1197,7 +1208,7 @@ static void reset_mode(P *p) {
         case TID_TR:       p->mode = M_IN_ROW; return;
         case TID_TBODY: case TID_THEAD: case TID_TFOOT: p->mode = M_IN_TABLE_BODY; return;
         case TID_TABLE:    p->mode = M_IN_TABLE; return;
-        case TID_FRAMESET: p->bail = 1; return;  /* unreachable in C subset */
+        case TID_FRAMESET: p->mode = M_IN_FRAMESET; return;
         case TID_COLGROUP: p->mode = M_IN_COLGROUP; return;
         case TID_HEAD:     p->mode = M_IN_HEAD; return;
         case TID_BODY:     p->mode = M_IN_BODY; return;
@@ -1541,7 +1552,22 @@ static void chars_html(P *p, int64_t a, int64_t b) {
         }
         return;
     }
-    if (mode == M_IN_FRAMESET || mode == M_AFTER_FRAMESET) BAILV(p);  /* unreachable */
+    if (mode == M_IN_FRAMESET || mode == M_AFTER_FRAMESET) {
+        /* keep only the whitespace chars (joined into ONE run); any
+         * dropped char is a parse error */
+        Py_ssize_t nws = 0;
+        for (int64_t q = a; q < b; q++) if (WS_CHAR(p->s[q])) nws++;
+        if (nws != b - a) { err(p, E_TEXT_IN_FRAMESET, a); CHKV(p); }
+        if (nws) {
+            PyObject *u = PyUnicode_New(nws, 127);
+            if (!u) BAILV(p);
+            Py_UCS1 *dst = PyUnicode_1BYTE_DATA(u);
+            for (int64_t q = a; q < b; q++)
+                if (WS_CHAR(p->s[q])) *dst++ = p->s[q];
+            insert_text(p, u, a, a + nws, 0, 0);
+        }
+        return;
+    }
     if (mode == M_AFTER_BODY || mode == M_AFTER_AFTER_BODY) {
         int allws = 1;
         for (int64_t q = a; q < b; q++)
@@ -1717,6 +1743,7 @@ static int start_in_body(P *p, int tid, PyObject *name, PyObject *attrs,
                 pop_until(p, TID_P, NULL, t0, -1, -1);
         }
         if (p->afe_n && (fl & F_RECON_SET)) { reconstruct_formatting(p); CHKI(p); }
+        if (fl & F_FRAMESET_BRK) p->frameset_ok = 0;
         if (fl & F_VOID) {
             insert_element(p, tid, name, attrs, t0, t1, 0);
             return CM_NONE;
@@ -1730,14 +1757,79 @@ static int start_in_body(P *p, int tid, PyObject *name, PyObject *attrs,
     }
     /* bespoke chain — remaining non-convertible branches bail */
     switch (tid) {
-    case TID_ISINDEX:
-    case TID_FRAMESET:
-        BAILI(p);
+    case TID_ISINDEX: {
+        /* legacy <isindex> expansion (html5.py:1994-2024): err;
+         * ignored when a form is open; else synthesized
+         * form>hr,label(prompt,input),hr */
+        err(p, E_DEPRECATED_TAG, t0); CHKI(p);
+        if (p->form_ptr >= 0) return CM_NONE;
+        PyObject *form_attrs = PyDict_New();
+        if (!form_attrs) { PyErr_Clear(); BAILI(p); }
+        PyObject *action = attrs ? PyDict_GetItemString(attrs, "action") : NULL;
+        if (action && PyDict_SetItemString(form_attrs, "action", action) < 0) {
+            PyErr_Clear(); Py_DECREF(form_attrs); BAILI(p);
+        }
+        start_in_body(p, TID_FORM, NULL, form_attrs, 0, t0, t1);
+        Py_DECREF(form_attrs);
+        CHKI(p);
+        start_in_body(p, TID_HR, NULL, empty_attrs, 0, t0, t1); CHKI(p);
+        start_in_body(p, TID_LABEL, NULL, empty_attrs, 0, t0, t1); CHKI(p);
+        PyObject *prompt = attrs ? PyDict_GetItemString(attrs, "prompt") : NULL;
+        if (prompt) Py_INCREF(prompt);
+        else {
+            prompt = PyUnicode_FromString(
+                "This is a searchable index. Enter search keywords: ");
+            if (!prompt) { PyErr_Clear(); BAILI(p); }
+        }
+        insert_text(p, prompt, t0, t1, 0, 1); CHKI(p);
+        PyObject *input_attrs = attrs ? PyDict_Copy(attrs) : PyDict_New();
+        if (!input_attrs) { PyErr_Clear(); BAILI(p); }
+        if (PyDict_DelItemString(input_attrs, "action") < 0) PyErr_Clear();
+        if (PyDict_DelItemString(input_attrs, "prompt") < 0) PyErr_Clear();
+        PyObject *iname = PyUnicode_FromString("isindex");
+        if (!iname || PyDict_SetItemString(input_attrs, "name", iname) < 0) {
+            PyErr_Clear(); Py_XDECREF(iname); Py_DECREF(input_attrs); BAILI(p);
+        }
+        Py_DECREF(iname);
+        start_in_body(p, TID_INPUT, NULL, input_attrs, self_closing, t0, t1);
+        Py_DECREF(input_attrs);
+        CHKI(p);
+        end_html(p, TID_LABEL, NULL, t0, t1); CHKI(p);
+        start_in_body(p, TID_HR, NULL, empty_attrs, 0, t0, t1); CHKI(p);
+        end_html(p, TID_FORM, NULL, t0, t1); CHKI(p);
+        return CM_NONE;
+    }
+    case TID_FRAMESET: {
+        int32_t b = p->body_id;
+        if (b >= 0 && p->frameset_ok && p->st.parent[b] >= 0) {
+            /* the body element is DETACHED — its subtree is discarded
+             * by the DFS finalize's reachability walk */
+            detach(p, b);
+            while (p->stack_n && p->stack[p->stack_n - 1] != p->html_id) {
+                int32_t nid = p->stack[p->stack_n - 1];
+                pop_node(p);
+                close_implied(p, nid, t0);
+            }
+            PyObject *a2 = attrs; Py_XINCREF(a2);
+            int32_t nid = new_node(p, T_ELEMENT, TID_FRAMESET, NULL, NULL, a2,
+                                   t0, p->n, t0, t1, p->n, p->n);
+            if (nid < 0) return -1;
+            attach(p, nid, p->html_id);
+            push_node(p, nid, NULL); CHKI(p);
+            p->body_id = -1;
+            p->mode = M_IN_FRAMESET;
+            p->preorder_ok = 0;  /* orphaned body subtree */
+        } else {
+            err(p, E_UNEXPECTED_FRAMESET, t0);  /* ignored */
+        }
+        return CM_NONE;
+    }
     case TID_IMAGE:
         /* html5.py:1991-1993: image → img (parse error), then the
-         * generic img path: reconstruct + void insert */
+         * generic img path: reconstruct + breaker + void insert */
         err(p, E_UNEXPECTED_START_TAG, t0); CHKI(p);
         if (p->afe_n) { reconstruct_formatting(p); CHKI(p); }
+        p->frameset_ok = 0;
         insert_element(p, TID_IMG, NULL, attrs, t0, t1, 0);
         return CM_NONE;
     case TID_HTML:
@@ -1854,6 +1946,7 @@ static int start_in_body(P *p, int tid, PyObject *name, PyObject *attrs,
              tid != TID_TEMPLATE && tid != TID_TEXTAREA);
         if (recon) { reconstruct_formatting(p); CHKI(p); }
     }
+    if (fl & F_FRAMESET_BRK) p->frameset_ok = 0;
     if (tid == TID_FORM) {
         int no_tmpl = 1;
         for (int k = 0; k < p->stack_n; k++)
@@ -1922,6 +2015,7 @@ static void start_template(P *p, PyObject *attrs, int64_t t0, int64_t t1) {
     CHKV(p);
     if (nid >= 0) p->st.type[nid] = T_TEMPLATE;
     afe_push_marker(p); CHKV(p);
+    p->frameset_ok = 0;
     p->mode = M_IN_TEMPLATE;
     p->tmpl_modes[p->tmpl_n++] = M_IN_TEMPLATE;
 }
@@ -2297,7 +2391,16 @@ static int start_html(P *p, int tid, PyObject *name, PyObject *attrs,
         return handle_start(p, tid, name, attrs, self_closing, t0, t1);
     }
     if (mode == M_AFTER_HEAD) {
-        if (tid == TID_FRAMESET) BAILI(p);
+        if (tid == TID_FRAMESET) {
+            PyObject *a2 = attrs; Py_XINCREF(a2);
+            int32_t nid = new_node(p, T_ELEMENT, TID_FRAMESET, NULL, NULL, a2,
+                                   t0, p->n, t0, t1, p->n, p->n);
+            if (nid < 0) return -1;
+            attach(p, nid, p->html_id);
+            push_node(p, nid, NULL); CHKI(p);
+            p->mode = M_IN_FRAMESET;
+            return CM_NONE;
+        }
         if (tid == TID_BODY) {
             PyObject *a2 = attrs; Py_XINCREF(a2);
             int32_t nid = new_node(p, T_ELEMENT, TID_BODY, NULL, NULL, a2,
@@ -2319,10 +2422,11 @@ static int start_html(P *p, int tid, PyObject *name, PyObject *attrs,
             tid == TID_LINK || tid == TID_META || tid == TID_NOFRAMES ||
             tid == TID_SCRIPT || tid == TID_STYLE || tid == TID_TITLE) {
             /* html5.py:1833-1855: err; re-push the head, process per
-             * in-head, the element lands INSIDE the head.  Append-only
-             * preorder survives ONLY while the head is still html's
-             * last child (after-head whitespace appends to html). */
-            if (p->st.last_child[p->html_id] != p->head_id) BAILI(p);
+             * in-head, the element lands INSIDE the head.  The Python
+             * engine keeps CREATION order here (preorder_ok stays
+             * true even though a later sibling of the head may exist
+             * — a pinned containment quirk); emitting creation order
+             * reproduces it exactly. */
             err(p, E_UNEXPECTED_START_TAG_AFTER_HEAD, t0); CHKI(p);
             push_node(p, p->head_id, NULL); CHKI(p);
             if (tid == TID_BASE || tid == TID_BASEFONT || tid == TID_BGSOUND ||
@@ -2363,7 +2467,32 @@ static int start_html(P *p, int tid, PyObject *name, PyObject *attrs,
         err(p, E_UNEXPECTED_START_TAG, t0);  /* colgroup fragment: ignored */
         return CM_NONE;
     }
-    if (mode == M_IN_FRAMESET || mode == M_AFTER_FRAMESET) BAILI(p);
+    if (mode == M_IN_FRAMESET) {
+        if (tid == TID_FRAMESET) {
+            insert_element(p, tid, name, attrs, t0, t1, 1);
+            return CM_NONE;
+        }
+        if (tid == TID_FRAME) {
+            insert_element(p, tid, name, attrs, t0, t1, 0);
+            return CM_NONE;
+        }
+        if (tid == TID_NOFRAMES) {
+            insert_element(p, tid, name, attrs, t0, t1, 1);
+            return CM_RAWTEXT;
+        }
+        if (tid == TID_HTML) { merge_root_attrs(p, p->html_id, attrs); CHKI(p); }
+        err(p, E_UNEXPECTED_START_TAG_IN_FRAMESET, t0);  /* ignored */
+        return CM_NONE;
+    }
+    if (mode == M_AFTER_FRAMESET) {
+        if (tid == TID_NOFRAMES) {
+            insert_element(p, tid, name, attrs, t0, t1, 1);
+            return CM_RAWTEXT;
+        }
+        if (tid == TID_HTML) { merge_root_attrs(p, p->html_id, attrs); CHKI(p); }
+        err(p, E_UNEXPECTED_START_TAG_AFTER_FRAMESET, t0);  /* ignored */
+        return CM_NONE;
+    }
     if (mode == M_AFTER_BODY || mode == M_AFTER_AFTER_BODY) {
         if (tid == TID_HTML) {
             /* err + merge WITHOUT leaving the after-body state */
@@ -2562,7 +2691,25 @@ static void end_html(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
             err(p, E_UNEXPECTED_END_TAG, t0);  /* anything else: ignored */
             return;
         }
-        if (mode == M_IN_FRAMESET || mode == M_AFTER_FRAMESET) BAILV(p);
+        if (mode == M_IN_FRAMESET) {
+            if (tid == TID_FRAMESET) {
+                if (p->stack_n && cur_tid(p) == TID_FRAMESET) {
+                    pop_until(p, TID_FRAMESET, NULL, t0, t0, t1);
+                    if (p->stack_n && cur_tid(p) != TID_FRAMESET)
+                        p->mode = M_AFTER_FRAMESET;
+                } else err(p, E_UNEXPECTED_END_TAG_IN_FRAMESET, t0);
+            } else if (tid == TID_NOFRAMES) {
+                pop_until(p, TID_NOFRAMES, NULL, t0, t0, t1);
+            } else err(p, E_UNEXPECTED_END_TAG_IN_FRAMESET, t0);
+            return;
+        }
+        if (mode == M_AFTER_FRAMESET) {
+            if (tid == TID_NOFRAMES) pop_until(p, TID_NOFRAMES, NULL, t0, t0, t1);
+            else if (tid == TID_HTML && p->html_id >= 0)
+                set_end_span(p, p->html_id, t0, t1);
+            else err(p, E_UNEXPECTED_END_TAG_AFTER_FRAMESET, t0);
+            return;
+        }
         if (mode == M_IN_COLGROUP) {
             if (tid == TID_COLGROUP) {
                 if (cur_tid(p) == TID_COLGROUP) {
@@ -2866,7 +3013,9 @@ static void handle_eof(P *p) {
     int64_t pos = p->n;
     if (p->html_id < 0) { ensure_html(p, pos); CHKV(p); }
     if (p->head_id < 0) { ensure_head(p, pos); CHKV(p); pop_head(p, pos, -1, -1); }
-    if (p->body_id < 0) { ensure_body(p, pos); CHKV(p); }
+    if (p->body_id < 0 && p->mode != M_IN_FRAMESET && p->mode != M_AFTER_FRAMESET) {
+        ensure_body(p, pos); CHKV(p);
+    }
     while (p->stack_n) pop_node(p);
 }
 
@@ -3321,11 +3470,10 @@ static PyObject *build_result(P *p, PyObject *src_obj /* new ref or NULL */) {
         free(new_id);
         free(fstk);
         free(kids);
-        if (idx != cnt) {  /* unreachable nodes: outside the C subset */
-            free(order); free(parent_new); free(iwp); free(subend);
-            Py_XDECREF(src_obj);
-            Py_RETURN_NONE;
-        }
+        /* nodes unreachable from the document (a frameset-takeover
+         * discarded body subtree) are DROPPED, exactly like the
+         * Python engine's DFS finalize (html5.py:2992-3023) */
+        cnt = idx;
     }
     if (order) {
         /* permute the per-node columns into preorder */
@@ -3472,6 +3620,7 @@ static PyObject *cparse(PyObject *self, PyObject *arg) {
     }
     p.quirks = 1;
     p.preorder_ok = 1;
+    p.frameset_ok = 1;
     p.html_id = p.head_id = p.body_id = -1;
     p.form_ptr = -1;
     /* document node (html5.py:691) */

@@ -114,8 +114,31 @@ def test_bail_conditions():
     assert cengine.cparse(b"<svg><rect/></svg>") is not None   # foreign: in C
     assert cengine.cparse(b"<template>x</template>") is not None  # templates: in C
     assert cengine.cparse(b"<plaintext>raw") is not None          # plaintext: in C
-    assert cengine.cparse(b"<frameset>") is None         # frameset takeover
-    assert cengine.cparse(b"<isindex>") is None          # legacy expansion
+    assert cengine.cparse(b"<frameset><frame>") is not None  # frameset: in C
+    assert cengine.cparse(b"<isindex>") is not None           # isindex: in C
+
+
+def test_frameset_and_isindex_identical():
+    import gumbo_pp_spark.parser.html5 as H
+
+    cases = [
+        b'<html><frameset cols="50%,50%"><frame src=a><frame src=b></frameset></html>',
+        b'<frameset><frameset rows="1"><frame></frameset><noframes>alt</noframes></frameset>',
+        b'<p>content<frameset>',                      # takeover blocked
+        b'<head></head><frameset><frame></frameset>x',
+        b"<isindex action='/s' prompt='Find:' name=q extra=1>",
+        b"<form><isindex></form>",
+    ]
+    for doc in cases:
+        c = cengine.cparse(doc)
+        assert c is not None, doc
+        saved = H._cparse_fast
+        H._cparse_fast = None
+        try:
+            py = H.parse_html(doc.decode())
+        finally:
+            H._cparse_fast = saved
+        assert_identical(c, py, doc)
 
 
 def test_template_and_plaintext_identical():
