@@ -91,16 +91,31 @@ def prepare_pages(pages_dir: str) -> None:
     spark.stop()
 
 
-def stage_extract(master: str, pages_dir: str, runs: int = 5) -> dict:
+def stage_extract(master: str, pages_dir: str, runs: int = 5, waves: int = 4) -> dict:
     """The timed job: scan → parse → extract → aggregate."""
     from pyspark.sql import functions as F
 
     from gumbo_pp_spark.operators.extract import extract_main_text
 
     n_threads = int(master.split("[")[1].rstrip("]"))
+    # driver-side prebuild: local-mode workers share this checkout, so
+    # building here means no worker ever invokes gcc
+    from gumbo_pp_spark.parser import cengine
+
+    cengine.available()
     spark = make_session(master, n_threads)
     spark.sparkContext.setLogLevel("ERROR")
+    # ROUND-6: level-aware splits.  The static 16MB of make_session
+    # (with the 4MB openCost default) packed the 128 small bench files
+    # into ~32 splits at EVERY level → local[32] ran ONE task wave and
+    # its wall was the single slowest task on a steal-spiky VM
+    # (BENCH_r05: all six local[32] runs ≥ 12.45s while local[8] hit
+    # 2.35s).  Target ≥3 waves × threads from ON-DISK bytes instead.
+    from gumbo_pp_spark.plans.partitioning import tune_input_splits
+
+    split_bytes = tune_input_splits(spark, pages_dir, waves=waves) if waves else 16 << 20
     pages = spark.read.parquet(pages_dir)
+    n_splits = pages.rdd.getNumPartitions()
     # warm the file listing / JVM before timing
     n_docs = pages.count()
     in_bytes = pages.select(F.sum(F.length("html"))).collect()[0][0]
@@ -130,6 +145,8 @@ def stage_extract(master: str, pages_dir: str, runs: int = 5) -> dict:
     return {
         "master": master,
         "docs": int(n_docs),
+        "split_bytes": int(split_bytes),
+        "n_splits": int(n_splits),
         "input_mb": round(in_bytes / 1e6, 1),
         "wall_sec": round(wall, 2),
         "wall_sec_runs": [round(w, 2) for w in walls],
@@ -354,10 +371,13 @@ def main() -> None:
     ap.add_argument("--master", default=f"local[{CPUS}]")
     ap.add_argument("--pages", default=None)
     ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--waves", type=int, default=4,
+                    help="target task waves per core (0 = static 16MB splits)")
     args = ap.parse_args()
 
     if args.stage == "extract":
-        print(json.dumps(stage_extract(args.master, args.pages, runs=args.runs)))
+        print(json.dumps(stage_extract(args.master, args.pages, runs=args.runs,
+                                       waves=args.waves)))
         return
 
     pages_dir = os.path.join(

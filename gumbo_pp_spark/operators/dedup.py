@@ -18,6 +18,9 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 from pyspark.sql import DataFrame, functions as F
 
 # ----------------------------------------------------------------------
@@ -33,12 +36,58 @@ from pyspark.sql import DataFrame, functions as F
 # ``pipelines.build_training_corpus`` does this at its stage barrier.
 _LIVE_CACHES: list[DataFrame] = []
 
+# Per-thread scope stack (round-6, ADVICE r5): two pipelines running
+# concurrently on one driver (threads / interleaved stages) must not
+# release each other's still-needed signature caches at the first
+# barrier.  A pipeline that wraps its run in :func:`cache_scope` gets
+# its caches recorded in ITS scope (innermost, this thread) instead of
+# the process-global registry, and releases exactly those on exit.
+_SCOPES = threading.local()
+
 
 def _cache(df: DataFrame) -> DataFrame:
-    """Cache ``df`` and record the handle for later release."""
+    """Cache ``df`` and record the handle for later release — into the
+    innermost active :func:`cache_scope` of this thread, else the
+    process-global registry drained by :func:`unpersist_caches`."""
     c = df.cache()
-    _LIVE_CACHES.append(c)
+    stack = getattr(_SCOPES, "stack", None)
+    if stack:
+        stack[-1].append(c)
+    else:
+        _LIVE_CACHES.append(c)
     return c
+
+
+@contextlib.contextmanager
+def cache_scope():
+    """Scope dedup signature caches to a pipeline run.
+
+    ``with cache_scope() as scope:`` — caches created by
+    ``minhash_lsh_pairs`` / ``simhash_pairs`` on this thread inside the
+    block are released when the block exits (success OR exception);
+    ``scope.released`` carries the count afterwards.  Concurrent
+    pipelines each wrap their own scope and cannot release each
+    other's caches."""
+
+    class _Scope(list):
+        released = 0
+
+    scope = _Scope()
+    stack = getattr(_SCOPES, "stack", None)
+    if stack is None:
+        stack = _SCOPES.stack = []
+    stack.append(scope)
+    try:
+        yield scope
+    finally:
+        stack.pop()
+        for c in scope:
+            try:
+                c.unpersist()
+                scope.released += 1
+            except Exception:  # session already stopped — nothing leaks
+                pass
+        scope.clear()
 
 
 def unpersist_caches() -> int:

@@ -22,6 +22,8 @@
 #include <string.h>
 #include <stdint.h>
 #include <stdlib.h>
+#define NPY_NO_DEPRECATED_API NPY_1_7_API_VERSION
+#include <numpy/arrayobject.h>
 
 #include "chtml_tables.h"
 
@@ -207,6 +209,10 @@ static int32_t new_node(P *p, int type, int tid, PyObject *tagobj,
                         int64_t e0, int64_t e1) {
     Store *st = &p->st;
     if (st->count >= st->cap && store_grow(st) < 0) { Py_XDECREF(tagobj); Py_XDECREF(text); Py_XDECREF(attrs); BAILI(p); }
+    /* node ids are int32 throughout the SoA store: a multi-GiB single
+     * document could overflow the cast below and corrupt parent/child
+     * links — bail to the Python engine instead (ADVICE r5) */
+    if (st->count >= (Py_ssize_t)INT32_MAX) { Py_XDECREF(tagobj); Py_XDECREF(text); Py_XDECREF(attrs); BAILI(p); }
     Py_ssize_t i = st->count++;
     st->type[i] = (int8_t)type;
     st->ns[i] = NSP_HTML;  /* foreign inserts overwrite after creation */
@@ -3414,13 +3420,48 @@ static void p_free(P *p) {
     free(p->err_pos);
 }
 
+/* column builders: numpy arrays materialized directly in C (round-6:
+ * the former bytearray + Python-side np.frombuffer / list -> object-
+ * array assembly cost ~42us/doc on a 206-node page, ~85% of it the
+ * object-list copies; building the final ndarrays here cuts the
+ * Python side to the NodeTable constructor). `order` (preorder
+ * permutation of creation ids) is applied during the copy. */
+static PyObject *npy_fixed(const void *src, Py_ssize_t cnt, int typenum,
+                           size_t esz, const int32_t *order) {
+    npy_intp d = (npy_intp)cnt;
+    PyObject *a = PyArray_SimpleNew(1, &d, typenum);
+    if (!a) return NULL;
+    char *dst = (char *)PyArray_DATA((PyArrayObject *)a);
+    if (!order) {
+        memcpy(dst, src, (size_t)cnt * esz);
+    } else {
+        const char *s8 = (const char *)src;
+        for (Py_ssize_t i = 0; i < cnt; i++)
+            memcpy(dst + (size_t)i * esz, s8 + (size_t)order[i] * esz, esz);
+    }
+    return a;
+}
+
+static PyObject *npy_span_col(const int64_t *span, Py_ssize_t cnt, int j,
+                              const int32_t *order) {
+    npy_intp d = (npy_intp)cnt;
+    PyObject *a = PyArray_SimpleNew(1, &d, NPY_INT64);
+    if (!a) return NULL;
+    int64_t *dst = (int64_t *)PyArray_DATA((PyArrayObject *)a);
+    for (Py_ssize_t i = 0; i < cnt; i++)
+        dst[i] = span[6 * (Py_ssize_t)(order ? order[i] : (int32_t)i) + j];
+    return a;
+}
+
 static PyObject *build_result(P *p, PyObject *src_obj /* new ref or NULL */) {
     Store *st = &p->st;
     Py_ssize_t cnt = st->count;
     int32_t *order = NULL, *parent_new = NULL, *iwp = NULL, *subend = NULL;
-    PyObject *res = NULL, *tags = NULL, *texts = NULL, *attrs = NULL;
-    PyObject *b_type = NULL, *b_ns = NULL, *b_tid = NULL, *b_parent = NULL,
-             *b_iwp = NULL, *b_sub = NULL, *b_span = NULL;
+    PyObject *res = NULL;
+    enum { C_TYPE, C_NS, C_TID, C_PARENT, C_IWP, C_SUB,
+           C_S0, C_S1, C_T0, C_T1, C_E0, C_E1,
+           C_TAGS, C_TEXTS, C_ATTRS, C_N };
+    PyObject *cols[C_N] = {0};
     parent_new = malloc((size_t)cnt * sizeof(int32_t));
     iwp = malloc((size_t)cnt * sizeof(int32_t));
     subend = malloc((size_t)cnt * sizeof(int32_t));
@@ -3475,52 +3516,42 @@ static PyObject *build_result(P *p, PyObject *src_obj /* new ref or NULL */) {
          * Python engine's DFS finalize (html5.py:2992-3023) */
         cnt = idx;
     }
-    if (order) {
-        /* permute the per-node columns into preorder */
-        int8_t *ty = malloc((size_t)cnt);
-        int8_t *nsb = malloc((size_t)cnt);
-        int16_t *ti = malloc((size_t)cnt * sizeof(int16_t));
-        int64_t *spn = malloc((size_t)cnt * 6 * sizeof(int64_t));
-        if (!ty || !nsb || !ti || !spn) { free(ty); free(nsb); free(ti); free(spn); goto nomem; }
-        for (Py_ssize_t i = 0; i < cnt; i++) {
-            int32_t b = order[i];
-            ty[i] = st->type[b];
-            nsb[i] = st->ns[b];
-            ti[i] = st->tid[b];
-            memcpy(spn + 6 * i, st->span + 6 * b, 6 * sizeof(int64_t));
-        }
-        b_type = PyByteArray_FromStringAndSize((char *)ty, cnt);
-        b_ns = PyByteArray_FromStringAndSize((char *)nsb, cnt);
-        b_tid = PyByteArray_FromStringAndSize((char *)ti, cnt * (Py_ssize_t)sizeof(int16_t));
-        b_span = PyByteArray_FromStringAndSize((char *)spn, cnt * 6 * (Py_ssize_t)sizeof(int64_t));
-        free(ty); free(nsb); free(ti); free(spn);
-    } else {
-        b_type = PyByteArray_FromStringAndSize((char *)st->type, cnt);
-        b_ns = PyByteArray_FromStringAndSize((char *)st->ns, cnt);
-        b_tid = PyByteArray_FromStringAndSize((char *)st->tid, cnt * (Py_ssize_t)sizeof(int16_t));
-        b_span = PyByteArray_FromStringAndSize((char *)st->span, cnt * 6 * (Py_ssize_t)sizeof(int64_t));
+    cols[C_TYPE] = npy_fixed(st->type, cnt, NPY_INT8, sizeof(int8_t), order);
+    cols[C_NS] = npy_fixed(st->ns, cnt, NPY_INT8, sizeof(int8_t), order);
+    cols[C_TID] = npy_fixed(st->tid, cnt, NPY_INT16, sizeof(int16_t), order);
+    /* parent/iwp/subend are computed in final preorder ids already */
+    cols[C_PARENT] = npy_fixed(parent_new, cnt, NPY_INT32, sizeof(int32_t), NULL);
+    cols[C_IWP] = npy_fixed(iwp, cnt, NPY_INT32, sizeof(int32_t), NULL);
+    cols[C_SUB] = npy_fixed(subend, cnt, NPY_INT32, sizeof(int32_t), NULL);
+    for (int j = 0; j < 6; j++)
+        cols[C_S0 + j] = npy_span_col(st->span, cnt, j, order);
+    for (int c = C_TAGS; c <= C_ATTRS; c++) {
+        npy_intp d = (npy_intp)cnt;
+        cols[c] = PyArray_SimpleNew(1, &d, NPY_OBJECT);
     }
-    b_parent = PyByteArray_FromStringAndSize((char *)parent_new, cnt * (Py_ssize_t)sizeof(int32_t));
-    b_iwp = PyByteArray_FromStringAndSize((char *)iwp, cnt * (Py_ssize_t)sizeof(int32_t));
-    b_sub = PyByteArray_FromStringAndSize((char *)subend, cnt * (Py_ssize_t)sizeof(int32_t));
-    tags = PyList_New(cnt);
-    texts = PyList_New(cnt);
-    attrs = PyList_New(cnt);
-    if (!b_type || !b_ns || !b_tid || !b_parent || !b_iwp || !b_sub || !b_span ||
-        !tags || !texts || !attrs) goto fail;
-    for (Py_ssize_t i = 0; i < cnt; i++) {
-        Py_ssize_t b = order ? order[i] : i;
-        PyObject *tg;
-        if (st->tag[b]) { tg = st->tag[b]; Py_INCREF(tg); }
-        else if (st->tid[b] >= 0 && st->tid[b] < N_TAGS) { tg = tag_objs[st->tid[b]]; Py_INCREF(tg); }
-        else { tg = empty_str; Py_INCREF(tg); }
-        PyList_SET_ITEM(tags, i, tg);
-        PyObject *tx = st->text[b] ? st->text[b] : empty_str;
-        Py_INCREF(tx);
-        PyList_SET_ITEM(texts, i, tx);
-        PyObject *at = st->attrs[b] ? st->attrs[b] : Py_None;
-        Py_INCREF(at);
-        PyList_SET_ITEM(attrs, i, at);
+    for (int c = 0; c < C_N; c++)
+        if (!cols[c]) goto fail;
+    {
+        /* fill the three object columns (slots of a fresh NPY_OBJECT
+         * array are NULL; every slot is set before any failable call) */
+        PyObject **tg_d = (PyObject **)PyArray_DATA((PyArrayObject *)cols[C_TAGS]);
+        PyObject **tx_d = (PyObject **)PyArray_DATA((PyArrayObject *)cols[C_TEXTS]);
+        PyObject **at_d = (PyObject **)PyArray_DATA((PyArrayObject *)cols[C_ATTRS]);
+        for (Py_ssize_t i = 0; i < cnt; i++) {
+            Py_ssize_t b = order ? order[i] : i;
+            PyObject *tg;
+            if (st->tag[b]) tg = st->tag[b];
+            else if (st->tid[b] >= 0 && st->tid[b] < N_TAGS) tg = tag_objs[st->tid[b]];
+            else tg = empty_str;
+            Py_INCREF(tg);
+            tg_d[i] = tg;
+            PyObject *tx = st->text[b] ? st->text[b] : empty_str;
+            Py_INCREF(tx);
+            tx_d[i] = tx;
+            PyObject *at = st->attrs[b] ? st->attrs[b] : Py_None;
+            Py_INCREF(at);
+            at_d[i] = at;
+        }
     }
     {
         PyObject *errs = PyList_New(p->err_n);
@@ -3531,9 +3562,14 @@ static PyObject *build_result(P *p, PyObject *src_obj /* new ref or NULL */) {
             if (!t) { Py_DECREF(errs); goto fail; }
             PyList_SET_ITEM(errs, k, t);
         }
-        res = Py_BuildValue("(nNNNNNNNNNNiNO)", cnt, b_type, b_ns, b_tid, b_parent,
-                            b_iwp, b_sub, b_span, tags, texts, attrs, p->quirks,
-                            errs, src_obj ? src_obj : Py_None);
+        res = Py_BuildValue("(nNNNNNNNNNNNNNNNiNO)", cnt,
+                            cols[C_TYPE], cols[C_NS], cols[C_TID],
+                            cols[C_PARENT], cols[C_IWP], cols[C_SUB],
+                            cols[C_S0], cols[C_S1], cols[C_T0], cols[C_T1],
+                            cols[C_E0], cols[C_E1],
+                            cols[C_TAGS], cols[C_TEXTS], cols[C_ATTRS],
+                            p->quirks, errs, src_obj ? src_obj : Py_None);
+        if (!res) goto fail_after_steal;
     }
     free(order); free(parent_new); free(iwp); free(subend);
     Py_XDECREF(src_obj);
@@ -3543,10 +3579,13 @@ nomem:
     Py_XDECREF(src_obj);
     return PyErr_NoMemory();
 fail:
+    for (int c = 0; c < C_N; c++) Py_XDECREF(cols[c]);
+fail_after_steal:
+    /* Py_BuildValue "N" args already inserted were released with the
+     * partial tuple; unconsumed ones leak — acceptable on this
+     * OOM-only path (decrefing here could double-free the inserted
+     * prefix) */
     free(order); free(parent_new); free(iwp); free(subend);
-    Py_XDECREF(b_type); Py_XDECREF(b_ns); Py_XDECREF(b_tid); Py_XDECREF(b_parent);
-    Py_XDECREF(b_iwp); Py_XDECREF(b_sub); Py_XDECREF(b_span);
-    Py_XDECREF(tags); Py_XDECREF(texts); Py_XDECREF(attrs);
     Py_XDECREF(src_obj);
     return NULL;
 }
@@ -3664,6 +3703,7 @@ static struct PyModuleDef moduledef = {
 };
 
 PyMODINIT_FUNC PyInit__chtml(void) {
+    import_array();  /* numpy C API (column materialization) */
     PyObject *m = PyModule_Create(&moduledef);
     if (!m) return NULL;
     for (int i = 0; i < N_TAGS; i++) {

@@ -19,6 +19,7 @@ Env:
 
 from __future__ import annotations
 
+import hashlib
 import os
 import subprocess
 import sys
@@ -28,12 +29,38 @@ import numpy as np
 
 _DIR = os.path.join(os.path.dirname(__file__), "_cext")
 _SO = os.path.join(_DIR, "_chtml.so")
+_SRCHASH = _SO + ".srchash"
 
 #: engagement counters: documents parsed by each engine this process
 stats = {"c": 0, "py": 0}
 
 _cparse = None
 _NodeTable = None
+
+
+def _source_hash() -> str:
+    """sha256 over the C sources — stored beside the .so so a stale
+    binary is detected after editing chtml.c/chtml_tables.h (ADVICE
+    r5: `exists(_SO)` alone silently kept loading old engines)."""
+    h = hashlib.sha256()
+    for name in ("chtml.c", "chtml_tables.h"):
+        path = os.path.join(_DIR, name)
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _so_fresh() -> bool:
+    if not os.path.exists(_SO):
+        return False
+    try:
+        with open(_SRCHASH) as f:
+            return f.read().strip() == _source_hash()
+    except OSError:
+        # .so shipped without its hash sidecar (e.g. hand-copied):
+        # trust it — a cluster --py-files bundle can't rebuild anyway
+        return True
 
 
 def _build() -> bool:
@@ -48,17 +75,25 @@ def _build() -> bool:
 
         _gen()
     inc = sysconfig.get_paths()["include"]
+    np_inc = np.get_include()
     # pid-suffixed temp: many Spark python workers may import (and so
     # build) concurrently on a fresh checkout; os.replace is atomic
     tmp = f"{_SO}.{os.getpid()}.tmp"
-    cmd = ["gcc", "-O2", "-fPIC", "-shared", "-I", inc, src, "-o", tmp]
+    cmd = ["gcc", "-O2", "-fPIC", "-shared", "-I", inc, "-I", np_inc, src, "-o", tmp]
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=120)
     except Exception:
         return False
     if r.returncode != 0:
         return False
+    srchash = _source_hash()
     os.replace(tmp, _SO)
+    try:
+        with open(_SRCHASH + f".{os.getpid()}.tmp", "w") as f:
+            f.write(srchash)
+        os.replace(_SRCHASH + f".{os.getpid()}.tmp", _SRCHASH)
+    except OSError:
+        pass
     return True
 
 
@@ -66,7 +101,7 @@ def _load() -> None:
     global _cparse
     if os.environ.get("GUMBO_PP_CENGINE", "1") == "0":
         return
-    if not os.path.exists(_SO) and not _build():
+    if not _so_fresh() and not _build():
         return
     if _DIR not in sys.path:
         sys.path.insert(0, _DIR)
@@ -93,38 +128,34 @@ def cparse(source):
     res = _cparse(source)
     if res is None:
         return None
-    (cnt, b_type, b_ns, b_tid, b_parent, b_iwp, b_sub, b_span,
-     tags, texts, attrs, quirks, errors, src) = res
+    # the extension materializes the final numpy columns itself
+    # (round-6: the former bytearray/frombuffer + object-list copies
+    # cost ~42us/doc — comparable to the C parse itself)
+    (cnt, a_type, a_ns, a_tid, a_parent, a_iwp, a_sub,
+     s0, s1, t0, t1, e0, e1, tags, texts, attrs, quirks, errors, src) = res
     global _NodeTable
     if _NodeTable is None:
         from ..nodetable import NodeTable as _NT
 
         _NodeTable = _NT
-    spans = np.frombuffer(b_span, dtype=np.int64).reshape(cnt, 6)
-    tag_name = np.empty(cnt, dtype=object)
-    tag_name[:] = tags
-    text = np.empty(cnt, dtype=object)
-    text[:] = texts
-    attrs_arr = np.empty(cnt, dtype=object)
-    attrs_arr[:] = attrs
     nt = _NodeTable(
         source=src,
-        type=np.frombuffer(b_type, dtype=np.int8),
-        tag_id=np.frombuffer(b_tid, dtype=np.int16),
-        tag_name=tag_name,
-        parent=np.frombuffer(b_parent, dtype=np.int32),
-        index_within_parent=np.frombuffer(b_iwp, dtype=np.int32),
-        subtree_end=np.frombuffer(b_sub, dtype=np.int32),
-        text=text,
-        attrs=attrs_arr,
-        src_start=spans[:, 0],
-        src_end=spans[:, 1],
-        tag_start=spans[:, 2],
-        tag_end=spans[:, 3],
-        endtag_start=spans[:, 4],
-        endtag_end=spans[:, 5],
+        type=a_type,
+        tag_id=a_tid,
+        tag_name=tags,
+        parent=a_parent,
+        index_within_parent=a_iwp,
+        subtree_end=a_sub,
+        text=texts,
+        attrs=attrs,
+        src_start=s0,
+        src_end=s1,
+        tag_start=t0,
+        tag_end=t1,
+        endtag_start=e0,
+        endtag_end=e1,
         parse_errors=len(errors),
-        ns=np.frombuffer(b_ns, dtype=np.int8),
+        ns=a_ns,
         error_records=errors,
         quirks=bool(quirks),
     )

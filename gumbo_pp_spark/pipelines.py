@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .operators.dedup import exact_dedup, minhash_lsh_pairs, unpersist_caches
+from .operators.dedup import cache_scope, exact_dedup, minhash_lsh_pairs
 from .operators.extract import extract_main_text
 from .operators.textstats import quality_filter, repetition_stats, scrub_pii
 
@@ -75,18 +75,33 @@ def build_training_corpus(
     )
 
 
+#: default ANN-recall floor (×1e-4): hyperplane LSH with multi-probe
+#: should hold recall@k ≥ 0.90 at the shipped dim/n_planes; below that
+#: the bucketing configuration has drifted and neighbors are not
+#: trustworthy.  Pass ``ann_recall_floor_e4=None`` for report-only
+#: (``ann_recall_ok`` stays None — never a vacuous pass).
+ANN_RECALL_FLOOR_E4 = 9000
+
+
 def run_training_corpus(
     pages: DataFrame,
     out_dir: str,
     *,
     embeddings: DataFrame | None = None,
     ann_queries: DataFrame | None = None,
-    ann_recall_floor_e4: int = 0,
+    ann_recall_floor_e4: int | None = ANN_RECALL_FLOOR_E4,
     **corpus_kwargs,
 ) -> dict:
     """Materialize :func:`build_training_corpus` to parquet and release
     the dedup signature caches (the stage barrier the cached
-    intermediates are scoped to — see ``dedup.unpersist_caches``).
+    intermediates are scoped to — see ``dedup.cache_scope``).  The
+    caches are scoped with ``cache_scope`` so they are released even
+    when the write / audit raises (no leaked InMemoryRelations), and a
+    concurrent pipeline on another thread keeps its own.
+
+    The row count is taken with ``DataFrame.observe`` DURING the
+    write — a second full scan of the output (at 100 TB: a second pass
+    over the corpus) just for one metric would be wasteful.
 
     Optional ANN-recall audit (the in-pipeline mirror of the LSH
     cap-accounting rule: no silent approximation): when ``embeddings``
@@ -96,35 +111,40 @@ def run_training_corpus(
     and returned in the metrics — at 100 TB this is the cheap canary
     that the ANN configuration (dim/n_planes) still holds before any
     downstream consumer trusts bucketed neighbors.  If the measured
-    recall falls below ``ann_recall_floor_e4`` the run still completes
-    but the metrics carry ``ann_recall_ok=False``.
+    recall falls below ``ann_recall_floor_e4`` (default
+    ``ANN_RECALL_FLOOR_E4``; pass None for report-only) the run still
+    completes but the metrics carry ``ann_recall_ok=False``.
 
     Returns ``{"rows": n, "out_dir": ..., "caches_released": k,
     "ann_recall_e4": r | None, "ann_recall_ok": bool | None}``.
     """
-    corpus = build_training_corpus(pages, **corpus_kwargs)
-    corpus.write.mode("overwrite").parquet(out_dir)
-    spark = pages.sparkSession
-    n = spark.read.parquet(out_dir).count()
+    from pyspark.sql import Observation
 
     ann_recall_e4 = None
     ann_ok = None
-    if embeddings is not None:
-        from .operators.similarity import lsh_recall_vs_exact
+    with cache_scope() as scope:
+        corpus = build_training_corpus(pages, **corpus_kwargs)
+        obs = Observation("corpus_rows")
+        corpus = corpus.observe(obs, F.count(F.lit(1)).alias("rows"))
+        corpus.write.mode("overwrite").parquet(out_dir)
+        n = int(obs.get["rows"])
 
-        q = ann_queries
-        if q is None:
-            # deterministic small query sample: lowest 16 vec_ids
-            q = embeddings.orderBy("vec_id").limit(16)
-        row = lsh_recall_vs_exact(embeddings, q).collect()[0]
-        ann_recall_e4 = int(row["recall_e4"])
-        ann_ok = ann_recall_e4 >= ann_recall_floor_e4
+        if embeddings is not None:
+            from .operators.similarity import lsh_recall_vs_exact
 
-    released = unpersist_caches()
+            q = ann_queries
+            if q is None:
+                # deterministic small query sample: lowest 16 vec_ids
+                q = embeddings.orderBy("vec_id").limit(16)
+            row = lsh_recall_vs_exact(embeddings, q).collect()[0]
+            ann_recall_e4 = int(row["recall_e4"])
+            if ann_recall_floor_e4 is not None:
+                ann_ok = ann_recall_e4 >= ann_recall_floor_e4
+
     return {
-        "rows": int(n),
+        "rows": n,
         "out_dir": out_dir,
-        "caches_released": released,
+        "caches_released": scope.released,
         "ann_recall_e4": ann_recall_e4,
         "ann_recall_ok": ann_ok,
     }

@@ -32,10 +32,18 @@ def main() -> None:
     ap.add_argument("--max-splits", type=int, default=None, help="fault-injection/test cap")
     args = ap.parse_args()
 
+    # Build the C parse engine ONCE on the driver before the first
+    # action: on a fresh checkout with a shared filesystem, every
+    # executor python worker would otherwise race gcc on first import
+    # (correct via atomic replace, but a 32-way thundering herd).  With
+    # --py-files, build the .so first and ship it inside the zip.
+    from gumbo_pp_spark.parser import cengine
+
+    cengine.available()
+
     spark = (
         SparkSession.builder.appName("gumbo-extract")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.files.maxPartitionBytes", str(64 << 20))
         # Arrow batches much smaller than a task's partition keep the
         # JVM scan/serialize side and the Python parse side pipelined
         # (one-batch-per-task means no overlap; see bench.py).  4096
@@ -47,8 +55,18 @@ def main() -> None:
     )
 
     from gumbo_pp_spark.plans.lineage import extract_with_resume
-    from gumbo_pp_spark.plans.partitioning import salt_skewed_keys, size_balanced_bins
+    from gumbo_pp_spark.plans.partitioning import (
+        salt_skewed_keys,
+        size_balanced_bins,
+        tune_input_splits,
+    )
 
+    # Level-aware scan splits (round-6): size maxPartitionBytes off the
+    # input's on-disk bytes so every cluster size gets ≥3 task waves —
+    # a fixed value sized for N executors runs a single straggler-bound
+    # wave at 4N.  At TB scale the 64MB clamp applies and splits ≫
+    # cores anyway.
+    tune_input_splits(spark, args.pages, waves=3, max_split_bytes=64 << 20)
     pages = spark.read.parquet(args.pages)
     if args.salt:
         pages = salt_skewed_keys(pages)

@@ -401,3 +401,53 @@ def test_foreign_content_engages():
             H._cparse_fast = saved
         assert_identical(c, py, doc)
         assert list(np.asarray(c.ns)) == list(np.asarray(py.ns)), doc
+
+
+def test_so_fresh_no_rebuild_when_shipped(monkeypatch):
+    """Round-6 packaging contract: with a fresh .so on disk, loading
+    must NOT invoke the compiler (executors shipped the binary via
+    --py-files never race gcc)."""
+    assert cengine.available()
+    assert cengine._so_fresh()
+
+    def _no_gcc(*a, **k):  # pragma: no cover - must not be reached
+        raise AssertionError("compiler invoked despite fresh .so")
+
+    monkeypatch.setattr(cengine.subprocess, "run", _no_gcc)
+    monkeypatch.setattr(cengine, "_cparse", None)
+    cengine._load()
+    assert cengine._cparse is not None
+    # restore the module-level state for later tests
+    cengine._load()
+
+
+def test_stale_srchash_detected(tmp_path):
+    """ADVICE r5: editing chtml.c/chtml_tables.h must invalidate an
+    existing .so (source-hash sidecar mismatch) instead of silently
+    loading the stale engine."""
+    import os
+
+    assert os.path.exists(cengine._SRCHASH)
+    with open(cengine._SRCHASH) as f:
+        good = f.read()
+    try:
+        with open(cengine._SRCHASH, "w") as f:
+            f.write("0" * 16)
+        assert not cengine._so_fresh()
+    finally:
+        with open(cengine._SRCHASH, "w") as f:
+            f.write(good)
+    assert cengine._so_fresh()
+
+
+def test_missing_sidecar_trusts_shipped_so(tmp_path):
+    """A hand-shipped .so without its hash sidecar is trusted (a
+    --py-files bundle on a gcc-less cluster cannot rebuild)."""
+    import os
+
+    saved = cengine._SRCHASH
+    try:
+        cengine.__dict__["_SRCHASH"] = str(tmp_path / "nope.srchash")
+        assert cengine._so_fresh()
+    finally:
+        cengine.__dict__["_SRCHASH"] = saved

@@ -82,5 +82,80 @@ def test_run_training_corpus_releases_caches_and_audits_recall(spark, tmp_path):
 def test_unpersist_caches_idempotent(spark):
     from gumbo_pp_spark.operators.dedup import unpersist_caches
 
+    # earlier tests calling build_training_corpus OUTSIDE a cache_scope
+    # leave their signature caches in the process-global registry —
+    # the first call drains whatever is there, the second must be a
+    # no-op returning 0 (idempotency)
+    unpersist_caches()
     assert unpersist_caches() == 0
     assert unpersist_caches() == 0
+
+
+def test_cache_scope_releases_on_exception(spark):
+    """ADVICE r5: an exception inside the pipeline body must still
+    release the signature caches at the scope exit."""
+    from gumbo_pp_spark.operators.dedup import cache_scope, minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    n_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    try:
+        with cache_scope() as scope:
+            minhash_lsh_pairs(docs).count()
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert scope.released >= 1
+    n_after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert n_after <= n_before, (n_before, n_after)
+
+
+def test_cache_scope_isolates_concurrent_pipelines(spark):
+    """ADVICE r5: a scope on one thread must not release caches that a
+    concurrently-running pipeline (its own thread + scope) still
+    needs."""
+    import threading
+
+    from gumbo_pp_spark.operators.dedup import cache_scope, _cache
+
+    results = {}
+
+    def other_pipeline(started, release):
+        with cache_scope() as s:
+            c = _cache(spark.range(8))
+            c.count()
+            started.set()
+            release.wait(timeout=30)
+            # cache must still be materialized: the main thread's scope
+            # exit ran in between and must NOT have unpersisted ours
+            results["still_cached"] = c.storageLevel.useMemory
+        results["other_released"] = s.released
+
+    started, release = threading.Event(), threading.Event()
+    t = threading.Thread(target=other_pipeline, args=(started, release))
+    t.start()
+    started.wait(timeout=30)
+    with cache_scope() as mine:
+        c2 = _cache(spark.range(2))
+        c2.count()
+    assert mine.released == 1
+    release.set()
+    t.join(timeout=30)
+    assert results["still_cached"] is True
+    assert results["other_released"] == 1
+
+
+def test_run_training_corpus_floor_none_is_report_only(spark, tmp_path):
+    """ADVICE r5 / verdict #7: no vacuous pass — floor=None must yield
+    ann_recall_ok=None (report-only), never True by default-zero."""
+    from gumbo_pp_spark.pipelines import run_training_corpus
+
+    pages = synth_pages(spark, SF_SMOKE).select("doc_id", "url", "html")
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    m = run_training_corpus(
+        pages, str(tmp_path / "c2"), embeddings=emb, ann_recall_floor_e4=None
+    )
+    assert m["ann_recall_e4"] is not None
+    assert m["ann_recall_ok"] is None
