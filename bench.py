@@ -130,7 +130,10 @@ def stage_extract(master: str, pages_dir: str, runs: int = 5, waves: int = 4) ->
     walls = []
     agg = None
     for _ in range(runs):
-        wait_for_idle(timeout_s=20.0)
+        # a 45s budget: co-tenant bursts last tens of seconds — running
+        # into one wastes a whole measurement, so waiting longer is the
+        # cheaper side of the trade
+        wait_for_idle(timeout_s=45.0)
         t0 = time.time()
         out = extract_main_text(pages, passthrough=("page_id",))
         agg = out.select(
@@ -263,7 +266,7 @@ def run_subprocess_stage(master: str, pages_dir: str, runs: int = 5) -> dict:
     raise RuntimeError(f"stage failed: {proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
 
 
-def run_levels_interleaved(pages_dir: str, levels: tuple[int, ...], passes: int = 3) -> dict:
+def run_levels_interleaved(pages_dir: str, levels: tuple[int, ...], passes: int = 4) -> dict:
     """ALTERNATE the two parallelism levels across several passes and
     take the per-level minimum.  A single sequential run per level lets
     one co-tenant noise burst poison an entire level (observed: the

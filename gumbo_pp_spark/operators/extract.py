@@ -229,11 +229,13 @@ def extract_main_text(
     pt_types = _passthrough_types(df, passthrough)
     schema = ", ".join([*(f"{c} {t}" for c, t in pt_types), MAIN_TEXT_FIELDS])
     if stage_metrics:
-        schema += ", parse_us bigint, kernel_us bigint"
+        schema += ", parse_us bigint, kernel_us bigint, c_engine tinyint"
     n_pt = len(passthrough)
 
     def fn(batches) -> "Iterator[pa.RecordBatch]":
         import time as _time
+
+        from ..parser.html5 import _cstats
 
         clk = _time.perf_counter
         empty_i32 = np.array([], np.int32)
@@ -245,6 +247,7 @@ def extract_main_text(
             pe: list[int] = []
             parse_us: list[int] = []
             kernel_us: list[int] = []
+            c_engine: list[int] = []
             sp_node: list[np.ndarray] = []
             sp_tag: list[str] = []
             sp_start: list[np.ndarray] = []
@@ -254,8 +257,13 @@ def extract_main_text(
             sp_offsets = [0]
             for raw in _iter_html(htmls):
                 t0 = clk()
+                c_before = _cstats["c"]
                 nt = parse_html(raw)
                 t1 = clk()
+                if stage_metrics:
+                    # which engine parsed THIS doc: the C fast path
+                    # bumps _cstats["c"] exactly once per accepted doc
+                    c_engine.append(1 if _cstats["c"] > c_before else 0)
                 tag_id = nt.tag_id
                 body = int(np.argmax(tag_id == _BODY_ID))
                 lo, hi = nt.subtree(body) if tag_id[body] == _BODY_ID else (0, nt.n)
@@ -301,8 +309,9 @@ def extract_main_text(
                      pa.array(nn, pa.int32()), pa.array(pe, pa.int32())]
             names = [*(c for c, _ in pt_types), "text", "spans", "n_nodes", "parse_errors"]
             if stage_metrics:
-                cols += [pa.array(parse_us, pa.int64()), pa.array(kernel_us, pa.int64())]
-                names += ["parse_us", "kernel_us"]
+                cols += [pa.array(parse_us, pa.int64()), pa.array(kernel_us, pa.int64()),
+                         pa.array(c_engine, pa.int8())]
+                names += ["parse_us", "kernel_us", "c_engine"]
             yield pa.RecordBatch.from_arrays(cols, names=names)
 
     pruned = df.select(*passthrough, "html")

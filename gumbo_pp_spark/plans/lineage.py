@@ -108,6 +108,7 @@ def extract_with_resume(
                 F.sum("parse_us").alias("parse_us"),
                 F.sum("kernel_us").alias("kernel_us"),
                 F.sum("parse_errors").alias("parse_errors"),
+                F.sum("c_engine").alias("c_docs"),
             )
             .collect()
         )
@@ -144,6 +145,12 @@ def extract_with_resume(
                 "parse_ms": int(r["parse_us"] / 1000) if r else 0,
                 "kernel_ms": int(r["kernel_us"] / 1000) if r else 0,
                 "parse_errors": int(r["parse_errors"]) if r else 0,
+                # engine engagement telemetry (round-6): at 100 TB this
+                # is how a run sees what fraction of documents paid the
+                # ~10x slower Python-tail price
+                "c_docs": int(r["c_docs"]) if r and r["c_docs"] is not None else 0,
+                "py_docs": (int(r["rows"]) - int(r["c_docs"])) if r and r["c_docs"] is not None
+                           else (int(r["rows"]) if r else 0),
                 "busy_ms": busy_us // 1000,
                 "wall_ms": int(wall_ms * busy_us / total_busy),
                 "run_wall_ms": wall_ms,

@@ -157,6 +157,27 @@ class TestLedgerMetrics:
         assert sum(r["rows"] for r in recs.values()) == 64
         assert sum(r["parse_ms"] for r in recs.values()) >= 0
 
+    def test_engine_engagement_telemetry(self, spark, tmp_path):
+        # round-6: lineage records carry (c_docs, py_docs) so a 100 TB
+        # run can see what fraction of documents paid the ~10x slower
+        # Python-tail price; they must sum to the split row count
+        from gumbo_pp_spark.parser import cengine
+        from gumbo_pp_spark.plans.lineage import PartitionLedger
+
+        out_dir = str(tmp_path / "eng")
+        pages = synth_pages(spark, SF_SMOKE).limit(64)
+        extract_with_resume(spark, pages, out_dir, n_splits=4)
+        recs = PartitionLedger(f"{out_dir}/_ledger").committed()
+        assert len(recs) == 4
+        for rec in recs.values():
+            assert rec["c_docs"] + rec["py_docs"] == rec["rows"], rec
+        total_c = sum(r["c_docs"] for r in recs.values())
+        if cengine.available():
+            # the synthetic corpus is fully inside the C subset
+            assert total_c == 64
+        else:  # pragma: no cover - C engine disabled in this env
+            assert total_c == 0
+
 
 class TestPerSplitWall:
     def test_distinct_per_split_wall(self, spark, tmp_path):
