@@ -1532,13 +1532,22 @@ class _TreeBuilder:
         if (
             name in FOREIGN_BREAKOUT
             or (name == "font" and ({"color", "face", "size"} & attrs.keys()))
-        ) and not (self.frag_name and len(self.stack) == 1):
-            # breakout does NOT apply in the fragment case (spec: stack
-            # holds only the root) — without this guard a breakout tag
-            # at the root of a foreign-context fragment reprocessed
-            # forever (the adjusted current node stays the context)
+        ):
             # breakout tag: pop foreign elements back to HTML content /
-            # an integration point, then reprocess the token
+            # an integration point, then reprocess the token "according
+            # to the rules ... in HTML content" (WHATWG 13.2.6.5) —
+            # DIRECTLY via the HTML-mode handler, not the dispatcher.
+            # In a document parse the two are equivalent (after the pop
+            # loop the adjusted current node is HTML or an integration
+            # point, both of which dispatch HTML); in a FRAGMENT parse
+            # with a foreign context they are not: the dispatcher keeps
+            # consulting the context element once only the root is
+            # open, so routing back through it re-entered foreign
+            # content (round-5 worked around this by disabling breakout
+            # at the root, producing foreign <svg div> where browsers
+            # produce an HTML <div>).  The pop loop itself is fragment-
+            # safe: the synthetic root is an HTML-namespace element, so
+            # it is never popped.
             self._err("html-in-foreign-content", t0)
             stk = self.stack
             while stk:
@@ -1551,7 +1560,7 @@ class _TreeBuilder:
                     break
                 stk.pop()
                 self._close_implied(nid, t0)
-            return self.handle_start(name, attrs, self_closing, t0, t1)
+            return self._start_html(name, attrs, self_closing, t0, t1)
         ns = self._acn()[0]
         if ns == NS_SVG:
             name = SVG_TAG_CASE.get(name, name)
@@ -3159,7 +3168,14 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
         if ctx:
             nsname = options.get("fragment_namespace", "html")
             nsmap = {"html": NS_HTML, "svg": NS_SVG, "math": NS_MATHML}
-            fragment = (str(ctx).lower(), nsmap[nsname])
+            ctx_name = str(ctx).lower()
+            if nsmap[nsname] == NS_SVG:
+                # the context element carries the ADJUSTED (camelCase)
+                # SVG name — "foreignobject" must become
+                # "foreignObject" or the HTML-integration-point check
+                # for the context never matches (round-6)
+                ctx_name = SVG_TAG_CASE.get(ctx_name, ctx_name)
+            fragment = (ctx_name, nsmap[nsname])
         max_errors = options.get("max_errors", -1)
         tab_stop = int(options.get("tab_stop", 8))
         # stop_on_first_error accepted for GumboOptions-struct parity;

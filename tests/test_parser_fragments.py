@@ -9,8 +9,10 @@ from gumbo_pp_spark.parser.html5 import parse_html
 from gumbo_pp_spark.parser.serialize import serialize_fragment
 
 
-def frag(src, ctx):
-    return serialize_fragment(parse_html(src, {"fragment_context": ctx}))
+def frag(src, ctx, ns="html"):
+    return serialize_fragment(
+        parse_html(src, {"fragment_context": ctx, "fragment_namespace": ns})
+    )
 
 
 class TestFragmentResetSubstitution:
@@ -172,4 +174,199 @@ class TestFragmentTableBodyEndTable:
         # the stack) -> ignored
         assert frag("</table><td>x", "tr") == "\n".join(
             ["| <td>", '|   "x"']
+        )
+
+
+# ----------------------------------------------------------------------
+# Round-6 widening: the FULL tag vocabulary as fragment contexts.
+# No html5lib in this sandbox (the round-4 oracle corpus is frozen in
+# conformance/fragments_r4.dat), so these goldens are derived from the
+# WHATWG spec by hand: every context element reachable by the "reset
+# the insertion mode appropriately" rule falls into one of five
+# behavior classes for a fixed probe input, pinned per class below.
+# ----------------------------------------------------------------------
+from gumbo_pp_spark.parser.tags import TAG_NAMES
+
+PROBE = "a<div>b</div><span>c</span>"
+
+# context classes for PROBE (WHATWG reset rule + tokenizer state):
+#   rawtext  — tokenizer starts in RAWTEXT/script-data/PLAINTEXT: the
+#              whole input is ONE undecoded text node (no elements)
+#   rcdata   — RCDATA: one text node, character references decoded
+#   empty    — in-column-group / in-frameset ignore every probe token
+#   html     — before-head pipeline builds real <head>/<body>
+#   select   — in-select: only character tokens survive, merged
+#   default  — everything else reaches in-body (directly, via in-cell/
+#              in-caption, or via foster-parenting out of the table
+#              modes, which for a rootless fragment lands at the root)
+RAWTEXT_CTX = {"script", "style", "iframe", "xmp", "noembed", "noframes", "plaintext"}
+RCDATA_CTX = {"title", "textarea"}
+EMPTY_CTX = {"colgroup", "frameset"}
+
+DEFAULT_GOLDEN = "\n".join(
+    ['| "a"', "| <div>", '|   "b"', "| <span>", '|   "c"']
+)
+HTML_GOLDEN = "\n".join(
+    ["| <head>", "| <body>", '|   "a"', "|   <div>", '|     "b"',
+     "|   <span>", '|     "c"']
+)
+
+
+class TestFragmentContextVocabulary:
+    def test_every_tag_constant_as_context(self):
+        for tag in TAG_NAMES:
+            out = frag(PROBE, tag)
+            if tag in RAWTEXT_CTX or tag in RCDATA_CTX:
+                expected = '| "a<div>b</div><span>c</span>"'
+            elif tag in EMPTY_CTX:
+                expected = ""
+            elif tag == "html":
+                expected = HTML_GOLDEN
+            elif tag == "select":
+                expected = '| "abc"'
+            else:
+                expected = DEFAULT_GOLDEN
+            assert out == expected, (tag, out)
+
+    def test_rcdata_contexts_decode_references(self):
+        # RCDATA (title/textarea) decodes &amp;; RAWTEXT/script keep it
+        for ctx in sorted(RCDATA_CTX):
+            assert frag("a&amp;b", ctx) == '| "a&b"', ctx
+        for ctx in sorted(RAWTEXT_CTX):
+            assert frag("a&amp;b", ctx) == '| "a&amp;b"', ctx
+
+    def test_rawtext_context_no_appropriate_end_tag(self):
+        # no start tag was ever emitted, so no end tag is "appropriate":
+        # the entire input stays text
+        assert frag("</textarea>tail", "textarea") == '| "</textarea>tail"'
+        assert frag("</script>alert(1)", "script") == '| "</script>alert(1)"'
+
+    def test_colgroup_context_inserts_cols(self):
+        assert frag("<col span=2><col>", "colgroup") == "\n".join(
+            ["| <col>", '|   span="2"', "| <col>"]
+        )
+        # anything-else "acts as </colgroup>", which in the fragment
+        # case (current node is the root, not a colgroup) is ignored
+        assert frag("<col>x<div>y", "colgroup") == "| <col>"
+
+    def test_frameset_context(self):
+        assert frag("<frame src=a><frameset rows=2><frame></frameset>", "frameset") == (
+            "\n".join(["| <frame>", '|   src="a"', "| <frameset>",
+                       '|   rows="2"', "|   <frame>"])
+        )
+
+    def test_select_context_options_and_fragment_input_ignored(self):
+        # in-select: option/optgroup insert; <input> with no select in
+        # table scope (the fragment case) is IGNORED
+        assert frag("<option>a<optgroup><option>b<input disabled>", "select") == (
+            "\n".join(["| <option>", '|   "a"', "| <optgroup>",
+                       "|   <option>", '|     "b"'])
+        )
+
+    def test_template_context_table_pipeline(self):
+        # in-template pops/pushes per token class and reprocesses:
+        # caption -> in-table; col -> in-column-group; tr -> in-table-
+        # body; td -> in-row (WHATWG "in template")
+        assert frag("<tr><td>c", "template") == "\n".join(
+            ["| <tr>", "|   <td>", '|     "c"']
+        )
+        assert frag("<td>x</td>", "template") == "\n".join(["| <td>", '|   "x"'])
+        assert frag("<col>x", "template") == "| <col>"
+        assert frag(
+            "<caption><col><colgroup><tbody><tfoot><thead><tr><td>x", "template"
+        ) == "\n".join(
+            ["| <caption>", "| <colgroup>", "|   <col>", "| <colgroup>",
+             "| <tbody>", "| <tfoot>", "| <thead>", "|   <tr>",
+             "|     <td>", '|       "x"']
+        )
+
+
+class TestForeignFragmentContexts:
+    """svg/math fragment contexts (GumboOptions fragment_namespace):
+    dispatch off the ADJUSTED current node = the context element while
+    only the root is open, integration points included."""
+
+    def test_svg_context_keeps_svg_elements(self):
+        assert frag("<rect/><circle/>", "svg", "svg") == "\n".join(
+            ["| <svg rect>", "| <svg circle>"]
+        )
+        assert frag("<circle r='1'/>text", "svg", "svg") == "\n".join(
+            ["| <svg circle>", '|   r="1"', '| "text"']
+        )
+
+    def test_svg_breakout_pops_then_html(self):
+        # WHATWG 13.2.6.5 "any other start tag", breakout list: pop
+        # foreign elements (never the HTML-namespace root), then
+        # reprocess per the current insertion mode IN HTML CONTENT —
+        # browsers produce an HTML <div> sibling, not <svg div>
+        # (round-6 fix: the old root-guard inserted foreign instead)
+        assert frag("<g><div>break</div>", "g", "svg") == "\n".join(
+            ["| <svg g>", "| <div>", '|   "break"']
+        )
+        assert frag("<div>x", "g", "svg") == "\n".join(["| <div>", '|   "x"'])
+
+    def test_svg_font_breakout_depends_on_attrs(self):
+        # <font> breaks out ONLY with color/face/size attributes
+        assert frag(
+            "<font color=red>x</font><font q=z>y</font>", "g", "svg"
+        ) == "\n".join(
+            ["| <font>", '|   color="red"', '|   "x"',
+             "| <svg font>", '|   q="z"', '|   "y"']
+        )
+
+    def test_svg_html_integration_point_contexts(self):
+        # foreignObject/desc/title children parse as HTML; the context
+        # tag name must be CASE-ADJUSTED (foreignobject->foreignObject)
+        # for the integration-point check to see it (round-6 fix)
+        for ctx in ("foreignObject", "foreignobject", "desc", "title"):
+            assert frag("<p>html here</p>", ctx, "svg") == "\n".join(
+                ["| <p>", '|   "html here"']
+            ), ctx
+
+    def test_svg_script_is_not_rawtext(self):
+        # tokenizer RAWTEXT switching is an HTML tree-construction
+        # rule; svg script/style content stays ordinary character data
+        assert frag("<script>var x=1;</script>", "svg", "svg") == "\n".join(
+            ["| <svg script>", '|   "var x=1;"']
+        )
+        assert frag("<style>p{}</style>", "svg", "svg") == "\n".join(
+            ["| <svg style>", '|   "p{}"']
+        )
+
+    def test_math_text_integration_point_contexts(self):
+        # mi/mo/mn/ms/mtext: HTML rules for start tags EXCEPT
+        # mglyph/malignmark, which stay MathML
+        for ctx in ("mi", "mo", "mn", "ms", "mtext"):
+            assert frag("<p>h</p>", ctx, "math") == "\n".join(
+                ["| <p>", '|   "h"']
+            ), ctx
+        assert frag("text<mglyph/>", "mi", "math") == "\n".join(
+            ['| "text"', "| <math mglyph>"]
+        )
+        # ... but in an ordinary HTML context mglyph is just an
+        # unknown HTML element
+        assert frag("<mglyph/>", "div") == "| <mglyph>"
+
+    def test_mtext_context_svg_subtree(self):
+        # <svg> at a MathML text IP goes through HTML rules -> in-body
+        # inserts a foreign svg subtree
+        assert frag("<svg><circle/></svg>", "mtext", "math") == "\n".join(
+            ["| <svg svg>", "|   <svg circle>"]
+        )
+
+    def test_annotation_xml_context_without_encoding_breaks_out(self):
+        # a fragment context element carries no attributes, so
+        # annotation-xml is NOT an HTML integration point here; <p> is
+        # a breakout tag -> pop loop stops at the root -> HTML <p>
+        assert frag("<p>h</p>", "annotation-xml", "math") == "\n".join(
+            ["| <p>", '|   "h"']
+        )
+        # non-breakout content stays MathML
+        assert frag("<mrow>m</mrow>", "annotation-xml", "math") == "\n".join(
+            ["| <math mrow>", '|   "m"']
+        )
+
+    def test_math_context_keeps_math_elements(self):
+        assert frag("<mi>x</mi>", "math", "math") == "\n".join(
+            ["| <math mi>", '|   "x"']
         )
