@@ -113,7 +113,13 @@ def stage_extract(master: str, pages_dir: str, runs: int = 5, waves: int = 4) ->
     # 2.35s).  Target ≥3 waves × threads from ON-DISK bytes instead.
     from gumbo_pp_spark.plans.partitioning import tune_input_splits
 
-    split_bytes = tune_input_splits(spark, pages_dir, waves=waves) if waves else 16 << 20
+    # cores=CPUS at EVERY level: the N vs 4N gate compares the SAME
+    # split plan (same job, same input) at two parallelism levels —
+    # sizing per-level would hand the small level fewer, cheaper tasks
+    # and measure per-task overhead instead of scaling
+    split_bytes = (
+        tune_input_splits(spark, pages_dir, waves=waves, cores=CPUS) if waves else 16 << 20
+    )
     pages = spark.read.parquet(pages_dir)
     n_splits = pages.rdd.getNumPartitions()
     # warm the file listing / JVM before timing

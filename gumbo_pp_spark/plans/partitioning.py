@@ -156,6 +156,7 @@ def tune_input_splits(
     min_split_bytes: int = 256 << 10,
     max_split_bytes: int = 128 << 20,
     open_cost: int = 64 << 10,
+    cores: int | None = None,
 ) -> int:
     """Level-aware scan split tuning: size ``maxPartitionBytes`` off
     the input's ON-DISK bytes so the scan yields ≈``waves`` task waves
@@ -182,9 +183,16 @@ def tune_input_splits(
     Sets the two SQL confs on the session (runtime-settable; they take
     effect for subsequent scan *planning*) and returns the chosen
     ``maxPartitionBytes``.  Call BEFORE ``spark.read``.
+
+    ``cores`` overrides the session's parallelism — a scaling
+    MEASUREMENT (the N vs 4N gate) must size the split plan ONCE for
+    the largest level and reuse it at every level, or the smaller
+    level gets fewer, cheaper tasks and the efficiency ratio measures
+    per-task overhead instead of scaling.
     """
     total, n_files = input_stats(spark, input_dir)
-    cores = max(1, spark.sparkContext.defaultParallelism)
+    if cores is None:
+        cores = max(1, spark.sparkContext.defaultParallelism)
     target_splits = max(1, cores * waves)
     capacity = (total + n_files * open_cost) // target_splits + 1
     capacity = max(min_split_bytes, min(max_split_bytes, capacity))

@@ -123,3 +123,52 @@ class TestPlans:
         # InMemoryRelation printout, not in the executed top-level plan
         top = plan.split("InMemoryRelation", 1)[0]
         assert "md5" not in top, top
+
+
+class TestInputSplitTuning:
+    def test_level_aware_splits_give_task_waves(self, spark, tmp_path):
+        """round-6: tune_input_splits sizes maxPartitionBytes off the
+        input's ON-DISK bytes so the scan yields >= ~waves x cores
+        splits (a fixed byte size leaves high-parallelism sessions a
+        single straggler-bound task wave)."""
+        from gumbo_pp_spark.plans.partitioning import input_stats, tune_input_splits
+
+        src = str(tmp_path / "pages")
+        # many small files, like the bench corpus layout
+        spark.range(20_000).selectExpr(
+            "id", "repeat('x', 200) as pad"
+        ).repartition(64).write.parquet(src)
+
+        total, n_files = input_stats(spark, src)
+        assert n_files >= 64 and total > 0
+
+        old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+        try:
+            cores = spark.sparkContext.defaultParallelism
+            chosen = tune_input_splits(spark, src, waves=3)
+            assert int(spark.conf.get("spark.sql.files.maxPartitionBytes")) == chosen
+            n_splits = spark.read.parquet(src).rdd.getNumPartitions()
+            # enough splits for straggler amortization (capped by the
+            # file count when files cannot be subdivided)
+            target = min(64, 2 * cores)
+            assert n_splits >= target, (n_splits, target, chosen)
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+            spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+
+    def test_huge_input_hits_clamp(self, spark, tmp_path, monkeypatch):
+        """At TB scale the computed split size hits max_split_bytes —
+        the tuner never shrinks splits below the clamp floor either."""
+        from gumbo_pp_spark.plans import partitioning as P
+
+        monkeypatch.setattr(P, "input_stats", lambda s, d: (100 << 40, 1_000_000))
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        try:
+            chosen = P.tune_input_splits(spark, "ignored", waves=3)
+            assert chosen == 128 << 20
+            tiny = P.tune_input_splits(spark, "ignored", waves=3,
+                                       max_split_bytes=64 << 20)
+            assert tiny == 64 << 20
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
