@@ -189,11 +189,18 @@ def wait_for_idle(threshold: float = 0.88, timeout_s: float = 60.0) -> None:
 
 def _mp_parse_worker(args):
     lo, hi = args
+    from gumbo_pp_spark.operators.extract import _BOILER_ID_BYTES, main_text_program
+    from gumbo_pp_spark.parser import cengine
     from gumbo_pp_spark.parser.html5 import parse_html
 
     global _MP_HTMLS
+    # the SAME per-doc path the Spark job runs (C kernel fast path,
+    # Python parse+kernel fallback), so the mp ceiling is a same-
+    # workload calibration, not a slower proxy
+    cx = cengine._cextract
     for h in _MP_HTMLS[lo:hi]:
-        parse_html(h)
+        if cx is None or cx(h, _BOILER_ID_BYTES) is None:
+            main_text_program(parse_html(h))
     return hi - lo
 
 

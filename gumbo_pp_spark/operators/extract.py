@@ -49,6 +49,11 @@ _TEXTUAL = (TEXT, CDATA, WHITESPACE)
 _TEXTUAL_LUT = np.zeros(8, dtype=bool)
 _TEXTUAL_LUT[list(_TEXTUAL)] = True
 
+# the C fast path takes the boilerplate tag-id list as an argument so
+# BOILERPLATE_TAGS above stays the single source of truth (no parallel
+# C-side list to drift)
+_BOILER_ID_BYTES = _BOILERPLATE_IDS.tobytes()
+
 
 # ----------------------------------------------------------------------
 # generic program runner
@@ -235,6 +240,7 @@ def extract_main_text(
     def fn(batches) -> "Iterator[pa.RecordBatch]":
         import time as _time
 
+        from ..parser import cengine as _ce, html5 as _h5
         from ..parser.html5 import _cstats
 
         clk = _time.perf_counter
@@ -255,8 +261,39 @@ def extract_main_text(
             sp_bstart: list[np.ndarray] = []
             sp_bend: list[np.ndarray] = []
             sp_offsets = [0]
+            # full-C kernel fast path (round-6): parse AND the
+            # main-text kernel run inside the extension — no NodeTable
+            # and no per-doc numpy micro-ops are built at all.  Gated
+            # like the parse fast path: html5._cparse_fast is None
+            # inside the html5lib-emulation patch contexts, and
+            # GUMBO_PP_CENGINE=0 leaves _ce._cextract None.  A None
+            # return (non-ASCII / CR / NUL / engine bail) falls back to
+            # the reference path below, byte-identically.
+            cx = _ce._cextract if _h5._cparse_fast is not None else None
             for raw in _iter_html(htmls):
                 t0 = clk()
+                if cx is not None and not isinstance(raw, str):
+                    res = cx(raw, _BOILER_ID_BYTES)
+                    if res is not None:
+                        text, nn_i, errs_i, ids, s0a, s1a, ptag_list = res
+                        t1 = clk()
+                        texts.append(text)
+                        sp_node.append(ids)
+                        sp_start.append(s0a)
+                        sp_end.append(s1a)
+                        # identity byte map by construction (pure-ASCII
+                        # CR-free raw bytes): byte cols == char cols
+                        sp_bstart.append(s0a)
+                        sp_bend.append(s1a)
+                        sp_tag.extend(ptag_list)
+                        sp_offsets.append(sp_offsets[-1] + len(ids))
+                        nn.append(nn_i)
+                        pe.append(errs_i)
+                        if stage_metrics:
+                            c_engine.append(1)
+                            parse_us.append(int((t1 - t0) * 1e6))
+                            kernel_us.append(int((clk() - t1) * 1e6))
+                        continue
                 c_before = _cstats["c"]
                 nt = parse_html(raw)
                 t1 = clk()

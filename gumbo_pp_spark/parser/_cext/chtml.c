@@ -3453,18 +3453,20 @@ static PyObject *npy_span_col(const int64_t *span, Py_ssize_t cnt, int j,
     return a;
 }
 
-static PyObject *build_result(P *p, PyObject *src_obj /* new ref or NULL */) {
+/* compute the preorder view of the store: parent_new/iwp/subend are
+ * indexed by FINAL preorder ids; *order_out (NULL when creation order
+ * already is preorder) maps preorder id -> creation id.  *cnt_out may
+ * shrink when the DFS drops nodes unreachable from the document (the
+ * frameset-takeover discarded body subtree).  Returns 0 / -1 (OOM). */
+static int compute_preorder(P *p, int32_t **order_out, int32_t **parent_out,
+                            int32_t **iwp_out, int32_t **subend_out,
+                            Py_ssize_t *cnt_out) {
     Store *st = &p->st;
     Py_ssize_t cnt = st->count;
-    int32_t *order = NULL, *parent_new = NULL, *iwp = NULL, *subend = NULL;
-    PyObject *res = NULL;
-    enum { C_TYPE, C_NS, C_TID, C_PARENT, C_IWP, C_SUB,
-           C_S0, C_S1, C_T0, C_T1, C_E0, C_E1,
-           C_TAGS, C_TEXTS, C_ATTRS, C_N };
-    PyObject *cols[C_N] = {0};
-    parent_new = malloc((size_t)cnt * sizeof(int32_t));
-    iwp = malloc((size_t)cnt * sizeof(int32_t));
-    subend = malloc((size_t)cnt * sizeof(int32_t));
+    int32_t *order = NULL;
+    int32_t *parent_new = malloc((size_t)cnt * sizeof(int32_t));
+    int32_t *iwp = malloc((size_t)cnt * sizeof(int32_t));
+    int32_t *subend = malloc((size_t)cnt * sizeof(int32_t));
     if (!parent_new || !iwp || !subend) goto nomem;
     if (p->preorder_ok) {
         /* creation order IS preorder: iwp from one child-list pass,
@@ -3479,16 +3481,14 @@ static PyObject *build_result(P *p, PyObject *src_obj /* new ref or NULL */) {
         for (Py_ssize_t i = cnt - 1; i >= 0; i--)
             subend[i] = st->last_child[i] >= 0 ? subend[st->last_child[i]] : (int32_t)(i + 1);
     } else {
-        /* general path: DFS flatten to preorder (html5.py:2991-3032).
-         * All nodes stay reachable in the C subset (the body-discard
-         * frameset takeover bails), so idx must equal cnt. */
+        /* general path: DFS flatten to preorder (html5.py:2991-3032). */
         int32_t *new_id = malloc((size_t)cnt * sizeof(int32_t));
         struct frame { int32_t bid, pnew, k; uint8_t done; } *fstk =
             malloc((size_t)(2 * cnt + 2) * sizeof(struct frame));
         int32_t *kids = malloc((size_t)cnt * sizeof(int32_t));
         order = malloc((size_t)cnt * sizeof(int32_t));
         if (!new_id || !fstk || !kids || !order) {
-            free(new_id); free(fstk); free(kids);
+            free(new_id); free(fstk); free(kids); free(order);
             goto nomem;
         }
         Py_ssize_t sp = 0, idx = 0;
@@ -3511,11 +3511,32 @@ static PyObject *build_result(P *p, PyObject *src_obj /* new ref or NULL */) {
         free(new_id);
         free(fstk);
         free(kids);
-        /* nodes unreachable from the document (a frameset-takeover
-         * discarded body subtree) are DROPPED, exactly like the
-         * Python engine's DFS finalize (html5.py:2992-3023) */
+        /* nodes unreachable from the document are DROPPED, exactly
+         * like the Python engine's DFS finalize (html5.py:2992-3023) */
         cnt = idx;
     }
+    *order_out = order;
+    *parent_out = parent_new;
+    *iwp_out = iwp;
+    *subend_out = subend;
+    *cnt_out = cnt;
+    return 0;
+nomem:
+    free(parent_new); free(iwp); free(subend);
+    return -1;
+}
+
+static PyObject *build_result(P *p, PyObject *src_obj /* new ref or NULL */) {
+    Store *st = &p->st;
+    Py_ssize_t cnt = st->count;
+    int32_t *order = NULL, *parent_new = NULL, *iwp = NULL, *subend = NULL;
+    PyObject *res = NULL;
+    enum { C_TYPE, C_NS, C_TID, C_PARENT, C_IWP, C_SUB,
+           C_S0, C_S1, C_T0, C_T1, C_E0, C_E1,
+           C_TAGS, C_TEXTS, C_ATTRS, C_N };
+    PyObject *cols[C_N] = {0};
+    if (compute_preorder(p, &order, &parent_new, &iwp, &subend, &cnt) < 0)
+        goto nomem;
     cols[C_TYPE] = npy_fixed(st->type, cnt, NPY_INT8, sizeof(int8_t), order);
     cols[C_NS] = npy_fixed(st->ns, cnt, NPY_INT8, sizeof(int8_t), order);
     cols[C_TID] = npy_fixed(st->tid, cnt, NPY_INT16, sizeof(int16_t), order);
@@ -3588,6 +3609,194 @@ fail_after_steal:
     free(order); free(parent_new); free(iwp); free(subend);
     Py_XDECREF(src_obj);
     return NULL;
+}
+
+/* ---- flagship main-text fast path --------------------------------
+ * cextract(bytes, boiler_ids_i16_bytes) computes the main_text
+ * kernel (operators/extract.py main_text_program) directly from the
+ * C store: body-subtree window, boilerplate-subtree exclusion,
+ * textual-node text concatenation, per-TEXT-node spans.  Bytes-only
+ * entry: the ASCII/no-CR prescan that admits raw bytes also makes
+ * decoded offsets == byte offsets (identity byte map), so the span
+ * byte columns equal the char columns.  Returns None whenever cparse
+ * would (the Python path reparses); output is column-identical to
+ * the Python kernel (tests/test_cengine.py corpus A/B). */
+static PyObject *build_extract(P *p, const int16_t *boiler_ids, Py_ssize_t n_boiler) {
+    Store *st = &p->st;
+    int32_t *order = NULL, *parent_new = NULL, *iwp = NULL, *subend = NULL;
+    Py_ssize_t cnt = 0;
+    if (compute_preorder(p, &order, &parent_new, &iwp, &subend, &cnt) < 0)
+        return PyErr_NoMemory();
+
+    uint8_t boiler[N_TAGS];
+    memset(boiler, 0, sizeof(boiler));
+    for (Py_ssize_t k = 0; k < n_boiler; k++) {
+        int16_t t = boiler_ids[k];
+        if (t >= 0 && t < N_TAGS) boiler[t] = 1;
+    }
+
+    /* body window: first preorder node whose tag id is body (the
+     * Python kernel's argmax over tag_id == body); no body -> whole
+     * document */
+    int16_t body_tid = (int16_t)tag_lookup("body", 4);
+    Py_ssize_t lo = 0, hi = cnt;
+    for (Py_ssize_t i = 0; i < cnt; i++) {
+        int16_t t = st->tid[order ? order[i] : (int32_t)i];
+        if (t == body_tid) { lo = i; hi = subend[i]; break; }
+    }
+
+    PyObject *texts = PyList_New(0);
+    PyObject *ptags = PyList_New(0);
+    Py_ssize_t n_spans = 0, cap_spans = 16;
+    int32_t *sp_id = malloc((size_t)cap_spans * sizeof(int32_t));
+    int64_t *sp_s0 = malloc((size_t)cap_spans * sizeof(int64_t));
+    int64_t *sp_s1 = malloc((size_t)cap_spans * sizeof(int64_t));
+    if (!texts || !ptags || !sp_id || !sp_s0 || !sp_s1) goto fail;
+
+    {
+        Py_ssize_t excl_until = 0;
+        for (Py_ssize_t i = 0; i < cnt; i++) {
+            Py_ssize_t b = order ? order[i] : i;
+            int16_t tid = st->tid[b];
+            int8_t ty = st->type[b];
+            if (i >= excl_until) {
+                if (tid >= 0 && boiler[tid]) { excl_until = subend[i]; continue; }
+            } else {
+                continue;  /* inside a boilerplate subtree */
+            }
+            if (i < lo || i >= hi) continue;
+            if (ty != T_TEXT && ty != T_CDATA && ty != T_WHITESPACE) continue;
+            PyObject *tx = st->text[b] ? st->text[b] : empty_str;
+            if (PyList_Append(texts, tx) < 0) goto fail;
+            if (ty == T_TEXT) {
+                if (n_spans == cap_spans) {
+                    cap_spans *= 2;
+                    int32_t *ni = realloc(sp_id, (size_t)cap_spans * sizeof(int32_t));
+                    int64_t *n0 = realloc(sp_s0, (size_t)cap_spans * sizeof(int64_t));
+                    int64_t *n1 = realloc(sp_s1, (size_t)cap_spans * sizeof(int64_t));
+                    if (!ni || !n0 || !n1) {
+                        if (ni) sp_id = ni;
+                        if (n0) sp_s0 = n0;
+                        if (n1) sp_s1 = n1;
+                        goto fail;
+                    }
+                    sp_id = ni; sp_s0 = n0; sp_s1 = n1;
+                }
+                sp_id[n_spans] = (int32_t)i;
+                sp_s0[n_spans] = st->span[6 * b + 0];
+                sp_s1[n_spans] = st->span[6 * b + 1];
+                n_spans++;
+                int32_t par = parent_new[i];
+                PyObject *tg;
+                if (par >= 0) {
+                    Py_ssize_t pb = order ? order[par] : par;
+                    if (st->tag[pb]) tg = st->tag[pb];
+                    else if (st->tid[pb] >= 0 && st->tid[pb] < N_TAGS) tg = tag_objs[st->tid[pb]];
+                    else tg = empty_str;
+                } else {
+                    tg = empty_str;
+                }
+                if (PyList_Append(ptags, tg) < 0) goto fail;
+            }
+        }
+    }
+
+    {
+        PyObject *text = PyUnicode_Join(empty_str, texts);
+        if (!text) goto fail;
+        Py_DECREF(texts);
+        texts = NULL;
+        npy_intp d = (npy_intp)n_spans;
+        PyObject *a_id = PyArray_SimpleNew(1, &d, NPY_INT32);
+        PyObject *a_s0 = PyArray_SimpleNew(1, &d, NPY_INT64);
+        PyObject *a_s1 = PyArray_SimpleNew(1, &d, NPY_INT64);
+        if (!a_id || !a_s0 || !a_s1) {
+            Py_XDECREF(a_id); Py_XDECREF(a_s0); Py_XDECREF(a_s1);
+            Py_DECREF(text);
+            goto fail;
+        }
+        memcpy(PyArray_DATA((PyArrayObject *)a_id), sp_id, (size_t)n_spans * sizeof(int32_t));
+        memcpy(PyArray_DATA((PyArrayObject *)a_s0), sp_s0, (size_t)n_spans * sizeof(int64_t));
+        memcpy(PyArray_DATA((PyArrayObject *)a_s1), sp_s1, (size_t)n_spans * sizeof(int64_t));
+        PyObject *res = Py_BuildValue("(NnnNNNN)", text, cnt, p->err_n,
+                                      a_id, a_s0, a_s1, ptags);
+        if (!res) {
+            /* unconsumed "N" args leak on this OOM-only path (see
+             * build_result) */
+            free(order); free(parent_new); free(iwp); free(subend);
+            free(sp_id); free(sp_s0); free(sp_s1);
+            return NULL;
+        }
+        free(order); free(parent_new); free(iwp); free(subend);
+        free(sp_id); free(sp_s0); free(sp_s1);
+        return res;
+    }
+fail:
+    Py_XDECREF(texts);
+    Py_XDECREF(ptags);
+    free(order); free(parent_new); free(iwp); free(subend);
+    free(sp_id); free(sp_s0); free(sp_s1);
+    return NULL;
+}
+
+static PyObject *cextract(PyObject *self, PyObject *args) {
+    PyObject *src;
+    Py_buffer bview = {0};
+    if (!PyArg_ParseTuple(args, "Oy*", &src, &bview))
+        return NULL;
+    const int16_t *boiler_ids = (const int16_t *)bview.buf;
+    Py_ssize_t n_boiler = bview.len / (Py_ssize_t)sizeof(int16_t);
+    if (!PyObject_CheckBuffer(src) || PyUnicode_Check(src)) {
+        /* bytes-like only: raw-byte input is what guarantees the
+         * identity byte map the span byte columns rely on */
+        PyBuffer_Release(&bview);
+        Py_RETURN_NONE;
+    }
+    Py_buffer view = {0};
+    if (PyObject_GetBuffer(src, &view, PyBUF_SIMPLE) < 0) {
+        PyErr_Clear();
+        PyBuffer_Release(&bview);
+        Py_RETURN_NONE;
+    }
+    const unsigned char *data = view.buf;
+    Py_ssize_t n = view.len;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        unsigned char ch = data[i];
+        if (ch >= 0x80 || ch == '\r' || ch == 0) {
+            PyBuffer_Release(&view);
+            PyBuffer_Release(&bview);
+            Py_RETURN_NONE;
+        }
+    }
+    P p;
+    memset(&p, 0, sizeof(P));
+    p.s = data;
+    p.n = n;
+    p.quirks = 1;
+    p.preorder_ok = 1;
+    p.frameset_ok = 1;
+    p.html_id = p.head_id = p.body_id = -1;
+    p.form_ptr = -1;
+    if (new_node(&p, T_DOCUMENT, -1, NULL, NULL, NULL, 0, n, 0, 0, 0, 0) < 0) {
+        p_free(&p);
+        PyBuffer_Release(&view);
+        PyBuffer_Release(&bview);
+        if (PyErr_Occurred()) return NULL;
+        Py_RETURN_NONE;
+    }
+    run_parse(&p);
+    if (p.bail || PyErr_Occurred()) {
+        PyErr_Clear();
+        p_free(&p);
+        PyBuffer_Release(&view);
+        PyBuffer_Release(&bview);
+        Py_RETURN_NONE;
+    }
+    PyObject *res = build_extract(&p, boiler_ids, n_boiler);
+    p_free(&p);
+    PyBuffer_Release(&view);
+    PyBuffer_Release(&bview);
+    return res;
 }
 
 static PyObject *cparse(PyObject *self, PyObject *arg) {
@@ -3692,6 +3901,10 @@ static PyObject *cparse(PyObject *self, PyObject *arg) {
 }
 
 static PyMethodDef methods[] = {
+    {"cextract", cextract, METH_VARARGS,
+     "Parse ASCII HTML bytes and run the main-text kernel in C; "
+     "returns (text, n_nodes, n_errors, node_ids, starts, ends, "
+     "parent_tags) or None when the Python path must run."},
     {"cparse", cparse, METH_O,
      "Parse ASCII HTML bytes/str; returns the node-table columns or "
      "None when the document needs the pure-Python engine."},

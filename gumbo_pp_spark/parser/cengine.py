@@ -35,6 +35,7 @@ _SRCHASH = _SO + ".srchash"
 stats = {"c": 0, "py": 0}
 
 _cparse = None
+_cextract = None
 _NodeTable = None
 
 
@@ -98,7 +99,7 @@ def _build() -> bool:
 
 
 def _load() -> None:
-    global _cparse
+    global _cparse, _cextract
     if os.environ.get("GUMBO_PP_CENGINE", "1") == "0":
         return
     if not _so_fresh() and not _build():
@@ -109,8 +110,10 @@ def _load() -> None:
         import _chtml  # type: ignore
 
         _cparse = _chtml.cparse
+        _cextract = getattr(_chtml, "cextract", None)
     except Exception:
         _cparse = None
+        _cextract = None
 
 
 def available() -> bool:

@@ -451,3 +451,110 @@ def test_missing_sidecar_trusts_shipped_so(tmp_path):
         assert cengine._so_fresh()
     finally:
         cengine.__dict__["_SRCHASH"] = saved
+
+
+# ----------------------------------------------------------------------
+# Round-6: C main-text kernel (cextract) A/B gate
+# ----------------------------------------------------------------------
+def _py_main_text(data: bytes) -> dict:
+    """Reference result: Python kernel over a pure-Python parse."""
+    import gumbo_pp_spark.parser.html5 as H
+    from gumbo_pp_spark.operators.extract import main_text_program
+
+    saved = H._cparse_fast
+    H._cparse_fast = None
+    try:
+        return main_text_program(parse_html(data))
+    finally:
+        H._cparse_fast = saved
+
+
+def _assert_extract_identical(res, data):
+    from gumbo_pp_spark.operators.extract import main_text_program
+
+    ref = _py_main_text(data)
+    text, n_nodes, n_errs, ids, s0, s1, ptags = res
+    assert text == ref["text"], data[:120]
+    assert n_nodes == ref["n_nodes"], data[:120]
+    assert n_errs == ref["parse_errors"], data[:120]
+    rs = ref["spans"]
+    assert len(ids) == len(rs), data[:120]
+    for k, span in enumerate(rs):
+        assert int(ids[k]) == span["node_id"], data[:120]
+        assert ptags[k] == span["tag"], data[:120]
+        assert int(s0[k]) == span["start"] == span["start_byte"], data[:120]
+        assert int(s1[k]) == span["end"] == span["end_byte"], data[:120]
+
+
+def test_cextract_conformance_corpus_ab():
+    """Wherever the C main-text kernel engages, its (text, counts,
+    spans, parent tags) must equal the Python kernel over the Python
+    parse — the same artifact-family discipline as the parse A/B."""
+    from gumbo_pp_spark.operators.extract import _BOILER_ID_BYTES
+
+    os.environ.pop("GUMBO_PP_CENGINE", None)
+    engaged = 0
+    for ctx, data, _ in CASES:
+        if ctx is not None:
+            continue
+        try:
+            raw = data.encode("ascii") if isinstance(data, str) else data
+        except UnicodeEncodeError:
+            continue
+        res = cengine._cextract(raw, _BOILER_ID_BYTES)
+        if res is None:
+            continue
+        engaged += 1
+        _assert_extract_identical(res, raw)
+    # ASCII CR-free subset of the C-parseable corpus
+    assert engaged >= 20000, engaged
+
+
+def test_cextract_bench_corpus_fully_engaged():
+    """The flagship bench corpora must run 100% on the C kernel."""
+    import duckdb
+
+    from gumbo_pp_spark.operators.extract import _BOILER_ID_BYTES
+    from gumbo_pp_spark.sources.pages import PAGES_SQL, TABLE_PAGES_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    pages = [r[2] for r in con.execute(PAGES_SQL).fetchall()]
+    tpages = [r[1] for r in con.execute(TABLE_PAGES_SQL).fetchall()]
+    for corpus in (pages, tpages):
+        for d in corpus:
+            raw = d.encode()
+            res = cengine._cextract(raw, _BOILER_ID_BYTES)
+            assert res is not None, d[:100]
+            _assert_extract_identical(res, raw)
+
+
+def test_cextract_boiler_exclusion_and_bails():
+    from gumbo_pp_spark.operators.extract import _BOILER_ID_BYTES
+
+    # nested boilerplate subtrees + text before/inside/after
+    doc = (b"<body>pre<nav>n1<form>f<select><option>o</option></select>"
+           b"</form>n2</nav>mid<svg><circle>c</circle></svg>post")
+    res = cengine._cextract(doc, _BOILER_ID_BYTES)
+    assert res is not None
+    _assert_extract_identical(res, doc)
+    assert res[0] == "premidpost"
+
+    # bails mirror cparse: non-ASCII, CR, NUL, str input
+    assert cengine._cextract("caf\xe9".encode("latin-1"), _BOILER_ID_BYTES) is None
+    assert cengine._cextract(b"a\rb", _BOILER_ID_BYTES) is None
+    assert cengine._cextract(b"a\x00b", _BOILER_ID_BYTES) is None
+    assert cengine._cextract("plain str", _BOILER_ID_BYTES) is None
+
+
+def test_cextract_no_body_window():
+    from gumbo_pp_spark.operators.extract import _BOILER_ID_BYTES
+
+    # frameset documents have no body element -> whole-document window
+    doc = b"<html><frameset><frame></frameset></html>"
+    res = cengine._cextract(doc, _BOILER_ID_BYTES)
+    if res is not None:
+        _assert_extract_identical(res, doc)
