@@ -47,6 +47,8 @@ enum { CM_NONE = 0, CM_RAWTEXT, CM_RCDATA, CM_PLAINTEXT };
 
 static PyObject *tag_objs[N_TAGS];   /* interned tag-name strings */
 static PyObject *empty_str;          /* "" */
+static PyObject *nul_str;            /* "\x00" */
+static PyObject *fffd_str;           /* U+FFFD */
 static PyObject *empty_attrs;        /* shared {} (copy-on-write only) */
 
 /* ---- per-node store (struct of arrays) ---------------------------- */
@@ -87,6 +89,7 @@ typedef struct {
     const void *src_data;
     Store st;
     int mode;
+    int doc_has_nul;   /* input contains U+0000 (round-6 NUL support) */
     int bail;
     int quirks;        /* 1 until <!doctype html> */
     int skip_newline;
@@ -159,7 +162,7 @@ enum {
     E_UNEXPECTED_FRAMESET, E_TEXT_IN_FRAMESET,
     E_UNEXPECTED_START_TAG_IN_FRAMESET, E_UNEXPECTED_START_TAG_AFTER_FRAMESET,
     E_UNEXPECTED_END_TAG_IN_FRAMESET, E_UNEXPECTED_END_TAG_AFTER_FRAMESET,
-    E_DEPRECATED_TAG,
+    E_DEPRECATED_TAG, E_UNEXPECTED_NULL,
     N_ERR_CODES
 };
 static const char *ERR_CODE_STRS[N_ERR_CODES] = {
@@ -178,7 +181,7 @@ static const char *ERR_CODE_STRS[N_ERR_CODES] = {
     "unexpected-frameset", "text-in-frameset",
     "unexpected-start-tag-in-frameset", "unexpected-start-tag-after-frameset",
     "unexpected-end-tag-in-frameset", "unexpected-end-tag-after-frameset",
-    "deprecated-tag",
+    "deprecated-tag", "unexpected-null-character",
 };
 
 #define BAILV(p)   do { (p)->bail = 1; return; } while (0)
@@ -440,12 +443,14 @@ static Py_ssize_t unescape_ref(P *p, const unsigned char *s, Py_ssize_t base,
         e = ent_lookup(name, x);
         if (e >= 0) {
             *k = ucs4_append_utf8(out, *k, ENT_VALUES[e]);
-            for (Py_ssize_t q = x; q < mlen; q++) out[(*k)++] = rd(p, base + j + q);
+            for (Py_ssize_t q = x; q < mlen; q++)
+                out[(*k)++] = p->src_data ? rd(p, base + j + q) : (Py_UCS4)s[j + q];
             return 1 + mlen;
         }
     }
     out[(*k)++] = '&';
-    for (Py_ssize_t q = 0; q < mlen; q++) out[(*k)++] = rd(p, base + j + q);
+    for (Py_ssize_t q = 0; q < mlen; q++)
+        out[(*k)++] = p->src_data ? rd(p, base + j + q) : (Py_UCS4)s[j + q];
     return 1 + mlen;
 }
 
@@ -898,12 +903,25 @@ static int32_t insert_element(P *p, int tid, PyObject *tagobj, PyObject *attrs,
     return nid;
 }
 
-/* _insert_text (html5.py:1009-1063); steals `decoded`.
- * rawtextual NUL case bails earlier (prescan forbids NUL). */
+/* _insert_text (html5.py:1009-1063); steals `decoded`. */
 static void insert_text(P *p, PyObject *decoded, int64_t s0, int64_t s1,
                         int rawtextual, int reconstruct) {
     if (!decoded) BAILV(p);
     if (PyUnicode_GET_LENGTH(decoded) == 0) { Py_DECREF(decoded); return; }
+    if (rawtextual && p->doc_has_nul) {
+        Py_ssize_t L = PyUnicode_GET_LENGTH(decoded);
+        if (PyUnicode_FindChar(decoded, 0, 0, L, 1) >= 0) {
+            /* RAWTEXT/RCDATA/script-data/PLAINTEXT tokenizer states:
+             * U+0000 is a parse error emitted as U+FFFD
+             * (html5.py:1015-1020) */
+            err(p, E_UNEXPECTED_NULL, s0);
+            if (p->bail) { Py_DECREF(decoded); return; }
+            PyObject *rep = PyUnicode_Replace(decoded, nul_str, fffd_str, -1);
+            Py_DECREF(decoded);
+            if (!rep) { PyErr_Clear(); BAILV(p); }
+            decoded = rep;
+        }
+    }
     if (reconstruct && !rawtextual && p->afe_n && p->mode != M_IN_SELECT)
         reconstruct_formatting(p);
     if (p->bail) { Py_DECREF(decoded); return; }
@@ -1473,8 +1491,20 @@ static void foreign_end(P *p, int tid, PyObject *name, int64_t t0, int64_t t1) {
     }
 }
 
-/* _foreign_chars (html5.py:1524-1528); NUL bails at prescan */
+/* _foreign_chars (html5.py:1524-1528): foreign-content U+0000 is a
+ * parse error emitted as U+FFFD (replacement pre-decode == post-
+ * decode: no entity produces a literal NUL; &#0; yields U+FFFD) */
 static void foreign_chars(P *p, int64_t a, int64_t b) {
+    if (p->doc_has_nul && memchr(p->s + a, 0, (size_t)(b - a))) {
+        err(p, E_UNEXPECTED_NULL, a); CHKV(p);
+        PyObject *d = decode_text(p, a, b);
+        if (!d) BAILV(p);
+        PyObject *rep = PyUnicode_Replace(d, nul_str, fffd_str, -1);
+        Py_DECREF(d);
+        if (!rep) { PyErr_Clear(); BAILV(p); }
+        insert_text(p, rep, a, b, 0, 0);
+        return;
+    }
     insert_text(p, decode_text(p, a, b), a, b, 0, 0);
 }
 
@@ -1498,8 +1528,135 @@ static void chars_in_table(P *p, int64_t a, int64_t b) {
     else insert_text(p, decode_text(p, a, b), a, b, 0, 1);
 }
 
+/* decode entities from an arbitrary kind-1 buffer (round-6 NUL path:
+ * the compacted run copy; only reachable when src_data == NULL, so
+ * byte == codepoint) */
+static PyObject *decode_buf(P *p, const unsigned char *buf, Py_ssize_t m) {
+    const unsigned char *amp = memchr(buf, '&', (size_t)m);
+    if (!amp) return PyUnicode_FromKindAndData(PyUnicode_1BYTE_KIND, buf, m);
+    if (scratch_ensure(p, m) < 0) return NULL;
+    Py_UCS4 *out = p->scratch;
+    Py_ssize_t k = 0;
+    for (Py_ssize_t i = 0; i < m; ) {
+        if (buf[i] == '&') {
+            Py_ssize_t used = unescape_ref(p, buf, 0, i, m, out, &k);
+            if (used) { i += used; continue; }
+        }
+        out[k++] = buf[i];
+        i++;
+    }
+    return PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND, out, k);
+}
+
+static PyObject *buf_slice(const unsigned char *buf, Py_ssize_t a, Py_ssize_t b) {
+    return PyUnicode_FromKindAndData(PyUnicode_1BYTE_KIND, buf + a, b - a);
+}
+
+/* _chars_html over a NUL-compacted run copy (html5.py:1643-1725):
+ * all within-run logic operates on the STRIPPED content; spans are
+ * start-based with stripped lengths — matching the reference quirk
+ * that dropped NULs shrink the span end.  Table modes bail (their
+ * pending-text machinery stores source offsets); the colgroup
+ * non-ws re-dispatch bails for the same reason. */
+static void chars_buf(P *p, const unsigned char *buf, Py_ssize_t m, int64_t start) {
+    int64_t end = start + m;
+    int mode = p->mode;
+    if (mode == M_IN_BODY || mode == M_IN_CELL || mode == M_IN_TEMPLATE) {
+        insert_text(p, decode_buf(p, buf, m), start, end, 0, 1);
+        return;
+    }
+    if (mode == M_INITIAL || mode == M_BEFORE_HTML || mode == M_BEFORE_HEAD) {
+        Py_ssize_t k = 0;
+        while (k < m && WS_CHAR(buf[k])) k++;
+        if (k == m) return;
+        ensure_body(p, start + k); CHKV(p);
+        insert_text(p, decode_buf(p, buf + k, m - k), start + k, end, 0, 1);
+        return;
+    }
+    if (mode == M_IN_HEAD || mode == M_AFTER_HEAD) {
+        Py_ssize_t k = 0;
+        while (k < m && WS_CHAR(buf[k])) k++;
+        if (k > 0) { insert_text(p, buf_slice(buf, 0, k), start, start + k, 0, 1); CHKV(p); }
+        if (k < m) {
+            if (mode == M_IN_HEAD && cur_tid(p) == TID_NOSCRIPT) {
+                err(p, E_UNEXPECTED_CHARACTER, start + k); CHKV(p);
+                int32_t nsid = p->stack[p->stack_n - 1];
+                pop_node(p);
+                close_implied(p, nsid, start + k);
+            }
+            ensure_body(p, start + k); CHKV(p);
+            insert_text(p, decode_buf(p, buf + k, m - k), start + k, end, 0, 1);
+        }
+        return;
+    }
+    if (mode == M_IN_TABLE || mode == M_IN_TABLE_BODY || mode == M_IN_ROW)
+        BAILV(p);  /* pending table text stores source offsets */
+    if (mode == M_IN_SELECT) {
+        insert_text(p, decode_buf(p, buf, m), start, end, 0, 0);
+        return;
+    }
+    if (mode == M_IN_COLGROUP) {
+        Py_ssize_t k = 0;
+        while (k < m && WS_CHAR(buf[k])) k++;
+        if (k > 0) { insert_text(p, buf_slice(buf, 0, k), start, start + k, 0, 0); CHKV(p); }
+        if (k < m) {
+            if (cur_tid(p) == TID_COLGROUP) BAILV(p);  /* re-dispatch lands in-table */
+            err(p, E_UNEXPECTED_CHARACTER, start + k);  /* ignored (fragment case) */
+        }
+        return;
+    }
+    if (mode == M_IN_FRAMESET || mode == M_AFTER_FRAMESET) {
+        Py_ssize_t nws = 0;
+        for (Py_ssize_t q = 0; q < m; q++) if (WS_CHAR(buf[q])) nws++;
+        if (nws != m) { err(p, E_TEXT_IN_FRAMESET, start); CHKV(p); }
+        if (nws) {
+            PyObject *u = PyUnicode_New(nws, 127);
+            if (!u) BAILV(p);
+            Py_UCS1 *dst = PyUnicode_1BYTE_DATA(u);
+            for (Py_ssize_t q = 0; q < m; q++)
+                if (WS_CHAR(buf[q])) *dst++ = buf[q];
+            insert_text(p, u, start, start + nws, 0, 0);
+        }
+        return;
+    }
+    if (mode == M_AFTER_BODY || mode == M_AFTER_AFTER_BODY) {
+        int allws = 1;
+        for (Py_ssize_t q = 0; q < m; q++)
+            if (!WS_CHAR(buf[q])) { allws = 0; break; }
+        if (!allws) {
+            err(p, E_UNEXPECTED_CHARACTER, start); CHKV(p);
+            p->mode = M_IN_BODY;  /* body reopens (parse error) */
+        }
+        insert_text(p, decode_buf(p, buf, m), start, end, 0, 1);
+        return;
+    }
+    insert_text(p, decode_buf(p, buf, m), start, end, 0, 1);
+}
+
 static void chars_html(P *p, int64_t a, int64_t b) {
-    /* NUL bails at prescan; CR never present */
+    if (p->doc_has_nul && memchr(p->s + a, 0, (size_t)(b - a))) {
+        /* WHATWG in-body: U+0000 character tokens are parse errors
+         * and are DROPPED (html5.py:1644-1650); the remaining run is
+         * reprocessed with stripped-length spans */
+        err(p, E_UNEXPECTED_CHARACTER, a); CHKV(p);
+        unsigned char *tmp = malloc((size_t)(b - a));
+        if (!tmp) BAILV(p);
+        Py_ssize_t m = 0;
+        for (int64_t q = a; q < b; q++) if (p->s[q]) tmp[m++] = p->s[q];
+        int64_t start = a;
+        if (m == 0) { free(tmp); return; }  /* skip_newline stays set */
+        if (p->skip_newline) {
+            p->skip_newline = 0;
+            if (tmp[0] == '\n') {
+                memmove(tmp, tmp + 1, (size_t)(m - 1));
+                m--; start++;
+                if (m == 0) { free(tmp); return; }
+            }
+        }
+        chars_buf(p, tmp, m, start);
+        free(tmp);
+        return;
+    }
     if (p->skip_newline) {
         p->skip_newline = 0;
         if (a < b && p->s[a] == '\n') { a++; if (a == b) return; }
@@ -1589,12 +1746,26 @@ static void chars_html(P *p, int64_t a, int64_t b) {
 }
 
 /* ---- comments / doctype (html5.py:2890-2942) ---------------------- */
+static PyObject *comment_slice(P *p, Py_ssize_t a, Py_ssize_t b) {
+    PyObject *u = ascii_slice(p, a, b);
+    if (!u || !p->doc_has_nul) return u;
+    if (PyUnicode_FindChar(u, 0, 0, PyUnicode_GET_LENGTH(u), 1) < 0) return u;
+    PyObject *rep = PyUnicode_Replace(u, nul_str, fffd_str, -1);
+    Py_DECREF(u);
+    if (!rep) PyErr_Clear();
+    return rep;
+}
+
 static void handle_comment(P *p, int64_t a, int64_t b, int64_t t0, int64_t t1) {
     if (p->pend_n) { flush_tt(p); CHKV(p); }
     p->skip_newline = 0;
-    /* NUL impossible (prescan) */
+    if (p->doc_has_nul && b > a && memchr(p->s + a, 0, (size_t)(b - a))) {
+        /* comment/bogus-comment states: U+0000 is a parse error
+         * emitted as U+FFFD (html5.py:2903-2907) */
+        err(p, E_UNEXPECTED_NULL, t0); CHKV(p);
+    }
     if (p->has_foreign && p->stack_n && use_foreign(p, UF_COMMENT, -1, NULL)) {
-        PyObject *txt = ascii_slice(p, a, b);
+        PyObject *txt = comment_slice(p, a, b);
         int32_t nid = new_node(p, T_COMMENT, -1, NULL, txt, NULL, t0, t1, 0, 0, 0, 0);
         if (nid < 0) return;
         attach(p, nid, cur(p));
@@ -1604,7 +1775,7 @@ static void handle_comment(P *p, int64_t a, int64_t b, int64_t t0, int64_t t1) {
         p->mode == M_AFTER_AFTER_BODY) {
         /* document-level comment; after <html> exists, later tokens
          * can reopen body content → DFS finalize (html5.py:2910-2918) */
-        PyObject *txt = ascii_slice(p, a, b);
+        PyObject *txt = comment_slice(p, a, b);
         int32_t nid = new_node(p, T_COMMENT, -1, NULL, txt, NULL, t0, t1, 0, 0, 0, 0);
         if (nid < 0) return;
         attach(p, nid, 0);
@@ -1612,14 +1783,14 @@ static void handle_comment(P *p, int64_t a, int64_t b, int64_t t0, int64_t t1) {
         return;
     }
     if (p->mode == M_AFTER_BODY && p->html_id >= 0) {
-        PyObject *txt = ascii_slice(p, a, b);
+        PyObject *txt = comment_slice(p, a, b);
         int32_t nid = new_node(p, T_COMMENT, -1, NULL, txt, NULL, t0, t1, 0, 0, 0, 0);
         if (nid < 0) return;
         attach(p, nid, p->html_id);
         p->preorder_ok = 0;  /* body content may reopen after */
         return;
     }
-    PyObject *txt = ascii_slice(p, a, b);
+    PyObject *txt = comment_slice(p, a, b);
     int32_t nid = new_node(p, T_COMMENT, -1, NULL, txt, NULL, t0, t1, 0, 0, 0, 0);
     if (nid < 0) return;
     attach(p, nid, cur(p));
@@ -2955,7 +3126,7 @@ static Py_ssize_t scan_start_attrs(P *p, Py_ssize_t pos, PyObject *attrs,
                 unsigned char c2 = s[pos];
                 if (c2 == ' ' || c2 == '\t' || c2 == '\n' || c2 == '\f' || c2 == '\r' ||
                     c2 == '/' || c2 == '>' || c2 == '=') break;
-                if (c2 >= 0x80) BAILI(p);  /* non-ASCII attr name */
+                if (c2 >= 0x80 || c2 == 0) BAILI(p);  /* non-ASCII/NUL attr name */
                 if (nb < 255) namebuf[nb++] = (char)(c2 >= 'A' && c2 <= 'Z' ? c2 + 32 : c2);
                 else overflow = 1;
                 pos++;
@@ -2965,7 +3136,7 @@ static Py_ssize_t scan_start_attrs(P *p, Py_ssize_t pos, PyObject *attrs,
                 unsigned char c2 = s[pos];
                 if (c2 == ' ' || c2 == '\t' || c2 == '\n' || c2 == '\f' || c2 == '\r' ||
                     c2 == '/' || c2 == '>' || c2 == '=') break;
-                if (c2 >= 0x80) BAILI(p);  /* non-ASCII attr name */
+                if (c2 >= 0x80 || c2 == 0) BAILI(p);  /* non-ASCII/NUL attr name */
                 if (nb < 255) namebuf[nb++] = (char)(c2 >= 'A' && c2 <= 'Z' ? c2 + 32 : c2);
                 else overflow = 1;
                 pos++;
@@ -2997,6 +3168,9 @@ static Py_ssize_t scan_start_attrs(P *p, Py_ssize_t pos, PyObject *attrs,
                 vlen = pos - v0;
             }
         }
+        /* NUL in an attribute value: tokenizer replaces with U+FFFD
+         * silently — punt to the Python engine (rare) */
+        if (v && vlen && p->doc_has_nul && memchr(v, 0, (size_t)vlen)) BAILI(p);
         PyObject *key = PyUnicode_New(nb, 127);
         if (!key) BAILI(p);
         memcpy(PyUnicode_1BYTE_DATA(key), namebuf, (size_t)nb);
@@ -3044,6 +3218,7 @@ static Py_ssize_t scan_end_tag_tail(P *p, Py_ssize_t pos, int *had) {
                 unsigned char c2 = s[pos];
                 if (c2 == ' ' || c2 == '\t' || c2 == '\n' || c2 == '\f' ||
                     c2 == '\r' || c2 == '/' || c2 == '>' || c2 == '=') break;
+                if (c2 == 0) { p->bail = 1; return -1; }
                 pos++;
             }
             *had = 1;
@@ -3052,6 +3227,7 @@ static Py_ssize_t scan_end_tag_tail(P *p, Py_ssize_t pos, int *had) {
                 unsigned char c2 = s[pos];
                 if (c2 == ' ' || c2 == '\t' || c2 == '\n' || c2 == '\f' ||
                     c2 == '\r' || c2 == '/' || c2 == '>' || c2 == '=') break;
+                if (c2 == 0) { p->bail = 1; return -1; }
                 pos++;
             }
             if (pos == a0) { pos++; continue; }
@@ -3108,7 +3284,7 @@ static void run_parse(P *p) {
                     unsigned char cc = s[j];
                     if (cc == '\t' || cc == '\n' || cc == '\f' || cc == '\r' ||
                         cc == ' ' || cc == '/' || cc == '>') break;
-                    if (cc >= 0x80) { p->bail = 1; break; }  /* non-ASCII tag name */
+                    if (cc >= 0x80 || cc == 0) { p->bail = 1; break; }  /* non-ASCII/NUL tag name */
                     if (nb < 255) nbuf[nb++] = (char)(cc >= 'A' && cc <= 'Z' ? cc + 32 : cc);
                     else { p->bail = 1; break; }
                     j++;
@@ -3240,6 +3416,8 @@ static void run_parse(P *p) {
                 const unsigned char *gtp = memchr(s + lt + 2, '>', (size_t)(n - lt - 2));
                 if (!gtp) break;  /* EOF: doctype token dropped, no error */
                 Py_ssize_t gt = gtp - s;
+                if (p->doc_has_nul && gt > lt + 9 &&
+                    memchr(s + lt + 9, 0, (size_t)(gt - lt - 9))) { p->bail = 1; break; }
                 handle_doctype(p, !doctype_quirks(s, lt + 9, gt), lt);
                 if (p->bail) break;
                 i = gt + 1;
@@ -3279,7 +3457,7 @@ static void run_parse(P *p) {
             unsigned char cc = s[j];
             if (cc == '\t' || cc == '\n' || cc == '\f' || cc == '\r' ||
                 cc == ' ' || cc == '/' || cc == '>') break;
-            if (cc >= 0x80) { p->bail = 1; break; }  /* non-ASCII tag name */
+            if (cc >= 0x80 || cc == 0) { p->bail = 1; break; }  /* non-ASCII/NUL tag name */
             if (nb < 255) nbuf[nb++] = (char)(cc >= 'A' && cc <= 'Z' ? cc + 32 : cc);
             else { p->bail = 1; break; }
             j++;
@@ -3760,18 +3938,21 @@ static PyObject *cextract(PyObject *self, PyObject *args) {
     }
     const unsigned char *data = view.buf;
     Py_ssize_t n = view.len;
+    int doc_has_nul = 0;
     for (Py_ssize_t i = 0; i < n; i++) {
         unsigned char ch = data[i];
-        if (ch >= 0x80 || ch == '\r' || ch == 0) {
+        if (ch >= 0x80 || ch == '\r') {
             PyBuffer_Release(&view);
             PyBuffer_Release(&bview);
             Py_RETURN_NONE;
         }
+        if (ch == 0) doc_has_nul = 1;
     }
     P p;
     memset(&p, 0, sizeof(P));
     p.s = data;
     p.n = n;
+    p.doc_has_nul = doc_has_nul;
     p.quirks = 1;
     p.preorder_ok = 1;
     p.frameset_ok = 1;
@@ -3848,19 +4029,25 @@ static PyObject *cparse(PyObject *self, PyObject *arg) {
      * NUL (every NUL path is a parse error).  Raw bytes additionally
      * must be pure ASCII — multibyte UTF-8 shifts decoded offsets, so
      * those decode Python-side and come back as kind-1 strs. */
+    int doc_has_nul = 0;
     for (Py_ssize_t i = 0; i < n; i++) {
         unsigned char ch = data[i];
-        if ((ch >= 0x80 && src_str == NULL) || ch == '\r' || ch == 0) {
+        if ((ch >= 0x80 && src_str == NULL) || ch == '\r' ||
+            (ch == 0 && src_kind != 0)) {
+            /* NUL is supported for raw bytes / kind-1 strings; the
+             * transcoded (kind-2/4) readback path cannot compact */
             free(transcoded);
             if (have_view) PyBuffer_Release(&view);
             Py_RETURN_NONE;
         }
+        if (ch == 0) doc_has_nul = 1;
     }
     (void)latin1;
     P p;
     memset(&p, 0, sizeof(P));
     p.s = data;
     p.n = n;
+    p.doc_has_nul = doc_has_nul;
     if (transcoded) {
         p.src_obj = src_str;   /* borrowed */
         p.src_kind = src_kind;
@@ -3925,6 +4112,11 @@ PyMODINIT_FUNC PyInit__chtml(void) {
     }
     empty_str = PyUnicode_InternFromString("");
     empty_attrs = PyDict_New();
-    if (!empty_str || !empty_attrs) return NULL;
+    {
+        Py_UCS4 z = 0, f = 0xFFFD;
+        nul_str = PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND, &z, 1);
+        fffd_str = PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND, &f, 1);
+    }
+    if (!empty_str || !empty_attrs || !nul_str || !fffd_str) return NULL;
     return m;
 }

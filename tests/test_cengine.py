@@ -76,9 +76,10 @@ def test_conformance_corpus_ab():
             H._cparse_fast = saved
         assert_identical(c, py, data[:120])
     # the corpus is deliberately error-heavy fuzz; with the round-5
-    # error recording + full adoption agency + foster parenting the C
-    # engine takes ~71% of even this corpus
-    assert engaged >= 22000, engaged
+    # error recording + full adoption agency + foster parenting plus
+    # the round-6 NUL text/comment sinks the C engine takes ~90% of
+    # even this corpus directly (~99.9% through the dispatch)
+    assert engaged >= 31000, engaged
 
 
 def test_bench_corpora_fully_engaged():
@@ -110,7 +111,14 @@ def test_bail_conditions():
     assert cengine.cparse("emoji 🎉") is not None         # 4-byte kind
     assert cengine.cparse("caf\xe9".encode()) is None    # multibyte bytes
     assert cengine.cparse(b"a\rb") is None               # CR normalization
-    assert cengine.cparse(b"a\x00b") is None             # NUL
+    # round-6: NUL input engages (data-state drop / FFFD sinks in C);
+    # NUL inside TAG MACHINERY still bails to the Python engine
+    assert cengine.cparse(b"a\x00b") is not None
+    assert cengine.cparse(b"<di\x00v>x") is None         # NUL in tag name
+    assert cengine.cparse(b"<div a='x\x00y'>") is None   # NUL in attr value
+    assert cengine.cparse(b"<!doctype ht\x00ml>") is None  # NUL in doctype
+    # transcoded (kind-2/4) strings with NUL cannot compact: Python
+    assert cengine.cparse("中\x00文") is None
     assert cengine.cparse(b"<svg><rect/></svg>") is not None   # foreign: in C
     assert cengine.cparse(b"<template>x</template>") is not None  # templates: in C
     assert cengine.cparse(b"<plaintext>raw") is not None          # plaintext: in C
@@ -543,11 +551,16 @@ def test_cextract_boiler_exclusion_and_bails():
     _assert_extract_identical(res, doc)
     assert res[0] == "premidpost"
 
-    # bails mirror cparse: non-ASCII, CR, NUL, str input
+    # bails mirror cparse: non-ASCII, CR, str input; NUL in text is
+    # supported (round-6) and must stay kernel-identical
     assert cengine._cextract("caf\xe9".encode("latin-1"), _BOILER_ID_BYTES) is None
     assert cengine._cextract(b"a\rb", _BOILER_ID_BYTES) is None
-    assert cengine._cextract(b"a\x00b", _BOILER_ID_BYTES) is None
     assert cengine._cextract("plain str", _BOILER_ID_BYTES) is None
+    nul_doc = b"<body>a\x00b<script>s\x00s</script><p>x\x00"
+    res_nul = cengine._cextract(nul_doc, _BOILER_ID_BYTES)
+    assert res_nul is not None
+    _assert_extract_identical(res_nul, nul_doc)
+    assert cengine._cextract(b"<di\x00v>x", _BOILER_ID_BYTES) is None
 
 
 def test_cextract_no_body_window():
@@ -558,3 +571,61 @@ def test_cextract_no_body_window():
     res = cengine._cextract(doc, _BOILER_ID_BYTES)
     if res is not None:
         _assert_extract_identical(res, doc)
+
+
+def test_nul_input_corpus_ab():
+    """Round-6: NUL-containing documents engage the C engine (data-
+    state drop, RAWTEXT/RCDATA/PLAINTEXT/foreign/comment FFFD sinks)
+    and must match the Python engine exactly — including the
+    reference quirk that dropped data-state NULs shrink the span end."""
+    import gumbo_pp_spark.parser.html5 as H
+
+    cases = [
+        b"<body>a\x00b<p>x\x00",
+        b"\x00",
+        b"\x00\x00\x00",
+        b"<body>\x00",
+        b"<title>t\x00t</title><body>x",
+        b"<script>a\x00b</script>done",
+        b"<textarea>\x00&amp;</textarea>",
+        b"<style>s\x00</style>",
+        b"<!-- c\x00c --><body>y",
+        b"</ bogus\x00><body>z",
+        b"<plaintext>a\x00b",
+        b"<body><svg><g>f\x00f</g></svg>",
+        b"<svg><desc>d\x00d</desc></svg>",
+        b"<frameset>\x00<frame></frameset>",
+        b"<select>\x00opt</select>tail",
+        b"<head>\x00x</head>",
+        b"<body><table>\x00</table>",
+        b"\x00z&unknown;x<!bogus>\n\x00z\t<style id=x></style>",
+        b" &unknown;\t&copy 1\x00z text",
+        b"x\x00" * 50,
+        b"<ul><li>a\x00<li>b\x00</ul>",
+        b"<colgroup-ish>\x00",
+    ]
+    engaged = 0
+    for d in cases:
+        c = cengine.cparse(d)
+        if c is None:
+            continue
+        engaged += 1
+        saved = H._cparse_fast
+        H._cparse_fast = None
+        try:
+            py = parse_html(d)
+        finally:
+            H._cparse_fast = saved
+        assert_identical(c, py, d)
+    # text/comment NULs must all engage (tag-machinery NULs bail)
+    assert engaged == len(cases), engaged
+
+    # corpus-wide: EVERY NUL-containing conformance doc either engages
+    # identically (checked by test_conformance_corpus_ab) or bails
+    from .test_conformance import CASES as ALL
+
+    nul_docs = [d for ctx, d, _ in ALL if ctx is None and "\x00" in d]
+    eng = sum(1 for d in nul_docs if cengine.cparse(d) is not None)
+    # the tail that still bails is NUL inside tag machinery / pended
+    # table text / transcoded strings
+    assert eng >= len(nul_docs) // 2, (eng, len(nul_docs))
