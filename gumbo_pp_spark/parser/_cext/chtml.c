@@ -71,10 +71,14 @@ typedef struct {
 /* active-formatting entry; tid of a _FORMATTING tag (all known) */
 typedef struct { int16_t tid; int32_t nid; int64_t t0, t1; PyObject *attrs; /* borrowed */ } AfeEnt;
 
-#define STACK_MAX 512
-#define AFE_MAX 128
+/* initial capacities; the stack / AFE / template-mode / pending-text
+ * arrays grow by doubling (round-6: the >512-deep-stack bail class is
+ * removed — depth is bounded only by input length, like html5.py) */
+#define STACK_INIT 512
+#define AFE_INIT 128
+#define TMPL_INIT 64
+#define PEND_INIT 64
 #define DEFER_MAX 64
-#define PEND_MAX 64
 
 typedef struct {
     const unsigned char *s;
@@ -93,12 +97,12 @@ typedef struct {
     int bail;
     int quirks;        /* 1 until <!doctype html> */
     int skip_newline;
-    int32_t stack[STACK_MAX];
-    int stack_n;
+    int32_t *stack;            /* growable, cap = stack_cap */
+    int stack_n, stack_cap;
     /* unknown-tag names for stack entries (owned, usually NULL) */
-    PyObject *stack_name[STACK_MAX];
-    AfeEnt afe[AFE_MAX];        /* .tid == -1 → scope marker */
-    int afe_n;
+    PyObject **stack_name;     /* same cap as stack */
+    AfeEnt *afe;               /* .tid == -1 → scope marker; growable */
+    int afe_n, afe_cap;
     int32_t html_id, head_id, body_id;
     int open_p;
     int32_t form_ptr;
@@ -110,13 +114,13 @@ typedef struct {
     /* svg/math seen: tokens dispatch through the foreign rules */
     int has_foreign;
     /* WHATWG stack of template insertion modes (one per open template) */
-    int tmpl_modes[64];
-    int tmpl_n;
+    int *tmpl_modes;           /* growable, cap = tmpl_cap */
+    int tmpl_n, tmpl_cap;
     /* WHATWG frameset-ok flag (gates the in-body frameset takeover) */
     int frameset_ok;
     /* "in table text" pending runs: (start, end) source spans */
-    int64_t pend[PEND_MAX][2];
-    int pend_n;
+    int64_t (*pend)[2];        /* growable, cap = pend_cap */
+    int pend_n, pend_cap;
     /* scratch UCS4 buffer for decoding */
     Py_UCS4 *scratch;
     Py_ssize_t scratch_cap;
@@ -126,6 +130,56 @@ typedef struct {
     int64_t *err_pos;
     Py_ssize_t err_n, err_cap;
 } P;
+
+/* grow-by-doubling helpers; on OOM set bail (caller checks p->bail).
+ * Each returns 1 when at least `need` slots are available. */
+static int ensure_stack(P *p, int need) {
+    if (need <= p->stack_cap) return 1;
+    int nc = p->stack_cap ? p->stack_cap : STACK_INIT;
+    while (nc < need) nc *= 2;
+    int32_t *s = realloc(p->stack, (size_t)nc * sizeof(int32_t));
+    if (!s) { p->bail = 1; return 0; }
+    p->stack = s;
+    PyObject **sn = realloc(p->stack_name, (size_t)nc * sizeof(PyObject *));
+    if (!sn) { p->bail = 1; return 0; }
+    for (int k = p->stack_cap; k < nc; k++) sn[k] = NULL;
+    p->stack_name = sn;
+    p->stack_cap = nc;
+    return 1;
+}
+
+static int ensure_afe(P *p, int need) {
+    if (need <= p->afe_cap) return 1;
+    int nc = p->afe_cap ? p->afe_cap : AFE_INIT;
+    while (nc < need) nc *= 2;
+    AfeEnt *a = realloc(p->afe, (size_t)nc * sizeof(AfeEnt));
+    if (!a) { p->bail = 1; return 0; }
+    p->afe = a;
+    p->afe_cap = nc;
+    return 1;
+}
+
+static int ensure_tmpl(P *p, int need) {
+    if (need <= p->tmpl_cap) return 1;
+    int nc = p->tmpl_cap ? p->tmpl_cap : TMPL_INIT;
+    while (nc < need) nc *= 2;
+    int *t = realloc(p->tmpl_modes, (size_t)nc * sizeof(int));
+    if (!t) { p->bail = 1; return 0; }
+    p->tmpl_modes = t;
+    p->tmpl_cap = nc;
+    return 1;
+}
+
+static int ensure_pend(P *p, int need) {
+    if (need <= p->pend_cap) return 1;
+    int nc = p->pend_cap ? p->pend_cap : PEND_INIT;
+    while (nc < need) nc *= 2;
+    int64_t (*q)[2] = realloc(p->pend, (size_t)nc * 2 * sizeof(int64_t));
+    if (!q) { p->bail = 1; return 0; }
+    p->pend = q;
+    p->pend_cap = nc;
+    return 1;
+}
 
 static void err(P *p, int code, int64_t pos) {
     if (p->err_n >= p->err_cap) {
@@ -288,7 +342,7 @@ static inline int32_t cur(P *p) { return p->stack_n ? p->stack[p->stack_n - 1] :
 static inline int16_t cur_tid(P *p) { return p->stack_n ? p->st.tid[p->stack[p->stack_n - 1]] : -1; }
 
 static void push_node(P *p, int32_t nid, PyObject *name_if_unknown /* borrowed */) {
-    if (p->stack_n >= STACK_MAX) { p->bail = 1; return; }
+    if (!ensure_stack(p, p->stack_n + 1)) return;
     p->stack[p->stack_n] = nid;
     Py_XINCREF(name_if_unknown);
     p->stack_name[p->stack_n] = name_if_unknown;
@@ -568,7 +622,7 @@ static PyObject *decode_attr(P *p, Py_ssize_t off, Py_ssize_t len) {
 
 /* ---- AFE ---------------------------------------------------------- */
 static void afe_push_marker(P *p) {
-    if (p->afe_n >= AFE_MAX) { p->bail = 1; return; }
+    if (!ensure_afe(p, p->afe_n + 1)) return;
     p->afe[p->afe_n].tid = -1;
     p->afe[p->afe_n].attrs = NULL;
     p->afe_n++;
@@ -593,7 +647,7 @@ static void afe_push(P *p, int tid, PyObject *attrs /* borrowed */, int64_t t0, 
                 (size_t)(p->afe_n - earliest - 1) * sizeof(AfeEnt));
         p->afe_n--;
     }
-    if (p->afe_n >= AFE_MAX) { p->bail = 1; return; }
+    if (!ensure_afe(p, p->afe_n + 1)) return;
     AfeEnt *e = &p->afe[p->afe_n++];
     e->tid = (int16_t)tid; e->attrs = attrs; e->t0 = t0; e->t1 = t1; e->nid = nid;
 }
@@ -801,7 +855,7 @@ static void stack_remove_at(P *p, int k) {
 }
 
 static void stack_insert_at(P *p, int k, int32_t nid) {
-    if (p->stack_n >= STACK_MAX) { p->bail = 1; return; }
+    if (!ensure_stack(p, p->stack_n + 1)) return;
     memmove(&p->stack[k + 1], &p->stack[k], (size_t)(p->stack_n - k) * sizeof(int32_t));
     memmove(&p->stack_name[k + 1], &p->stack_name[k],
             (size_t)(p->stack_n - k) * sizeof(PyObject *));
@@ -1136,7 +1190,7 @@ static int adoption_agency(P *p, int tid, int64_t t0, int64_t t1) {
             if (cur_idx < 0) BAILI(p);  /* invariant */
             afe_remove_at(p, cur_idx);
             int ins = bookmark > p->afe_n ? p->afe_n : bookmark;
-            if (p->afe_n >= AFE_MAX) BAILI(p);
+            if (!ensure_afe(p, p->afe_n + 1)) return -1;
             memmove(&p->afe[ins + 1], &p->afe[ins],
                     (size_t)(p->afe_n - ins) * sizeof(AfeEnt));
             p->afe[ins].tid = fe_ent.tid;
@@ -1516,7 +1570,7 @@ static void handle_chars_span(P *p, int64_t a, int64_t b) { chars_html(p, a, b);
 static void chars_in_table(P *p, int64_t a, int64_t b) {
     int t = cur_tid(p);
     if (t == TID_TABLE || t == TID_TBODY || t == TID_TFOOT || t == TID_THEAD || t == TID_TR) {
-        if (p->pend_n >= PEND_MAX) BAILV(p);
+        if (!ensure_pend(p, p->pend_n + 1)) return;
         p->pend[p->pend_n][0] = a;
         p->pend[p->pend_n][1] = b;
         p->pend_n++;
@@ -2187,7 +2241,7 @@ static int start_in_body(P *p, int tid, PyObject *name, PyObject *attrs,
 
 /* _start_template / _end_template (html5.py:1370-1402) */
 static void start_template(P *p, PyObject *attrs, int64_t t0, int64_t t1) {
-    if (p->tmpl_n >= 64) BAILV(p);
+    if (!ensure_tmpl(p, p->tmpl_n + 1)) return;
     int32_t nid = insert_element(p, TID_TEMPLATE, NULL, attrs, t0, t1, 1);
     CHKV(p);
     if (nid >= 0) p->st.type[nid] = T_TEMPLATE;
@@ -3593,6 +3647,11 @@ static void p_free(P *p) {
     free(st->span);
     free(st->tag); free(st->text); free(st->attrs);
     while (p->stack_n) pop_node(p);
+    free(p->stack);
+    free(p->stack_name);
+    free(p->afe);
+    free(p->tmpl_modes);
+    free(p->pend);
     free(p->scratch);
     free(p->err_code);
     free(p->err_pos);

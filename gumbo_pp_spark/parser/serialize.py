@@ -40,9 +40,11 @@ def serialize_tree(nt: NodeTable) -> str:
     def emit(depth: int, s: str) -> None:
         lines.append("| " + "  " * depth + s)
 
-    def walk(node: int, depth: int) -> None:
-        kids = nt.children_ids(node).tolist()
-        i = 0
+    # explicit-stack traversal (tree depth is bounded only by input
+    # length — a recursive walk overflows on 1000+-deep documents)
+    stack = [(nt.children_ids(0).tolist(), 0, 0)]  # (kids, i, depth)
+    while stack:
+        kids, i, depth = stack.pop()
         while i < len(kids):
             c = kids[i]
             t = nt.type[c]
@@ -61,14 +63,15 @@ def serialize_tree(nt: NodeTable) -> str:
                 attrs = nt.attrs[c] or {}
                 for k in sorted(attrs):
                     emit(depth + 1, f'{k}="{attrs[k]}"')
+                stack.append((kids, i + 1, depth))  # resume after child
                 if t == TEMPLATE:
                     emit(depth + 1, "content")
-                    walk(c, depth + 2)
+                    stack.append((nt.children_ids(c).tolist(), 0, depth + 2))
                 else:
-                    walk(c, depth + 1)
+                    stack.append((nt.children_ids(c).tolist(), 0, depth + 1))
+                break
             i += 1
 
-    walk(0, 0)
     return "\n".join(lines)
 
 

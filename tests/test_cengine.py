@@ -126,6 +126,43 @@ def test_bail_conditions():
     assert cengine.cparse(b"<isindex>") is not None           # isindex: in C
 
 
+def test_deep_documents_engage_identical():
+    """Round-6: the >512-deep-stack bail class is removed — the open-
+    element stack, AFE list, template-mode stack and pending-text runs
+    all grow by doubling, so depth is bounded only by input length
+    (parity with the Python engine, which has no depth limit)."""
+    import gumbo_pp_spark.parser.html5 as H
+
+    cases = [
+        # 2000-deep element stack (old STACK_MAX was 512)
+        "<html><body>" + "<div>" * 2000 + "x" + "</div>" * 2000,
+        # 800 unclosed pairs: stack stays 1600 deep to EOF
+        "<html><body>" + "<p><span>" * 800 + "y",
+        # deep formatting: AFE + adoption agency at 600 entries
+        "<html><body>" + "<b><i>" * 300 + "deep" + "</i></b>" * 300,
+        # 100 nested templates (old tmpl_modes cap was 64)
+        "<html><body>" + "<template>" * 100 + "t" + "</template>" * 100,
+        # AAA with 200 open <b> around a block
+        "<html><body>" + "<b>" * 200 + "<p>x</p>" + "</b>" * 200,
+        # deep stack crossing into table foster-parenting territory
+        "<div>" * 600 + "<table><tr><td>" + "<div>" * 600 + "z",
+        # >64 pending "in table text" runs (old PEND_MAX was 64)
+        "<table>" + "a<td>b</td>" * 100 + "</table>",
+        # AFE churn: 400 distinct attr sets pushed and popped
+        "<html><body>" + "".join(f"<a n{i}='v'>t</a>" for i in range(400)),
+    ]
+    for doc in cases:
+        c = cengine.cparse(doc.encode())
+        assert c is not None, doc[:80]
+        saved = H._cparse_fast
+        H._cparse_fast = None
+        try:
+            py = H.parse_html(doc.encode())
+        finally:
+            H._cparse_fast = saved
+        assert_identical(c, py, doc[:80])
+
+
 def test_frameset_and_isindex_identical():
     import gumbo_pp_spark.parser.html5 as H
 
