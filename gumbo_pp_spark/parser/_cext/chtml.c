@@ -3158,7 +3158,6 @@ static Py_ssize_t scan_start_attrs(P *p, Py_ssize_t pos, PyObject *attrs,
                                    int *self_closing, int *found_gt, int *dups) {
     const unsigned char *s = p->s;
     Py_ssize_t n = p->n;
-    char namebuf[256];
     *self_closing = 0;
     *found_gt = 0;
     while (pos < n) {
@@ -3170,34 +3169,24 @@ static Py_ssize_t scan_start_attrs(P *p, Py_ssize_t pos, PyObject *attrs,
             pos++;
             continue;
         }
-        /* attribute name: [^ \t\n\f\r/>=]+ or the '=' bogus-name rule */
-        Py_ssize_t a0 = pos, nb = 0;
-        int overflow = 0;
-        if (ch == '=') {
-            namebuf[nb++] = '=';
+        /* attribute name: [^ \t\n\f\r/>=]+ or the '=' bogus-name rule;
+         * the key is built straight from the source span (lowercased),
+         * so name length is unbounded (round-6: the >255-char-name
+         * bail class is removed) */
+        Py_ssize_t a0 = pos;
+        int eq_prefix = (ch == '=');
+        if (eq_prefix) pos++;
+        Py_ssize_t n0 = pos;
+        while (pos < n) {
+            unsigned char c2 = s[pos];
+            if (c2 == ' ' || c2 == '\t' || c2 == '\n' || c2 == '\f' || c2 == '\r' ||
+                c2 == '/' || c2 == '>' || c2 == '=') break;
+            if (c2 >= 0x80 || c2 == 0) BAILI(p);  /* non-ASCII/NUL attr name */
             pos++;
-            while (pos < n) {
-                unsigned char c2 = s[pos];
-                if (c2 == ' ' || c2 == '\t' || c2 == '\n' || c2 == '\f' || c2 == '\r' ||
-                    c2 == '/' || c2 == '>' || c2 == '=') break;
-                if (c2 >= 0x80 || c2 == 0) BAILI(p);  /* non-ASCII/NUL attr name */
-                if (nb < 255) namebuf[nb++] = (char)(c2 >= 'A' && c2 <= 'Z' ? c2 + 32 : c2);
-                else overflow = 1;
-                pos++;
-            }
-        } else {
-            while (pos < n) {
-                unsigned char c2 = s[pos];
-                if (c2 == ' ' || c2 == '\t' || c2 == '\n' || c2 == '\f' || c2 == '\r' ||
-                    c2 == '/' || c2 == '>' || c2 == '=') break;
-                if (c2 >= 0x80 || c2 == 0) BAILI(p);  /* non-ASCII/NUL attr name */
-                if (nb < 255) namebuf[nb++] = (char)(c2 >= 'A' && c2 <= 'Z' ? c2 + 32 : c2);
-                else overflow = 1;
-                pos++;
-            }
-            if (pos == a0) { pos++; continue; }  /* lone stray char */
         }
-        if (overflow) BAILI(p);  /* >255-char attr name: punt to Python */
+        if (!eq_prefix && pos == a0) { pos++; continue; }  /* lone stray char */
+        Py_ssize_t name_end = pos;
+        Py_ssize_t nb = (name_end - n0) + (eq_prefix ? 1 : 0);
         while (pos < n && WS_CHAR(s[pos])) pos++;
         const unsigned char *v = NULL;
         Py_ssize_t vlen = 0;
@@ -3227,7 +3216,15 @@ static Py_ssize_t scan_start_attrs(P *p, Py_ssize_t pos, PyObject *attrs,
         if (v && vlen && p->doc_has_nul && memchr(v, 0, (size_t)vlen)) BAILI(p);
         PyObject *key = PyUnicode_New(nb, 127);
         if (!key) BAILI(p);
-        memcpy(PyUnicode_1BYTE_DATA(key), namebuf, (size_t)nb);
+        {
+            Py_UCS1 *kd = PyUnicode_1BYTE_DATA(key);
+            Py_ssize_t w = 0;
+            if (eq_prefix) kd[w++] = '=';
+            for (Py_ssize_t q = n0; q < name_end; q++) {
+                unsigned char c2 = s[q];
+                kd[w++] = (Py_UCS1)(c2 >= 'A' && c2 <= 'Z' ? c2 + 32 : c2);
+            }
+        }
         int has = PyDict_Contains(attrs, key);
         if (has < 0) { Py_DECREF(key); PyErr_Clear(); BAILI(p); }
         if (has) { Py_DECREF(key); (*dups)++; continue; }  /* first wins (parse error) */
@@ -3332,18 +3329,22 @@ static void run_parse(P *p) {
             if ((c2 | 32) >= 'a' && (c2 | 32) <= 'z') {
                 /* end tag: name then only [ws/]* '>' stays clean */
                 Py_ssize_t j = lt + 2;
-                char nbuf[256];
-                Py_ssize_t nb = 0;
+                /* name span is recorded and the lookup buffer only
+                 * needs the longest KNOWN tag; longer names are
+                 * TID_UNKNOWN built from the source (round-6: the
+                 * >255-char-name bail class is removed) */
+                char nbuf[64];
+                Py_ssize_t nb = 0, nm0 = j;
                 while (j < n) {
                     unsigned char cc = s[j];
                     if (cc == '\t' || cc == '\n' || cc == '\f' || cc == '\r' ||
                         cc == ' ' || cc == '/' || cc == '>') break;
                     if (cc >= 0x80 || cc == 0) { p->bail = 1; break; }  /* non-ASCII/NUL tag name */
-                    if (nb < 255) nbuf[nb++] = (char)(cc >= 'A' && cc <= 'Z' ? cc + 32 : cc);
-                    else { p->bail = 1; break; }
+                    if (nb < 63) nbuf[nb++] = (char)(cc >= 'A' && cc <= 'Z' ? cc + 32 : cc);
                     j++;
                 }
                 if (p->bail) break;
+                Py_ssize_t nmlen = j - nm0;
                 Py_ssize_t j0 = j;
                 while (j < n && (WS_CHAR(s[j]) || s[j] == '/')) j++;
                 if (j < n && s[j] == '>') j++;  /* fast '</name>' form */
@@ -3358,12 +3359,16 @@ static void run_parse(P *p) {
                     if (had) { err(p, E_END_TAG_WITH_ATTRIBUTES, lt); if (p->bail) break; }
                     j = endpos;
                 }
-                int tid = tag_lookup(nbuf, nb);
+                int tid = nmlen == nb ? tag_lookup(nbuf, nb) : TID_UNKNOWN;
                 PyObject *name = NULL;
                 if (tid == TID_UNKNOWN) {
-                    name = PyUnicode_New(nb, 127);
+                    name = PyUnicode_New(nmlen, 127);
                     if (!name) { p->bail = 1; break; }
-                    memcpy(PyUnicode_1BYTE_DATA(name), nbuf, (size_t)nb);
+                    Py_UCS1 *nd = PyUnicode_1BYTE_DATA(name);
+                    for (Py_ssize_t q = 0; q < nmlen; q++) {
+                        unsigned char cc = s[nm0 + q];
+                        nd[q] = (Py_UCS1)(cc >= 'A' && cc <= 'Z' ? cc + 32 : cc);
+                    }
                 }
                 if (p->has_foreign && use_foreign(p, UF_END, tid, name))
                     foreign_end(p, tid, name, lt, j);
@@ -3503,26 +3508,30 @@ static void run_parse(P *p) {
             i = lt + 1;
             continue;
         }
-        /* start tag */
+        /* start tag (name length unbounded; see the end-tag scanner) */
         Py_ssize_t j = lt + 1;
-        char nbuf[256];
-        Py_ssize_t nb = 0;
+        char nbuf[64];
+        Py_ssize_t nb = 0, nm0 = j;
         while (j < n) {
             unsigned char cc = s[j];
             if (cc == '\t' || cc == '\n' || cc == '\f' || cc == '\r' ||
                 cc == ' ' || cc == '/' || cc == '>') break;
             if (cc >= 0x80 || cc == 0) { p->bail = 1; break; }  /* non-ASCII/NUL tag name */
-            if (nb < 255) nbuf[nb++] = (char)(cc >= 'A' && cc <= 'Z' ? cc + 32 : cc);
-            else { p->bail = 1; break; }
+            if (nb < 63) nbuf[nb++] = (char)(cc >= 'A' && cc <= 'Z' ? cc + 32 : cc);
             j++;
         }
         if (p->bail) break;
-        int tid = tag_lookup(nbuf, nb);
+        Py_ssize_t nmlen = j - nm0;
+        int tid = nmlen == nb ? tag_lookup(nbuf, nb) : TID_UNKNOWN;
         PyObject *name = NULL;
         if (tid == TID_UNKNOWN) {
-            name = PyUnicode_New(nb, 127);
+            name = PyUnicode_New(nmlen, 127);
             if (!name) { p->bail = 1; break; }
-            memcpy(PyUnicode_1BYTE_DATA(name), nbuf, (size_t)nb);
+            Py_UCS1 *nd = PyUnicode_1BYTE_DATA(name);
+            for (Py_ssize_t q = 0; q < nmlen; q++) {
+                unsigned char cc = s[nm0 + q];
+                nd[q] = (Py_UCS1)(cc >= 'A' && cc <= 'Z' ? cc + 32 : cc);
+            }
         }
         PyObject *attrs = PyDict_New();
         if (!attrs) { Py_XDECREF(name); p->bail = 1; break; }

@@ -163,6 +163,37 @@ def test_deep_documents_engage_identical():
         assert_identical(c, py, doc[:80])
 
 
+def test_long_names_engage_identical():
+    """Round-6: the >255-char tag/attr-name bail class is removed —
+    names are built straight from the source span (lowercased), so
+    length is unbounded; only the KNOWN-tag lookup uses a fixed
+    buffer (longest known tag ≪ 64)."""
+    import gumbo_pp_spark.parser.html5 as H
+
+    long, long2 = "x" * 300, "Y" * 1000
+    cases = [
+        f"<html><body><{long}>content</{long}>",
+        f"<html><body><{long2} attr=1>t</{long2}>",
+        f"<html><body><div {long}='v'>a</div>",       # long attr name
+        f"<html><body><div ={long}>bogus</div>",      # bogus '=' name
+        f"<html><body><p {long2}>x",                  # no value, EOF-ish
+        f"<html><body><{'a' * 63}>b63",               # lookup-buf edge
+        f"<html><body><{'a' * 64}>b64</{'a' * 64}>",
+        f"<html><body><{'A' * 70} {'B' * 70}={'c' * 10}>mix</{'a' * 70}>",
+        f"<svg><{long}>f</{long}></svg>",             # foreign content
+    ]
+    for doc in cases:
+        c = cengine.cparse(doc.encode())
+        assert c is not None, doc[:80]
+        saved = H._cparse_fast
+        H._cparse_fast = None
+        try:
+            py = H.parse_html(doc.encode())
+        finally:
+            H._cparse_fast = saved
+        assert_identical(c, py, doc[:80])
+
+
 def test_frameset_and_isindex_identical():
     import gumbo_pp_spark.parser.html5 as H
 
