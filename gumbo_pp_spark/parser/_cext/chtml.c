@@ -3170,18 +3170,22 @@ static Py_ssize_t scan_start_attrs(P *p, Py_ssize_t pos, PyObject *attrs,
             continue;
         }
         /* attribute name: [^ \t\n\f\r/>=]+ or the '=' bogus-name rule;
-         * the key is built straight from the source span (lowercased),
-         * so name length is unbounded (round-6: the >255-char-name
-         * bail class is removed) */
+         * short names (the common case) are lowercased into a stack
+         * buffer during the scan, longer ones re-read the recorded
+         * source span, so name length is unbounded (round-6: the
+         * >255-char-name bail class is removed) */
         Py_ssize_t a0 = pos;
+        char namebuf[64];
+        Py_ssize_t bn = 0;
         int eq_prefix = (ch == '=');
-        if (eq_prefix) pos++;
+        if (eq_prefix) { namebuf[bn++] = '='; pos++; }
         Py_ssize_t n0 = pos;
         while (pos < n) {
             unsigned char c2 = s[pos];
             if (c2 == ' ' || c2 == '\t' || c2 == '\n' || c2 == '\f' || c2 == '\r' ||
                 c2 == '/' || c2 == '>' || c2 == '=') break;
             if (c2 >= 0x80 || c2 == 0) BAILI(p);  /* non-ASCII/NUL attr name */
+            if (bn < 64) namebuf[bn++] = (char)(c2 >= 'A' && c2 <= 'Z' ? c2 + 32 : c2);
             pos++;
         }
         if (!eq_prefix && pos == a0) { pos++; continue; }  /* lone stray char */
@@ -3216,7 +3220,9 @@ static Py_ssize_t scan_start_attrs(P *p, Py_ssize_t pos, PyObject *attrs,
         if (v && vlen && p->doc_has_nul && memchr(v, 0, (size_t)vlen)) BAILI(p);
         PyObject *key = PyUnicode_New(nb, 127);
         if (!key) BAILI(p);
-        {
+        if (nb == bn) {  /* fit in the scan buffer (common case) */
+            memcpy(PyUnicode_1BYTE_DATA(key), namebuf, (size_t)nb);
+        } else {
             Py_UCS1 *kd = PyUnicode_1BYTE_DATA(key);
             Py_ssize_t w = 0;
             if (eq_prefix) kd[w++] = '=';
@@ -3365,7 +3371,8 @@ static void run_parse(P *p) {
                     name = PyUnicode_New(nmlen, 127);
                     if (!name) { p->bail = 1; break; }
                     Py_UCS1 *nd = PyUnicode_1BYTE_DATA(name);
-                    for (Py_ssize_t q = 0; q < nmlen; q++) {
+                    if (nmlen == nb) memcpy(nd, nbuf, (size_t)nb);
+                    else for (Py_ssize_t q = 0; q < nmlen; q++) {
                         unsigned char cc = s[nm0 + q];
                         nd[q] = (Py_UCS1)(cc >= 'A' && cc <= 'Z' ? cc + 32 : cc);
                     }
@@ -3528,7 +3535,8 @@ static void run_parse(P *p) {
             name = PyUnicode_New(nmlen, 127);
             if (!name) { p->bail = 1; break; }
             Py_UCS1 *nd = PyUnicode_1BYTE_DATA(name);
-            for (Py_ssize_t q = 0; q < nmlen; q++) {
+            if (nmlen == nb) memcpy(nd, nbuf, (size_t)nb);
+            else for (Py_ssize_t q = 0; q < nmlen; q++) {
                 unsigned char cc = s[nm0 + q];
                 nd[q] = (Py_UCS1)(cc >= 'A' && cc <= 'Z' ? cc + 32 : cc);
             }
