@@ -118,8 +118,11 @@ typedef struct {
     int tmpl_n, tmpl_cap;
     /* WHATWG frameset-ok flag (gates the in-body frameset takeover) */
     int frameset_ok;
-    /* "in table text" pending runs: (start, end) source spans */
+    /* "in table text" pending runs: (start, end) source spans; a
+     * non-NULL pend_txt[i] (owned PyBytes) carries the NUL-stripped
+     * run content — the span end is already stripped-length based */
     int64_t (*pend)[2];        /* growable, cap = pend_cap */
+    PyObject **pend_txt;       /* same cap; NULL = read the source */
     int pend_n, pend_cap;
     /* scratch UCS4 buffer for decoding */
     Py_UCS4 *scratch;
@@ -177,6 +180,10 @@ static int ensure_pend(P *p, int need) {
     int64_t (*q)[2] = realloc(p->pend, (size_t)nc * 2 * sizeof(int64_t));
     if (!q) { p->bail = 1; return 0; }
     p->pend = q;
+    PyObject **t = realloc(p->pend_txt, (size_t)nc * sizeof(PyObject *));
+    if (!t) { p->bail = 1; return 0; }
+    for (int k = p->pend_cap; k < nc; k++) t[k] = NULL;
+    p->pend_txt = t;
     p->pend_cap = nc;
     return 1;
 }
@@ -1302,30 +1309,51 @@ static void reset_mode(P *p) {
 /* ---- "in table text" (html5.py:1591-1633) ------------------------- */
 /* pending runs are raw source spans; a batch with ANY non-space char
  * foster-parents (a parse error) → bail */
+static PyObject *decode_buf(P *p, const unsigned char *buf, Py_ssize_t m);
+static PyObject *buf_slice(const unsigned char *buf, Py_ssize_t a, Py_ssize_t b);
+
 static void flush_tt(P *p) {
     int np = p->pend_n;
     p->pend_n = 0;
     int allws = 1;
     for (int i = 0; i < np && allws; i++) {
-        for (int64_t q = p->pend[i][0]; q < p->pend[i][1]; q++)
-            if (!WS_CHAR(p->s[q])) { allws = 0; break; }
+        if (p->pend_txt[i]) {
+            const unsigned char *bb = (const unsigned char *)PyBytes_AS_STRING(p->pend_txt[i]);
+            Py_ssize_t mlen = PyBytes_GET_SIZE(p->pend_txt[i]);
+            for (Py_ssize_t q = 0; q < mlen; q++)
+                if (!WS_CHAR(bb[q])) { allws = 0; break; }
+        } else {
+            for (int64_t q = p->pend[i][0]; q < p->pend[i][1]; q++)
+                if (!WS_CHAR(p->s[q])) { allws = 0; break; }
+        }
     }
     if (allws) {
         for (int i = 0; i < np; i++) {
-            PyObject *u = ascii_slice(p, p->pend[i][0], p->pend[i][1]);
+            PyObject *u = p->pend_txt[i]
+                ? buf_slice((const unsigned char *)PyBytes_AS_STRING(p->pend_txt[i]),
+                            0, PyBytes_GET_SIZE(p->pend_txt[i]))
+                : ascii_slice(p, p->pend[i][0], p->pend[i][1]);
+            Py_CLEAR(p->pend_txt[i]);
             insert_text(p, u, p->pend[i][0], p->pend[i][1], 0, 0);
-            CHKV(p);
+            if (p->bail) break;
         }
+        for (int i = 0; i < np; i++) Py_CLEAR(p->pend_txt[i]);
         return;
     }
     /* ANY non-space char foster-parents EVERY run (parse error) */
-    err(p, E_UNEXPECTED_CHARACTER, p->pend[0][0]); CHKV(p);
+    err(p, E_UNEXPECTED_CHARACTER, p->pend[0][0]);
+    if (p->bail) { for (int i = 0; i < np; i++) Py_CLEAR(p->pend_txt[i]); return; }
     p->foster = 1;
     for (int i = 0; i < np; i++) {
-        insert_text(p, decode_text(p, p->pend[i][0], p->pend[i][1]),
-                    p->pend[i][0], p->pend[i][1], 0, 1);
+        PyObject *u = p->pend_txt[i]
+            ? decode_buf(p, (const unsigned char *)PyBytes_AS_STRING(p->pend_txt[i]),
+                         PyBytes_GET_SIZE(p->pend_txt[i]))
+            : decode_text(p, p->pend[i][0], p->pend[i][1]);
+        Py_CLEAR(p->pend_txt[i]);
+        insert_text(p, u, p->pend[i][0], p->pend[i][1], 0, 1);
         if (p->bail) break;
     }
+    for (int i = 0; i < np; i++) Py_CLEAR(p->pend_txt[i]);
     p->foster = 0;
 }
 
@@ -1390,6 +1418,9 @@ static int node_name_lower_eq(P *p, int32_t nid, int tid, PyObject *name) {
 
 static int case_table_lookup(const char *const *lowers, int n_items,
                              const char *name, Py_ssize_t len) {
+    /* strncmp stops at NUL — a name with an embedded NUL could
+     * falsely prefix-match a table entry; no table name has one */
+    if (memchr(name, 0, (size_t)len)) return -1;
     int lo = 0, hi = n_items - 1;
     while (lo <= hi) {
         int mid = (lo + hi) / 2;
@@ -1573,6 +1604,7 @@ static void chars_in_table(P *p, int64_t a, int64_t b) {
         if (!ensure_pend(p, p->pend_n + 1)) return;
         p->pend[p->pend_n][0] = a;
         p->pend[p->pend_n][1] = b;
+        p->pend_txt[p->pend_n] = NULL;
         p->pend_n++;
         return;
     }
@@ -1643,8 +1675,27 @@ static void chars_buf(P *p, const unsigned char *buf, Py_ssize_t m, int64_t star
         }
         return;
     }
-    if (mode == M_IN_TABLE || mode == M_IN_TABLE_BODY || mode == M_IN_ROW)
-        BAILV(p);  /* pending table text stores source offsets */
+    if (mode == M_IN_TABLE || mode == M_IN_TABLE_BODY || mode == M_IN_ROW) {
+        /* mirror chars_in_table over the stripped run: the pending
+         * entry carries the compacted bytes (html5.py pends the
+         * already-stripped raw string; span end = stripped length) */
+        int t = cur_tid(p);
+        if (t == TID_TABLE || t == TID_TBODY || t == TID_TFOOT || t == TID_THEAD || t == TID_TR) {
+            if (!ensure_pend(p, p->pend_n + 1)) return;
+            PyObject *bb = PyBytes_FromStringAndSize((const char *)buf, m);
+            if (!bb) { PyErr_Clear(); BAILV(p); }
+            p->pend[p->pend_n][0] = start;
+            p->pend[p->pend_n][1] = end;
+            p->pend_txt[p->pend_n] = bb;
+            p->pend_n++;
+            return;
+        }
+        int aw = 1;
+        for (Py_ssize_t q = 0; q < m; q++) if (!WS_CHAR(buf[q])) { aw = 0; break; }
+        if (aw) insert_text(p, buf_slice(buf, 0, m), start, end, 0, 1);
+        else insert_text(p, decode_buf(p, buf, m), start, end, 0, 1);
+        return;
+    }
     if (mode == M_IN_SELECT) {
         insert_text(p, decode_buf(p, buf, m), start, end, 0, 0);
         return;
@@ -3180,11 +3231,13 @@ static Py_ssize_t scan_start_attrs(P *p, Py_ssize_t pos, PyObject *attrs,
         int eq_prefix = (ch == '=');
         if (eq_prefix) { namebuf[bn++] = '='; pos++; }
         Py_ssize_t n0 = pos;
+        int name_nul = 0;
         while (pos < n) {
             unsigned char c2 = s[pos];
             if (c2 == ' ' || c2 == '\t' || c2 == '\n' || c2 == '\f' || c2 == '\r' ||
                 c2 == '/' || c2 == '>' || c2 == '=') break;
-            if (c2 >= 0x80 || c2 == 0) BAILI(p);  /* non-ASCII/NUL attr name */
+            if (c2 >= 0x80) BAILI(p);  /* non-ASCII attr name */
+            if (c2 == 0) name_nul = 1;  /* key gets U+FFFD (html5.py:345) */
             if (bn < 64) namebuf[bn++] = (char)(c2 >= 'A' && c2 <= 'Z' ? c2 + 32 : c2);
             pos++;
         }
@@ -3215,9 +3268,6 @@ static Py_ssize_t scan_start_attrs(P *p, Py_ssize_t pos, PyObject *attrs,
                 vlen = pos - v0;
             }
         }
-        /* NUL in an attribute value: tokenizer replaces with U+FFFD
-         * silently — punt to the Python engine (rare) */
-        if (v && vlen && p->doc_has_nul && memchr(v, 0, (size_t)vlen)) BAILI(p);
         PyObject *key = PyUnicode_New(nb, 127);
         if (!key) BAILI(p);
         if (nb == bn) {  /* fit in the scan buffer (common case) */
@@ -3231,12 +3281,33 @@ static Py_ssize_t scan_start_attrs(P *p, Py_ssize_t pos, PyObject *attrs,
                 kd[w++] = (Py_UCS1)(c2 >= 'A' && c2 <= 'Z' ? c2 + 32 : c2);
             }
         }
+        if (name_nul) {  /* NUL → U+FFFD in the key (html5.py:345-346);
+                          * replacement happens BEFORE the dup check,
+                          * matching the Python scanner's order */
+            PyObject *rk = PyUnicode_Replace(key, nul_str, fffd_str, -1);
+            Py_DECREF(key);
+            if (!rk) { PyErr_Clear(); BAILI(p); }
+            key = rk;
+        }
         int has = PyDict_Contains(attrs, key);
         if (has < 0) { Py_DECREF(key); PyErr_Clear(); BAILI(p); }
         if (has) { Py_DECREF(key); (*dups)++; continue; }  /* first wins (parse error) */
         PyObject *val = v ? decode_attr(p, (Py_ssize_t)(v - p->s), vlen)
                           : (Py_INCREF(empty_str), empty_str);
         if (!val) { Py_DECREF(key); BAILI(p); }
+        if (v && vlen && p->doc_has_nul && memchr(v, 0, (size_t)vlen)) {
+            /* NUL → U+FFFD in the value (html5.py:347-348).  The
+             * Python scanner replaces BEFORE entity decode; decode-
+             * then-replace is equivalent because neither NUL nor
+             * U+FFFD can start, continue, or terminate an entity
+             * match differently (both are non-alphanumeric, non-'='
+             * stop characters) and no entity decodes TO a NUL
+             * (&#0; yields U+FFFD already). */
+            PyObject *rv = PyUnicode_Replace(val, nul_str, fffd_str, -1);
+            Py_DECREF(val);
+            if (!rv) { PyErr_Clear(); Py_DECREF(key); BAILI(p); }
+            val = rv;
+        }
         if (PyDict_SetItem(attrs, key, val) < 0) { Py_DECREF(key); Py_DECREF(val); PyErr_Clear(); BAILI(p); }
         Py_DECREF(key);
         Py_DECREF(val);
@@ -3275,8 +3346,7 @@ static Py_ssize_t scan_end_tag_tail(P *p, Py_ssize_t pos, int *had) {
                 unsigned char c2 = s[pos];
                 if (c2 == ' ' || c2 == '\t' || c2 == '\n' || c2 == '\f' ||
                     c2 == '\r' || c2 == '/' || c2 == '>' || c2 == '=') break;
-                if (c2 == 0) { p->bail = 1; return -1; }
-                pos++;
+                pos++;  /* NUL is an ordinary discarded-name char */
             }
             *had = 1;
         } else {
@@ -3284,8 +3354,7 @@ static Py_ssize_t scan_end_tag_tail(P *p, Py_ssize_t pos, int *had) {
                 unsigned char c2 = s[pos];
                 if (c2 == ' ' || c2 == '\t' || c2 == '\n' || c2 == '\f' ||
                     c2 == '\r' || c2 == '/' || c2 == '>' || c2 == '=') break;
-                if (c2 == 0) { p->bail = 1; return -1; }
-                pos++;
+                pos++;  /* NUL is an ordinary discarded-name char */
             }
             if (pos == a0) { pos++; continue; }
             *had = 1;
@@ -3341,11 +3410,16 @@ static void run_parse(P *p) {
                  * >255-char-name bail class is removed) */
                 char nbuf[64];
                 Py_ssize_t nb = 0, nm0 = j;
+                int nm_nul = 0;
                 while (j < n) {
                     unsigned char cc = s[j];
                     if (cc == '\t' || cc == '\n' || cc == '\f' || cc == '\r' ||
                         cc == ' ' || cc == '/' || cc == '>') break;
-                    if (cc >= 0x80 || cc == 0) { p->bail = 1; break; }  /* non-ASCII/NUL tag name */
+                    if (cc >= 0x80) { p->bail = 1; break; }  /* non-ASCII tag name */
+                    /* NUL is a literal name char (html5.py keeps it:
+                     * _TAG_NAME_RE excludes only ws//>/) → TID_UNKNOWN;
+                     * tag_lookup is strncmp-based so it must not see it */
+                    if (cc == 0) nm_nul = 1;
                     if (nb < 63) nbuf[nb++] = (char)(cc >= 'A' && cc <= 'Z' ? cc + 32 : cc);
                     j++;
                 }
@@ -3365,7 +3439,7 @@ static void run_parse(P *p) {
                     if (had) { err(p, E_END_TAG_WITH_ATTRIBUTES, lt); if (p->bail) break; }
                     j = endpos;
                 }
-                int tid = nmlen == nb ? tag_lookup(nbuf, nb) : TID_UNKNOWN;
+                int tid = (nmlen == nb && !nm_nul) ? tag_lookup(nbuf, nb) : TID_UNKNOWN;
                 PyObject *name = NULL;
                 if (tid == TID_UNKNOWN) {
                     name = PyUnicode_New(nmlen, 127);
@@ -3482,8 +3556,8 @@ static void run_parse(P *p) {
                 const unsigned char *gtp = memchr(s + lt + 2, '>', (size_t)(n - lt - 2));
                 if (!gtp) break;  /* EOF: doctype token dropped, no error */
                 Py_ssize_t gt = gtp - s;
-                if (p->doc_has_nul && gt > lt + 9 &&
-                    memchr(s + lt + 9, 0, (size_t)(gt - lt - 9))) { p->bail = 1; break; }
+                /* NUL in the doctype body is an ordinary char for the
+                 * quirks scan (html5.py: name "ht\0ml" != "html") */
                 handle_doctype(p, !doctype_quirks(s, lt + 9, gt), lt);
                 if (p->bail) break;
                 i = gt + 1;
@@ -3519,17 +3593,20 @@ static void run_parse(P *p) {
         Py_ssize_t j = lt + 1;
         char nbuf[64];
         Py_ssize_t nb = 0, nm0 = j;
+        int nm_nul = 0;
         while (j < n) {
             unsigned char cc = s[j];
             if (cc == '\t' || cc == '\n' || cc == '\f' || cc == '\r' ||
                 cc == ' ' || cc == '/' || cc == '>') break;
-            if (cc >= 0x80 || cc == 0) { p->bail = 1; break; }  /* non-ASCII/NUL tag name */
+            if (cc >= 0x80) { p->bail = 1; break; }  /* non-ASCII tag name */
+            /* NUL stays a literal name char (see the end-tag scanner) */
+            if (cc == 0) nm_nul = 1;
             if (nb < 63) nbuf[nb++] = (char)(cc >= 'A' && cc <= 'Z' ? cc + 32 : cc);
             j++;
         }
         if (p->bail) break;
         Py_ssize_t nmlen = j - nm0;
-        int tid = nmlen == nb ? tag_lookup(nbuf, nb) : TID_UNKNOWN;
+        int tid = (nmlen == nb && !nm_nul) ? tag_lookup(nbuf, nb) : TID_UNKNOWN;
         PyObject *name = NULL;
         if (tid == TID_UNKNOWN) {
             name = PyUnicode_New(nmlen, 127);
@@ -3668,6 +3745,9 @@ static void p_free(P *p) {
     free(p->stack_name);
     free(p->afe);
     free(p->tmpl_modes);
+    if (p->pend_txt)
+        for (int k = 0; k < p->pend_cap; k++) Py_CLEAR(p->pend_txt[k]);
+    free(p->pend_txt);
     free(p->pend);
     free(p->scratch);
     free(p->err_code);

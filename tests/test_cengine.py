@@ -58,11 +58,20 @@ def test_conformance_corpus_ab():
     text, quirks AND parse-error records."""
     os.environ.pop("GUMBO_PP_CENGINE", None)
     engaged = 0
+    dispatched = total = 0
     for ctx, data, _ in CASES:
         if ctx is not None:
             continue
+        total += 1
         c = cengine.cparse(data)
         if c is None:
+            # second-dispatch emulation (parse_html's CR-normalized
+            # decoded-string offer) — round-6 (late): with tag-
+            # machinery NUL support the corpus engages COMPLETELY
+            s = data if isinstance(data, str) else str(data, "utf-8", "replace")
+            s2 = s.replace("\r\n", "\n").replace("\r", "\n")
+            if cengine.cparse(s2) is not None:
+                dispatched += 1
             continue
         engaged += 1
         # compare against the PURE-PYTHON result: force-disable C
@@ -77,9 +86,10 @@ def test_conformance_corpus_ab():
         assert_identical(c, py, data[:120])
     # the corpus is deliberately error-heavy fuzz; with the round-5
     # error recording + full adoption agency + foster parenting plus
-    # the round-6 NUL text/comment sinks the C engine takes ~90% of
-    # even this corpus directly (~99.9% through the dispatch)
-    assert engaged >= 31000, engaged
+    # the round-6 NUL sinks AND tag-machinery NUL support the C
+    # engine takes ~90% directly and 100% through the dispatch
+    assert engaged >= 31500, engaged
+    assert engaged + dispatched == total, (engaged, dispatched, total)
 
 
 def test_bench_corpora_fully_engaged():
@@ -111,12 +121,14 @@ def test_bail_conditions():
     assert cengine.cparse("emoji 🎉") is not None         # 4-byte kind
     assert cengine.cparse("caf\xe9".encode()) is None    # multibyte bytes
     assert cengine.cparse(b"a\rb") is None               # CR normalization
-    # round-6: NUL input engages (data-state drop / FFFD sinks in C);
-    # NUL inside TAG MACHINERY still bails to the Python engine
+    # round-6: NUL input engages everywhere — data-state drop / FFFD
+    # sinks AND the tag machinery (names keep the literal NUL,
+    # attr keys/values get U+FFFD, doctype/end-tag tails pass through)
     assert cengine.cparse(b"a\x00b") is not None
-    assert cengine.cparse(b"<di\x00v>x") is None         # NUL in tag name
-    assert cengine.cparse(b"<div a='x\x00y'>") is None   # NUL in attr value
-    assert cengine.cparse(b"<!doctype ht\x00ml>") is None  # NUL in doctype
+    assert cengine.cparse(b"<di\x00v>x") is not None     # NUL in tag name
+    assert cengine.cparse(b"<div a='x\x00y'>") is not None  # NUL in attr value
+    assert cengine.cparse(b"<!doctype ht\x00ml>") is not None  # NUL in doctype
+    assert cengine.cparse(b"<table>\x00x<td>y") is not None  # NUL table text
     # transcoded (kind-2/4) strings with NUL cannot compact: Python
     assert cengine.cparse("中\x00文") is None
     assert cengine.cparse(b"<svg><rect/></svg>") is not None   # foreign: in C
@@ -124,6 +136,40 @@ def test_bail_conditions():
     assert cengine.cparse(b"<plaintext>raw") is not None          # plaintext: in C
     assert cengine.cparse(b"<frameset><frame>") is not None  # frameset: in C
     assert cengine.cparse(b"<isindex>") is not None           # isindex: in C
+
+
+def test_nul_tag_machinery_identical():
+    """Round-6 (late): NUL inside the tag machinery engages — tag
+    names keep the literal NUL (html5.py's _TAG_NAME_RE), attr keys
+    and values get U+FFFD (html5.py:345-348), doctype bodies and
+    discarded end-tag tails treat it as an ordinary char, and table
+    pending-text runs carry their NUL-stripped content."""
+    import gumbo_pp_spark.parser.html5 as H
+
+    cases = [
+        b"<table>\x00x<td>y</td></table>",        # foster after strip
+        b"<table> \x00 <tr><td>c</td></tr></table>",  # ws after strip
+        b"<table><tbody>\x00\x00</tbody></table>",    # all-NUL run
+        b"<table><tr>\x00<td>a</td> \n</tr></table>",
+        b"<table>\x00 <td>a</td>\x00b</table>tail",
+        b"<di\x00v>x</di\x00v>",                  # NUL tag name
+        b"<b\x00>x</b\x00>",                      # NUL-suffix known tag
+        b"<div a\x00b='v'>t</div>",               # NUL attr key
+        b"<div a='x\x00y'>t</div>",               # NUL attr value
+        b"<div =a\x00b>x</div>",                  # bogus '=' key + NUL
+        b"<!doctype ht\x00ml><p>q",               # NUL doctype
+        b"</div \x00junk>x",                      # NUL end-tag tail
+    ]
+    for doc in cases:
+        c = cengine.cparse(doc)
+        assert c is not None, doc
+        saved = H._cparse_fast
+        H._cparse_fast = None
+        try:
+            py = H.parse_html(doc)
+        finally:
+            H._cparse_fast = saved
+        assert_identical(c, py, doc)
 
 
 def test_deep_documents_engage_identical():
@@ -624,11 +670,17 @@ def test_cextract_boiler_exclusion_and_bails():
     assert cengine._cextract("caf\xe9".encode("latin-1"), _BOILER_ID_BYTES) is None
     assert cengine._cextract(b"a\rb", _BOILER_ID_BYTES) is None
     assert cengine._cextract("plain str", _BOILER_ID_BYTES) is None
-    nul_doc = b"<body>a\x00b<script>s\x00s</script><p>x\x00"
-    res_nul = cengine._cextract(nul_doc, _BOILER_ID_BYTES)
-    assert res_nul is not None
-    _assert_extract_identical(res_nul, nul_doc)
-    assert cengine._cextract(b"<di\x00v>x", _BOILER_ID_BYTES) is None
+    nul_docs = [
+        b"<body>a\x00b<script>s\x00s</script><p>x\x00",
+        # round-6 (late): tag-machinery NUL engages too
+        b"<di\x00v>x",
+        b"<table>\x00x<td>y</td></table>",
+        b"<div a='x\x00y'>t</div>",
+    ]
+    for nul_doc in nul_docs:
+        res_nul = cengine._cextract(nul_doc, _BOILER_ID_BYTES)
+        assert res_nul is not None, nul_doc
+        _assert_extract_identical(res_nul, nul_doc)
 
 
 def test_cextract_no_body_window():
