@@ -267,7 +267,7 @@ def extract_main_text(
             # like the parse fast path: html5._cparse_fast is None
             # inside the html5lib-emulation patch contexts, and
             # GUMBO_PP_CENGINE=0 leaves _ce._cextract None.  A None
-            # return (non-ASCII / CR / NUL / engine bail) falls back to
+            # return (non-ASCII / CR / engine bail) falls back to
             # the reference path below, byte-identically.
             cx = _ce._cextract if _h5._cparse_fast is not None else None
             for raw in _iter_html(htmls):

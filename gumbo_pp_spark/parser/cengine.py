@@ -1,12 +1,16 @@
 """C fast-path engine loader + NodeTable assembly.
 
 ``cparse(source)`` returns a :class:`NodeTable` for documents inside
-the C engine's subset (pure-ASCII, no parse errors, no foreign
-content / templates / framesets / fragments — see _cext/chtml.c), or
+the C engine's subset — effectively the whole document-mode surface:
+error recording, adoption agency, foster parenting, foreign content,
+templates, framesets, NUL input (text AND tag machinery), unbounded
+depth and name lengths; remaining bails are fragments, non-ASCII
+tag/attr names and transcoded-string NUL (see _cext/chtml.c) — or
 ``None`` when the pure-Python engine must run.  The Python engine in
 ``html5.py`` remains the reference implementation; the C engine is
 required to be column-for-column identical whenever it engages
-(tests/test_cengine.py runs that A/B over the conformance corpus).
+(tests/test_cengine.py runs that A/B over the conformance corpus,
+which engages completely through parse_html's two dispatches).
 
 Build: the extension is compiled on demand with the in-sandbox gcc
 (`python -m gumbo_pp_spark.parser.cengine` or first import).  For a
