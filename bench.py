@@ -382,18 +382,53 @@ def matcher_microbench() -> dict[str, float]:
     }
 
 
+def _warm_suite_session(spark) -> None:
+    """Untimed warm-up before the per-query timing loop.  The FIRST
+    job in a fresh local-mode session pays one-time costs that belong
+    to no query: Python-worker fork + Arrow init (~1-2 s across the
+    thread pool), the first parquet footer read, and the first
+    shuffle-exchange setup.  The extraction stages already warm page
+    cache + python workers before their timed min-of-N runs
+    (stage_extract); this gives the suite loop the same discipline so
+    per-query numbers measure the query, not session startup.
+    BENCH_r05 evidence: html_main_text (always first) clocked 10.49 s
+    over 5k docs (~2 ms/doc) while the same kernel over the same docs
+    ran 4x faster one slot later — pure ordering effect."""
+    from gumbo_pp_spark.operators.extract import extract_main_text
+    from gumbo_pp_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, SF_DIR).limit(64).repartition(CPUS)
+    extract_main_text(pages, passthrough=("doc_id",)).count()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    li.groupBy("l_returnflag").count().count()
+
+
 def run_queries() -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     spark = make_session(f"local[{CPUS}]", CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+    _warm_suite_session(spark)
     qs = entrymod.queries()
     times: dict[str, float] = {}
-    for name in HEADLINE_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        df.count()
-        times[name] = round(time.time() - t0, 2)
+    # min-of-2 over two ALTERNATED full passes (same protocol
+    # rationale as the extraction stage's interleaved min-of-N:
+    # bursty co-tenant noise lasts tens of seconds, so back-to-back
+    # attempts of one query can both land in the same bad window —
+    # round-robin passes decorrelate).  clearCache() before each
+    # attempt so a query that persists intermediates (dedup signature
+    # caches are keyed by analyzed plan) cannot feed its second run
+    # from the first's InMemoryRelation.
+    for _pass in range(2):
+        for name in HEADLINE_QUERIES:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            df.count()
+            dt = time.time() - t0
+            if name not in times or dt < times[name]:
+                times[name] = dt
+    times = {k: round(v, 2) for k, v in times.items()}
     spark.stop()
     return times
 
