@@ -152,6 +152,129 @@ def _iter_html(arr):
 
 
 # ----------------------------------------------------------------------
+# batch C fast path: whole Arrow column in one extension call
+# ----------------------------------------------------------------------
+def _py_doc_pieces(raw):
+    """Python-path main-text pieces for ONE document — the bail-splice
+    companion of the C batch path (same kernel as the per-doc loop in
+    ``extract_main_text``): returns (text, tids_i32, s0, s1, b0, b1,
+    ptags, n_nodes, parse_errors)."""
+    nt = parse_html(raw)
+    tag_id = nt.tag_id
+    body = int(np.argmax(tag_id == _BODY_ID))
+    lo, hi = nt.subtree(body) if tag_id[body] == _BODY_ID else (0, nt.n)
+    bad = np.nonzero(_BOILER_LUT[tag_id])[0]
+    t = nt.type
+    keep = _TEXTUAL_LUT[t]
+    keep[:lo] = False
+    keep[hi:] = False
+    if len(bad):
+        keep &= ~_excluded_mask(nt, bad)
+    kids = np.nonzero(keep)[0]
+    text = "".join(nt.text[kids].tolist())
+    tids = kids[t[kids] == TEXT]
+    s0a, s1a = nt.src_start[tids], nt.src_end[tids]
+    return (text, tids.astype(np.int32), s0a, s1a,
+            nt.byte_offsets(s0a), nt.byte_offsets(s1a),
+            nt.tag_name[nt.parent[tids]].tolist(), nt.n, nt.parse_errors)
+
+
+_SPAN_FIELDS = ["node_id", "tag", "start", "end", "start_byte", "end_byte"]
+
+
+def _splice_rows(arr, idxs, one_rows):
+    """Replace rows ``idxs`` (ascending) of ``arr`` with the 1-row
+    arrays ``one_rows`` — zero-copy slices of the C-built column glued
+    around the (rare) Python-path rows."""
+    import pyarrow as pa
+
+    pieces = []
+    prev = 0
+    for k, one in zip(idxs, one_rows):
+        if k > prev:
+            pieces.append(arr.slice(prev, k - prev))
+        pieces.append(one)
+        prev = k + 1
+    if prev < len(arr):
+        pieces.append(arr.slice(prev))
+    return pa.concat_arrays(pieces)
+
+
+def _assemble_from_batch(rb, htmls, cb, n_pt, pt_names, stage_metrics, clk):
+    """Run ``cextract_batch`` over the whole Arrow binary column and
+    wrap its batch-level buffers into the output RecordBatch — the
+    engaged path builds no per-document Python objects at all (the
+    input_hint's "no per-row Python" contract made literal).  Text and
+    parent-tag columns come back in Arrow string layout (one UTF-8
+    data blob + int32 offsets) and are wrapped zero-copy via
+    ``StringArray.from_buffers``; bail documents (non-ASCII / CR / any
+    engine bail) are recomputed on the reference Python path and
+    spliced row-wise.  Returns None when the batch must use the
+    per-document path (C-side int32 overflow guard)."""
+    import pyarrow as pa
+
+    is64 = pa.types.is_large_binary(htmls.type)
+    dt = np.int64 if is64 else np.int32
+    bufs = htmls.buffers()
+    off = np.frombuffer(bufs[1], dt, len(htmls) + 1, htmls.offset * np.dtype(dt).itemsize)
+    res = cb(bufs[2], off, 1 if is64 else 0, _BOILER_ID_BYTES)
+    if res is None:
+        return None
+    (txt, toff, sid, s0, s1, cnt, ptg, poff, nn, pe, tot, bail) = res
+    n = len(htmls)
+    text_arr = pa.StringArray.from_buffers(n, pa.py_buffer(toff), pa.py_buffer(txt))
+    tag_arr = pa.StringArray.from_buffers(len(sid), pa.py_buffer(poff), pa.py_buffer(ptg))
+    # identity byte map by construction on the C path (pure-ASCII
+    # CR-free raw bytes): byte columns == char columns
+    struct = pa.StructArray.from_arrays(
+        [pa.array(sid), tag_arr, pa.array(s0), pa.array(s1), pa.array(s0), pa.array(s1)],
+        names=_SPAN_FIELDS,
+    )
+    loff = np.empty(n + 1, np.int32)
+    loff[0] = 0
+    np.cumsum(cnt, out=loff[1:])
+    spans = pa.ListArray.from_arrays(pa.array(loff), struct)
+    c_eng = np.ones(n, np.int8) if stage_metrics else None
+    if len(bail):
+        data_mv = memoryview(bufs[2])
+        texts_1, spans_1 = [], []
+        for k in bail.tolist():
+            t0 = clk()
+            (text, tids, ps0, ps1, pb0, pb1, ptags, nn_i, pe_i) = _py_doc_pieces(
+                data_mv[off[k]: off[k + 1]]
+            )
+            st_k = pa.StructArray.from_arrays(
+                [pa.array(tids), pa.array(ptags, pa.string()),
+                 pa.array(ps0.astype(np.int64, copy=False)),
+                 pa.array(ps1.astype(np.int64, copy=False)),
+                 pa.array(pb0.astype(np.int64, copy=False)),
+                 pa.array(pb1.astype(np.int64, copy=False))],
+                names=_SPAN_FIELDS,
+            )
+            texts_1.append(pa.array([text], pa.string()))
+            spans_1.append(
+                pa.ListArray.from_arrays(pa.array([0, len(tids)], pa.int32()), st_k)
+            )
+            nn[k] = nn_i
+            pe[k] = pe_i
+            tot[k] = int((clk() - t0) * 1e6)
+            if c_eng is not None:
+                c_eng[k] = 0
+        bl = bail.tolist()
+        text_arr = _splice_rows(text_arr, bl, texts_1)
+        spans = _splice_rows(spans, bl, spans_1)
+    cols = [rb.column(i) for i in range(n_pt)]
+    cols += [text_arr, spans, pa.array(nn), pa.array(pe)]
+    names = [*pt_names, "text", "spans", "n_nodes", "parse_errors"]
+    if stage_metrics:
+        # fused-kernel convention (same as the per-doc cextract path):
+        # parse_us carries the whole per-doc C time, kernel_us ~0
+        cols += [pa.array(tot), pa.array(np.zeros(n, np.int64)), pa.array(c_eng)]
+        names += ["parse_us", "kernel_us", "c_engine"]
+    return pa.RecordBatch.from_arrays(cols, names=names)
+
+
+# ----------------------------------------------------------------------
 # kernel: boilerplate-stripped main text + spans
 # ----------------------------------------------------------------------
 def _excluded_mask(nt: NodeTable, bad_roots: np.ndarray) -> np.ndarray:
@@ -246,8 +369,23 @@ def extract_main_text(
         clk = _time.perf_counter
         empty_i32 = np.array([], np.int32)
         empty_i64 = np.array([], np.int64)
+        pt_names = [c for c, _ in pt_types]
+        # whole-column C fast path (round-6): one extension call per
+        # Arrow batch, no per-document Python loop at all.  Gated like
+        # the per-doc fast path; any non-engageable layout (nulls,
+        # non-binary column) or a C-side overflow falls through to the
+        # per-document path below, byte-identically.
+        cb = _ce._cextract_batch if _h5._cparse_fast is not None else None
         for rb in batches:
             htmls = rb.column(n_pt)
+            if cb is not None and len(htmls) and htmls.null_count == 0 and (
+                pa.types.is_binary(htmls.type) or pa.types.is_large_binary(htmls.type)
+            ):
+                out = _assemble_from_batch(rb, htmls, cb, n_pt, pt_names,
+                                           stage_metrics, clk)
+                if out is not None:
+                    yield out
+                    continue
             texts: list[str] = []
             nn: list[int] = []
             pe: list[int] = []

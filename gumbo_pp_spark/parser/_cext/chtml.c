@@ -22,6 +22,7 @@
 #include <string.h>
 #include <stdint.h>
 #include <stdlib.h>
+#include <time.h>
 #define NPY_NO_DEPRECATED_API NPY_1_7_API_VERSION
 #include <numpy/arrayobject.h>
 
@@ -4136,6 +4137,307 @@ static PyObject *cextract(PyObject *self, PyObject *args) {
     return res;
 }
 
+/* ------------------------------------------------------------------ *
+ * cextract_batch — the whole Arrow binary column in ONE call.
+ *
+ * cextract(one doc) still leaves a per-document Python loop in the
+ * mapInArrow worker (iterate slices, call, unpack the 7-tuple, append
+ * into per-batch lists) plus a per-batch pa.array() conversion of two
+ * LIST-OF-PYTHON-STRING columns.  This entry removes both: it takes
+ * the Arrow values buffer + offsets buffer directly, loops documents
+ * in C, and accumulates BATCH-level output buffers — text and
+ * parent-tag columns as single UTF-8 data blobs with int32 offset
+ * vectors (exactly Arrow's string layout, so the caller wraps them
+ * zero-copy via StringArray.from_buffers), span columns as contiguous
+ * arrays with a per-document count vector.  The engaged path builds
+ * ZERO per-document Python objects.
+ *
+ * Documents the engine cannot take (non-ASCII / CR / any cparse bail
+ * condition) get zero-length slots in every per-doc output and their
+ * indices are returned; the caller computes exactly those documents
+ * on the reference Python path and splices (rare on real pages —
+ * bench + conformance corpora engage at ~90-100%).
+ *
+ * Arguments: (values_buf, offsets_buf, offsets_are_64: int,
+ *             boiler_ids_i16_bytes)
+ * Returns a 12-tuple
+ *   (txt_data: bytes, txt_off: int32[n+1],
+ *    sp_id: int32[S], sp_s0: int64[S], sp_s1: int64[S],
+ *    sp_cnt: int32[n],
+ *    ptg_data: bytes, ptg_off: int32[S+1],
+ *    n_nodes: int32[n], n_errors: int32[n],
+ *    tot_us: int64[n], bail_idx: int32[B])
+ * or None when the batch output would overflow int32 string offsets
+ * (> 1 GiB of text in one Arrow batch) — caller falls back to the
+ * per-document path for the whole batch.                             */
+
+typedef struct { char *buf; Py_ssize_t n, cap; } GrowBuf;
+
+static int gb_append(GrowBuf *g, const char *src, Py_ssize_t len) {
+    if (g->n + len > g->cap) {
+        Py_ssize_t nc = g->cap ? g->cap : 4096;
+        while (nc < g->n + len) nc *= 2;
+        char *nb = realloc(g->buf, (size_t)nc);
+        if (!nb) return 0;
+        g->buf = nb;
+        g->cap = nc;
+    }
+    memcpy(g->buf + g->n, src, (size_t)len);
+    g->n += len;
+    return 1;
+}
+
+/* append a str's UTF-8 bytes; ASCII strings (the overwhelming case on
+ * the bytes-only engaged path) copy straight from the compact 1-byte
+ * representation, U+FFFD-bearing NUL-doc strings go through the cached
+ * AsUTF8 encoding */
+static int gb_append_str(GrowBuf *g, PyObject *s) {
+    if (PyUnicode_IS_ASCII(s))
+        return gb_append(g, (const char *)PyUnicode_1BYTE_DATA(s),
+                         PyUnicode_GET_LENGTH(s));
+    Py_ssize_t len;
+    const char *u = PyUnicode_AsUTF8AndSize(s, &len);
+    return u != NULL && gb_append(g, u, len);
+}
+
+static PyObject *np_copy1d(const void *src, Py_ssize_t n, int typenum, size_t isz) {
+    npy_intp d = (npy_intp)n;
+    PyObject *a = PyArray_SimpleNew(1, &d, typenum);
+    if (a && n) memcpy(PyArray_DATA((PyArrayObject *)a), src, (size_t)n * isz);
+    return a;
+}
+
+/* the build_extract walk (body window → boilerplate-subtree exclusion
+ * → textual-node collection), writing into the batch accumulators
+ * instead of per-document Python objects.  Kept in lockstep with
+ * build_extract — both are pinned column-identical to the Python
+ * kernel by the corpus A/B (tests/test_cengine.py).  Returns 0 ok,
+ * -1 fatal OOM. */
+static int extract_doc_into(P *p, const uint8_t *boiler, int16_t body_tid,
+                            GrowBuf *txt, GrowBuf *ptg,
+                            int32_t **sp_id, int64_t **sp_s0, int64_t **sp_s1,
+                            int32_t **ptg_off, Py_ssize_t *sp_n, Py_ssize_t *sp_cap,
+                            int32_t *nn_out, int32_t *pe_out) {
+    Store *st = &p->st;
+    int32_t *order = NULL, *parent_new = NULL, *iwp = NULL, *subend = NULL;
+    Py_ssize_t cnt = 0;
+    if (compute_preorder(p, &order, &parent_new, &iwp, &subend, &cnt) < 0)
+        return -1;
+    Py_ssize_t lo = 0, hi = cnt;
+    for (Py_ssize_t i = 0; i < cnt; i++) {
+        int16_t t = st->tid[order ? order[i] : (int32_t)i];
+        if (t == body_tid) { lo = i; hi = subend[i]; break; }
+    }
+    Py_ssize_t excl_until = 0;
+    for (Py_ssize_t i = 0; i < cnt; i++) {
+        Py_ssize_t b = order ? order[i] : i;
+        int16_t tid = st->tid[b];
+        int8_t ty = st->type[b];
+        if (i >= excl_until) {
+            if (tid >= 0 && boiler[tid]) { excl_until = subend[i]; continue; }
+        } else {
+            continue;  /* inside a boilerplate subtree */
+        }
+        if (i < lo || i >= hi) continue;
+        if (ty != T_TEXT && ty != T_CDATA && ty != T_WHITESPACE) continue;
+        PyObject *tx = st->text[b];
+        if (tx && tx != empty_str && !gb_append_str(txt, tx)) goto fatal;
+        if (ty == T_TEXT) {
+            if (*sp_n == *sp_cap) {
+                Py_ssize_t nc = *sp_cap ? *sp_cap * 2 : 256;
+                int32_t *ni = realloc(*sp_id, (size_t)nc * sizeof(int32_t));
+                int64_t *n0 = realloc(*sp_s0, (size_t)nc * sizeof(int64_t));
+                int64_t *n1 = realloc(*sp_s1, (size_t)nc * sizeof(int64_t));
+                int32_t *np_ = realloc(*ptg_off, (size_t)(nc + 1) * sizeof(int32_t));
+                if (ni) *sp_id = ni;
+                if (n0) *sp_s0 = n0;
+                if (n1) *sp_s1 = n1;
+                if (np_) *ptg_off = np_;
+                if (!ni || !n0 || !n1 || !np_) goto fatal;
+                *sp_cap = nc;
+            }
+            (*sp_id)[*sp_n] = (int32_t)i;
+            (*sp_s0)[*sp_n] = st->span[6 * b + 0];
+            (*sp_s1)[*sp_n] = st->span[6 * b + 1];
+            (*ptg_off)[*sp_n] = (int32_t)ptg->n;
+            int32_t par = parent_new[i];
+            if (par >= 0) {
+                Py_ssize_t pb = order ? order[par] : par;
+                PyObject *tg = st->tag[pb]
+                    ? st->tag[pb]
+                    : (st->tid[pb] >= 0 && st->tid[pb] < N_TAGS ? tag_objs[st->tid[pb]]
+                                                                : NULL);
+                if (tg && tg != empty_str && !gb_append_str(ptg, tg)) goto fatal;
+            }
+            (*sp_n)++;
+        }
+    }
+    *nn_out = (int32_t)cnt;
+    *pe_out = (int32_t)p->err_n;
+    free(order); free(parent_new); free(iwp); free(subend);
+    return 0;
+fatal:
+    free(order); free(parent_new); free(iwp); free(subend);
+    return -1;
+}
+
+static PyObject *cextract_batch(PyObject *self, PyObject *args) {
+    Py_buffer dview = {0}, oview = {0}, bview = {0};
+    int is64 = 0;
+    if (!PyArg_ParseTuple(args, "y*y*iy*", &dview, &oview, &is64, &bview))
+        return NULL;
+    const unsigned char *data = dview.buf;
+    Py_ssize_t data_n = dview.len;
+    Py_ssize_t item = is64 ? 8 : 4;
+    Py_ssize_t n_docs = oview.len / item - 1;
+    const int16_t *boiler_ids = (const int16_t *)bview.buf;
+    Py_ssize_t n_boiler = bview.len / (Py_ssize_t)sizeof(int16_t);
+    if (n_docs < 0) {
+        PyBuffer_Release(&dview); PyBuffer_Release(&oview); PyBuffer_Release(&bview);
+        Py_RETURN_NONE;
+    }
+
+    uint8_t boiler[N_TAGS];
+    memset(boiler, 0, sizeof(boiler));
+    for (Py_ssize_t k = 0; k < n_boiler; k++) {
+        int16_t t = boiler_ids[k];
+        if (t >= 0 && t < N_TAGS) boiler[t] = 1;
+    }
+    int16_t body_tid = (int16_t)tag_lookup("body", 4);
+
+    GrowBuf txt = {0}, ptg = {0};
+    int32_t *sp_id = NULL, *ptg_off = NULL;
+    int64_t *sp_s0 = NULL, *sp_s1 = NULL;
+    Py_ssize_t sp_n = 0, sp_cap = 0;
+    int32_t *txt_off = malloc((size_t)(n_docs + 1) * sizeof(int32_t));
+    int32_t *sp_cnt = malloc((size_t)(n_docs ? n_docs : 1) * sizeof(int32_t));
+    int32_t *nn = malloc((size_t)(n_docs ? n_docs : 1) * sizeof(int32_t));
+    int32_t *pe = malloc((size_t)(n_docs ? n_docs : 1) * sizeof(int32_t));
+    int64_t *tot = malloc((size_t)(n_docs ? n_docs : 1) * sizeof(int64_t));
+    int32_t *bail = NULL;
+    Py_ssize_t bail_n = 0, bail_cap = 0;
+    PyObject *res = NULL;
+    int fatal = 0, overflow = 0;
+    if (!txt_off || !sp_cnt || !nn || !pe || !tot) { fatal = 1; goto done; }
+    txt_off[0] = 0;
+
+    for (Py_ssize_t k = 0; k < n_docs; k++) {
+        struct timespec ts0, ts1;
+        clock_gettime(CLOCK_MONOTONIC, &ts0);
+        Py_ssize_t sp_doc0 = sp_n;
+        int64_t o0 = is64 ? ((const int64_t *)oview.buf)[k]
+                          : (int64_t)((const int32_t *)oview.buf)[k];
+        int64_t o1 = is64 ? ((const int64_t *)oview.buf)[k + 1]
+                          : (int64_t)((const int32_t *)oview.buf)[k + 1];
+        int ok = o0 >= 0 && o1 >= o0 && o1 <= data_n;
+        int doc_has_nul = 0;
+        if (ok) {
+            for (Py_ssize_t i = o0; i < o1; i++) {
+                unsigned char ch = data[i];
+                if (ch >= 0x80 || ch == '\r') { ok = 0; break; }
+                if (ch == 0) doc_has_nul = 1;
+            }
+        }
+        if (ok) {
+            P p;
+            memset(&p, 0, sizeof(P));
+            p.s = data + o0;
+            p.n = o1 - o0;
+            p.doc_has_nul = doc_has_nul;
+            p.quirks = 1;
+            p.preorder_ok = 1;
+            p.frameset_ok = 1;
+            p.html_id = p.head_id = p.body_id = -1;
+            p.form_ptr = -1;
+            if (new_node(&p, T_DOCUMENT, -1, NULL, NULL, NULL, 0, p.n,
+                         0, 0, 0, 0) < 0) {
+                p_free(&p);
+                if (PyErr_Occurred()) { fatal = 1; goto done; }
+                ok = 0;
+            } else {
+                run_parse(&p);
+                if (p.bail || PyErr_Occurred()) {
+                    PyErr_Clear();
+                    p_free(&p);
+                    ok = 0;
+                } else {
+                    int rc = extract_doc_into(&p, boiler, body_tid, &txt, &ptg,
+                                              &sp_id, &sp_s0, &sp_s1, &ptg_off,
+                                              &sp_n, &sp_cap, &nn[k], &pe[k]);
+                    p_free(&p);
+                    if (rc < 0) { fatal = 1; goto done; }
+                }
+            }
+        }
+        if (!ok) {
+            /* zero-length slots; caller reparses this doc Python-side */
+            if (bail_n == bail_cap) {
+                Py_ssize_t nc = bail_cap ? bail_cap * 2 : 64;
+                int32_t *nb = realloc(bail, (size_t)nc * sizeof(int32_t));
+                if (!nb) { fatal = 1; goto done; }
+                bail = nb;
+                bail_cap = nc;
+            }
+            bail[bail_n++] = (int32_t)k;
+            sp_n = sp_doc0;
+            nn[k] = 0;
+            pe[k] = 0;
+        }
+        if (txt.n > ((Py_ssize_t)1 << 30) || ptg.n > ((Py_ssize_t)1 << 30)) {
+            overflow = 1;
+            goto done;
+        }
+        txt_off[k + 1] = (int32_t)txt.n;
+        sp_cnt[k] = (int32_t)(sp_n - sp_doc0);
+        clock_gettime(CLOCK_MONOTONIC, &ts1);
+        tot[k] = (int64_t)(ts1.tv_sec - ts0.tv_sec) * 1000000
+               + (ts1.tv_nsec - ts0.tv_nsec) / 1000;
+    }
+
+    {
+        if (ptg_off == NULL) {
+            ptg_off = malloc(sizeof(int32_t));
+            if (!ptg_off) { fatal = 1; goto done; }
+        }
+        ptg_off[sp_n] = (int32_t)ptg.n;
+        PyObject *o_txt = PyBytes_FromStringAndSize(txt.buf ? txt.buf : "", txt.n);
+        PyObject *o_toff = np_copy1d(txt_off, n_docs + 1, NPY_INT32, 4);
+        PyObject *o_sid = np_copy1d(sp_id, sp_n, NPY_INT32, 4);
+        PyObject *o_s0 = np_copy1d(sp_s0, sp_n, NPY_INT64, 8);
+        PyObject *o_s1 = np_copy1d(sp_s1, sp_n, NPY_INT64, 8);
+        PyObject *o_cnt = np_copy1d(sp_cnt, n_docs, NPY_INT32, 4);
+        PyObject *o_ptg = PyBytes_FromStringAndSize(ptg.buf ? ptg.buf : "", ptg.n);
+        PyObject *o_poff = np_copy1d(ptg_off, sp_n + 1, NPY_INT32, 4);
+        PyObject *o_nn = np_copy1d(nn, n_docs, NPY_INT32, 4);
+        PyObject *o_pe = np_copy1d(pe, n_docs, NPY_INT32, 4);
+        PyObject *o_tot = np_copy1d(tot, n_docs, NPY_INT64, 8);
+        PyObject *o_bail = np_copy1d(bail, bail_n, NPY_INT32, 4);
+        if (o_txt && o_toff && o_sid && o_s0 && o_s1 && o_cnt && o_ptg &&
+            o_poff && o_nn && o_pe && o_tot && o_bail) {
+            res = PyTuple_Pack(12, o_txt, o_toff, o_sid, o_s0, o_s1, o_cnt,
+                               o_ptg, o_poff, o_nn, o_pe, o_tot, o_bail);
+        }
+        Py_XDECREF(o_txt); Py_XDECREF(o_toff); Py_XDECREF(o_sid);
+        Py_XDECREF(o_s0); Py_XDECREF(o_s1); Py_XDECREF(o_cnt);
+        Py_XDECREF(o_ptg); Py_XDECREF(o_poff); Py_XDECREF(o_nn);
+        Py_XDECREF(o_pe); Py_XDECREF(o_tot); Py_XDECREF(o_bail);
+        if (!res) fatal = 1;
+    }
+
+done:
+    free(txt.buf); free(ptg.buf);
+    free(sp_id); free(sp_s0); free(sp_s1); free(ptg_off);
+    free(txt_off); free(sp_cnt); free(nn); free(pe); free(tot); free(bail);
+    PyBuffer_Release(&dview); PyBuffer_Release(&oview); PyBuffer_Release(&bview);
+    if (fatal) {
+        if (!PyErr_Occurred()) PyErr_NoMemory();
+        Py_XDECREF(res);
+        return NULL;
+    }
+    if (overflow) Py_RETURN_NONE;
+    return res;
+}
+
 static PyObject *cparse(PyObject *self, PyObject *arg) {
     const unsigned char *data = NULL;
     Py_ssize_t n = -1;
@@ -4248,6 +4550,11 @@ static PyMethodDef methods[] = {
      "Parse ASCII HTML bytes and run the main-text kernel in C; "
      "returns (text, n_nodes, n_errors, node_ids, starts, ends, "
      "parent_tags) or None when the Python path must run."},
+    {"cextract_batch", cextract_batch, METH_VARARGS,
+     "Parse + main-text kernel for a whole Arrow binary column "
+     "(values buffer, offsets buffer, offsets_are_64, boiler ids); "
+     "returns batch-level Arrow-layout buffers + bail indices, or "
+     "None when the batch must use the per-document path."},
     {"cparse", cparse, METH_O,
      "Parse ASCII HTML bytes/str; returns the node-table columns or "
      "None when the document needs the pure-Python engine."},

@@ -40,6 +40,7 @@ stats = {"c": 0, "py": 0}
 
 _cparse = None
 _cextract = None
+_cextract_batch = None
 _NodeTable = None
 
 
@@ -103,7 +104,7 @@ def _build() -> bool:
 
 
 def _load() -> None:
-    global _cparse, _cextract
+    global _cparse, _cextract, _cextract_batch
     if os.environ.get("GUMBO_PP_CENGINE", "1") == "0":
         return
     if not _so_fresh() and not _build():
@@ -115,9 +116,11 @@ def _load() -> None:
 
         _cparse = _chtml.cparse
         _cextract = getattr(_chtml, "cextract", None)
+        _cextract_batch = getattr(_chtml, "cextract_batch", None)
     except Exception:
         _cparse = None
         _cextract = None
+        _cextract_batch = None
 
 
 def available() -> bool:

@@ -749,3 +749,133 @@ def test_nul_input_corpus_ab():
     # the tail that still bails is NUL inside tag machinery / pended
     # table text / transcoded strings
     assert eng >= len(nul_docs) // 2, (eng, len(nul_docs))
+
+
+# ----------------------------------------------------------------------
+# Round-6 (late): whole-column batch entry (cextract_batch) A/B gate
+# ----------------------------------------------------------------------
+def _batch_extract(docs, stage_metrics=False):
+    """Drive the real batch assembler over an Arrow binary column the
+    way extract_main_text's worker fn does."""
+    import time
+
+    import pyarrow as pa
+
+    from gumbo_pp_spark.operators import extract as X
+
+    rb = pa.RecordBatch.from_arrays(
+        [pa.array(list(range(len(docs))), pa.int64()),
+         pa.array(docs, pa.binary())],
+        ["doc_id", "html"],
+    )
+    return X._assemble_from_batch(rb, rb.column(1), cengine._cextract_batch,
+                                  1, ["doc_id"], stage_metrics,
+                                  time.perf_counter)
+
+
+_BAIL_MIX = [
+    b"<html><body><p>plain</p><script>x</script></body></html>",
+    "<html><body><p>café latte</p></body></html>".encode(),  # non-ASCII
+    b"<div>no body <nav>chrome</nav>tail</div>",
+    b"a\rb",                                                       # CR
+    b"",
+    b"<p>x\x00y</p>",                                              # NUL (C path)
+    b"<table><tr><td>cell</td></tr></table>",
+    "<p>\U0001F600 astral</p>".encode(),                           # astral
+    b"<div>" * 600 + b"deep" + b"</div>" * 600,
+]
+
+
+def test_py_doc_pieces_matches_program():
+    """_py_doc_pieces (the batch path's bail-splice helper) must equal
+    main_text_program column-for-column on every bail class."""
+    from gumbo_pp_spark.operators.extract import _py_doc_pieces, main_text_program
+    from gumbo_pp_spark.parser.html5 import parse_html as ph
+
+    for d in _BAIL_MIX:
+        text, tids, s0, s1, b0, b1, ptags, nn, pe = _py_doc_pieces(d)
+        ref = main_text_program(ph(d))
+        assert text == ref["text"], d[:80]
+        assert nn == ref["n_nodes"] and pe == ref["parse_errors"], d[:80]
+        assert len(tids) == len(ref["spans"]), d[:80]
+        for k, span in enumerate(ref["spans"]):
+            assert int(tids[k]) == span["node_id"], d[:80]
+            assert ptags[k] == span["tag"], d[:80]
+            assert int(s0[k]) == span["start"] and int(s1[k]) == span["end"], d[:80]
+            assert int(b0[k]) == span["start_byte"] and int(b1[k]) == span["end_byte"], d[:80]
+
+
+def test_cextract_batch_bail_splice_and_metrics():
+    """Bail rows (first, interior, consecutive, last) must be spliced
+    with the Python-path result; c_engine flags track per-row
+    engagement; fused parse_us is populated for every row."""
+    from gumbo_pp_spark.operators.extract import main_text_program
+    from gumbo_pp_spark.parser.html5 import parse_html as ph
+
+    docs = [_BAIL_MIX[1], *_BAIL_MIX, _BAIL_MIX[3], _BAIL_MIX[7]]  # bails at both ends
+    out = _batch_extract(docs, stage_metrics=True)
+    assert out is not None
+    od = out.to_pydict()
+    for k, d in enumerate(docs):
+        ref = main_text_program(ph(d))
+        assert od["text"][k] == ref["text"], (k, d[:80])
+        assert od["spans"][k] == ref["spans"], (k, d[:80])
+        assert od["n_nodes"][k] == ref["n_nodes"], (k, d[:80])
+        assert od["parse_errors"][k] == ref["parse_errors"], (k, d[:80])
+        assert od["parse_us"][k] >= 0 and od["kernel_us"][k] == 0
+    c_flags = od["c_engine"]
+    bail_docs = {0, 2, 4, 8, 10, 11}  # non-ASCII (0,2), CR (4,10), astral (8,11)
+    for k in range(len(docs)):
+        assert c_flags[k] == (0 if k in bail_docs else 1), (k, c_flags)
+
+
+def test_cextract_batch_corpus_ab():
+    """Whole-corpus batch A/B: for EVERY document-mode conformance
+    case (engaged AND bail-spliced rows), the batch RecordBatch must
+    equal the per-document pieces path row-for-row — which
+    test_py_doc_pieces_matches_program and the cextract corpus A/B pin
+    to the pure-Python kernel, closing the identity chain."""
+    from gumbo_pp_spark.operators.extract import _py_doc_pieces
+
+    docs = []
+    for ctx, data, _ in CASES:
+        if ctx is not None:
+            continue
+        docs.append(data.encode("utf-8") if isinstance(data, str) else data)
+    checked = 0
+    for i in range(0, len(docs), 4096):
+        chunk = docs[i: i + 4096]
+        out = _batch_extract(chunk)
+        assert out is not None
+        od = out.to_pydict()
+        for k, d in enumerate(chunk):
+            text, tids, s0, s1, b0, b1, ptags, nn, pe = _py_doc_pieces(d)
+            assert od["text"][k] == text, d[:120]
+            assert od["n_nodes"][k] == nn and od["parse_errors"][k] == pe, d[:120]
+            spans = od["spans"][k]
+            assert len(spans) == len(tids), d[:120]
+            for j, sp in enumerate(spans):
+                assert sp["node_id"] == int(tids[j]) and sp["tag"] == ptags[j], d[:120]
+                assert sp["start"] == int(s0[j]) and sp["end"] == int(s1[j]), d[:120]
+                assert sp["start_byte"] == int(b0[j]) and sp["end_byte"] == int(b1[j]), d[:120]
+            checked += 1
+    assert checked >= 30000, checked
+
+
+def test_cextract_batch_bench_corpus_fully_engaged():
+    """The flagship bench corpus must take the batch path with ZERO
+    bail rows (c_engine all 1)."""
+    import duckdb
+
+    from gumbo_pp_spark.sources.pages import PAGES_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    pages = [r[2].encode() for r in con.execute(PAGES_SQL).fetchall()]
+    out = _batch_extract(pages, stage_metrics=True)
+    assert out is not None
+    flags = out.to_pydict()["c_engine"]
+    assert len(flags) == len(pages) and all(f == 1 for f in flags)
