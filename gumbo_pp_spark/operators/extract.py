@@ -220,14 +220,14 @@ def _assemble_from_batch(rb, htmls, cb, n_pt, pt_names, stage_metrics, clk):
     res = cb(bufs[2], off, 1 if is64 else 0, _BOILER_ID_BYTES)
     if res is None:
         return None
-    (txt, toff, sid, s0, s1, cnt, ptg, poff, nn, pe, tot, bail) = res
+    (txt, toff, sid, s0, s1, b0, b1, cnt, ptg, poff, nn, pe, tot, bail) = res
     n = len(htmls)
     text_arr = pa.StringArray.from_buffers(n, pa.py_buffer(toff), pa.py_buffer(txt))
     tag_arr = pa.StringArray.from_buffers(len(sid), pa.py_buffer(poff), pa.py_buffer(ptg))
-    # identity byte map by construction on the C path (pure-ASCII
-    # CR-free raw bytes): byte columns == char columns
+    # byte columns computed in C: identity for pure-ASCII CR-free
+    # docs, exact char→byte map for CRLF / multibyte-UTF-8 docs
     struct = pa.StructArray.from_arrays(
-        [pa.array(sid), tag_arr, pa.array(s0), pa.array(s1), pa.array(s0), pa.array(s1)],
+        [pa.array(sid), tag_arr, pa.array(s0), pa.array(s1), pa.array(b0), pa.array(b1)],
         names=_SPAN_FIELDS,
     )
     loff = np.empty(n + 1, np.int32)

@@ -4152,17 +4152,22 @@ static PyObject *cextract(PyObject *self, PyObject *args) {
  * arrays with a per-document count vector.  The engaged path builds
  * ZERO per-document Python objects.
  *
- * Documents the engine cannot take (non-ASCII / CR / any cparse bail
- * condition) get zero-length slots in every per-doc output and their
- * indices are returned; the caller computes exactly those documents
- * on the reference Python path and splices (rare on real pages —
- * bench + conformance corpora engage at ~90-100%).
+ * Unlike the per-doc cextract entry (pure-ASCII/CR-free only), the
+ * batch path also takes CRLF pages and valid multibyte UTF-8 — the
+ * DOMINANT shapes on real web corpora — via an in-C strict decode +
+ * newline normalization (prep_decode): placeholder parse buffer, str
+ * readback, and an exact char→byte offset map feeding the span byte
+ * columns.  Documents the engine cannot take (invalid UTF-8, NUL in
+ * a non-ASCII doc, any engine bail) get zero-length slots in every
+ * per-doc output and their indices are returned; the caller computes
+ * exactly those documents on the reference Python path and splices.
  *
  * Arguments: (values_buf, offsets_buf, offsets_are_64: int,
  *             boiler_ids_i16_bytes)
- * Returns a 12-tuple
+ * Returns a 14-tuple
  *   (txt_data: bytes, txt_off: int32[n+1],
  *    sp_id: int32[S], sp_s0: int64[S], sp_s1: int64[S],
+ *    sp_b0: int64[S], sp_b1: int64[S],
  *    sp_cnt: int32[n],
  *    ptg_data: bytes, ptg_off: int32[S+1],
  *    n_nodes: int32[n], n_errors: int32[n],
@@ -4207,15 +4212,92 @@ static PyObject *np_copy1d(const void *src, Py_ssize_t n, int typenum, size_t is
     return a;
 }
 
+/* Input prep for the batch path beyond the pure-ASCII/CR-free fast
+ * class (round-6 late): a single strict pass decodes UTF-8, collapses
+ * \r\n / \r to \n (WHATWG input-stream preprocessing), and builds
+ *   - the parse buffer (1 byte per decoded char; chars > 0x7F become
+ *     the 0x80 placeholder, the same transcode convention as cparse's
+ *     kind-2/4 str mode),
+ *   - the char→raw-byte offset map (char starts at the sequence's
+ *     first byte; a collapsed CRLF maps the surviving \n to the CR's
+ *     byte — parser/bytemap.py semantics),
+ *   - for non-ASCII docs, the UCS4 readback codepoints (materialized
+ *     into a str for the engine's substring paths).
+ * Invalid UTF-8 (Python decodes with errors='replace') and NUL in a
+ * non-ASCII doc (the transcoded readback cannot compact, same rule as
+ * cparse) return -1 → the caller reparses that doc Python-side.
+ * Returns the char count on success. */
+static Py_ssize_t prep_decode(const unsigned char *raw, Py_ssize_t nb,
+                              unsigned char *pbuf, Py_UCS4 *ucs,
+                              int64_t *c2b, int has_hi,
+                              int *has_nul_out, PyObject **src_str_out) {
+    Py_ssize_t c = 0, i = 0;
+    int has_nul = 0;
+    while (i < nb) {
+        unsigned char b = raw[i];
+        Py_UCS4 cp;
+        Py_ssize_t adv;
+        if (b == '\r') {
+            cp = '\n';
+            adv = (i + 1 < nb && raw[i + 1] == '\n') ? 2 : 1;
+        } else if (b < 0x80) {
+            cp = b;
+            adv = 1;
+            if (!b) has_nul = 1;
+        } else if (b >= 0xC2 && b <= 0xDF) {
+            if (i + 1 >= nb || (raw[i + 1] & 0xC0) != 0x80) return -1;
+            cp = ((Py_UCS4)(b & 0x1F) << 6) | (raw[i + 1] & 0x3F);
+            adv = 2;
+        } else if (b >= 0xE0 && b <= 0xEF) {
+            if (i + 2 >= nb) return -1;
+            unsigned char b1 = raw[i + 1], b2 = raw[i + 2];
+            if ((b1 & 0xC0) != 0x80 || (b2 & 0xC0) != 0x80) return -1;
+            if (b == 0xE0 && b1 < 0xA0) return -1;   /* overlong */
+            if (b == 0xED && b1 > 0x9F) return -1;   /* surrogate */
+            cp = ((Py_UCS4)(b & 0x0F) << 12) | ((Py_UCS4)(b1 & 0x3F) << 6)
+               | (b2 & 0x3F);
+            adv = 3;
+        } else if (b >= 0xF0 && b <= 0xF4) {
+            if (i + 3 >= nb) return -1;
+            unsigned char b1 = raw[i + 1], b2 = raw[i + 2], b3 = raw[i + 3];
+            if ((b1 & 0xC0) != 0x80 || (b2 & 0xC0) != 0x80 ||
+                (b3 & 0xC0) != 0x80) return -1;
+            if (b == 0xF0 && b1 < 0x90) return -1;   /* overlong */
+            if (b == 0xF4 && b1 > 0x8F) return -1;   /* > U+10FFFF */
+            cp = ((Py_UCS4)(b & 0x07) << 18) | ((Py_UCS4)(b1 & 0x3F) << 12)
+               | ((Py_UCS4)(b2 & 0x3F) << 6) | (b3 & 0x3F);
+            adv = 4;
+        } else {
+            return -1;  /* 0x80-0xC1 / 0xF5-0xFF lead byte */
+        }
+        pbuf[c] = cp > 0x7F ? 0x80 : (unsigned char)cp;
+        if (has_hi) ucs[c] = cp;
+        c2b[c] = i;
+        c++;
+        i += adv;
+    }
+    c2b[c] = nb;
+    if (has_hi) {
+        if (has_nul) return -1;
+        *src_str_out = PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND, ucs, c);
+        if (!*src_str_out) { PyErr_Clear(); return -1; }
+    }
+    *has_nul_out = has_nul;
+    return c;
+}
+
 /* the build_extract walk (body window → boilerplate-subtree exclusion
  * → textual-node collection), writing into the batch accumulators
- * instead of per-document Python objects.  Kept in lockstep with
+ * instead of per-document Python objects.  ``c2b`` maps char offsets
+ * to raw-byte offsets (NULL = identity).  Kept in lockstep with
  * build_extract — both are pinned column-identical to the Python
  * kernel by the corpus A/B (tests/test_cengine.py).  Returns 0 ok,
  * -1 fatal OOM. */
 static int extract_doc_into(P *p, const uint8_t *boiler, int16_t body_tid,
+                            const int64_t *c2b,
                             GrowBuf *txt, GrowBuf *ptg,
                             int32_t **sp_id, int64_t **sp_s0, int64_t **sp_s1,
+                            int64_t **sp_b0, int64_t **sp_b1,
                             int32_t **ptg_off, Py_ssize_t *sp_n, Py_ssize_t *sp_cap,
                             int32_t *nn_out, int32_t *pe_out) {
     Store *st = &p->st;
@@ -4248,17 +4330,24 @@ static int extract_doc_into(P *p, const uint8_t *boiler, int16_t body_tid,
                 int32_t *ni = realloc(*sp_id, (size_t)nc * sizeof(int32_t));
                 int64_t *n0 = realloc(*sp_s0, (size_t)nc * sizeof(int64_t));
                 int64_t *n1 = realloc(*sp_s1, (size_t)nc * sizeof(int64_t));
+                int64_t *nb0 = realloc(*sp_b0, (size_t)nc * sizeof(int64_t));
+                int64_t *nb1 = realloc(*sp_b1, (size_t)nc * sizeof(int64_t));
                 int32_t *np_ = realloc(*ptg_off, (size_t)(nc + 1) * sizeof(int32_t));
                 if (ni) *sp_id = ni;
                 if (n0) *sp_s0 = n0;
                 if (n1) *sp_s1 = n1;
+                if (nb0) *sp_b0 = nb0;
+                if (nb1) *sp_b1 = nb1;
                 if (np_) *ptg_off = np_;
-                if (!ni || !n0 || !n1 || !np_) goto fatal;
+                if (!ni || !n0 || !n1 || !nb0 || !nb1 || !np_) goto fatal;
                 *sp_cap = nc;
             }
+            int64_t s0v = st->span[6 * b + 0], s1v = st->span[6 * b + 1];
             (*sp_id)[*sp_n] = (int32_t)i;
-            (*sp_s0)[*sp_n] = st->span[6 * b + 0];
-            (*sp_s1)[*sp_n] = st->span[6 * b + 1];
+            (*sp_s0)[*sp_n] = s0v;
+            (*sp_s1)[*sp_n] = s1v;
+            (*sp_b0)[*sp_n] = c2b ? c2b[s0v] : s0v;
+            (*sp_b1)[*sp_n] = c2b ? c2b[s1v] : s1v;
             (*ptg_off)[*sp_n] = (int32_t)ptg->n;
             int32_t par = parent_new[i];
             if (par >= 0) {
@@ -4307,8 +4396,13 @@ static PyObject *cextract_batch(PyObject *self, PyObject *args) {
 
     GrowBuf txt = {0}, ptg = {0};
     int32_t *sp_id = NULL, *ptg_off = NULL;
-    int64_t *sp_s0 = NULL, *sp_s1 = NULL;
+    int64_t *sp_s0 = NULL, *sp_s1 = NULL, *sp_b0 = NULL, *sp_b1 = NULL;
     Py_ssize_t sp_n = 0, sp_cap = 0;
+    /* decode scratch, grown once to the largest non-fast-class doc */
+    unsigned char *pbuf = NULL;
+    Py_UCS4 *ucs = NULL;
+    int64_t *c2b = NULL;
+    Py_ssize_t prep_cap = 0;
     int32_t *txt_off = malloc((size_t)(n_docs + 1) * sizeof(int32_t));
     int32_t *sp_cnt = malloc((size_t)(n_docs ? n_docs : 1) * sizeof(int32_t));
     int32_t *nn = malloc((size_t)(n_docs ? n_docs : 1) * sizeof(int32_t));
@@ -4330,20 +4424,64 @@ static PyObject *cextract_batch(PyObject *self, PyObject *args) {
         int64_t o1 = is64 ? ((const int64_t *)oview.buf)[k + 1]
                           : (int64_t)((const int32_t *)oview.buf)[k + 1];
         int ok = o0 >= 0 && o1 >= o0 && o1 <= data_n;
-        int doc_has_nul = 0;
+        int doc_has_nul = 0, has_cr = 0, has_hi = 0;
         if (ok) {
             for (Py_ssize_t i = o0; i < o1; i++) {
                 unsigned char ch = data[i];
-                if (ch >= 0x80 || ch == '\r') { ok = 0; break; }
-                if (ch == 0) doc_has_nul = 1;
+                if (ch >= 0x80) has_hi = 1;
+                else if (ch == '\r') has_cr = 1;
+                else if (ch == 0) doc_has_nul = 1;
+            }
+        }
+        /* three engagement classes (round-6 late):
+         *   fast    — pure-ASCII CR-free raw bytes, parsed in place
+         *             (identity byte map);
+         *   ascii+  — ASCII with CR: normalized into the scratch
+         *             parse buffer, byte offsets via the c2b map;
+         *   unicode — valid UTF-8: placeholder parse buffer + str
+         *             readback (cparse's kind-2/4 convention), byte
+         *             offsets via the c2b map.
+         * Invalid UTF-8 and NUL-in-non-ASCII bail to the caller's
+         * Python splice. */
+        const unsigned char *parse_s = data + o0;
+        Py_ssize_t parse_n = o1 - o0;
+        const int64_t *doc_c2b = NULL;
+        PyObject *src_str = NULL;
+        if (ok && (has_cr || has_hi)) {
+            Py_ssize_t nb = o1 - o0;
+            if (nb + 1 > prep_cap) {
+                Py_ssize_t nc = prep_cap ? prep_cap : 4096;
+                while (nc < nb + 1) nc *= 2;
+                unsigned char *npb = realloc(pbuf, (size_t)nc);
+                Py_UCS4 *nuc = realloc(ucs, (size_t)nc * sizeof(Py_UCS4));
+                int64_t *ncb = realloc(c2b, (size_t)nc * sizeof(int64_t));
+                if (npb) pbuf = npb;
+                if (nuc) ucs = nuc;
+                if (ncb) c2b = ncb;
+                if (!npb || !nuc || !ncb) { fatal = 1; goto done; }
+                prep_cap = nc;
+            }
+            Py_ssize_t nch = prep_decode(data + o0, nb, pbuf, ucs, c2b,
+                                         has_hi, &doc_has_nul, &src_str);
+            if (nch < 0) {
+                ok = 0;
+            } else {
+                parse_s = pbuf;
+                parse_n = nch;
+                doc_c2b = c2b;
             }
         }
         if (ok) {
             P p;
             memset(&p, 0, sizeof(P));
-            p.s = data + o0;
-            p.n = o1 - o0;
+            p.s = parse_s;
+            p.n = parse_n;
             p.doc_has_nul = doc_has_nul;
+            if (src_str) {
+                p.src_obj = src_str;  /* borrowed */
+                p.src_kind = PyUnicode_KIND(src_str);
+                p.src_data = PyUnicode_DATA(src_str);
+            }
             p.quirks = 1;
             p.preorder_ok = 1;
             p.frameset_ok = 1;
@@ -4352,7 +4490,7 @@ static PyObject *cextract_batch(PyObject *self, PyObject *args) {
             if (new_node(&p, T_DOCUMENT, -1, NULL, NULL, NULL, 0, p.n,
                          0, 0, 0, 0) < 0) {
                 p_free(&p);
-                if (PyErr_Occurred()) { fatal = 1; goto done; }
+                if (PyErr_Occurred()) { Py_XDECREF(src_str); fatal = 1; goto done; }
                 ok = 0;
             } else {
                 run_parse(&p);
@@ -4361,14 +4499,17 @@ static PyObject *cextract_batch(PyObject *self, PyObject *args) {
                     p_free(&p);
                     ok = 0;
                 } else {
-                    int rc = extract_doc_into(&p, boiler, body_tid, &txt, &ptg,
-                                              &sp_id, &sp_s0, &sp_s1, &ptg_off,
+                    int rc = extract_doc_into(&p, boiler, body_tid, doc_c2b,
+                                              &txt, &ptg,
+                                              &sp_id, &sp_s0, &sp_s1,
+                                              &sp_b0, &sp_b1, &ptg_off,
                                               &sp_n, &sp_cap, &nn[k], &pe[k]);
                     p_free(&p);
-                    if (rc < 0) { fatal = 1; goto done; }
+                    if (rc < 0) { Py_XDECREF(src_str); fatal = 1; goto done; }
                 }
             }
         }
+        Py_XDECREF(src_str);
         if (!ok) {
             /* zero-length slots; caller reparses this doc Python-side */
             if (bail_n == bail_cap) {
@@ -4405,6 +4546,8 @@ static PyObject *cextract_batch(PyObject *self, PyObject *args) {
         PyObject *o_sid = np_copy1d(sp_id, sp_n, NPY_INT32, 4);
         PyObject *o_s0 = np_copy1d(sp_s0, sp_n, NPY_INT64, 8);
         PyObject *o_s1 = np_copy1d(sp_s1, sp_n, NPY_INT64, 8);
+        PyObject *o_b0 = np_copy1d(sp_b0, sp_n, NPY_INT64, 8);
+        PyObject *o_b1 = np_copy1d(sp_b1, sp_n, NPY_INT64, 8);
         PyObject *o_cnt = np_copy1d(sp_cnt, n_docs, NPY_INT32, 4);
         PyObject *o_ptg = PyBytes_FromStringAndSize(ptg.buf ? ptg.buf : "", ptg.n);
         PyObject *o_poff = np_copy1d(ptg_off, sp_n + 1, NPY_INT32, 4);
@@ -4412,21 +4555,23 @@ static PyObject *cextract_batch(PyObject *self, PyObject *args) {
         PyObject *o_pe = np_copy1d(pe, n_docs, NPY_INT32, 4);
         PyObject *o_tot = np_copy1d(tot, n_docs, NPY_INT64, 8);
         PyObject *o_bail = np_copy1d(bail, bail_n, NPY_INT32, 4);
-        if (o_txt && o_toff && o_sid && o_s0 && o_s1 && o_cnt && o_ptg &&
-            o_poff && o_nn && o_pe && o_tot && o_bail) {
-            res = PyTuple_Pack(12, o_txt, o_toff, o_sid, o_s0, o_s1, o_cnt,
-                               o_ptg, o_poff, o_nn, o_pe, o_tot, o_bail);
+        if (o_txt && o_toff && o_sid && o_s0 && o_s1 && o_b0 && o_b1 &&
+            o_cnt && o_ptg && o_poff && o_nn && o_pe && o_tot && o_bail) {
+            res = PyTuple_Pack(14, o_txt, o_toff, o_sid, o_s0, o_s1, o_b0,
+                               o_b1, o_cnt, o_ptg, o_poff, o_nn, o_pe,
+                               o_tot, o_bail);
         }
         Py_XDECREF(o_txt); Py_XDECREF(o_toff); Py_XDECREF(o_sid);
-        Py_XDECREF(o_s0); Py_XDECREF(o_s1); Py_XDECREF(o_cnt);
-        Py_XDECREF(o_ptg); Py_XDECREF(o_poff); Py_XDECREF(o_nn);
-        Py_XDECREF(o_pe); Py_XDECREF(o_tot); Py_XDECREF(o_bail);
+        Py_XDECREF(o_s0); Py_XDECREF(o_s1); Py_XDECREF(o_b0); Py_XDECREF(o_b1);
+        Py_XDECREF(o_cnt); Py_XDECREF(o_ptg); Py_XDECREF(o_poff);
+        Py_XDECREF(o_nn); Py_XDECREF(o_pe); Py_XDECREF(o_tot); Py_XDECREF(o_bail);
         if (!res) fatal = 1;
     }
 
 done:
     free(txt.buf); free(ptg.buf);
-    free(sp_id); free(sp_s0); free(sp_s1); free(ptg_off);
+    free(sp_id); free(sp_s0); free(sp_s1); free(sp_b0); free(sp_b1); free(ptg_off);
+    free(pbuf); free(ucs); free(c2b);
     free(txt_off); free(sp_cnt); free(nn); free(pe); free(tot); free(bail);
     PyBuffer_Release(&dview); PyBuffer_Release(&oview); PyBuffer_Release(&bview);
     if (fatal) {

@@ -775,14 +775,19 @@ def _batch_extract(docs, stage_metrics=False):
 
 _BAIL_MIX = [
     b"<html><body><p>plain</p><script>x</script></body></html>",
-    "<html><body><p>café latte</p></body></html>".encode(),  # non-ASCII
+    "<html><body><p>café latte</p></body></html>".encode(),  # 2-byte UTF-8
     b"<div>no body <nav>chrome</nav>tail</div>",
-    b"a\rb",                                                       # CR
+    b"a\rb",                                                       # lone CR
     b"",
     b"<p>x\x00y</p>",                                              # NUL (C path)
     b"<table><tr><td>cell</td></tr></table>",
     "<p>\U0001F600 astral</p>".encode(),                           # astral
     b"<div>" * 600 + b"deep" + b"</div>" * 600,
+    b"\xff\xfe<p>invalid utf8</p>",                                # BAIL: invalid
+    "<p>mix é\x00nul</p>".encode(),                                # BAIL: NUL+non-ASCII
+    b"<html>\r\n<body>\r\n<p>crlf</p>\r\n</body>\r\n</html>",      # CRLF
+    "<title>Béta</title>\r\n<body>\r\n<p>é€ x 😀</p>\r\n</body>".encode(),
+    "<p>日本語テスト &amp; エンティティ</p>".encode(),             # CJK + entity
 ]
 
 
@@ -808,23 +813,36 @@ def test_py_doc_pieces_matches_program():
 def test_cextract_batch_bail_splice_and_metrics():
     """Bail rows (first, interior, consecutive, last) must be spliced
     with the Python-path result; c_engine flags track per-row
-    engagement; fused parse_us is populated for every row."""
-    from gumbo_pp_spark.operators.extract import main_text_program
-    from gumbo_pp_spark.parser.html5 import parse_html as ph
+    engagement; fused parse_us is populated for every row.
 
-    docs = [_BAIL_MIX[1], *_BAIL_MIX, _BAIL_MIX[3], _BAIL_MIX[7]]  # bails at both ends
+    Round-6 late: CRLF / multibyte-UTF-8 / CJK / astral docs ENGAGE
+    (in-C decode + normalization + char→byte map) — the remaining
+    batch bail classes are invalid UTF-8 and NUL in a non-ASCII doc,
+    compared here against the PURE-PYTHON kernel (C dispatch disabled
+    for the reference) so byte columns are verified end to end."""
+    import gumbo_pp_spark.parser.html5 as H
+    from gumbo_pp_spark.operators.extract import main_text_program
+
+    # bails (indices 9, 10 of _BAIL_MIX) placed first, interior,
+    # consecutive AND last
+    docs = [_BAIL_MIX[9], *_BAIL_MIX, _BAIL_MIX[10], _BAIL_MIX[9]]
     out = _batch_extract(docs, stage_metrics=True)
     assert out is not None
     od = out.to_pydict()
-    for k, d in enumerate(docs):
-        ref = main_text_program(ph(d))
+    saved = H._cparse_fast
+    H._cparse_fast = None
+    try:
+        refs = [main_text_program(H.parse_html(d)) for d in docs]
+    finally:
+        H._cparse_fast = saved
+    for k, (d, ref) in enumerate(zip(docs, refs)):
         assert od["text"][k] == ref["text"], (k, d[:80])
         assert od["spans"][k] == ref["spans"], (k, d[:80])
         assert od["n_nodes"][k] == ref["n_nodes"], (k, d[:80])
         assert od["parse_errors"][k] == ref["parse_errors"], (k, d[:80])
         assert od["parse_us"][k] >= 0 and od["kernel_us"][k] == 0
     c_flags = od["c_engine"]
-    bail_docs = {0, 2, 4, 8, 10, 11}  # non-ASCII (0,2), CR (4,10), astral (8,11)
+    bail_docs = {0, 10, 11, 15, 16}  # invalid-UTF-8 / NUL+non-ASCII rows
     for k in range(len(docs)):
         assert c_flags[k] == (0 if k in bail_docs else 1), (k, c_flags)
 
@@ -879,3 +897,35 @@ def test_cextract_batch_bench_corpus_fully_engaged():
     assert out is not None
     flags = out.to_pydict()["c_engine"]
     assert len(flags) == len(pages) and all(f == 1 for f in flags)
+
+
+def test_cextract_batch_crlf_corpus_ab():
+    """CRLF-variant sweep: every LF in the first 3000 document-mode
+    conformance cases rewritten to CRLF — the batch path's in-C
+    normalization + char→byte map must match the per-doc pieces path
+    (whose byte map is the pinned parser/bytemap.py) row-for-row."""
+    from gumbo_pp_spark.operators.extract import _py_doc_pieces
+
+    docs = []
+    for ctx, data, _ in CASES:
+        if ctx is not None:
+            continue
+        raw = data.encode("utf-8") if isinstance(data, str) else data
+        if b"\r" in raw:
+            continue
+        docs.append(raw.replace(b"\n", b"\r\n"))
+        if len(docs) >= 3000:
+            break
+    out = _batch_extract(docs)
+    assert out is not None
+    od = out.to_pydict()
+    for k, d in enumerate(docs):
+        text, tids, s0, s1, b0, b1, ptags, nn, pe = _py_doc_pieces(d)
+        assert od["text"][k] == text, d[:120]
+        assert od["n_nodes"][k] == nn and od["parse_errors"][k] == pe, d[:120]
+        spans = od["spans"][k]
+        assert len(spans) == len(tids), d[:120]
+        for j, sp in enumerate(spans):
+            assert sp["node_id"] == int(tids[j]) and sp["tag"] == ptags[j], d[:120]
+            assert sp["start"] == int(s0[j]) and sp["end"] == int(s1[j]), d[:120]
+            assert sp["start_byte"] == int(b0[j]) and sp["end_byte"] == int(b1[j]), d[:120]
