@@ -113,6 +113,17 @@ SHINGLE_EXPR = (
     "j -> concat_ws(' ', slice(split(text, ' '), j, 3))))"
 )
 
+# same shingle set over a pre-split ``ws`` array column.  Spark does
+# not hoist loop-invariant subexpressions out of higher-order-function
+# lambdas, so the one-column form above re-tokenizes ``text`` for
+# every j — O(words²) characters per document; ``shingles`` projects
+# the split once and uses this form (byte-identical output, and the
+# oracle keeps mirroring SHINGLE_EXPR).
+_WS_SHINGLE_EXPR = (
+    "array_distinct(transform(sequence(1, size(ws) - 2), "
+    "j -> concat_ws(' ', slice(ws, j, 3))))"
+)
+
 
 def exact_dedup(df: DataFrame, key_expr: str = "substr(text, 1, 30)") -> DataFrame:
     """Exact duplicate groups by a canonical key; keeps min(doc_id).
@@ -131,11 +142,20 @@ def exact_dedup(df: DataFrame, key_expr: str = "substr(text, 1, 30)") -> DataFra
 
 def shingles(df: DataFrame) -> DataFrame:
     """(doc_id, shingle) exploded distinct word-3-grams; docs with <3
-    words contribute nothing (guard matches the oracle)."""
-    return (
-        df.where(F.expr("size(split(text, ' ')) >= 3"))
-        .select("doc_id", F.explode(F.expr(SHINGLE_EXPR)).alias("sh"))
+    words contribute nothing (guard matches the oracle).
+
+    The input is re-spread across cores first
+    (:func:`~gumbo_pp_spark.plans.partitioning.ensure_min_parallelism`):
+    a one-row-group parquet scan otherwise pins the whole downstream
+    hashing/aggregation pipeline to a single task."""
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    ws = (
+        ensure_min_parallelism(df)
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .where(F.expr("size(ws) >= 3"))
     )
+    return ws.select("doc_id", F.explode(F.expr(_WS_SHINGLE_EXPR)).alias("sh"))
 
 
 def ngram_jaccard_pairs(
@@ -351,7 +371,11 @@ def simhash63_sql(text_col: str = "text") -> str:
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash bigint) — 63-bit fingerprint.  Near-dup pairs
     at scale: group by bit-bands of the fingerprint, verify survivors
-    with ``bit_count(a ^ b) <= r`` (xor+popcount are JVM intrinsics)."""
+    with ``bit_count(a ^ b) <= r`` (xor+popcount are JVM intrinsics).
+    Input re-spread across cores first (see :func:`shingles`)."""
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     return df.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.expr(simhash63_sql(text_col)).cast("bigint").alias("simhash"),

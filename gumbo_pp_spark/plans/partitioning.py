@@ -128,6 +128,31 @@ def size_balanced_bins(
     return binned.repartition(max(next_bin, 1), "size_bin")
 
 
+def ensure_min_parallelism(df: DataFrame, waves: int = 2) -> DataFrame:
+    """Guarded round-robin repartition before CPU-heavy per-row work.
+
+    A scan of a small or unsplittable input (one parquet file with a
+    single row group, a gzip member, a tiny dimension table) yields
+    fewer partitions than the session has cores, and every
+    map-side-heavy stage downstream (per-word hashing, signature
+    aggregation) then runs on that handful of tasks no matter how many
+    executors exist — the sf0.1 documents table is one 0.6 MB row
+    group, so the minhash signature aggregate ran single-threaded.
+    When the input's partition count is below the session parallelism,
+    repartition to ``waves × cores``; otherwise return the input
+    unchanged.  At corpus scale splits ≫ cores and this is a no-op —
+    no shuffle is ever added to an already-parallel plan.
+
+    Call this with scan-stage inputs (the partition-count probe builds
+    the physical RDD; on a map-only plan that runs no jobs).
+    """
+    sc = df.sparkSession.sparkContext
+    target = max(1, sc.defaultParallelism)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target * waves)
+
+
 def input_stats(spark, input_dir: str) -> tuple[int, int]:
     """(total_bytes, n_files) of a scan input, via the Hadoop
     FileSystem API (works for hdfs/s3a paths too); local os.walk as a
