@@ -31,14 +31,18 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
-    The query set is broadcast (small dim table pattern) so the scan of
-    the big side stays shuffle-free; the only wide exchange is the
+    The query set is broadcast (small dim table pattern) so the big
+    side is never shuffled FOR THE JOIN; the only wide exchange is the
     final per-query top-k, which is a partial top-k per partition
-    under AQE.  Returns (query_id, neighbor_id, rank).
+    under AQE.  (An unsplittable under-parallel input is first spread
+    across cores — see ``ensure_min_parallelism``; a no-op at corpus
+    scale.)  Returns (query_id, neighbor_id, rank).
     """
     from pyspark.sql.window import Window
 
-    base = with_norm(df, vec_col).where(F.col("norm") > 0)
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    base = with_norm(ensure_min_parallelism(df), vec_col).where(F.col("norm") > 0)
     q = (
         with_norm(queries, vec_col)
         .where(F.col("norm") > 0)
@@ -87,8 +91,10 @@ def cosine_near_dup_pairs(
     with a JVM-side dot product; cosine is e6-scaled so the DuckDB
     oracle (which recomputes the identical buckets/probes) compares
     exactly."""
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
     sk = hyperplane_sketch_expr(dim, n_planes, vec_col)
-    base = with_norm(df, vec_col).where(F.col("norm") > 0).withColumn(
+    base = with_norm(ensure_min_parallelism(df), vec_col).where(F.col("norm") > 0).withColumn(
         "bucket", F.expr(sk)
     )
     probes = ", ".join(f"bucket ^ {2 ** p}" for p in range(n_planes))
@@ -166,8 +172,14 @@ def lsh_cosine_topk(
     """
     from pyspark.sql.window import Window
 
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
     sk = hyperplane_sketch_expr(dim, n_planes, vec_col)
-    base = with_norm(df, vec_col).where(F.col("norm") > 0).withColumn("bucket", F.expr(sk))
+    base = (
+        with_norm(ensure_min_parallelism(df), vec_col)
+        .where(F.col("norm") > 0)
+        .withColumn("bucket", F.expr(sk))
+    )
     q = (
         with_norm(queries, vec_col)
         .where(F.col("norm") > 0)
