@@ -172,3 +172,23 @@ class TestInputSplitTuning:
             assert tiny == 64 << 20
         finally:
             spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    def test_ensure_min_parallelism_guard(self, spark, tmp_path):
+        """round-6 late: a single-row-group scan (fewer partitions than
+        cores) is round-robin spread to waves x cores; an
+        already-parallel input passes through IDENTICAL (no Exchange
+        added — the corpus-scale no-op contract)."""
+        from gumbo_pp_spark.plans import partitioning as P
+
+        src = str(tmp_path / "one_rg")
+        spark.range(5000).selectExpr("id", "repeat('w ', 40) as text") \
+            .coalesce(1).write.parquet(src)
+        one = spark.read.parquet(src)
+        assert one.rdd.getNumPartitions() == 1
+        cores = spark.sparkContext.defaultParallelism
+        spread = P.ensure_min_parallelism(one)
+        assert spread.rdd.getNumPartitions() == 2 * cores
+        assert spread.count() == 5000
+
+        wide = one.repartition(cores)
+        assert P.ensure_min_parallelism(wide) is wide  # untouched
