@@ -431,3 +431,138 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 2) -> DataFrame:
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+# ----------------------------------------------------------------------
+# Component resolution.  LSH/simhash emit near-duplicate PAIRS; a
+# dedup decision needs per-document components (a 3-cycle of pairs is
+# ONE cluster keeping ONE doc, not three independent drops).  At
+# 100 TB the pair graph has billions of edges, so the resolution must
+# stay distributed: this is the alternating large-star / small-star
+# algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+# "Connected Components in MapReduce and Beyond", ACM SoCC 2014) —
+# O(log n) rounds, each round two keyed aggregate+join shuffles, no
+# driver-side graph state and no per-node neighbor list materialized
+# (a star center's neighborhood is an entire component; collect_list
+# there would OOM one executor at scale, so minima are computed by
+# aggregate and joined back instead).
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its strictly-larger
+    neighbors to the minimum of its closed neighborhood."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.least("mv", F.col("u")).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node connects its not-larger
+    neighbors (and itself) to the minimum among them."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("mv"))
+    return (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+        .union(mins.select("u", F.col("mv").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_rounds: int = 50,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Resolve candidate pairs into connected components.
+
+    Returns ``(doc_id, component)`` for every node appearing in
+    ``pairs``, where ``component`` is the smallest doc_id reachable
+    through the pair graph — the deterministic cluster representative.
+    Nodes absent from ``pairs`` (singletons) are absent here; callers
+    needing total coverage coalesce to self after a left join (see
+    :func:`canonical_docs`).
+
+    Alternates large-star / small-star until the edge set reaches its
+    fixed point (a forest of stars centered at component minima —
+    Theorem 1 of the SoCC'14 paper), detected by comparing a
+    (count, bit_xor-of-xxhash64) checksum across rounds: one tiny
+    driver action per round, never the edge set itself.  Lineage is
+    truncated with an EAGER ``localCheckpoint`` every
+    ``checkpoint_every`` rounds (default every round): each round
+    references its input several times (the symmetrize union + the
+    min-join), so without truncation the logical plan nests the
+    previous round ~4× per round and Catalyst's compile cost grows
+    exponentially — the driver, not the executors, becomes the
+    bottleneck.  This is the standard iterative-graph pattern
+    (GraphFrames checkpoints its CC rounds the same way); on a cluster
+    with a configured checkpoint dir, reliable ``checkpoint`` is the
+    drop-in upgrade for executor-loss resilience.
+    """
+    edges = (
+        pairs.select(
+            F.col(a).cast("bigint").alias("u"), F.col(b).cast("bigint").alias("v")
+        )
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev = None
+    for r in range(max_rounds):
+        stars = _small_star(_large_star(edges))
+        if (r + 1) % checkpoint_every == 0:
+            stars = stars.localCheckpoint()
+        # bit_xor is order-independent and cannot overflow under ANSI
+        # mode (a sum of 64-bit hashes can)
+        row = stars.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        edges = stars
+        if sig == prev or sig[0] == 0:
+            break
+        prev = sig
+    roots = edges.select(F.col("v").alias("u"), "v").distinct()
+    return (
+        edges.union(roots)
+        .distinct()
+        .select(F.col("u").alias("doc_id"), F.col("v").alias("component"))
+    )
+
+
+def canonical_docs(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-component canonical selection over the full corpus.
+
+    Appends ``component`` (smallest id in the document's near-dup
+    cluster; the document's own id when it has no near-dups) and
+    ``is_canonical`` (1 for the one kept representative per component,
+    0 for the near-duplicates to drop) to ``df``.  The join against
+    the component map hits only documents that appear in ``pairs`` —
+    at a typical few-percent duplicate rate the map is orders of
+    magnitude smaller than the corpus and AQE turns the left join into
+    a broadcast at runtime; the corpus itself is never shuffled on a
+    text key.
+    """
+    comp = connected_components(pairs).withColumnRenamed("doc_id", "__cc_id")
+    return (
+        df.join(comp, F.col(id_col) == F.col("__cc_id"), "left")
+        .drop("__cc_id")
+        .withColumn("component", F.coalesce("component", F.col(id_col).cast("bigint")))
+        .withColumn(
+            "is_canonical",
+            (F.col(id_col) == F.col("component")).cast("bigint"),
+        )
+    )

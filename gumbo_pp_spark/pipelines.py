@@ -13,7 +13,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .operators.dedup import cache_scope, exact_dedup, minhash_lsh_pairs
+from .operators.dedup import (
+    cache_scope,
+    canonical_docs,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
 from .operators.extract import extract_main_text
 from .operators.textstats import quality_filter, repetition_stats, scrub_pii
 
@@ -24,6 +29,7 @@ def build_training_corpus(
     min_alpha_ratio_e4: int = 6000,
     near_dup_min_equal: int = 7,
     max_top_word_frac_e4: int = 5000,
+    near_dup_policy: str = "pairs",
 ) -> DataFrame:
     """pages(doc_id,url,html) → deduped, scrubbed, fingerprinted corpus
     (doc_id, url, clean_text, n_tokens, fp_md5).
@@ -34,6 +40,19 @@ def build_training_corpus(
     (two small keyed shuffles over survivors), then exact dedup (one
     digest shuffle), then MinHash-LSH near-dup (band-bucketed joins on
     the survivors only), PII scrub and fingerprints last (map-only).
+
+    ``near_dup_policy`` picks the near-dup drop rule:
+
+    * ``"pairs"`` (default, fully lazy) — drop the higher doc_id of
+      every confident pair.  Cheap (no extra shuffle beyond the pair
+      join) but transitively incomplete: for pairs (1,3),(2,3) it
+      keeps BOTH 1 and 2 even though they share a cluster via 3.
+    * ``"components"`` — resolve the pair graph into connected
+      components (:func:`~.operators.dedup.connected_components`) and
+      keep exactly one representative (the smallest doc_id) per
+      cluster.  Component resolution is iterative, so this policy
+      RUNS Spark jobs at build time (O(log n) star-contraction
+      rounds); the returned plan is lazy as usual afterwards.
     """
     extracted = extract_main_text(pages, passthrough=("doc_id", "url"))
     docs = extracted.select("doc_id", "url", F.col("text"))
@@ -57,10 +76,18 @@ def build_training_corpus(
     )
     docs = docs.join(keepers, "doc_id")
 
-    # near-dup: drop the higher doc_id of every confident pair
+    # near-dup drop (policy documented in the docstring)
     pairs = minhash_lsh_pairs(docs, min_equal=near_dup_min_equal)
-    losers = pairs.select(F.col("b").alias("doc_id")).distinct()
-    docs = docs.join(losers, "doc_id", "left_anti")
+    if near_dup_policy == "components":
+        flagged = canonical_docs(docs.select("doc_id"), pairs)
+        docs = docs.join(
+            flagged.where(F.col("is_canonical") == 1).select("doc_id"), "doc_id"
+        )
+    elif near_dup_policy == "pairs":
+        losers = pairs.select(F.col("b").alias("doc_id")).distinct()
+        docs = docs.join(losers, "doc_id", "left_anti")
+    else:
+        raise ValueError(f"unknown near_dup_policy: {near_dup_policy!r}")
 
     scrubbed = scrub_pii(docs).select("doc_id", "clean_text")
     return (

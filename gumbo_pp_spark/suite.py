@@ -106,6 +106,39 @@ def _duck_minhash_cte() -> str:
     )
 
 
+def _duck_components_cte() -> str:
+    # transitive closure over the minhash pair graph (fine at oracle
+    # scale; the Spark side uses O(log n) large-star/small-star
+    # rounds instead — closure would be quadratic at 100 TB)
+    return (
+        f"WITH RECURSIVE pairs AS ({_duck_minhash_cte()}), "
+        "edges AS (SELECT a AS u, b AS v FROM pairs "
+        "UNION SELECT b AS u, a AS v FROM pairs), "
+        "reach(node, r) AS (SELECT u, u FROM edges "
+        "UNION SELECT e.v, r.r FROM reach r JOIN edges e ON e.u = r.node), "
+        "comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node) "
+    )
+
+
+def _duck_components_sql() -> str:
+    return (
+        _duck_components_cte()
+        + "SELECT CAST(node AS BIGINT) AS doc_id, "
+        "CAST(component AS BIGINT) AS component FROM comp"
+    )
+
+
+def _duck_canonical_sql() -> str:
+    return (
+        _duck_components_cte()
+        + "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
+        "CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component, "
+        "CAST(CASE WHEN COALESCE(c.component, d.doc_id) = d.doc_id "
+        "THEN 1 ELSE 0 END AS BIGINT) AS is_canonical "
+        "FROM documents d LEFT JOIN comp c ON d.doc_id = c.node"
+    )
+
+
 def _duck_lsh_stats_cte() -> str:
     mh = ", ".join(
         f"min(md5('{k}|' || sh)) AS mh{k}" for k in range(D.N_MINHASHES)
@@ -631,6 +664,21 @@ def q_dedup_minhash(spark, sf_dir):
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), min_equal=4)
 
 
+def q_dedup_components(spark, sf_dir):
+    # pair graph -> per-doc component (smallest reachable doc_id):
+    # large-star/small-star, O(log n) distributed rounds
+    docs = _docs(spark, sf_dir)
+    return D.connected_components(D.minhash_lsh_pairs(docs, min_equal=4))
+
+
+def q_dedup_canonical(spark, sf_dir):
+    # the end-to-end dedup DECISION: one kept representative per
+    # near-dup cluster, every other member flagged for drop
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs, min_equal=4)
+    return D.canonical_docs(docs, pairs).select("doc_id", "component", "is_canonical")
+
+
 def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
@@ -911,6 +959,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_components": q_dedup_components,
+    "dedup_canonical": q_dedup_canonical,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "shingle_df_stats": q_shingle_df_stats,
     "simhash": q_simhash,
@@ -1085,6 +1135,8 @@ ORACLES: dict[str, str] = {
         "WHERE 1.0 * shared / (sa.n_sh + sb.n_sh - shared) >= 0.5"
     ),
     "dedup_minhash_lsh": _duck_minhash_cte(),
+    "dedup_components": _duck_components_sql(),
+    "dedup_canonical": _duck_canonical_sql(),
     "lsh_bucket_stats": _duck_lsh_stats_cte(),
     "shingle_df_stats": _DUCK_SHINGLE_STATS,
     "simhash": _duck_simhash_sql(),

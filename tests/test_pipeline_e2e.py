@@ -36,6 +36,35 @@ def test_pipeline_drops_replicated_near_dups(spark):
     assert n_out < n_in / 2, (n_in, n_out)
 
 
+def test_pipeline_components_policy_keeps_one_per_cluster(spark):
+    # component-exact policy: the pair-based drop can keep several
+    # members of one transitive cluster; the components policy keeps
+    # exactly one, so it can never keep MORE
+    pages = synth_pages_bench(spark, SF_SMOKE, replicate=4, paragraphs=2).select(
+        F.col("page_id").alias("doc_id"), "url", "html"
+    )
+    by_pairs = build_training_corpus(pages, near_dup_min_equal=7)
+    by_comp = build_training_corpus(
+        pages, near_dup_min_equal=7, near_dup_policy="components"
+    )
+    n_pairs, n_comp = by_pairs.count(), by_comp.count()
+    assert 0 < n_comp <= n_pairs, (n_comp, n_pairs)
+    # kept representatives are component minima: every kept doc_id is
+    # <= any doc_id it would collapse with, so the smallest input id
+    # always survives
+    assert by_comp.agg(F.min("doc_id")).first()[0] == pages.agg(
+        F.min("doc_id")
+    ).first()[0]
+
+
+def test_pipeline_rejects_unknown_near_dup_policy(spark):
+    import pytest as _pytest
+
+    pages = synth_pages(spark, SF_SMOKE).select("doc_id", "url", "html")
+    with _pytest.raises(ValueError, match="near_dup_policy"):
+        build_training_corpus(pages, near_dup_policy="nope")
+
+
 def test_pipeline_drops_repetitive_docs(spark):
     # a degenerate looping page (one word repeated) must be gated out
     from gumbo_pp_spark.pipelines import build_training_corpus
