@@ -270,3 +270,67 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         f"CAST(size(split({text_col}, ' +')) AS BIGINT) AS ws_tokens",
         f"CAST(regexp_count({text_col}, '[a-z0-9]+') AS BIGINT) AS word_tokens",
     )
+
+
+# ----------------------------------------------------------------------
+# Benchmark decontamination (GPT-3 appendix C / PaLM style): a
+# training document is contaminated when it shares at least one word
+# n-gram (n=13 by convention) with any document of an evaluation set.
+# Scale shape: the eval side is benchmark-sized (10^4..10^6 grams)
+# against a 10^12-page corpus, so the eval grams are distinct'd and
+# BROADCAST; the corpus side is a map-only n-gram explode feeding a
+# broadcast hash join — the corpus is never shuffled on text, only the
+# matched (doc_id, gram) rows reach the per-doc count (map-side
+# combined, keyed by doc_id).
+
+
+def _ngram_expr(n: int) -> str:
+    # distinct word n-grams over a pre-split `ws` column; split once,
+    # not per lambda index (Spark has no loop-invariant hoisting in
+    # higher-order functions)
+    return (
+        f"array_distinct(transform(sequence(1, size(ws) - {n - 1}), "
+        f"j -> concat_ws(' ', slice(ws, j, {n}))))"
+    )
+
+
+def eval_ngrams(evals: DataFrame, n: int = 13, text_col: str = "text") -> DataFrame:
+    """Distinct word ``n``-grams of an eval set: (gram).  Docs shorter
+    than ``n`` words contribute nothing."""
+    ws = evals.select(F.split(F.col(text_col), " ").alias("ws")).where(
+        F.expr(f"size(ws) >= {n}")
+    )
+    return ws.select(F.explode(F.expr(_ngram_expr(n))).alias("gram")).distinct()
+
+
+def contamination(
+    docs: DataFrame, evals: DataFrame, n: int = 13, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_contaminated) for every training document sharing at
+    least one word ``n``-gram with ``evals`` — ``n_contaminated`` is
+    the number of DISTINCT shared grams (both sides de-duplicate
+    per document, so the count is order-free and oracle-stable).
+    Clean documents are absent; :func:`decontaminate` is the filter."""
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    grams = eval_ngrams(evals, n, text_col)
+    ws = (
+        ensure_min_parallelism(docs)
+        .select("doc_id", F.split(F.col(text_col), " ").alias("ws"))
+        .where(F.expr(f"size(ws) >= {n}"))
+    )
+    dg = ws.select("doc_id", F.explode(F.expr(_ngram_expr(n))).alias("gram"))
+    return (
+        dg.join(F.broadcast(grams), "gram")
+        .groupBy(F.col("doc_id").cast("bigint").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame, evals: DataFrame, n: int = 13, text_col: str = "text"
+) -> DataFrame:
+    """``docs`` minus every document contaminated against ``evals``
+    (left-anti on doc_id; all original columns pass through)."""
+    bad = contamination(docs, evals, n, text_col).select("doc_id")
+    return docs.join(bad, "doc_id", "left_anti")

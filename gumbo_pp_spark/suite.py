@@ -679,6 +679,18 @@ def q_dedup_canonical(spark, sf_dir):
     return D.canonical_docs(docs, pairs).select("doc_id", "component", "is_canonical")
 
 
+def q_decontaminate(spark, sf_dir):
+    # eval set derived deterministically from the corpus itself (no
+    # external data in the sandbox): every 41st doc contributes words
+    # 5..40 as a synthetic benchmark prompt; 13-gram contamination
+    # must then flag (at least) those source documents
+    docs = _docs(spark, sf_dir)
+    evals = docs.where(F.col("doc_id") % 41 == 0).select(
+        F.concat_ws(" ", F.slice(F.split("text", " "), 5, 36)).alias("text")
+    )
+    return T.contamination(docs, evals, n=13)
+
+
 def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
@@ -961,6 +973,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_components": q_dedup_components,
     "dedup_canonical": q_dedup_canonical,
+    "decontaminate": q_decontaminate,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "shingle_df_stats": q_shingle_df_stats,
     "simhash": q_simhash,
@@ -1137,6 +1150,23 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": _duck_minhash_cte(),
     "dedup_components": _duck_components_sql(),
     "dedup_canonical": _duck_canonical_sql(),
+    "decontaminate": (
+        # 13-gram benchmark decontamination; eval texts = words 5..40
+        # of every 41st doc (mirror of q_decontaminate)
+        "WITH ev AS (SELECT array_to_string(string_split(text, ' ')[5:40], ' ') AS text "
+        "FROM documents WHERE doc_id % 41 = 0), "
+        "eg AS (SELECT DISTINCT unnest(list_distinct(list_transform("
+        "generate_series(1, len(string_split(text, ' ')) - 12), "
+        "j -> array_to_string(string_split(text, ' ')[j:j+12], ' ')))) AS gram "
+        "FROM ev WHERE len(string_split(text, ' ')) >= 13), "
+        "dg AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        "generate_series(1, len(string_split(text, ' ')) - 12), "
+        "j -> array_to_string(string_split(text, ' ')[j:j+12], ' ')))) AS gram "
+        "FROM documents WHERE len(string_split(text, ' ')) >= 13) "
+        "SELECT CAST(dg.doc_id AS BIGINT) AS doc_id, "
+        "CAST(count(*) AS BIGINT) AS n_contaminated "
+        "FROM dg JOIN eg USING (gram) GROUP BY dg.doc_id"
+    ),
     "lsh_bucket_stats": _duck_lsh_stats_cte(),
     "shingle_df_stats": _DUCK_SHINGLE_STATS,
     "simhash": _duck_simhash_sql(),

@@ -1,0 +1,63 @@
+"""Benchmark decontamination (13-gram overlap vs an eval set) —
+GPT-3-appendix-C-style; beyond-reference pipeline operator."""
+
+from pyspark.sql import functions as F
+
+from gumbo_pp_spark.operators import textstats as T
+
+W = " ".join(f"w{i}" for i in range(20))  # 20 words -> 8 distinct 13-grams
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_contamination_flags_shared_13gram(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, W + " tail one"),          # shares all of W's grams
+            (2, "completely different text " * 5),
+            (3, "prefix " + W),            # shares them too
+        ],
+    )
+    evals = spark.createDataFrame([(W,)], "text string")
+    got = {r["doc_id"]: r["n_contaminated"] for r in T.contamination(docs, evals).collect()}
+    # doc 1: W + 2 extra words -> grams of W all present (8 of them
+    # plus grams straddling the tail are NOT in evals)
+    assert set(got) == {1, 3}
+    assert got[1] == 8 and got[3] == 8
+
+
+def test_short_docs_and_short_evals_never_flag(spark):
+    docs = _docs(spark, [(1, "only five words right here now")])
+    evals = spark.createDataFrame([("only five words right here now",)], "text string")
+    assert T.contamination(docs, evals).count() == 0  # both < 13 words
+
+
+def test_count_is_distinct_grams(spark):
+    # the same gram repeated in a doc counts once (both sides distinct)
+    docs = _docs(spark, [(1, W + " " + W)])
+    evals = spark.createDataFrame([(W,)], "text string")
+    (r,) = T.contamination(docs, evals).collect()
+    # doc has W twice -> many grams, but only the 8 eval grams match,
+    # each once despite appearing twice in the doc
+    assert r["n_contaminated"] == 8
+
+
+def test_decontaminate_removes_flagged_only(spark):
+    docs = _docs(spark, [(1, W), (2, "clean " * 30)])
+    evals = spark.createDataFrame([(W,)], "text string")
+    kept = [r["doc_id"] for r in T.decontaminate(docs, evals).collect()]
+    assert kept == [2]
+
+
+def test_eval_side_is_broadcast(spark):
+    # the corpus must never shuffle: eval grams broadcast, corpus side
+    # map-only into the join
+    from tests.test_physical_plans import plan_of
+
+    docs = _docs(spark, [(1, W)])
+    evals = spark.createDataFrame([(W,)], "text string")
+    plan = plan_of(T.contamination(docs, evals))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
