@@ -334,3 +334,82 @@ def decontaminate(
     (left-anti on doc_id; all original columns pass through)."""
     bad = contamination(docs, evals, n, text_col).select("doc_id")
     return docs.join(bad, "doc_id", "left_anti")
+
+
+# ----------------------------------------------------------------------
+# Exact-substring repetition across documents (the windowed
+# approximation of suffix-array substring dedup, Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better"): hash
+# every overlapping `width`-word window and find windows whose hash
+# occurs in more than one document.  Scale shape: the explode is
+# map-only (~n_words rows per doc, each row a fixed md5 digest, not
+# the window text), the aggregate is one keyed shuffle with map-side
+# combine, and the per-doc span report joins back on the digest —
+# never on text.  A df-style cap bounds boilerplate-dominated window
+# hashes exactly like the shingle df_cap.
+
+
+def _window_hash_expr(width: int) -> str:
+    # md5 over the space-joined window; split once into `ws`
+    return (
+        f"transform(sequence(1, size(ws) - {width - 1}), "
+        f"j -> struct(j - 1 AS pos, md5(concat_ws(' ', slice(ws, j, {width}))) AS wh))"
+    )
+
+
+def repeated_windows(
+    df: DataFrame, width: int = 20, text_col: str = "text", df_cap: int = 1024
+) -> DataFrame:
+    """Cross-document repeated ``width``-word windows:
+    (wh, n_docs, n_occurrences), restricted to windows seen in ≥ 2
+    distinct documents.  Hashes occurring more than ``df_cap`` times
+    total are dropped — the boilerplate guard, applied as a HAVING on
+    the same aggregate (no extra shuffle), mirroring the shingle
+    df_cap convention."""
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    ws = (
+        ensure_min_parallelism(df)
+        .select("doc_id", F.split(F.col(text_col), " ").alias("ws"))
+        .where(F.expr(f"size(ws) >= {width}"))
+    )
+    wins = ws.select(
+        "doc_id", F.explode(F.expr(_window_hash_expr(width))).alias("w")
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
+    return (
+        wins.groupBy("wh")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .where((F.col("n_docs") >= 2) & (F.col("n_occurrences") <= df_cap))
+    )
+
+
+def repeated_spans(
+    df: DataFrame, width: int = 20, text_col: str = "text", df_cap: int = 1024
+) -> DataFrame:
+    """Per-document spans of cross-document repeated windows:
+    (doc_id, pos, wh) — word offset ``pos`` where a window starts that
+    also appears in at least one other document.  Downstream cutters
+    merge overlapping spans and excise [pos, pos+width) runs; this
+    operator only REPORTS them (cut policy is corpus-specific).
+
+    The join back is digest-keyed: the repeated set is typically a
+    tiny fraction of all windows, so AQE broadcasts it at runtime."""
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    rep = repeated_windows(df, width, text_col, df_cap).select("wh")
+    ws = (
+        ensure_min_parallelism(df)
+        .select("doc_id", F.split(F.col(text_col), " ").alias("ws"))
+        .where(F.expr(f"size(ws) >= {width}"))
+    )
+    wins = ws.select(
+        "doc_id", F.explode(F.expr(_window_hash_expr(width))).alias("w")
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("w.pos").cast("bigint").alias("pos"),
+        F.col("w.wh").alias("wh"),
+    )
+    return wins.join(rep, "wh").select("doc_id", "pos", "wh")

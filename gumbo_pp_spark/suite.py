@@ -691,6 +691,16 @@ def q_decontaminate(spark, sf_dir):
     return T.contamination(docs, evals, n=13)
 
 
+def q_repeated_windows(spark, sf_dir):
+    # exact-substring repetition (windowed suffix-array approximation,
+    # Lee et al. 2022): 20-word windows shared across >= 2 docs
+    return T.repeated_windows(_docs(spark, sf_dir), width=20)
+
+
+def q_repeated_spans(spark, sf_dir):
+    return T.repeated_spans(_docs(spark, sf_dir), width=20)
+
+
 def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
@@ -974,6 +984,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": q_dedup_components,
     "dedup_canonical": q_dedup_canonical,
     "decontaminate": q_decontaminate,
+    "repeated_windows": q_repeated_windows,
+    "repeated_spans": q_repeated_spans,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "shingle_df_stats": q_shingle_df_stats,
     "simhash": q_simhash,
@@ -1150,6 +1162,27 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": _duck_minhash_cte(),
     "dedup_components": _duck_components_sql(),
     "dedup_canonical": _duck_canonical_sql(),
+    "repeated_windows": (
+        "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents "
+        "WHERE len(string_split(text, ' ')) >= 20), "
+        "flat AS (SELECT doc_id, md5(array_to_string(ws[j:j+19], ' ')) AS wh "
+        "FROM ws, unnest(generate_series(1, len(ws) - 19)) AS t(j)) "
+        "SELECT wh, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "CAST(count(*) AS BIGINT) AS n_occurrences "
+        "FROM flat GROUP BY wh "
+        "HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= 1024"
+    ),
+    "repeated_spans": (
+        "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents "
+        "WHERE len(string_split(text, ' ')) >= 20), "
+        "flat AS (SELECT doc_id, j - 1 AS pos, "
+        "md5(array_to_string(ws[j:j+19], ' ')) AS wh "
+        "FROM ws, unnest(generate_series(1, len(ws) - 19)) AS t(j)), "
+        "rep AS (SELECT wh FROM flat GROUP BY wh "
+        "HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= 1024) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pos AS BIGINT) AS pos, "
+        "flat.wh AS wh FROM flat JOIN rep USING (wh)"
+    ),
     "decontaminate": (
         # 13-gram benchmark decontamination; eval texts = words 5..40
         # of every 41st doc (mirror of q_decontaminate)
