@@ -243,3 +243,132 @@ def lsh_recall_vs_exact(
             F.round(F.col("n_hit") * 10000.0 / F.col("n_exact")).cast("bigint").alias("recall_e4"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# IVF-Flat scale path.  The coarse quantizer is a deterministic sample
+# of the corpus itself (every ``pivot_mod``-th vector) instead of
+# trained k-means centroids — the training step is a separate offline
+# fit at scale, while the QUERY path (assign → nprobe probe-lists →
+# in-list exact scoring) is exactly IVF-Flat and fully deterministic,
+# so the DuckDB oracle recomputes it bit-for-bit.  Scale shape: the
+# pivot table is tiny and broadcast twice (assignment + probe); base
+# assignment is a broadcast nested-loop over K pivots whose groupBy
+# key (vec_id) is already co-located, so map-side combine collapses
+# the K candidate rows to one before the exchange; the search join is
+# an equi-join on pivot_id — at 100 TB pivot_id is the table's
+# bucketing/cluster column and the probe becomes a bucket-pruned scan.
+
+
+def ivf_assignments(
+    df: DataFrame,
+    pivots: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its nearest pivot by cosine (ties break
+    to the smallest pivot_id).  Returns (id, vec, norm, pivot_id)."""
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    base = with_norm(ensure_min_parallelism(df), vec_col).where(F.col("norm") > 0)
+    p = with_norm(pivots, vec_col).where(F.col("norm") > 0).select(
+        F.col(id_col).alias("pivot_id"),
+        F.col(vec_col).alias("p_vec"),
+        F.col("norm").alias("p_norm"),
+    )
+    dot = DOT_EXPR.format(a=vec_col, b="p_vec")
+    scored = base.crossJoin(F.broadcast(p)).withColumn(
+        "pcos", F.expr(dot) / (F.col("norm") * F.col("p_norm"))
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("pcos"), (-F.col("pivot_id")).alias("npid"))).alias("m"),
+        F.first(vec_col).alias(vec_col),
+        F.first("norm").alias("norm"),
+    )
+    return best.select(
+        id_col, vec_col, "norm", (-F.col("m.npid")).cast("bigint").alias("pivot_id")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    pivots: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: per query, exact cosine search
+    restricted to the inverted lists of its ``nprobe`` nearest pivots.
+    Returns (query_id, neighbor_id, rank)."""
+    from pyspark.sql.window import Window
+
+    assigned = ivf_assignments(df, pivots, vec_col, id_col)
+    p = with_norm(pivots, vec_col).where(F.col("norm") > 0).select(
+        F.col(id_col).alias("pivot_id"),
+        F.col(vec_col).alias("p_vec"),
+        F.col("norm").alias("p_norm"),
+    )
+    q = with_norm(queries, vec_col).where(F.col("norm") > 0).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    qdot = DOT_EXPR.format(a="q_vec", b="p_vec")
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.col("pivot_id"))
+    probes = (
+        q.crossJoin(F.broadcast(p))
+        .withColumn("qcos", F.expr(qdot) / (F.col("q_norm") * F.col("p_norm")))
+        .withColumn("prank", F.row_number().over(wq))
+        .where(F.col("prank") <= nprobe)
+        .select("query_id", "q_vec", "q_norm", "pivot_id")
+    )
+    dot = DOT_EXPR.format(a=vec_col, b="q_vec")
+    scored = (
+        assigned.join(F.broadcast(probes), "pivot_id")
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn("cos", F.expr(dot) / (F.col("norm") * F.col("q_norm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("bigint"),
+            F.col(id_col).cast("bigint").alias("neighbor_id"),
+            F.col("rank").cast("bigint"),
+        )
+    )
+
+
+def ivf_recall_vs_exact(
+    df: DataFrame,
+    queries: DataFrame,
+    pivots: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Measured recall@k of the IVF path against the exact baseline —
+    one row (n_queries, n_exact, n_hit, recall_e4), the IVF analogue
+    of :func:`lsh_recall_vs_exact`."""
+    exact = cosine_topk(df, queries, k=k, vec_col=vec_col, id_col=id_col)
+    approx = ivf_topk(
+        df, queries, pivots, k=k, nprobe=nprobe, vec_col=vec_col, id_col=id_col
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.agg(
+            F.countDistinct("query_id").alias("nq"),
+            F.count(F.lit(1)).alias("n_exact"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            F.col("nq").cast("bigint").alias("n_queries"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.round(F.col("n_hit") * 10000.0 / F.col("n_exact")).cast("bigint").alias("recall_e4"),
+        )
+    )

@@ -106,6 +106,48 @@ def _duck_minhash_cte() -> str:
     )
 
 
+def _duck_ivf_topk_sql(k: int = 3, nprobe: int = 2) -> str:
+    # mirror of similarity.ivf_topk: pivots = vec_id % 25 = 7 (the
+    # deterministic coarse quantizer), queries = vec_id % 100 = 0
+    return (
+        "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+        "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm "
+        "FROM embeddings), "
+        "base AS (SELECT * FROM n WHERE norm > 0), "
+        "p AS (SELECT vec_id AS pivot_id, v AS pv, norm AS pnorm FROM base WHERE vec_id % 25 = 7), "
+        "q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM base WHERE vec_id % 100 = 0), "
+        "assigned AS (SELECT vec_id, v, norm, pivot_id FROM ("
+        "SELECT b.vec_id, b.v, b.norm, p.pivot_id, row_number() OVER "
+        "(PARTITION BY b.vec_id ORDER BY list_dot_product(b.v, p.pv) / (b.norm * p.pnorm) DESC, p.pivot_id) AS r "
+        "FROM base b CROSS JOIN p) WHERE r = 1), "
+        "probes AS (SELECT query_id, qv, qnorm, pivot_id FROM ("
+        "SELECT q.query_id, q.qv, q.qnorm, p.pivot_id, row_number() OVER "
+        "(PARTITION BY q.query_id ORDER BY list_dot_product(q.qv, p.pv) / (q.qnorm * p.pnorm) DESC, p.pivot_id) AS r "
+        f"FROM q CROSS JOIN p) WHERE r <= {nprobe}), "
+        "scored AS (SELECT pr.query_id, a.vec_id, "
+        "list_dot_product(a.v, pr.qv) / (a.norm * pr.qnorm) AS cos "
+        "FROM assigned a JOIN probes pr USING (pivot_id) WHERE a.vec_id <> pr.query_id), "
+        "ranked AS (SELECT query_id, vec_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored) "
+        "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS neighbor_id, "
+        f"CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= {k}"
+    )
+
+
+def _duck_ivf_recall_sql() -> str:
+    return (
+        f"WITH exact AS ({_DUCK_EXACT_TOPK}), approx AS ({_duck_ivf_topk_sql()}), "
+        "hit AS (SELECT count(*) AS n_hit FROM exact e "
+        "WHERE EXISTS (SELECT 1 FROM approx a "
+        "WHERE a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)) "
+        "SELECT CAST(count(DISTINCT e.query_id) AS BIGINT) AS n_queries, "
+        "CAST(count(*) AS BIGINT) AS n_exact, "
+        "CAST((SELECT n_hit FROM hit) AS BIGINT) AS n_hit, "
+        "CAST(round((SELECT n_hit FROM hit) * 10000.0 / count(*)) AS BIGINT) AS recall_e4 "
+        "FROM exact e"
+    )
+
+
 def _duck_components_cte() -> str:
     # transitive closure over the minhash pair graph (fine at oracle
     # scale; the Spark side uses O(log n) large-star/small-star
@@ -744,6 +786,22 @@ def q_ann_lsh_recall(spark, sf_dir):
     return S.lsh_recall_vs_exact(emb, queries, k=3, dim=64, n_planes=4)
 
 
+def q_ann_ivf(spark, sf_dir):
+    # IVF-Flat scale path: deterministic sampled coarse quantizer
+    # (every 25th vector), nprobe=2 inverted-list search
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    pivots = emb.where(F.col("vec_id") % 25 == 7)
+    return S.ivf_topk(emb, queries, pivots, k=3, nprobe=2)
+
+
+def q_ann_ivf_recall(spark, sf_dir):
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    pivots = emb.where(F.col("vec_id") % 25 == 7)
+    return S.ivf_recall_vs_exact(emb, queries, pivots, k=3, nprobe=2)
+
+
 def q_multimodal_features(spark, sf_dir):
     # integer-exact features over the hex-chain fake decode → the
     # DuckDB oracle recomputes the keystream and features bit-for-bit
@@ -977,6 +1035,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "ann_lsh_topk": q_ann_lsh,
     "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_ivf_topk": q_ann_ivf,
+    "ann_ivf_recall": q_ann_ivf_recall,
     "multimodal_image_features": q_multimodal_features,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -1207,6 +1267,8 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": _DUCK_EXACT_TOPK,
     "ann_lsh_topk": _duck_lsh_topk_sql(),
     "ann_lsh_recall": _duck_lsh_recall_sql(),
+    "ann_ivf_topk": _duck_ivf_topk_sql(),
+    "ann_ivf_recall": _duck_ivf_recall_sql(),
     "multimodal_image_features": _duck_multimodal_sql(),
     "embedding_near_dup": _duck_near_dup_sql(),
     "text_quality": (

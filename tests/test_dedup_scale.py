@@ -135,3 +135,54 @@ class TestPartitioningNullKeys:
         per_bin = binned.groupBy("size_bin").agg(F.sum("doc_bytes").alias("b")).collect()
         for r in per_bin:
             assert r["b"] <= 2 * 100_000
+
+
+class TestIvf:
+    def _emb(self, spark, n=120, dim=16, seed=7):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(n)]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>"
+        ).cache()
+
+    def test_assignments_are_argmax_pivot(self, spark):
+        import numpy as np
+
+        emb = self._emb(spark)
+        pivots = emb.where(F.col("vec_id") % 30 == 1)
+        got = {
+            r["vec_id"]: r["pivot_id"]
+            for r in S.ivf_assignments(emb, pivots).collect()
+        }
+        vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+                for r in emb.collect()}
+        pids = sorted(i for i in vecs if i % 30 == 1)
+        for vid, v in vecs.items():
+            cos = [(float(v @ vecs[p]) / (np.linalg.norm(v) * np.linalg.norm(vecs[p])), p)
+                   for p in pids]
+            best = max(cos, key=lambda t: (t[0], -t[1]))[1]
+            assert got[vid] == best, vid
+
+    def test_full_probe_equals_exact(self, spark):
+        # nprobe = all pivots -> every inverted list searched -> IVF
+        # degenerates to the exact baseline
+        emb = self._emb(spark)
+        q = emb.where(F.col("vec_id") % 40 == 0)
+        pivots = emb.where(F.col("vec_id") % 30 == 1)
+        n_pivots = pivots.count()
+        exact = {(r.query_id, r.neighbor_id, r.rank)
+                 for r in S.cosine_topk(emb, q, k=3).collect()}
+        full = {(r.query_id, r.neighbor_id, r.rank)
+                for r in S.ivf_topk(emb, q, pivots, k=3, nprobe=n_pivots).collect()}
+        assert full == exact
+
+    def test_more_probes_not_worse(self, spark):
+        emb = self._emb(spark)
+        q = emb.where(F.col("vec_id") % 40 == 0)
+        pivots = emb.where(F.col("vec_id") % 30 == 1)
+        r1 = S.ivf_recall_vs_exact(emb, q, pivots, k=3, nprobe=1).first()
+        r3 = S.ivf_recall_vs_exact(emb, q, pivots, k=3, nprobe=3).first()
+        assert r3["n_hit"] >= r1["n_hit"]
+        assert r1["n_queries"] == 3 and r1["n_exact"] == 9
