@@ -51,3 +51,82 @@ def stream_hourly_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .select("w.start", "w.end", "event_type", "n")
     )
+
+
+def stream_contamination_alerts(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    evals: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+) -> DataFrame:
+    """Continuous contamination MONITOR: every (doc_id, gram) hit of an
+    incoming document stream against a STATIC eval set, as an
+    append-mode stream (route it to a quarantine/alerts sink).
+
+    Shape: stream-static inner join — the eval n-grams are a batch
+    DataFrame broadcast into every micro-batch, the stream side is the
+    same map-only n-gram explode as the batch operator.  Stateless: no
+    watermark, no streaming state, each micro-batch is independent.
+    (A clean-stream variant cannot be a stream-stream anti join —
+    unsupported — see :func:`stream_decontaminate`.)"""
+    from ..operators.textstats import _ngram_expr, eval_ngrams
+
+    grams = eval_ngrams(evals, n, text_col)  # static side, broadcast
+    docs = spark.readStream.schema(schema).parquet(input_dir)
+    ws = docs.withColumn("ws", F.split(F.col(text_col), " "))
+    return (
+        ws.where(F.expr(f"size(ws) >= {n}"))
+        .select("doc_id", F.explode(F.expr(_ngram_expr(n))).alias("gram"))
+        .join(F.broadcast(grams), "gram")
+        .select("doc_id", "gram")
+    )
+
+
+def stream_decontaminate(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    evals: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+) -> DataFrame:
+    """Continuously decontaminate a document stream: pass through only
+    documents sharing NO word ``n``-gram with the static eval set.
+
+    Spark cannot express "drop the parent row of any matching child"
+    on a stream without a (unsupported) stream-stream anti join, so
+    the eval grams are collected ONCE into a broadcast set — by
+    definition benchmark-sized, the same object a batch broadcast
+    join would ship — and the filter is one Arrow-batched predicate
+    on the stream's map path (stateless, append-mode)."""
+    from pyspark.sql.types import BooleanType
+    import pandas as pd  # noqa: F401  (pandas_udf batch type)
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.textstats import eval_ngrams
+
+    gram_set = frozenset(
+        r["gram"] for r in eval_ngrams(evals, n, text_col).collect()
+    )
+    bc = spark.sparkContext.broadcast(gram_set)
+
+    @pandas_udf(BooleanType())
+    def is_clean(texts):
+        grams = bc.value
+        out = []
+        for t in texts:
+            w = (t or "").split(" ")
+            out.append(
+                not any(
+                    " ".join(w[i : i + n]) in grams
+                    for i in range(len(w) - n + 1)
+                )
+            )
+        import pandas as _pd
+
+        return _pd.Series(out)
+
+    docs = spark.readStream.schema(schema).parquet(input_dir)
+    return docs.where(is_clean(F.col(text_col)))

@@ -121,3 +121,52 @@ class TestStreaming:
         cutoff = max_ts - datetime.timedelta(hours=3)
         expected_closed = batch.where(F.col("start") < cutoff)
         assert got.count() >= expected_closed.count()
+
+
+class TestStreamingDecontamination:
+    SCHEMA = "doc_id bigint, text string"
+    W = " ".join(f"w{i}" for i in range(20))
+
+    def _src(self, spark, tmp_path):
+        docs = spark.createDataFrame(
+            [(1, self.W + " tail"), (2, "totally unrelated words " * 6)],
+            self.SCHEMA,
+        )
+        src = str(tmp_path / "docs")
+        docs.write.parquet(src)
+        return src
+
+    def test_alert_stream_matches_batch_contamination(self, spark, tmp_path):
+        from gumbo_pp_spark.streaming.ingest import stream_contamination_alerts
+
+        src = self._src(spark, tmp_path)
+        evals = spark.createDataFrame([(self.W,)], "text string")
+        alerts = stream_contamination_alerts(spark, src, self.SCHEMA, evals, n=13)
+        q = (
+            alerts.writeStream.format("memory")
+            .queryName("contam_alerts")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT doc_id, gram FROM contam_alerts").collect()
+        assert {r.doc_id for r in got} == {1}
+        assert len(got) == 8  # W has 8 distinct 13-grams, all in doc 1
+
+    def test_decontaminated_stream_passes_clean_docs_only(self, spark, tmp_path):
+        from gumbo_pp_spark.streaming.ingest import stream_decontaminate
+
+        src = self._src(spark, tmp_path)
+        evals = spark.createDataFrame([(self.W,)], "text string")
+        clean = stream_decontaminate(spark, src, self.SCHEMA, evals, n=13)
+        q = (
+            clean.writeStream.format("memory")
+            .queryName("clean_docs")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = [r.doc_id for r in spark.sql("SELECT doc_id FROM clean_docs").collect()]
+        assert got == [2]
