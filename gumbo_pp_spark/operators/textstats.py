@@ -343,10 +343,13 @@ def decontaminate(
 # every overlapping `width`-word window and find windows whose hash
 # occurs in more than one document.  Scale shape: the explode is
 # map-only (~n_words rows per doc, each row a fixed md5 digest, not
-# the window text), the aggregate is one keyed shuffle with map-side
-# combine, and the per-doc span report joins back on the digest —
-# never on text.  A df-style cap bounds boilerplate-dominated window
-# hashes exactly like the shingle df_cap.
+# the window text); the (n_docs, n_occurrences) aggregate is Spark's
+# two-phase distinct plan — partial-agg by (wh, doc_id), exchange,
+# then the per-digest rollup — both phases map-side combined, and the
+# second phase runs on already-collapsed (wh, doc_id) rows, not raw
+# windows.  The per-doc span report joins back on the digest — never
+# on text.  A df-style cap bounds boilerplate-dominated window hashes
+# exactly like the shingle df_cap.
 
 
 def _window_hash_expr(width: int) -> str:
@@ -413,3 +416,34 @@ def repeated_spans(
         F.col("w.wh").alias("wh"),
     )
     return wins.join(rep, "wh").select("doc_id", "pos", "wh")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_e4: dict,
+    default_e4: int = 0,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the mixture-weighting step
+    of a training-data pipeline (down-weight crawl-heavy sources,
+    up-weight curated ones).  ``rates_e4`` maps stratum value →
+    acceptance rate in 1e-4 units; strata absent from the map get
+    ``default_e4``.
+
+    The rate map is policy configuration (benchmark-sized, not data),
+    so it compiles to a plan-time CASE literal: the whole operator is
+    ONE map-only filter — no join, no shuffle, same md5-domain
+    semantics as :func:`sample_by_hash` (a row kept at rate r is also
+    kept at every rate ≥ r, so mixtures are monotone and slices nest).
+    Integer threshold math end-to-end — bit-identical across engines.
+    """
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(r)}" for s, r in sorted(rates_e4.items())
+    )
+    if cases:
+        rate = f"(CASE {source_col} {cases} ELSE {int(default_e4)} END)"
+    else:
+        rate = str(int(default_e4))
+    h = f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    return df.where(F.expr(f"{h} < ({rate} * {1 << 32}) div 10000"))

@@ -888,6 +888,19 @@ def q_sample_by_hash(spark, sf_dir):
     )
 
 
+#: per-source acceptance rates for the stratified-sampling query —
+#: mixture weighting policy, mirrored verbatim into the oracle CASE
+STRATA_RATES_E4 = {f"src{i}": (10000, 5000, 2500)[i % 3] for i in range(20)}
+
+
+def q_stratified_sample(spark, sf_dir):
+    # mixture weighting: per-source deterministic acceptance rates
+    # (full / half / quarter by source index), map-only plan
+    return T.stratified_sample(_docs(spark, sf_dir), STRATA_RATES_E4).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
+    )
+
+
 def q_cap_per_host(spark, sf_dir):
     # anti-domination gate: at most 15 docs per host, deterministic pick
     docs = _docs(spark, sf_dir).selectExpr(
@@ -1060,6 +1073,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "repetition_stats": q_repetition_stats,
     "sample_by_hash": q_sample_by_hash,
+    "stratified_sample": q_stratified_sample,
     "cap_per_host": q_cap_per_host,
     "dedup_paragraphs": q_dedup_paragraphs,
     "canonical_urls": q_canonical_urls,
@@ -1329,6 +1343,15 @@ ORACLES: dict[str, str] = {
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars "
         "FROM documents "
         f"WHERE ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT < {(1000 * (1 << 32)) // 10000}"
+    ),
+    "stratified_sample": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents "
+        "WHERE ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT < "
+        "((CASE source "
+        + " ".join(
+            f"WHEN '{s}' THEN {r}" for s, r in sorted(STRATA_RATES_E4.items())
+        )
+        + f" ELSE 0 END) * {1 << 32}) // 10000"
     ),
     "cap_per_host": (
         "WITH d AS (SELECT doc_id, source || '.example.com' AS host FROM documents), "

@@ -61,3 +61,26 @@ def test_eval_side_is_broadcast(spark):
     evals = spark.createDataFrame([(W,)], "text string")
     plan = plan_of(T.contamination(docs, evals))
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+class TestStratifiedSample:
+    def test_rates_honored_and_slices_nest(self, spark):
+        rows = [(i, f"src{i % 3}") for i in range(600)]
+        df = spark.createDataFrame(rows, "doc_id bigint, source string")
+        full = {r.doc_id for r in T.stratified_sample(
+            df, {"src0": 10000, "src1": 5000, "src2": 0}).collect()}
+        # src0 fully kept, src2 fully dropped
+        assert {i for i in range(600) if i % 3 == 0} <= full
+        assert not any(i % 3 == 2 for i in full)
+        # src1 roughly half (hash-uniform; generous bounds)
+        n1 = sum(1 for i in full if i % 3 == 1)
+        assert 50 < n1 < 150
+        # monotone nesting: a row kept at rate r is kept at rate >= r
+        half = {r.doc_id for r in T.stratified_sample(
+            df, {"src0": 5000, "src1": 2500, "src2": 0}).collect()}
+        assert half <= full
+
+    def test_unknown_stratum_gets_default(self, spark):
+        df = spark.createDataFrame([(1, "mystery")], "doc_id bigint, source string")
+        assert T.stratified_sample(df, {"src0": 10000}).count() == 0
+        assert T.stratified_sample(df, {}, default_e4=10000).count() == 1
