@@ -1,0 +1,37 @@
+"""End-to-end smoke of the spark-submit corpus pipeline CLI
+(jobs/corpus_job.py) — run as a subprocess because main() owns (and
+stops) its own SparkSession."""
+
+import json
+import os
+import subprocess
+import sys
+
+from .conftest import SF_SMOKE
+
+REPO = "/root/repo"
+
+
+def test_corpus_job_cli_components_policy(spark, tmp_path):
+    from gumbo_pp_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, SF_SMOKE).select("doc_id", "url", "html").limit(60)
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+    out = str(tmp_path / "corpus")
+    proc = subprocess.run(
+        [
+            sys.executable, f"{REPO}/jobs/corpus_job.py",
+            "--pages", src, "--out", out,
+            "--near-dup-policy", "components",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    metrics = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert metrics["rows"] > 0
+    assert metrics["out_dir"] == out
+    got = spark.read.parquet(out)
+    assert got.count() == metrics["rows"]
+    assert {"doc_id", "url", "clean_text", "n_tokens", "fp_md5"} <= set(got.columns)
