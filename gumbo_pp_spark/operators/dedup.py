@@ -520,7 +520,7 @@ def connected_components(
     prev = None
     for r in range(max_rounds):
         stars = _small_star(_large_star(edges))
-        if (r + 1) % checkpoint_every == 0:
+        if checkpoint_every and (r + 1) % checkpoint_every == 0:
             stars = stars.localCheckpoint()
         # bit_xor is order-independent and cannot overflow under ANSI
         # mode (a sum of 64-bit hashes can)

@@ -439,7 +439,8 @@ def stratified_sample(
     Integer threshold math end-to-end — bit-identical across engines.
     """
     cases = " ".join(
-        f"WHEN '{s}' THEN {int(r)}" for s, r in sorted(rates_e4.items())
+        "WHEN '{}' THEN {}".format(str(s).replace("'", "''"), int(r))
+        for s, r in sorted(rates_e4.items())
     )
     if cases:
         rate = f"(CASE {source_col} {cases} ELSE {int(default_e4)} END)"
@@ -447,3 +448,37 @@ def stratified_sample(
         rate = str(int(default_e4))
     h = f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), 1, 8), 16, 10) AS BIGINT)"
     return df.where(F.expr(f"{h} < ({rate} * {1 << 32}) div 10000"))
+
+
+def repeated_window_stats(
+    df: DataFrame, width: int = 20, text_col: str = "text", df_cap: int = 1024
+) -> DataFrame:
+    """No-silent-caps accounting for :func:`repeated_windows`: one row
+    (n_window_hashes, n_repeated, n_capped, occurrences_capped) — how
+    many distinct window digests exist, how many are cross-document
+    repeats, and how much repeat mass the ``df_cap`` HAVING guard
+    silently removed from the report (same monitoring convention as
+    ``lsh_bucket_stats`` / ``shingle_df_stats``)."""
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    ws = (
+        ensure_min_parallelism(df)
+        .select("doc_id", F.split(F.col(text_col), " ").alias("ws"))
+        .where(F.expr(f"size(ws) >= {width}"))
+    )
+    wins = ws.select(
+        "doc_id", F.explode(F.expr(_window_hash_expr(width))).alias("w")
+    ).select("doc_id", F.col("w.wh").alias("wh"))
+    per = wins.groupBy("wh").agg(
+        F.countDistinct("doc_id").alias("nd"), F.count(F.lit(1)).alias("no")
+    )
+    rep = (F.col("nd") >= 2).cast("int")
+    capped = ((F.col("nd") >= 2) & (F.col("no") > df_cap)).cast("int")
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_window_hashes"),
+        F.sum(rep).cast("bigint").alias("n_repeated"),
+        F.sum(capped).cast("bigint").alias("n_capped"),
+        F.coalesce(F.sum(F.col("no") * capped), F.lit(0))
+        .cast("bigint")
+        .alias("occurrences_capped"),
+    )

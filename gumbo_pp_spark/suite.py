@@ -743,6 +743,11 @@ def q_repeated_spans(spark, sf_dir):
     return T.repeated_spans(_docs(spark, sf_dir), width=20)
 
 
+def q_repeated_window_stats(spark, sf_dir):
+    # no-silent-caps accounting for the repeated-windows df_cap
+    return T.repeated_window_stats(_docs(spark, sf_dir), width=20)
+
+
 def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
@@ -1059,6 +1064,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "repeated_windows": q_repeated_windows,
     "repeated_spans": q_repeated_spans,
+    "repeated_window_stats": q_repeated_window_stats,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "shingle_df_stats": q_shingle_df_stats,
     "simhash": q_simhash,
@@ -1256,6 +1262,19 @@ ORACLES: dict[str, str] = {
         "HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= 1024) "
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pos AS BIGINT) AS pos, "
         "flat.wh AS wh FROM flat JOIN rep USING (wh)"
+    ),
+    "repeated_window_stats": (
+        "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents "
+        "WHERE len(string_split(text, ' ')) >= 20), "
+        "flat AS (SELECT doc_id, md5(array_to_string(ws[j:j+19], ' ')) AS wh "
+        "FROM ws, unnest(generate_series(1, len(ws) - 19)) AS t(j)), "
+        "per AS (SELECT wh, count(DISTINCT doc_id) AS nd, count(*) AS no "
+        "FROM flat GROUP BY wh) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_window_hashes, "
+        "CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated, "
+        "CAST(sum(CASE WHEN nd >= 2 AND no > 1024 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped, "
+        "CAST(coalesce(sum(CASE WHEN nd >= 2 AND no > 1024 THEN no ELSE 0 END), 0) AS BIGINT) "
+        "AS occurrences_capped FROM per"
     ),
     "decontaminate": (
         # 13-gram benchmark decontamination; eval texts = words 5..40

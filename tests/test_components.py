@@ -149,3 +149,31 @@ def test_suite_components_match_duckdb_oracle(spark):
             for row in con.sql(entry.oracle_sql()[key]).fetchall()
         )
         assert got == want, key
+
+
+# ---------------------------------------------------------------- property
+def test_components_property_random_graphs(spark):
+    """Hypothesis sweep: arbitrary edge lists must match union-find.
+    Few examples (each runs distributed star-contraction rounds), but
+    hypothesis explores degenerate shapes seeded tests miss."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+        derandomize=True,
+    )
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)),
+            min_size=0,
+            max_size=40,
+        )
+    )
+    def check(edges):
+        clean = [(u, v) for u, v in edges if u != v]
+        assert _run_cc(spark, edges) == _union_find(clean)
+
+    check()

@@ -41,3 +41,13 @@ def test_df_cap_drops_hot_window(spark):
 def test_short_docs_contribute_nothing(spark):
     docs = _docs(spark, [(1, "short text"), (2, "short text")])
     assert T.repeated_windows(docs, width=20).count() == 0
+
+
+def test_window_stats_account_for_cap(spark):
+    docs = _docs(spark, [(i, SHARED) for i in range(5)])
+    # 5 identical docs, one shared window, 5 occurrences
+    r = T.repeated_window_stats(docs, width=20, df_cap=4).first()
+    assert (r["n_window_hashes"], r["n_repeated"], r["n_capped"],
+            r["occurrences_capped"]) == (1, 1, 1, 5)
+    r2 = T.repeated_window_stats(docs, width=20, df_cap=1024).first()
+    assert (r2["n_capped"], r2["occurrences_capped"]) == (0, 0)
