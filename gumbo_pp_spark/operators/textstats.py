@@ -482,3 +482,57 @@ def repeated_window_stats(
         .cast("bigint")
         .alias("occurrences_capped"),
     )
+
+
+def vocab_topk(df: DataFrame, vocab_size: int = 1000, text_col: str = "text") -> DataFrame:
+    """Global top-``vocab_size`` vocabulary by corpus frequency:
+    (word, n).  Ties break lexicographically so the vocabulary is
+    deterministic.  One explode + one keyed agg (map-side combined) +
+    a single top-k sort over the AGGREGATED word table (vocabulary-
+    sized, not corpus-sized)."""
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    counts = (
+        ensure_min_parallelism(df)
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return counts.orderBy(F.desc("n"), "word").limit(vocab_size)
+
+
+def oov_stats(df: DataFrame, vocab_size: int = 1000, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_oov, oov_ratio_e4) — out-of-vocabulary
+    token share against the corpus' own top-``vocab_size`` vocabulary.
+    The deterministic cousin of perplexity bucketing (CCNet-style):
+    documents full of rare/garbled tokens score high and get routed to
+    lower-quality buckets.  Integer-exact end to end (counts and an
+    e4-rounded ratio), so the oracle compares bit-for-bit.
+
+    Scale shape: the vocabulary is by construction ``vocab_size`` rows
+    → broadcast; the corpus side is one explode + broadcast left join
+    + one doc-keyed agg (map-side combined).  The corpus is never
+    shuffled on a word key."""
+    vocab = vocab_topk(df, vocab_size, text_col).select("word")
+    toks = df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    return (
+        toks.join(F.broadcast(vocab.withColumn("iv", F.lit(1))), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") * 10000.0 / F.col("n_tokens"))
+            .cast("bigint")
+            .alias("oov_ratio_e4"),
+        )
+    )

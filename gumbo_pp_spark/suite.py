@@ -748,6 +748,13 @@ def q_repeated_window_stats(spark, sf_dir):
     return T.repeated_window_stats(_docs(spark, sf_dir), width=20)
 
 
+def q_oov_stats(spark, sf_dir):
+    # deterministic perplexity-bucketing cousin: OOV share vs the
+    # corpus' own top-16 vocabulary (synthetic corpus has 31 distinct
+    # words; 16 puts the cut at a tie-free boundary)
+    return T.oov_stats(_docs(spark, sf_dir), vocab_size=16)
+
+
 def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
@@ -1065,6 +1072,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeated_windows": q_repeated_windows,
     "repeated_spans": q_repeated_spans,
     "repeated_window_stats": q_repeated_window_stats,
+    "oov_stats": q_oov_stats,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "shingle_df_stats": q_shingle_df_stats,
     "simhash": q_simhash,
@@ -1262,6 +1270,17 @@ ORACLES: dict[str, str] = {
         "HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= 1024) "
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pos AS BIGINT) AS pos, "
         "flat.wh AS wh FROM flat JOIN rep USING (wh)"
+    ),
+    "oov_stats": (
+        "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), "
+        "c AS (SELECT word, count(*) AS n FROM w GROUP BY word), "
+        "v AS (SELECT word FROM c ORDER BY n DESC, word LIMIT 16), "
+        "t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) "
+        "SELECT CAST(t.doc_id AS BIGINT) AS doc_id, "
+        "CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, "
+        "CAST(round(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT) "
+        "AS oov_ratio_e4 FROM t LEFT JOIN v ON t.word = v.word GROUP BY t.doc_id"
     ),
     "repeated_window_stats": (
         "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents "

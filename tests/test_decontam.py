@@ -84,3 +84,31 @@ class TestStratifiedSample:
         df = spark.createDataFrame([(1, "mystery")], "doc_id bigint, source string")
         assert T.stratified_sample(df, {"src0": 10000}).count() == 0
         assert T.stratified_sample(df, {}, default_e4=10000).count() == 1
+
+
+class TestOovStats:
+    def test_oov_counts_against_known_vocab(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a a a b rare1"), (2, "b b a rare2 rare3 rare3")],
+            "doc_id bigint, text string",
+        )
+        # vocab_size=2 -> vocab {a(5), b(4)}; rare* are OOV
+        got = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_ratio_e4)
+               for r in T.oov_stats(docs, vocab_size=2).collect()}
+        assert got == {1: (5, 1, 2000), 2: (6, 3, 5000)}
+
+    def test_vocab_tie_breaks_lexicographically(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "zz aa zz aa")], "doc_id bigint, text string"
+        )
+        v = [r.word for r in T.vocab_topk(docs, vocab_size=1).collect()]
+        assert v == ["aa"]  # equal counts -> lexicographic winner
+
+    def test_vocab_is_broadcast(self, spark):
+        from tests.test_physical_plans import plan_of
+
+        docs = spark.createDataFrame(
+            [(1, "a b c")], "doc_id bigint, text string"
+        )
+        plan = plan_of(T.oov_stats(docs, vocab_size=2))
+        assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
