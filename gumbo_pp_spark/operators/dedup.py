@@ -509,6 +509,18 @@ def connected_components(
     with a configured checkpoint dir, reliable ``checkpoint`` is the
     drop-in upgrade for executor-loss resilience.
     """
+    from pyspark.sql.types import NumericType
+
+    for col in (a, b):
+        if not isinstance(pairs.schema[col].dataType, NumericType):
+            # a string id would cast to NULL below and silently drop
+            # every edge — canonical_docs would then mark EVERY doc
+            # canonical (a no-op dedup).  Fail fast instead.
+            raise TypeError(
+                f"connected_components needs numeric ids; column {col!r} "
+                f"is {pairs.schema[col].dataType.simpleString()} — map ids "
+                "to bigint (e.g. xxhash64) before resolution"
+            )
     edges = (
         pairs.select(
             F.col(a).cast("bigint").alias("u"), F.col(b).cast("bigint").alias("v")
@@ -518,6 +530,7 @@ def connected_components(
         .distinct()
     )
     prev = None
+    converged = False
     for r in range(max_rounds):
         stars = _small_star(_large_star(edges))
         if checkpoint_every and (r + 1) % checkpoint_every == 0:
@@ -531,8 +544,18 @@ def connected_components(
         sig = (row["n"], row["h"])
         edges = stars
         if sig == prev or sig[0] == 0:
+            converged = True
             break
         prev = sig
+    if not converged:
+        # an unconverged edge set can map one node to TWO component
+        # targets — canonical_docs' join would then fan out duplicate
+        # corpus rows.  Never return that silently.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            "rounds; raise max_rounds (O(log n) rounds suffice — "
+            "non-convergence at 50 indicates pathological input)"
+        )
     roots = edges.select(F.col("v").alias("u"), "v").distinct()
     return (
         edges.union(roots)

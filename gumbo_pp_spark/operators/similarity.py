@@ -260,6 +260,17 @@ def lsh_recall_vs_exact(
 # bucketing/cluster column and the probe becomes a bucket-pruned scan.
 
 
+def _pivot_side(pivots: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Normalized pivot projection shared by assignment and probe
+    sides — one definition so their filtering/norm semantics cannot
+    diverge."""
+    return with_norm(pivots, vec_col).where(F.col("norm") > 0).select(
+        F.col(id_col).alias("pivot_id"),
+        F.col(vec_col).alias("p_vec"),
+        F.col("norm").alias("p_norm"),
+    )
+
+
 def ivf_assignments(
     df: DataFrame,
     pivots: DataFrame,
@@ -271,11 +282,7 @@ def ivf_assignments(
     from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
 
     base = with_norm(ensure_min_parallelism(df), vec_col).where(F.col("norm") > 0)
-    p = with_norm(pivots, vec_col).where(F.col("norm") > 0).select(
-        F.col(id_col).alias("pivot_id"),
-        F.col(vec_col).alias("p_vec"),
-        F.col("norm").alias("p_norm"),
-    )
+    p = _pivot_side(pivots, vec_col, id_col)
     dot = DOT_EXPR.format(a=vec_col, b="p_vec")
     scored = base.crossJoin(F.broadcast(p)).withColumn(
         "pcos", F.expr(dot) / (F.col("norm") * F.col("p_norm"))
@@ -305,11 +312,7 @@ def ivf_topk(
     from pyspark.sql.window import Window
 
     assigned = ivf_assignments(df, pivots, vec_col, id_col)
-    p = with_norm(pivots, vec_col).where(F.col("norm") > 0).select(
-        F.col(id_col).alias("pivot_id"),
-        F.col(vec_col).alias("p_vec"),
-        F.col("norm").alias("p_norm"),
-    )
+    p = _pivot_side(pivots, vec_col, id_col)
     q = with_norm(queries, vec_col).where(F.col("norm") > 0).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .operators.dedup import (
+    _cache,
     cache_scope,
     canonical_docs,
     exact_dedup,
@@ -77,6 +78,13 @@ def build_training_corpus(
     docs = docs.join(keepers, "doc_id")
 
     # near-dup drop (policy documented in the docstring)
+    if near_dup_policy == "components":
+        # component resolution runs eager jobs over `pairs` NOW, and
+        # the final corpus write evaluates `docs` again later — cache
+        # the gated/extracted docs across the two executions (released
+        # at the caller's cache_scope barrier like the signature
+        # caches) or the expensive extraction stage runs twice.
+        docs = _cache(docs)
     pairs = minhash_lsh_pairs(docs, min_equal=near_dup_min_equal)
     if near_dup_policy == "components":
         flagged = canonical_docs(docs.select("doc_id"), pairs)

@@ -47,6 +47,9 @@ def main() -> None:
         help="run the recall audit without a pass/fail floor",
     )
     args = ap.parse_args()
+    if (args.ann_recall_floor_e4 is not None or args.ann_report_only) and not args.embeddings:
+        ap.error("--ann-recall-floor-e4 / --ann-report-only require --embeddings "
+                 "(without it no recall audit runs at all)")
 
     # driver-side C engine prebuild — same rationale as extract_job.py
     from gumbo_pp_spark.parser import cengine

@@ -177,3 +177,19 @@ def test_components_property_random_graphs(spark):
         assert _run_cc(spark, edges) == _union_find(clean)
 
     check()
+
+
+# ---------------------------------------------------------------- guards
+def test_non_numeric_ids_fail_fast(spark):
+    pairs = spark.createDataFrame([("doc-1", "doc-2")], "a string, b string")
+    with pytest.raises(TypeError, match="numeric ids"):
+        D.connected_components(pairs)
+
+
+def test_non_convergence_raises_not_silent(spark):
+    # a chain needs several star rounds; max_rounds=1 must raise, not
+    # return a half-contracted (duplicate-target) mapping
+    edges = [(i, i + 1) for i in range(32)]
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(df, max_rounds=1)
