@@ -967,6 +967,49 @@ def q_lineitem_agg(spark, sf_dir):
     )
 
 
+def q_revenue_by_nation(spark, sf_dir):
+    # TPC-H Q5 analogue: local-supplier revenue per nation of one
+    # region in one order-date year.  Plan shape at scale: region/
+    # nation/customer/supplier are dim tables (broadcast — the big
+    # lineitem side is never shuffled for them); lineitem↔orders is
+    # the one big equi-join; the supplier join carries the Q5
+    # local-supply conjunct (s_nationkey = c_nationkey).
+    r = _tbl(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _tbl(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = _tbl(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    o = (
+        _tbl(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    s = _tbl(spark, sf_dir, "supplier")
+    li = (
+        _tbl(spark, sf_dir, "lineitem")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    return (
+        li.groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("bigint")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
 def q_top_orders_per_segment(spark, sf_dir):
     from pyspark.sql.window import Window
 
@@ -1095,6 +1138,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_terms": q_top_terms,
     "lineitem_agg": q_lineitem_agg,
     "top_orders_per_segment": q_top_orders_per_segment,
+    "revenue_by_nation": q_revenue_by_nation,
     "events_hourly": q_events_hourly,
     "events_props_json": q_events_props_json,
     "events_sessions": q_events_sessions,
@@ -1467,6 +1511,21 @@ ORACLES: dict[str, str] = {
         "CAST(count(*) AS BIGINT) AS n_rows "
         "FROM lineitem WHERE l_shipdate < TIMESTAMP '2025-06-01' "
         "GROUP BY l_returnflag, l_linestatus"
+    ),
+    "revenue_by_nation": (
+        "SELECT n_name, "
+        "CAST(round(sum(l_extendedprice * (1 - l_discount))) AS BIGINT) AS revenue, "
+        "CAST(count(*) AS BIGINT) AS n_items "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY n_name"
     ),
     "top_orders_per_segment": (
         "WITH j AS (SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice "

@@ -192,3 +192,14 @@ class TestInputSplitTuning:
 
         wide = one.repartition(cores)
         assert P.ensure_min_parallelism(wide) is wide  # untouched
+
+
+def test_revenue_by_nation_broadcasts_all_dims(spark):
+    # TPC-H Q5 analogue: every dimension side must broadcast; the only
+    # wide exchanges are the final groupBy (and AQE bookkeeping) — the
+    # lineitem fact table is never shuffled for a dim join
+    from gumbo_pp_spark.suite import q_revenue_by_nation
+
+    plan = plan_of(q_revenue_by_nation(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "SortMergeJoin" not in plan
