@@ -1503,6 +1503,30 @@ class _TreeBuilder:
     # foreign element outside an integration point; ``has_foreign``
     # keeps the all-HTML fast path branch-free)
     # ==================================================================
+    def _colgroup_fragment_chars(self, stripped: str, pos: int) -> None:
+        """'In column group' anything-else character handling when the
+        current node is NOT a colgroup (the colgroup-context FRAGMENT
+        case): the spec rule is per CHARACTER token — non-whitespace
+        is ignored (parse error) but whitespace LATER in the same run
+        is still inserted (round-6 fresh-seed fuzz: dropping the whole
+        run after the first non-ws lost the ws between ignored words).
+        html5lib 1.x instead keeps only each tokenizer CHUNK's leading
+        whitespace — a pinned artifact family, emulated in
+        tests/html5lib_emulation.py by patching this method."""
+        i, n = 0, len(stripped)
+        while i < n:
+            is_ws = stripped[i] in _WS_SET
+            j = i
+            while j < n and (stripped[j] in _WS_SET) == is_ws:
+                j += 1
+            if is_ws:
+                self._insert_text(
+                    stripped[i:j], pos + i, pos + j, reconstruct=False
+                )
+            else:
+                self._err("unexpected-character", pos + i)
+            i = j
+
     def handle_chars(self, raw: str, start: int) -> None:
         if self.has_foreign and self._use_foreign("chars"):
             self._foreign_chars(raw, start)
@@ -1703,8 +1727,8 @@ class _TreeBuilder:
                     self._close_implied(self.stack.pop(), start + k)
                     self.mode = IN_TABLE
                     self.handle_chars(stripped, start + k)
-                else:  # colgroup-context fragment case: ignore
-                    self._err("unexpected-character", start + k)
+                else:
+                    self._colgroup_fragment_chars(stripped, start + k)
             return
         if mode == IN_FRAMESET or mode == AFTER_FRAMESET:
             ws = "".join(c for c in raw if c in _WS_SET)

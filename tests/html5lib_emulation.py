@@ -268,3 +268,102 @@ class patched_unconditional_tt:
         _TreeBuilder._chars_in_table = self._orig
         _H._cparse_fast = self._c
         return False
+
+
+# ----------------------------------------------------------------------
+# Family 15 (round 6): colgroup-context fragment characters.
+#
+# Spec ("in column group", anything-else with a non-colgroup current
+# node — the FRAGMENT case): per CHARACTER token, whitespace is
+# inserted and non-whitespace ignored, so "hello world" contributes
+# the interior space.  html5lib 1.x instead processes tokenizer
+# CHUNKS: its mainLoop splits only the LEADING whitespace off a
+# Characters token (the remainder is dropped whole), and chunk
+# boundaries fall at every "&" — a numeric reference or the
+# longest-known named reference is consumed as its own token, a
+# failed reference emits a lone "&" token, and the text AFTER it
+# starts a new chunk whose leading whitespace survives.  Verified
+# against html5lib 1.x probes:
+#   "a b c"          -> (nothing)        (interior ws dropped)
+#   " a b "          -> " "              (leading ws only)
+#   "a&copy 2020 b"  -> " "              (&copy splits; " 2020 b" leads ws)
+#   "fish & chips"   -> " "              (bare & splits; " chips" leads ws)
+
+
+def _h5_amp_chunks(s):
+    """html5lib tokenizer chunking of a character run: yields
+    ('ent', ref) / ('text', seg) pieces."""
+    import html.entities as _HE
+    import re as _re
+
+    names = sorted(_HE.html5.keys(), key=len, reverse=True)
+    out = []
+    i = last = 0
+    n = len(s)
+    while True:
+        j = s.find("&", i)
+        if j < 0:
+            break
+        m = _re.match(r"&#[xX][0-9a-fA-F]+;?|&#[0-9]+;?", s[j:])
+        if m:
+            if j > last:
+                out.append(("text", s[last:j]))
+            out.append(("ent", m.group()))
+            i = last = j + len(m.group())
+            continue
+        body = s[j + 1 : j + 33]
+        hit = next((nm for nm in names if body.startswith(nm)), None)
+        if j > last:
+            out.append(("text", s[last:j]))
+        if hit:
+            out.append(("ent", "&" + hit))
+            i = last = j + 1 + len(hit)
+        else:
+            out.append(("ent", "&"))
+            i = last = j + 1
+    if last < n:
+        out.append(("text", s[last:]))
+    return out
+
+
+def legacy_colgroup_fragment_chars(self, stripped, pos):
+    from gumbo_pp_spark.parser.html5 import _WS_SET
+
+    ws_chars = "".join(_WS_SET)
+    off = 0
+    first = True
+    for kind, seg in _h5_amp_chunks(stripped):
+        if kind == "text":
+            if first:
+                first = False  # run-leading ws consumed upstream
+            else:
+                k = len(seg) - len(seg.lstrip(ws_chars))
+                if k:
+                    self._insert_text(
+                        seg[:k], pos + off, pos + off + k, reconstruct=False
+                    )
+        else:
+            first = False
+        off += len(seg)
+    self._err("unexpected-character", pos)
+
+
+class patched_legacy_colgroup_fragment:
+    """Context manager: parse colgroup-context fragments with
+    html5lib's chunk-leading-whitespace rule."""
+
+    def __enter__(self):
+        import gumbo_pp_spark.parser.html5 as _H
+
+        self._orig = _TreeBuilder._colgroup_fragment_chars
+        _TreeBuilder._colgroup_fragment_chars = legacy_colgroup_fragment_chars
+        self._c = _H._cparse_fast
+        _H._cparse_fast = None
+        return self
+
+    def __exit__(self, *exc):
+        import gumbo_pp_spark.parser.html5 as _H
+
+        _TreeBuilder._colgroup_fragment_chars = self._orig
+        _H._cparse_fast = self._c
+        return False

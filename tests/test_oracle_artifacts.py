@@ -602,14 +602,99 @@ class TestFramesetSpaceBatchFamily:
         assert got == '| "  "'
         assert got.replace('"  "', '" "') == '| " "'  # pinned html5lib
 
-    def test_batch_level_agreements_pinned(self):
+    def test_colgroup_now_per_character_like_frameset(self):
+        # round 6: the colgroup fragment-ignore leg follows the same
+        # per-CHARACTER spec rule as frameset (it used to drop the
+        # whole run, which coincided with html5lib's batch rule on
+        # entity-free text) — these cases now diverge from html5lib
+        # and re-derive under the family-15 chunk patch
         from gumbo_pp_spark.parser.serialize import serialize_fragment
 
-        # where the engine's run-level handling coincides with
-        # html5lib's batch rule there is NO divergence — pin that too
+        from .html5lib_emulation import patched_legacy_colgroup_fragment
+
+        for src, spec, legacy in [
+            ("x y", '| " "', ""),
+            ("<col>a b<col>", '| <col>\n| " "\n| <col>',
+             "| <col>\n| <col>"),
+        ]:
+            assert serialize_fragment(
+                parse_html(src, {"fragment_context": "colgroup"})
+            ) == spec
+            with patched_legacy_colgroup_fragment():
+                got = serialize_fragment(
+                    parse_html(src, {"fragment_context": "colgroup"})
+                )
+            assert got == legacy  # pinned html5lib trees (probed)
+
+
+class TestColgroupFragmentCharsFamily:
+    """Family 15 (round 6): 'in column group' anything-else characters
+    in the colgroup-context FRAGMENT case.  The spec rule is per
+    CHARACTER token — whitespace inserted, non-whitespace ignored —
+    so "hello world" keeps its interior space.  html5lib 1.x processes
+    tokenizer CHUNKS instead: only each chunk's LEADING whitespace
+    survives, with chunk boundaries at every "&" (numeric/longest
+    known named reference consumed as its own token; a failed
+    reference emits a lone "&" and restarts the chunk, whose leading
+    whitespace then survives).
+
+    MACHINE-VERIFIED (round 6): the 29 divergences of the fresh-seed
+    fragment wave PLUS the 76 committed-corpus colgroup cases whose
+    html5lib goldens coincided with the old run-level drop (they
+    moved here from tests/conformance/fragments_r4.dat when the
+    engine adopted the per-character spec rule) are pinned in
+    tests/colgroup_legacy_r6.dat with html5lib's trees; re-parsing each with html5lib's chunk rule
+    patched in (html5lib_emulation.legacy_colgroup_fragment_chars)
+    reproduces html5lib BYTE-FOR-BYTE, and the unpatched (spec)
+    engine differs on every case.
+    """
+
+    def _cases(self):
+        import os
+
+        fn = os.path.join(os.path.dirname(__file__), "colgroup_legacy_r6.dat")
+        with open(fn, encoding="utf-8", newline="") as f:
+            text = f.read()
+        for block in text.split("#data\n"):
+            if not block.strip():
+                continue
+            data, _, rest = block.partition("\n#document-fragment\n")
+            ctx, _, doc = rest.partition("\n#document\n")
+            yield data, ctx.strip(), doc.rstrip("\n")
+
+    def test_rederive_html5lib_under_legacy_rule(self):
+        from gumbo_pp_spark.parser.serialize import serialize_fragment
+
+        from .html5lib_emulation import patched_legacy_colgroup_fragment
+
+        n = 0
+        for src, ctx, html5lib_tree in self._cases():
+            with patched_legacy_colgroup_fragment():
+                legacy = serialize_fragment(
+                    parse_html(src, {"fragment_context": ctx})
+                )
+            assert legacy == html5lib_tree, src
+            modern = serialize_fragment(
+                parse_html(src, {"fragment_context": ctx})
+            )
+            assert modern != html5lib_tree, (
+                f"case no longer diverges (stale pin?): {src!r}"
+            )
+            n += 1
+        assert n == 105
+
+    def test_spec_behavior_pinned(self):
+        from gumbo_pp_spark.parser.serialize import serialize_fragment
+
+        # per-character rule: interior whitespace of ignored runs is
+        # inserted (adjacent ws text nodes merge in serialization)
         assert serialize_fragment(
-            parse_html("x y", {"fragment_context": "colgroup"})
-        ) == ""
+            parse_html("hello world", {"fragment_context": "colgroup"})
+        ) == '| " "'
         assert serialize_fragment(
-            parse_html("<col>a b<col>", {"fragment_context": "colgroup"})
-        ) == "| <col>\n| <col>"
+            parse_html("a b c", {"fragment_context": "colgroup"})
+        ) == '| "  "'
+        # leading ws + ignored tail
+        assert serialize_fragment(
+            parse_html(" a b ", {"fragment_context": "colgroup"})
+        ) == '| "   "'
