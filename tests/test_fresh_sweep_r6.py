@@ -14,6 +14,12 @@ Outcome, fully accounted:
   classes pinned below, where the engine follows the WHATWG rule and
   html5lib 1.x does not.  Each test asserts OUR tree (the spec tree);
   html5lib's divergent tree is quoted in the comment.
+
+A second wave (6,000 fresh-seed cases over the entity / head-doctype /
+rawtext-close / formatting profiles) produced SEVEN divergences total:
+four re-derived under the pinned artifact patches and three reduce to
+the already-pinned fostered-chain quirks (button-token drop, dd/dt
+non-fostered reinsert) — zero new engine bugs, zero new families.
 """
 
 from gumbo_pp_spark.parser.html5 import parse_html
