@@ -1739,8 +1739,95 @@ static void chars_buf(P *p, const unsigned char *buf, Py_ssize_t m, int64_t star
     insert_text(p, decode_buf(p, buf, m), start, end, 0, 1);
 }
 
+/* does the run contain a character reference decoding to a WHITESPACE
+ * character?  Tree construction classifies the DECODED token (round-6
+ * Python rule: "&#13;" IS a whitespace token — reference-produced CR
+ * bypasses stream normalization), and the C legs classify source
+ * bytes, so such runs bail to the Python engine wherever a mode rule
+ * asks "is this whitespace?" (everywhere except the insert-all modes
+ * in body/cell/template/select, handled at the call site). */
+static int has_ws_charref(const unsigned char *s, int64_t a, int64_t b) {
+    const unsigned char *q = s + a;
+    int64_t n = b - a;
+    for (;;) {
+        const unsigned char *amp = memchr(q, '&', (size_t)(n - (q - (s + a))));
+        if (!amp) return 0;
+        int64_t i = amp - s;
+        int64_t j = i + 1;
+        if (j < b && s[j] == '#') {
+            int64_t d = j + 1;
+            long num = 0;
+            int hex = 0, any = 0, ovf = 0;
+            if (d < b && (s[d] == 'x' || s[d] == 'X')) { hex = 1; d++; }
+            while (d < b) {
+                unsigned char c = s[d];
+                int v;
+                if (c >= '0' && c <= '9') v = c - '0';
+                else if (hex && ((c | 32) >= 'a' && (c | 32) <= 'f')) v = (c | 32) - 'a' + 10;
+                else break;
+                any = 1;
+                if (!ovf) {
+                    num = num * (hex ? 16 : 10) + v;
+                    if (num > 0x110000) ovf = 1;
+                }
+                d++;
+            }
+            if (any && !ovf &&
+                (num == 9 || num == 10 || num == 12 || num == 13 || num == 32))
+                return 1;
+        } else if (j < b && (s[j] == 'T' || s[j] == 'N')) {
+            if (b - j >= 4 && memcmp(s + j, "Tab;", 4) == 0) return 1;
+            if (b - j >= 8 && memcmp(s + j, "NewLine;", 8) == 0) return 1;
+        }
+        q = amp + 1;
+        if (q >= s + b) return 0;
+    }
+}
+
+/* ws-charref runs only diverge where the mode CLASSIFIES whitespace */
+static int mode_classifies_ws(int mode) {
+    return !(mode == M_IN_BODY || mode == M_IN_CELL ||
+             mode == M_IN_TEMPLATE || mode == M_IN_SELECT);
+}
+
 static void chars_html(P *p, int64_t a, int64_t b) {
+    if (mode_classifies_ws(p->mode) && memchr(p->s + a, '&', (size_t)(b - a)) &&
+        has_ws_charref(p->s, a, b))
+        BAILV(p);
     if (p->doc_has_nul && memchr(p->s + a, 0, (size_t)(b - a))) {
+        int m0 = p->mode;
+        /* round-6: colgroup/frameset NUL interactions stay Python */
+        if (m0 == M_IN_COLGROUP || m0 == M_IN_FRAMESET || m0 == M_AFTER_FRAMESET)
+            BAILV(p);
+        if (m0 == M_INITIAL || m0 == M_BEFORE_HTML || m0 == M_BEFORE_HEAD ||
+            m0 == M_IN_HEAD || m0 == M_AFTER_HEAD ||
+            m0 == M_AFTER_BODY || m0 == M_AFTER_AFTER_BODY) {
+            /* round-6 (html5.py _chars_html pre-body NUL branch): a
+             * U+0000 token is "anything else" in these modes — the
+             * prefix processes in the current mode, the NUL forces
+             * the body scaffolding (or the after-body mode switch)
+             * and disarms a pending newline skip, then the NUL-free
+             * remainder reprocesses (in body, where NULs drop) */
+            const unsigned char *nul = memchr(p->s + a, 0, (size_t)(b - a));
+            int64_t i = (int64_t)(nul - p->s);
+            if (i > a) { chars_html(p, a, i); CHKV(p); }
+            err(p, E_UNEXPECTED_CHARACTER, i); CHKV(p);
+            if (m0 == M_AFTER_BODY || m0 == M_AFTER_AFTER_BODY) {
+                p->mode = M_IN_BODY;
+            } else {
+                ensure_body(p, i); CHKV(p);
+            }
+            p->skip_newline = 0;
+            if (i + 1 < b) {
+                unsigned char *tmp = malloc((size_t)(b - i - 1));
+                if (!tmp) BAILV(p);
+                Py_ssize_t m = 0;
+                for (int64_t q = i + 1; q < b; q++) if (p->s[q]) tmp[m++] = p->s[q];
+                if (m) chars_buf(p, tmp, m, i + 1);
+                free(tmp);
+            }
+            return;
+        }
         /* WHATWG in-body: U+0000 character tokens are parse errors
          * and are DROPPED (html5.py:1644-1650); the remaining run is
          * reprocessed with stripped-length spans */
@@ -1750,7 +1837,8 @@ static void chars_html(P *p, int64_t a, int64_t b) {
         Py_ssize_t m = 0;
         for (int64_t q = a; q < b; q++) if (p->s[q]) tmp[m++] = p->s[q];
         int64_t start = a;
-        if (m == 0) { free(tmp); return; }  /* skip_newline stays set */
+        if (p->s[a] == 0) p->skip_newline = 0;  /* leading NUL intervenes */
+        if (m == 0) { free(tmp); return; }  /* skip_newline handled above */
         if (p->skip_newline) {
             p->skip_newline = 0;
             if (tmp[0] == '\n') {

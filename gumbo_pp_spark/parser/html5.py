@@ -407,6 +407,68 @@ def _decode(raw: str) -> str:
 
 _CHARREF_RE = re.compile(r"&(#[0-9]+;?|#[xX][0-9a-fA-F]+;?|[a-zA-Z][a-zA-Z0-9]*;?)")
 
+# whitespace CHARACTER-TOKEN scanning (round 6): tree construction
+# classifies the DECODED character token, and stream CR-normalization
+# does not apply to reference-produced characters — so "&#13;" is a
+# whitespace token (a literal U+000D) wherever a mode rule asks
+# "is this whitespace?", even though the SOURCE characters are not.
+_NUM_REF_RE = re.compile(r"&#(?:([0-9]+)|[xX]([0-9a-fA-F]+));?")
+_NAMED_WS_REF_RE = re.compile(r"&(Tab|NewLine);")
+
+
+def _ws_scan(raw: str, pos: int = 0):
+    """Longest run of whitespace character TOKENS starting at ``pos``:
+    literal ws characters plus character references decoding to one.
+    Returns (source_length, decoded_ws_text)."""
+    i = pos
+    n = len(raw)
+    out = []
+    while i < n:
+        c = raw[i]
+        if c in _WS_SET:
+            out.append(c)
+            i += 1
+            continue
+        if c == "&":
+            m = _NUM_REF_RE.match(raw, i)
+            if m:
+                try:
+                    ch = chr(int(m.group(1) or m.group(2),
+                                 16 if m.group(2) else 10))
+                except (ValueError, OverflowError):
+                    ch = ""
+                if ch in _WS_SET:
+                    out.append(ch)
+                    i = m.end()
+                    continue
+            m = _NAMED_WS_REF_RE.match(raw, i)
+            if m:
+                out.append("\t" if m.group(1) == "Tab" else "\n")
+                i = m.end()
+                continue
+        break
+    return i - pos, "".join(out)
+
+
+def _ws_prefix(raw: str):
+    """(source_length, decoded) leading-whitespace-token prefix; the
+    common no-reference case stays a plain lstrip."""
+    stripped = raw.lstrip(_WS)
+    k = len(raw) - len(stripped)
+    if not stripped or stripped[0] != "&":
+        return k, raw[:k]
+    k2, ws2 = _ws_scan(raw, k)
+    return k + k2, raw[:k] + ws2
+
+
+def _ws_all(raw: str):
+    """Decoded form of ``raw`` if EVERY character token in it is
+    whitespace, else None."""
+    if "&" not in raw:
+        return raw if all(c in _WS_SET for c in raw) else None
+    k, ws = _ws_scan(raw)
+    return ws if k == len(raw) else None
+
 
 def _decode_attr(raw: str) -> str:
     """Attribute-value character-reference decoding.
@@ -1515,17 +1577,20 @@ class _TreeBuilder:
         tests/html5lib_emulation.py by patching this method."""
         i, n = 0, len(stripped)
         while i < n:
-            is_ws = stripped[i] in _WS_SET
+            k, ws = _ws_scan(stripped, i)
+            if k:
+                self._insert_text(ws, pos + i, pos + i + k, reconstruct=False)
+                i += k
+                continue
             j = i
-            while j < n and (stripped[j] in _WS_SET) == is_ws:
+            while j < n:
+                if stripped[j] in _WS_SET:
+                    break
+                if stripped[j] == "&" and _ws_scan(stripped, j)[0]:
+                    break
                 j += 1
-            if is_ws:
-                self._insert_text(
-                    stripped[i:j], pos + i, pos + j, reconstruct=False
-                )
-            else:
-                self._err("unexpected-character", pos + i)
-            i = j
+            self._err("unexpected-character", pos + i)
+            i = j if j > i else i + 1
 
     def handle_chars(self, raw: str, start: int) -> None:
         if self.has_foreign and self._use_foreign("chars"):
@@ -1642,8 +1707,10 @@ class _TreeBuilder:
             "table", "tbody", "tfoot", "thead", "tr",
         ):
             self.pending_tt.append((raw, start))
-        elif all(c in _WS_SET for c in raw):
-            self._insert_text(raw, start, end)
+            return
+        ws = _ws_all(raw)
+        if ws is not None:
+            self._insert_text(ws, start, end)
         else:
             self._insert_text(_decode(raw), start, end)
 
@@ -1654,9 +1721,10 @@ class _TreeBuilder:
         leading whitespace runs)."""
         pend = self.pending_tt
         self.pending_tt = []
-        if all(all(c in _WS_SET for c in raw) for raw, _ in pend):
-            for raw, s in pend:
-                self._insert_text(raw, s, s + len(raw), reconstruct=False)
+        decoded_ws = [_ws_all(raw) for raw, _ in pend]
+        if all(w is not None for w in decoded_ws):
+            for (raw, s), w in zip(pend, decoded_ws):
+                self._insert_text(w, s, s + len(raw), reconstruct=False)
             return
         self._err("unexpected-character", pend[0][1])
         self.foster = True
@@ -1666,9 +1734,45 @@ class _TreeBuilder:
 
     def _chars_html(self, raw: str, start: int) -> None:
         if "\x00" in raw:
-            # WHATWG "in body": U+0000 character tokens are parse
-            # errors and are ignored
+            mode = self.mode
+            if mode in (INITIAL, BEFORE_HTML, BEFORE_HEAD, IN_HEAD, AFTER_HEAD):
+                # U+0000 is NOT whitespace, so in the pre-body modes it
+                # is "anything else": it forces the html/head/body
+                # scaffolding, and only THEN is it ignored (in-body
+                # rule).  Tokens before the first NUL still process in
+                # the current mode (round-6 NUL/charref fuzz wave).
+                i = raw.index("\x00")
+                if i:
+                    self._chars_html(raw[:i], start)
+                self._err("unexpected-character", start + i)
+                self._ensure_body(start + i)
+                # the NUL token intervened: a pending <pre>/<textarea>
+                # newline skip no longer applies to what follows
+                self.skip_newline = False
+                rest = raw[i + 1:].replace("\x00", "")
+                if rest:
+                    self._chars_html(rest, start + i + 1)
+                return
+            if mode in (AFTER_BODY, AFTER_AFTER_BODY):
+                # anything-else after body: parse error, back to in
+                # body, reprocess (where the NUL itself is ignored)
+                i = raw.index("\x00")
+                if i:
+                    self._chars_html(raw[:i], start)
+                self._err("unexpected-character", start + i)
+                self.mode = IN_BODY
+                self.skip_newline = False
+                rest = raw[i + 1:].replace("\x00", "")
+                if rest:
+                    self._chars_html(rest, start + i + 1)
+                return
+            # in body / table text / select: U+0000 character tokens
+            # are parse errors and are ignored
             self._err("unexpected-character", start)
+            if raw[0] == "\x00":
+                # a leading NUL token intervenes before any newline,
+                # so the <pre>/<textarea> skip is disarmed
+                self.skip_newline = False
             raw = raw.replace("\x00", "")
             if not raw:
                 return
@@ -1687,19 +1791,19 @@ class _TreeBuilder:
             self._insert_text(_decode(raw), start, end)
             return
         if mode in (INITIAL, BEFORE_HTML, BEFORE_HEAD):
-            stripped = raw.lstrip(_WS)
+            k, _ws = _ws_prefix(raw)
+            stripped = raw[k:]
             if not stripped:
                 return
-            k = len(raw) - len(stripped)
             self._ensure_body(start + k)
             decoded = _decode(stripped)
             self._insert_text(decoded, start + k, end)
             return
         if mode in (IN_HEAD, AFTER_HEAD):
-            stripped = raw.lstrip(_WS)
-            k = len(raw) - len(stripped)
+            k, ws = _ws_prefix(raw)
+            stripped = raw[k:]
             if k:
-                self._insert_text(raw[:k], start, start + k)
+                self._insert_text(ws, start, start + k)
             if stripped:
                 if mode == IN_HEAD and self.stack and self.ntag[self._current()] == "noscript":
                     # in-head-noscript anything-else: pop the noscript
@@ -1715,13 +1819,13 @@ class _TreeBuilder:
             self._insert_text(_decode(raw), start, end, reconstruct=False)
             return
         if mode == IN_COLGROUP:
-            stripped = raw.lstrip(_WS)
-            k = len(raw) - len(stripped)
+            k, ws = _ws_prefix(raw)
+            stripped = raw[k:]
             if k:
                 # whitespace inside <colgroup> never reconstructs
                 # formatting (fuzz-found: a fostered <small>'s AFE
                 # entry must not reopen INSIDE the colgroup)
-                self._insert_text(raw[:k], start, start + k, reconstruct=False)
+                self._insert_text(ws, start, start + k, reconstruct=False)
             if stripped:
                 if self.stack and self.ntag[self._current()] == "colgroup":
                     self._close_implied(self.stack.pop(), start + k)
@@ -1731,8 +1835,21 @@ class _TreeBuilder:
                     self._colgroup_fragment_chars(stripped, start + k)
             return
         if mode == IN_FRAMESET or mode == AFTER_FRAMESET:
-            ws = "".join(c for c in raw if c in _WS_SET)
-            if len(ws) != len(raw):
+            if "&" in raw:
+                ws_parts = []
+                i = 0
+                n = len(raw)
+                while i < n:
+                    k2, t = _ws_scan(raw, i)
+                    if k2:
+                        ws_parts.append(t)
+                        i += k2
+                    else:
+                        i += 1
+                ws = "".join(ws_parts)
+            else:
+                ws = "".join(c for c in raw if c in _WS_SET)
+            if _ws_all(raw) is None:
                 self._err("text-in-frameset", start)
             if ws:
                 # stale AFE entries from a frameset takeover must NOT
@@ -1740,7 +1857,7 @@ class _TreeBuilder:
                 self._insert_text(ws, start, start + len(ws), reconstruct=False)
             return
         if mode == AFTER_BODY or mode == AFTER_AFTER_BODY:
-            if not all(c in _WS_SET for c in raw):
+            if _ws_all(raw) is None:
                 self._err("unexpected-character", start)
                 self.mode = IN_BODY
             self._insert_text(_decode(raw), start, end)

@@ -725,9 +725,11 @@ def test_nul_input_corpus_ab():
         b"<colgroup-ish>\x00",
     ]
     engaged = 0
+    bailed = []
     for d in cases:
         c = cengine.cparse(d)
         if c is None:
+            bailed.append(d)
             continue
         engaged += 1
         saved = H._cparse_fast
@@ -737,8 +739,12 @@ def test_nul_input_corpus_ab():
         finally:
             H._cparse_fast = saved
         assert_identical(c, py, d)
-    # text/comment NULs must all engage (tag-machinery NULs bail)
-    assert engaged == len(cases), engaged
+    # text/comment NULs must all engage (tag-machinery NULs bail);
+    # round-6 (charref-ws fix): a NUL inside frameset/colgroup content
+    # is a DESIGNED semantic bail — those modes' NUL-as-anything-else
+    # interactions stay Python-only
+    assert bailed == [b"<frameset>\x00<frame></frameset>"], bailed
+    assert engaged == len(cases) - 1, engaged
 
     # corpus-wide: EVERY NUL-containing conformance doc either engages
     # identically (checked by test_conformance_corpus_ab) or bails
@@ -986,13 +992,20 @@ def test_round6_fuzz_ab_nul_deep_longname():
         for t in ("div", "b", "table", "select"):
             docs.append(("<" + t + ">") * n + "deep" + ("</" + t + ">") * rng.randrange(n))
 
-    engaged = dispatched = 0
+    engaged = dispatched = py_only = 0
     for d in docs:
         c = cengine.cparse(d)
         if c is None:
             d = d.replace("\r\n", "\n").replace("\r", "\n")
             c = cengine.cparse(d)
-            assert c is not None, d[:120]  # dispatch must take it
+            if c is None:
+                # round-6 semantic bails: NUL in colgroup/frameset
+                # content, or a character reference decoding to
+                # whitespace in a classifying mode — Python-only by
+                # design, still covered by the wave-3 oracle sweep
+                assert ("\x00" in d) or ("&#" in d) or ("&Tab" in d), d[:120]
+                py_only += 1
+                continue
             dispatched += 1
         else:
             engaged += 1
@@ -1003,5 +1016,6 @@ def test_round6_fuzz_ab_nul_deep_longname():
         finally:
             H._cparse_fast = saved
         assert_identical(c, py, d[:120])
-    assert engaged + dispatched == len(docs)
+    assert engaged + dispatched + py_only == len(docs)
     assert engaged > 1000  # the profile engages directly in the main
+    assert py_only < len(docs) // 20  # semantic bails stay rare

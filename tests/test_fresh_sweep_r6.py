@@ -20,6 +20,20 @@ rawtext-close / formatting profiles) produced SEVEN divergences total:
 four re-derived under the pinned artifact patches and three reduce to
 the already-pinned fostered-chain quirks (button-token drop, dd/dt
 non-fostered reinsert) — zero new engine bugs, zero new families.
+
+A third wave (3,000 NUL/CR/control-char cases) found TWO more real
+engine bugs, both fixed: (1) whitespace classification ran on the
+UNDECODED source, so a character reference decoding to whitespace
+("&#13;", "&Tab;" — reference-produced CR bypasses stream
+normalization) was treated as text at mode boundaries (`_ws_scan` /
+`_ws_prefix` / `_ws_all` now classify the decoded token; the C engine
+bails such runs to Python in classifying modes); (2) U+0000 tokens
+were dropped globally, but in the pre-body/after-body modes a NUL is
+"anything else" — it must force the html/head/body scaffolding (or
+the after-body mode switch) before being ignored by the in-body rule.
+After the fixes the wave's 149 divergences reduce to the pinned quirk
+classes plus the two NEW ones below (newline-skip chunk rule, RCDATA
+AFE reconstruction) — all engine-side spec-correct.
 """
 
 from gumbo_pp_spark.parser.html5 import parse_html
@@ -121,4 +135,53 @@ class TestPreNewlineSkippedInFragment:
     def test_pre_newline_then_text_kept(self):
         assert frag('<pre>\nx', "th") == "\n".join([
             "| <pre>", '|   "x"',
+        ])
+
+
+class TestNewlineSkipIsImmediateTokenOnly:
+    """<pre>/<textarea>'s newline skip applies to the IMMEDIATELY next
+    token (a U+000A character token — including one produced by CR
+    normalization of a lone '\\r').  html5lib 1.x instead decides on
+    the PRE-normalization first text chunk and keeps the skip armed
+    across intervening non-text tokens, so it keeps a normalized
+    '\\r'-newline and drops a newline that arrives after an ignored
+    end tag — both against the spec rule the engine follows (wave-3
+    NUL/CR fuzz)."""
+
+    def test_cr_only_newline_is_skipped(self):
+        # html5lib keeps "\n" (chunk was "\r" pre-normalization)
+        assert doc("<table><textarea>\r") == "\n".join([
+            "| <html>", "|   <head>", "|   <body>",
+            "|     <textarea>", "|     <table>",
+        ])
+
+    def test_newline_after_ignored_end_tag_is_kept(self):
+        # html5lib drops it (skip stayed armed across </div>)
+        assert doc("<pre></div>\nx") == "\n".join([
+            "| <html>", "|   <head>", "|   <body>",
+            "|     <pre>", '|       "', 'x"',
+        ])
+
+    def test_second_newline_not_skipped(self):
+        # "\r\r\n" normalizes to "\n\n": only the FIRST LF token is
+        # immediate; html5lib drops one of the two via its chunk rule
+        # with an ignored </option> in between
+        assert doc("<pre></option>\r\r\nx") == "\n".join([
+            "| <html>", "|   <head>", "|   <body>",
+            "|     <pre>", '|       "', "", 'x"',
+        ])
+
+
+class TestNoAfeReconstructionInTextMode:
+    """Character tokens inside RCDATA/RAWTEXT elements are processed
+    in the 'text' insertion mode, which inserts characters WITHOUT
+    reconstructing active formatting.  html5lib 1.x reconstructs — it
+    clones a still-active <i> INSIDE the <textarea> and parents the
+    text to the clone (wave-3 fuzz)."""
+
+    def test_textarea_text_not_wrapped_in_stale_formatting(self):
+        assert doc("<li><i></li><textarea>abc") == "\n".join([
+            "| <html>", "|   <head>", "|   <body>",
+            "|     <li>", "|       <i>",
+            "|     <textarea>", '|       "abc"',
         ])
