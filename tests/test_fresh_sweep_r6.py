@@ -34,6 +34,18 @@ the after-body mode switch) before being ignored by the in-body rule.
 After the fixes the wave's 149 divergences reduce to the pinned quirk
 classes plus the two NEW ones below (newline-skip chunk rule, RCDATA
 AFE reconstruction) — all engine-side spec-correct.
+
+A fourth wave (3,000 FRAGMENT cases x the NUL/CR/charref alphabet,
+exercising the new colgroup/frameset NUL paths) found zero new engine
+bugs: every delta-reduced divergence lands in the pinned classes —
+nested-table innerHTML reprocess, the newline-skip chunk rule, and
+the colgroup/frameset chunk-batch families extended by html5lib's
+CR/NUL run splitting (its Characters chunks are dropped whole where
+the spec processes per character token).  One documented residual
+micro-divergence: a U+0000 inside colgroup/frameset CONTENT is
+simplified to drop-with-error instead of the spec's
+anything-else path (both rare-of-rare; the C engine routes such
+documents to Python).
 """
 
 from gumbo_pp_spark.parser.html5 import parse_html
