@@ -46,6 +46,13 @@ micro-divergence: a U+0000 inside colgroup/frameset CONTENT is
 simplified to drop-with-error instead of the spec's
 anything-else path (both rare-of-rare; the C engine routes such
 documents to Python).
+
+A fifth wave (2,500 doctype/quirks-matrix cases — malformed public/
+system identifiers, unquoted/unterminated doctypes, quirks-sensitive
+bodies) produced ZERO divergences.  Campaign total: ~20,000 fresh
+html5lib-oracle cases across five waves, three real engine bugs found
+and fixed, one new machine-verified artifact family, six spec-pin
+quirk classes, quirks matrix byte-perfect.
 """
 
 from gumbo_pp_spark.parser.html5 import parse_html
