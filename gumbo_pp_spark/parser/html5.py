@@ -1766,6 +1766,25 @@ class _TreeBuilder:
                 if rest:
                     self._chars_html(rest, start + i + 1)
                 return
+            if mode == IN_COLGROUP:
+                # anything-else in column group: the NUL token closes
+                # an open colgroup and reprocesses in-table (where the
+                # in-table-text rule then drops the NUL itself); the
+                # fragment case (current node not a colgroup) is a
+                # parse error + ignore (round-6 wave-4/5 parity:
+                # html5lib and the spec agree here)
+                i = raw.index("\x00")
+                if i:
+                    self._chars_html(raw[:i], start)
+                self._err("unexpected-character", start + i)
+                self.skip_newline = False
+                if self.stack and self.ntag[self._current()] == "colgroup":
+                    self._close_implied(self.stack.pop(), start + i)
+                    self.mode = IN_TABLE
+                rest = raw[i + 1:].replace("\x00", "")
+                if rest:
+                    self._chars_html(rest, start + i + 1)
+                return
             # in body / table text / select: U+0000 character tokens
             # are parse errors and are ignored
             self._err("unexpected-character", start)

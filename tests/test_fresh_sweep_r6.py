@@ -41,11 +41,14 @@ bugs: every delta-reduced divergence lands in the pinned classes —
 nested-table innerHTML reprocess, the newline-skip chunk rule, and
 the colgroup/frameset chunk-batch families extended by html5lib's
 CR/NUL run splitting (its Characters chunks are dropped whole where
-the spec processes per character token).  One documented residual
-micro-divergence: a U+0000 inside colgroup/frameset CONTENT is
-simplified to drop-with-error instead of the spec's
-anything-else path (both rare-of-rare; the C engine routes such
-documents to Python).
+the spec processes per character token).  The wave-4 colgroup-NUL
+micro-divergence was subsequently FIXED: a U+0000 in column group is
+the spec's anything-else (closes an open colgroup, reprocesses in
+table; fragment case ignores) — html5lib agrees and the trees are
+byte-identical (TestColgroupNulAnythingElse).  Frameset NUL keeps the
+tree-identical drop (anything-else = error + ignore); only error-
+record granularity differs from a per-token reading.  The C engine
+routes colgroup/frameset-NUL documents to Python by design.
 
 A fifth wave (2,500 doctype/quirks-matrix cases — malformed public/
 system identifiers, unquoted/unterminated doctypes, quirks-sensitive
@@ -204,3 +207,27 @@ class TestNoAfeReconstructionInTextMode:
             "|     <li>", "|       <i>",
             "|     <textarea>", '|       "abc"',
         ])
+
+
+class TestColgroupNulAnythingElse:
+    """U+0000 in 'in column group' is anything-else: it closes an open
+    colgroup and reprocesses in-table (the in-table-text rule then
+    drops the NUL); the fragment case ignores it with an error.
+    html5lib agrees — these trees are oracle-identical (probed)."""
+
+    def test_nul_closes_colgroup(self):
+        assert doc("<table><colgroup>\x00<col>") == "\n".join([
+            "| <html>", "|   <head>", "|   <body>",
+            "|     <table>", "|       <colgroup>",
+            "|       <colgroup>", "|         <col>",
+        ])
+
+    def test_ws_around_nul(self):
+        assert doc("<table><colgroup> \x00 <col>") == "\n".join([
+            "| <html>", "|   <head>", "|   <body>",
+            "|     <table>", "|       <colgroup>", '|         " "',
+            '|       " "', "|       <colgroup>", "|         <col>",
+        ])
+
+    def test_fragment_case_ignores(self):
+        assert frag("a\x00 b", "colgroup") == '| " "'
