@@ -64,9 +64,14 @@ def _so_fresh() -> bool:
         with open(_SRCHASH) as f:
             return f.read().strip() == _source_hash()
     except OSError:
-        # .so shipped without its hash sidecar (e.g. hand-copied):
-        # trust it — a cluster --py-files bundle can't rebuild anyway
-        return True
+        # No hash sidecar next to the .so.  Two very different cases
+        # (ADVICE r6): a checkout that compiled the extension BEFORE
+        # the sidecar existed has the sources on disk — treat that .so
+        # as stale and rebuild, else a binary with an old return arity
+        # keeps loading.  A --py-files bundle shipped without sources
+        # can't rebuild anyway — trust it (arity is still guarded at
+        # call time in cparse()).
+        return not os.path.exists(os.path.join(_DIR, "chtml.c"))
 
 
 def _build() -> bool:
@@ -133,10 +138,18 @@ def cparse(source):
     Accepts str / bytes / bytearray / memoryview like
     :func:`parser.html5.parse_html`.
     """
+    global _cparse, _cextract, _cextract_batch
     if _cparse is None:
         return None
     res = _cparse(source)
     if res is None:
+        return None
+    if len(res) != 19:
+        # Stale binary with a different return arity (e.g. a shipped
+        # .so without its source-hash sidecar): disable the engine and
+        # fall back to the Python reference instead of raising on
+        # every document it accepts.
+        _cparse = _cextract = _cextract_batch = None
         return None
     # the extension materializes the final numpy columns itself
     # (round-6: the former bytearray/frombuffer + object-list copies

@@ -9,25 +9,33 @@ character-reference decoding in text and attribute values, foster
 parenting in tables, and per-node source spans
 (``start_pos``/``original_tag``/``original_end_tag``).
 
-This module re-implements the subset of that algorithm needed for
-byte-identical extraction parity on the golden corpus (FIXTURES.md §2)
-and Common-Crawl-style pages, spec-driven — NOT a code port.  Known,
-documented deviations from the full spec / libgumbo:
+This module re-implements that algorithm for byte-identical extraction
+parity on the golden corpus (FIXTURES.md §2) and Common-Crawl-style
+pages, spec-driven — NOT a code port.  The full machinery is in: the
+spec's 8-iteration-outer/node-lifting-inner adoption agency
+(:meth:`_TreeBuilder._adoption_agency`), active-formatting
+reconstruction with markers, foster parenting, real foreign-content
+dispatch (SVG/MathML namespaces, integration points, breakout tags,
+case adjustment, CDATA only in foreign content), template insertion
+modes, frameset modes with body-discarding takeover, scripting-off
+``<noscript>`` (in-head-noscript rules, conformance-pinned), and exact
+(code, offset) parse-error records.  Fidelity is pinned against the
+vendored html5lib oracle over the conformance corpus plus five fuzz
+campaigns (COVERAGE.md).  Remaining documented deviations:
 
-* active-formatting reconstruction and a single-iteration adoption
-  agency are implemented (clones across implied closes, furthest-block
-  adoption); the spec's 8-iteration outer/3-iteration inner AAA loop
-  is simplified — deeply pathological misnesting may differ in shape
-  while keeping text order;
-* ``<noscript>`` always parsed as a normal container;
-* foreign content (SVG/MathML) parsed as plain elements with
-  self-closing honored; ``<![CDATA[`` produces a CData node instead of
-  a bogus comment;
 * implied elements get zero-length tag spans at their insertion
   offset (libgumbo uses empty ``original_tag``);
-* offsets are indices into the *decoded* (UTF-8 → str, ``\r\n``/``\r``
-  normalized to ``\n``) source — identical to byte offsets for ASCII
-  documents.
+* primary offsets are indices into the *decoded* (UTF-8 → str,
+  ``\r\n``/``\r`` normalized to ``\n``) source; exact RAW-BYTE offsets
+  are emitted alongside via ``parser/bytemap.py`` /
+  ``NodeTable.byte_offsets``;
+* NUL inside colgroup/frameset *content* is dropped-with-error rather
+  than routed through those modes' anything-else branch (micro
+  divergence, pinned in the fuzz-sweep tests; pre-body NUL follows
+  the spec's anything-else rule in both engines).
+
+A full deviation/deferred-item table with rationale lives in
+COVERAGE.md ("Known divergences & deferred items").
 
 The output is a :class:`~gumbo_pp_spark.nodetable.NodeTable` in
 DFS-preorder structure-of-arrays form (SURVEY.md §1.4 mapping).
@@ -1854,26 +1862,34 @@ class _TreeBuilder:
                     self._colgroup_fragment_chars(stripped, start + k)
             return
         if mode == IN_FRAMESET or mode == AFTER_FRAMESET:
-            if "&" in raw:
-                ws_parts = []
-                i = 0
-                n = len(raw)
-                while i < n:
-                    k2, t = _ws_scan(raw, i)
-                    if k2:
-                        ws_parts.append(t)
-                        i += k2
-                    else:
-                        i += 1
-                ws = "".join(ws_parts)
-            else:
-                ws = "".join(c for c in raw if c in _WS_SET)
+            # Collect whitespace character TOKENS (literal ws chars and
+            # references decoding to ws), dropping everything else.
+            # The recorded span covers the SOURCE extent from the first
+            # to the last kept token — "&#9;" is 4 source chars for 1
+            # decoded char, so start+len(ws) would under-cover (ADVICE
+            # r6); dropped non-ws chars inside the run stay covered,
+            # matching the one-text-node merge convention.
+            ws_parts = []
+            first = last = -1
+            i = 0
+            n = len(raw)
+            while i < n:
+                k2, t = _ws_scan(raw, i)
+                if k2:
+                    if first < 0:
+                        first = i
+                    ws_parts.append(t)
+                    i += k2
+                    last = i
+                else:
+                    i += 1
+            ws = "".join(ws_parts)
             if _ws_all(raw) is None:
                 self._err("text-in-frameset", start)
             if ws:
                 # stale AFE entries from a frameset takeover must NOT
                 # reconstruct inside the frameset
-                self._insert_text(ws, start, start + len(ws), reconstruct=False)
+                self._insert_text(ws, start + first, start + last, reconstruct=False)
             return
         if mode == AFTER_BODY or mode == AFTER_AFTER_BODY:
             if _ws_all(raw) is None:

@@ -562,17 +562,47 @@ def test_stale_srchash_detected(tmp_path):
     assert cengine._so_fresh()
 
 
-def test_missing_sidecar_trusts_shipped_so(tmp_path):
-    """A hand-shipped .so without its hash sidecar is trusted (a
-    --py-files bundle on a gcc-less cluster cannot rebuild)."""
-    import os
-
+def test_missing_sidecar_stale_when_sources_present(tmp_path):
+    """A .so without its hash sidecar is STALE when chtml.c is on disk
+    (pre-sidecar checkouts must rebuild: the old binary may return a
+    different tuple arity — ADVICE r6); it is trusted only when the
+    sources are absent (a --py-files bundle on a gcc-less cluster
+    cannot rebuild)."""
     saved = cengine._SRCHASH
+    saved_dir = cengine._DIR
     try:
         cengine.__dict__["_SRCHASH"] = str(tmp_path / "nope.srchash")
-        assert cengine._so_fresh()
+        # sources present (real _cext dir): missing sidecar = stale
+        assert not cengine._so_fresh()
+        # sources absent (shipped bundle): trusted
+        so = tmp_path / "_chtml.so"
+        so.write_bytes(b"")
+        cengine.__dict__["_DIR"] = str(tmp_path)
+        saved_so = cengine._SO
+        cengine.__dict__["_SO"] = str(so)
+        try:
+            assert cengine._so_fresh()
+        finally:
+            cengine.__dict__["_SO"] = saved_so
     finally:
         cengine.__dict__["_SRCHASH"] = saved
+        cengine.__dict__["_DIR"] = saved_dir
+
+
+def test_cparse_arity_mismatch_disables_engine(monkeypatch):
+    """A stale binary returning the wrong tuple arity must disable the
+    C engine and fall back to Python, not raise on every document."""
+    if cengine._cparse is None:
+        import pytest
+
+        pytest.skip("C engine unavailable")
+    saved = cengine._cparse
+    try:
+        monkeypatch.setattr(cengine, "_cparse", lambda s: tuple(range(14)))
+        assert cengine.cparse("<p>x</p>") is None
+        assert cengine._cparse is None  # engine disabled, not retried
+    finally:
+        cengine.__dict__["_cparse"] = saved
 
 
 # ----------------------------------------------------------------------
