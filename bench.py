@@ -300,19 +300,25 @@ def run_levels_interleaved(pages_dir: str, levels: tuple[int, ...], passes: int 
     for _ in range(passes):
         for n in levels:
             one(n)
-    # bonus passes: more cores can never make the identical job slower
-    # in ABSOLUTE wall — a level measuring slower than the level below
-    # it is provably noise-bound, so it gets extra attempts (same
-    # min-of-N estimator, just more N where noise was detected)
+    # bonus passes: a level measuring slower in ABSOLUTE wall than the
+    # level below it signals a noise-poisoned window somewhere in the
+    # ladder.  Retry the WHOLE ladder, not just the slow level (ADVICE
+    # r6: one-sided extra draws for the upper level bias the min-of-N
+    # efficiency upward — contention can genuinely slow local[32], and
+    # the estimator must give every level the same number of attempts).
     for _ in range(3):
-        retry = [
-            hi for lo, hi in zip(levels, levels[1:])
-            if best[hi]["wall_sec"] > best[lo]["wall_sec"]
-        ]
-        if not retry:
+        inconsistent = any(
+            best[hi]["wall_sec"] > best[lo]["wall_sec"]
+            for lo, hi in zip(levels, levels[1:])
+        )
+        if not inconsistent:
             break
-        for n in retry:
+        for n in levels:
             one(n)
+    for n in levels:
+        # equal by construction (full passes only); recorded so a gate
+        # pass earned via retries is visible in the artifact
+        best[n]["n_attempts"] = len(best[n]["wall_sec_runs"])
     return best
 
 
@@ -518,7 +524,25 @@ def main() -> None:
         },
         "matcher_microbench": matcher_microbench(),
     }
-    print(json.dumps(result))
+    # Full artifact to disk; COMPACT line to stdout.  The driver
+    # captures a bounded tail of stdout — BENCH_r06's line grew past
+    # that window (per-run lists + ceiling sub-dicts) and the round's
+    # canonical artifact came back unparseable ("parsed": null).
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "driver_last.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    compact = dict(result)
+    compact["extraction"] = dict(result["extraction"])
+    keep = ("master", "docs", "wall_sec", "docs_per_sec", "mb_per_sec",
+            "n_splits", "n_attempts", "parse_errors")
+    for n in (XLOW_CPUS, LOW_CPUS, CPUS):
+        full = result["extraction"][f"local{n}"]
+        compact["extraction"][f"local{n}"] = {k: full[k] for k in keep if k in full}
+    compact["extraction"]["hardware_ceiling"] = {
+        k: ceiling[k] for k in ("sha_efficiency", "sha_efficiency_low_pair")
+    }
+    compact["detail"] = "BENCH/driver_last.json"
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
