@@ -80,29 +80,44 @@ def _duck_simhash_pairs_sql(max_hamming: int = 2) -> str:
     )
 
 
-def _duck_minhash_cte() -> str:
-    mh = ", ".join(
-        f"min(md5('{k}|' || sh)) AS mh{k}" for k in range(D.N_MINHASHES)
-    )
+def _duck_mh_bands(n_hashes: int, n_bands: int) -> tuple[str, str]:
+    """(sig column list, band UNION ALL selects) for an (n_hashes,
+    n_bands) MinHash config — mirrors dedup.minhash_signatures /
+    dedup._band_explode (bkey = concat of rows-per-band consecutive
+    minhashes)."""
+    rows = n_hashes // n_bands
+    mh = ", ".join(f"min(md5('{k}|' || sh)) AS mh{k}" for k in range(n_hashes))
     bands = " UNION ALL ".join(
-        f"SELECT doc_id, {bd} AS band, mh{2*bd} || mh{2*bd+1} AS bkey FROM sig"
-        for bd in range(D.N_BANDS)
+        f"SELECT doc_id, {bd} AS band, "
+        + " || ".join(f"mh{rows * bd + j}" for j in range(rows))
+        + " AS bkey FROM sig"
+        for bd in range(n_bands)
     )
+    return mh, bands
+
+
+def _duck_minhash_cte(
+    n_hashes: int = D.N_MINHASHES,
+    n_bands: int = D.N_BANDS,
+    min_equal: int = 4,
+    bucket_cap: int = 64,
+) -> str:
+    mh, bands = _duck_mh_bands(n_hashes, n_bands)
     eq = " + ".join(
-        f"(CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END)" for k in range(D.N_MINHASHES)
+        f"(CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END)" for k in range(n_hashes)
     )
     return (
         f"WITH {_DUCK_SHINGLES}, "
         f"sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id), "
         f"bands AS ({bands}), "
-        # mirror of dedup.minhash_lsh_pairs bucket_cap=64
-        "small AS (SELECT band, bkey FROM bands GROUP BY band, bkey HAVING count(*) <= 64), "
+        # mirror of dedup.minhash_lsh_pairs bucket_cap
+        f"small AS (SELECT band, bkey FROM bands GROUP BY band, bkey HAVING count(*) <= {bucket_cap}), "
         "bandsf AS (SELECT b.* FROM bands b JOIN small USING (band, bkey)), "
         "cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id FROM bandsf x "
         "JOIN bandsf y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id) "
         f"SELECT CAST(a_id AS BIGINT) AS a, CAST(b_id AS BIGINT) AS b, CAST({eq} AS BIGINT) AS n_eq "
         "FROM cand JOIN sig sa ON cand.a_id = sa.doc_id JOIN sig sb ON cand.b_id = sb.doc_id "
-        f"WHERE {eq} >= 4"
+        f"WHERE {eq} >= {min_equal}"
     )
 
 
@@ -182,13 +197,7 @@ def _duck_canonical_sql() -> str:
 
 
 def _duck_lsh_stats_cte() -> str:
-    mh = ", ".join(
-        f"min(md5('{k}|' || sh)) AS mh{k}" for k in range(D.N_MINHASHES)
-    )
-    bands = " UNION ALL ".join(
-        f"SELECT doc_id, {bd} AS band, mh{2*bd} || mh{2*bd+1} AS bkey FROM sig"
-        for bd in range(D.N_BANDS)
-    )
+    mh, bands = _duck_mh_bands(D.N_MINHASHES, D.N_BANDS)
     return (
         f"WITH {_DUCK_SHINGLES}, "
         f"sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id), "
@@ -713,6 +722,17 @@ def q_dedup_components(spark, sf_dir):
     return D.connected_components(D.minhash_lsh_pairs(docs, min_equal=4))
 
 
+def q_dedup_minhash32(spark, sf_dir):
+    # production-realism config (VERDICT r6 #2): 32 permutations in 8
+    # bands of 4 rows — candidate knee ≈ 0.6 jaccard with far lower
+    # false-positive band mass than the 8/4 demo default; min_equal=16
+    # keeps the estimated-jaccard cut at 0.5.  Same plan shape (one
+    # candidate shuffle, 2 joins) at any (n_hashes, n_bands).
+    return D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), min_equal=16, n_hashes=32, n_bands=8
+    )
+
+
 def q_dedup_canonical(spark, sf_dir):
     # the end-to-end dedup DECISION: one kept representative per
     # near-dup cluster, every other member flagged for drop
@@ -1109,6 +1129,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_minhash_lsh32": q_dedup_minhash32,
     "dedup_components": q_dedup_components,
     "dedup_canonical": q_dedup_canonical,
     "decontaminate": q_decontaminate,
@@ -1292,6 +1313,7 @@ ORACLES: dict[str, str] = {
         "WHERE 1.0 * shared / (sa.n_sh + sb.n_sh - shared) >= 0.5"
     ),
     "dedup_minhash_lsh": _duck_minhash_cte(),
+    "dedup_minhash_lsh32": _duck_minhash_cte(n_hashes=32, n_bands=8, min_equal=16),
     "dedup_components": _duck_components_sql(),
     "dedup_canonical": _duck_canonical_sql(),
     "repeated_windows": (

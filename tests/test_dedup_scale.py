@@ -186,3 +186,33 @@ class TestIvf:
         r3 = S.ivf_recall_vs_exact(emb, q, pivots, k=3, nprobe=3).first()
         assert r3["n_hit"] >= r1["n_hit"]
         assert r1["n_queries"] == 3 and r1["n_exact"] == 9
+
+
+class TestMinhashBandingParams:
+    """(n_hashes, n_bands) are parameters (r7); bad pairs fail fast."""
+
+    def test_indivisible_banding_rejected(self, spark):
+        import pytest
+
+        from gumbo_pp_spark.operators import dedup as D
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="multiple"):
+            D.minhash_lsh_pairs(docs, n_hashes=10, n_bands=4)
+        with pytest.raises(ValueError, match="multiple"):
+            D._band_explode(D.minhash_signatures(docs, 8), 8, 0)
+
+    def test_wider_signature_tightens_candidates(self, spark):
+        # exact duplicates must survive any config; the 32/8 config's
+        # n_eq estimate is over 32 hashes
+        from gumbo_pp_spark.operators import dedup as D
+
+        docs = spark.createDataFrame(
+            [(1, "w0 w1 w2 w3 w4 w5 w6 w7"), (2, "w0 w1 w2 w3 w4 w5 w6 w7"),
+             (3, "z0 z1 z2 z3 z4 z5 z6 z7")],
+            "doc_id long, text string",
+        )
+        rows = D.minhash_lsh_pairs(docs, min_equal=32, n_hashes=32, n_bands=8).collect()
+        assert [(r.a, r.b, r.n_eq) for r in rows] == [(1, 2, 32)]

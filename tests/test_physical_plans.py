@@ -97,6 +97,17 @@ class TestPlans:
 
         n_joins = len(re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|BroadcastNestedLoopJoin)", plan))
         assert n_joins == 2, f"expected 2 joins, saw {n_joins}"
+        # the plan shape is invariant in (n_hashes, n_bands): the
+        # production-realism 32/8 config (r7) keeps one candidate
+        # shuffle + the two signature re-joins
+        plan32 = plan_of(
+            minhash_lsh_pairs(
+                docs.selectExpr("doc_id", "text"),
+                min_equal=16, n_hashes=32, n_bands=8,
+            )
+        )
+        n_joins32 = len(re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|BroadcastNestedLoopJoin)", plan32))
+        assert n_joins32 == 2, f"expected 2 joins, saw {n_joins32}"
 
     def test_simhash_pairs_single_signature_computation(self, spark, docs):
         # round-4 plan fix: the 63-bit simhash aggregate is computed
