@@ -304,16 +304,26 @@ def eval_ngrams(evals: DataFrame, n: int = 13, text_col: str = "text") -> DataFr
 
 
 def contamination(
-    docs: DataFrame, evals: DataFrame, n: int = 13, text_col: str = "text"
+    docs: DataFrame,
+    evals: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_contaminated) for every training document sharing at
     least one word ``n``-gram with ``evals`` — ``n_contaminated`` is
     the number of DISTINCT shared grams (both sides de-duplicate
     per document, so the count is order-free and oracle-stable).
-    Clean documents are absent; :func:`decontaminate` is the filter."""
+    Clean documents are absent; :func:`decontaminate` is the filter.
+
+    ``grams`` short-circuits the eval-side derivation with a
+    precomputed (gram) DataFrame — a caller running this repeatedly
+    (the streaming foreachBatch path) caches the gram table once
+    instead of re-aggregating the eval set per micro-batch."""
     from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
 
-    grams = eval_ngrams(evals, n, text_col)
+    if grams is None:
+        grams = eval_ngrams(evals, n, text_col)
     ws = (
         ensure_min_parallelism(docs)
         .select("doc_id", F.split(F.col(text_col), " ").alias("ws"))
@@ -328,11 +338,16 @@ def contamination(
 
 
 def decontaminate(
-    docs: DataFrame, evals: DataFrame, n: int = 13, text_col: str = "text"
+    docs: DataFrame,
+    evals: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """``docs`` minus every document contaminated against ``evals``
-    (left-anti on doc_id; all original columns pass through)."""
-    bad = contamination(docs, evals, n, text_col).select("doc_id")
+    (left-anti on doc_id; all original columns pass through).
+    ``grams`` as in :func:`contamination`."""
+    bad = contamination(docs, evals, n, text_col, grams=grams).select("doc_id")
     return docs.join(bad, "doc_id", "left_anti")
 
 

@@ -69,8 +69,8 @@ def stream_contamination_alerts(
     DataFrame broadcast into every micro-batch, the stream side is the
     same map-only n-gram explode as the batch operator.  Stateless: no
     watermark, no streaming state, each micro-batch is independent.
-    (A clean-stream variant cannot be a stream-stream anti join —
-    unsupported — see :func:`stream_decontaminate`.)"""
+    (The clean-stream variant runs the batch anti-join per micro-batch
+    via ``foreachBatch`` — see :func:`stream_decontaminate`.)"""
     from ..operators.textstats import _ngram_expr, eval_ngrams
 
     grams = eval_ngrams(evals, n, text_col)  # static side, broadcast
@@ -84,49 +84,66 @@ def stream_contamination_alerts(
     )
 
 
+def decontaminate_batch(
+    batch_df: DataFrame, grams: DataFrame, n: int = 13, text_col: str = "text"
+) -> DataFrame:
+    """Per-micro-batch clean transform: the batch operator's JVM shape
+    (map-only n-gram explode → broadcast hash join on the gram table →
+    left-anti on doc_id).  No Python UDF anywhere in the plan — this is
+    the streaming mirror of the input_hint's "no per-row Python" rule
+    (tests/test_multimodal_streaming.py pins the plan)."""
+    from ..operators.textstats import decontaminate
+
+    return decontaminate(batch_df, None, n, text_col, grams=grams)
+
+
 def stream_decontaminate(
     spark: SparkSession,
     input_dir: str,
     schema: str,
     evals: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
     n: int = 13,
     text_col: str = "text",
-) -> DataFrame:
-    """Continuously decontaminate a document stream: pass through only
+):
+    """Continuously decontaminate a document stream: write out only
     documents sharing NO word ``n``-gram with the static eval set.
+    Returns the started streaming query (availableNow trigger — call
+    ``awaitTermination`` for drain-and-stop semantics).
 
-    Spark cannot express "drop the parent row of any matching child"
-    on a stream without a (unsupported) stream-stream anti join, so
-    the eval grams are collected ONCE into a broadcast set — by
-    definition benchmark-sized, the same object a batch broadcast
-    join would ship — and the filter is one Arrow-batched predicate
-    on the stream's map path (stateless, append-mode)."""
-    from pyspark.sql.types import BooleanType
-    import pandas as pd  # noqa: F401  (pandas_udf batch type)
-    from pyspark.sql.functions import pandas_udf
+    A streaming plan cannot express "drop the parent row of any
+    matching child" directly (stream-static joins support inner/left,
+    not the left-anti this needs), and the round-6 fallback — a
+    broadcast gram SET probed per row inside a pandas_udf — rebuilt
+    every window string in Python on the hot path.  ``foreachBatch``
+    removes the restriction: each micro-batch is a normal batch
+    DataFrame, so the existing batch operator runs as-is, JVM-side
+    (:func:`decontaminate_batch`).  The eval gram table is derived and
+    cached ONCE here; every micro-batch broadcast-joins the same
+    in-memory relation.
 
+    Sink discipline: parquet append per batch — on micro-batch retry
+    after a crash the batch's rows can be written twice (at-least-once;
+    the file-source checkpoint dedupes INPUT, not output).  On a
+    cluster, point ``out_dir`` at an idempotent/transactional sink
+    (e.g. an Iceberg table with per-batch overwrite keyed on
+    ``batch_id``) for exactly-once — same pattern as the lineage
+    ledger's commit semantics."""
     from ..operators.textstats import eval_ngrams
 
-    gram_set = frozenset(
-        r["gram"] for r in eval_ngrams(evals, n, text_col).collect()
-    )
-    bc = spark.sparkContext.broadcast(gram_set)
+    grams = eval_ngrams(evals, n, text_col).cache()
+    grams.count()  # materialize once, before the first micro-batch
 
-    @pandas_udf(BooleanType())
-    def is_clean(texts):
-        grams = bc.value
-        out = []
-        for t in texts:
-            w = (t or "").split(" ")
-            out.append(
-                not any(
-                    " ".join(w[i : i + n]) in grams
-                    for i in range(len(w) - n + 1)
-                )
-            )
-        import pandas as _pd
-
-        return _pd.Series(out)
+    def _write_clean(batch_df: DataFrame, batch_id: int) -> None:
+        decontaminate_batch(batch_df, grams, n, text_col).write.mode(
+            "append"
+        ).parquet(out_dir)
 
     docs = spark.readStream.schema(schema).parquet(input_dir)
-    return docs.where(is_clean(F.col(text_col)))
+    return (
+        docs.writeStream.foreachBatch(_write_clean)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

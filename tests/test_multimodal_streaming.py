@@ -155,18 +155,38 @@ class TestStreamingDecontamination:
         assert len(got) == 8  # W has 8 distinct 13-grams, all in doc 1
 
     def test_decontaminated_stream_passes_clean_docs_only(self, spark, tmp_path):
+        from gumbo_pp_spark.operators.textstats import decontaminate
         from gumbo_pp_spark.streaming.ingest import stream_decontaminate
 
         src = self._src(spark, tmp_path)
         evals = spark.createDataFrame([(self.W,)], "text string")
-        clean = stream_decontaminate(spark, src, self.SCHEMA, evals, n=13)
-        q = (
-            clean.writeStream.format("memory")
-            .queryName("clean_docs")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
+        out = str(tmp_path / "clean")
+        ckpt = str(tmp_path / "ckpt")
+        q = stream_decontaminate(spark, src, self.SCHEMA, evals, out, ckpt, n=13)
         q.awaitTermination(120)
-        got = [r.doc_id for r in spark.sql("SELECT doc_id FROM clean_docs").collect()]
-        assert got == [2]
+        got = spark.read.parquet(out)
+        assert [r.doc_id for r in got.collect()] == [2]
+        # byte-identical to the batch operator over the same input
+        batch = decontaminate(spark.read.parquet(src), evals, n=13)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+    def test_per_batch_plan_has_no_python_udf(self, spark):
+        # the streaming mirror of the input_hint's "no per-row Python"
+        # rule: the per-micro-batch transform must be the batch JVM
+        # shape — gram explode, broadcast hash join, left-anti — with
+        # zero Python evaluation nodes (the round-6 pandas_udf set-probe
+        # filter is gone)
+        from gumbo_pp_spark.operators.textstats import eval_ngrams
+        from gumbo_pp_spark.streaming.ingest import decontaminate_batch
+
+        evals = spark.createDataFrame([(self.W,)], "text string")
+        grams = eval_ngrams(evals, n=13)
+        batch = spark.createDataFrame(
+            [(1, self.W + " tail"), (2, "unrelated words " * 8)], self.SCHEMA
+        )
+        clean = decontaminate_batch(batch, grams, n=13)
+        plan = clean._jdf.queryExecution().executedPlan().toString()
+        for py_node in ("EvalPython", "InPandas", "PythonUDF", "MapInArrow"):
+            assert py_node not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert [r.doc_id for r in clean.collect()] == [2]
