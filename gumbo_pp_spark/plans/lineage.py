@@ -32,20 +32,49 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 class PartitionLedger:
     """Atomic per-split commit records on a filesystem (works on any
     rename-capable store; on object stores use a conditional-put
-    variant)."""
+    variant).
 
-    def __init__(self, path: str):
+    Manifest compaction (VERDICT r6 #7): at the north-star scale the
+    ledger holds 10^5-10^6 committed splits, and a resume that opens
+    one JSON file per split is a driver file-stat storm.  Committed
+    records are periodically rolled into a single atomically-rewritten
+    ``manifest.json``; :meth:`committed` reads manifest + the per-split
+    tail files written since the last roll (O(1) file reads on a
+    compacted ledger, one tiny read per split committed since).
+    Crash-safe ordering: the manifest is replaced FIRST (tmp+rename),
+    folded tail files are deleted after — a crash between the two
+    leaves records present in both places with identical content, and
+    the tail overlay wins harmlessly."""
+
+    MANIFEST = "manifest.json"
+
+    def __init__(self, path: str, compact_every: int = 256):
         self.path = path
+        self.compact_every = compact_every
+        self._since_compact = 0
         os.makedirs(path, exist_ok=True)
 
-    def committed(self) -> dict[int, dict]:
+    def _load(self) -> tuple[dict[int, dict], list[str]]:
+        """(records, tail filenames) — manifest first, tail overlays."""
         out: dict[int, dict] = {}
-        for fn in os.listdir(self.path):
-            if fn.startswith("split_") and fn.endswith(".json"):
-                with open(os.path.join(self.path, fn)) as f:
-                    rec = json.load(f)
-                out[int(rec["split_id"])] = rec
-        return out
+        mpath = os.path.join(self.path, self.MANIFEST)
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                for rec in json.load(f)["records"]:
+                    out[int(rec["split_id"])] = rec
+        tails = [
+            fn
+            for fn in os.listdir(self.path)
+            if fn.startswith("split_") and fn.endswith(".json")
+        ]
+        for fn in tails:
+            with open(os.path.join(self.path, fn)) as f:
+                rec = json.load(f)
+            out[int(rec["split_id"])] = rec
+        return out, tails
+
+    def committed(self) -> dict[int, dict]:
+        return self._load()[0]
 
     def commit(self, rec: dict) -> None:
         final = os.path.join(self.path, f"split_{rec['split_id']}.json")
@@ -53,6 +82,27 @@ class PartitionLedger:
         with open(tmp, "w") as f:
             json.dump(rec, f)
         os.replace(tmp, final)  # atomic on POSIX
+        self._since_compact += 1
+        if self.compact_every and self._since_compact >= self.compact_every:
+            self.compact()
+
+    def compact(self) -> int:
+        """Roll tail files into the manifest; returns how many folded."""
+        recs, tails = self._load()
+        self._since_compact = 0
+        if not tails:
+            return 0
+        mpath = os.path.join(self.path, self.MANIFEST)
+        tmp = mpath + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"version": 1, "records": list(recs.values())}, f)
+        os.replace(tmp, mpath)
+        for fn in tails:
+            try:
+                os.remove(os.path.join(self.path, fn))
+            except FileNotFoundError:
+                pass  # concurrent compaction already folded it
+        return len(tails)
 
 
 def extract_with_resume(
@@ -158,6 +208,9 @@ def extract_with_resume(
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
         )
+    # roll this run's commits into the manifest so the NEXT resume
+    # starts from O(1) file reads regardless of how many splits ran
+    ledger.compact()
     return {
         "run_id": run_id,
         "splits_processed": len(pending),

@@ -103,6 +103,70 @@ class TestLineageResume:
         assert 7 not in splits
 
 
+class TestLedgerManifestCompaction:
+    """VERDICT r6 #7: committed() on a compacted ledger must be O(1)
+    file reads, not one JSON open per split."""
+
+    def _rec(self, s, run="r0"):
+        return {"split_id": s, "run_id": run, "status": "committed", "rows": 1}
+
+    def test_compaction_folds_tails_and_preserves_records(self, tmp_path):
+        import os
+
+        from gumbo_pp_spark.plans.lineage import PartitionLedger
+
+        led = PartitionLedger(str(tmp_path / "led"), compact_every=0)  # manual
+        for s in range(100):
+            led.commit(self._rec(s))
+        before = led.committed()
+        assert led.compact() == 100
+        assert not [f for f in os.listdir(led.path) if f.startswith("split_")]
+        assert led.committed() == before
+        # post-compaction commits overlay the manifest (tail wins)
+        led.commit(self._rec(5, run="r1"))
+        led.commit(self._rec(100, run="r1"))
+        recs = led.committed()
+        assert recs[5]["run_id"] == "r1" and recs[100]["run_id"] == "r1"
+        assert len(recs) == 101
+        # second compaction folds only the 2 tails
+        assert led.compact() == 2
+        assert led.committed() == recs
+        assert led.compact() == 0  # idempotent
+
+    def test_large_ledger_loads_in_o1_file_reads(self, tmp_path, monkeypatch):
+        import builtins
+
+        from gumbo_pp_spark.plans import lineage as L
+
+        led = L.PartitionLedger(str(tmp_path / "big"), compact_every=0)
+        recs = {"version": 1, "records": [self._rec(s) for s in range(100_000)]}
+        import json as _json
+
+        with open(f"{led.path}/{led.MANIFEST}", "w") as f:
+            _json.dump(recs, f)
+        opens = []
+        real_open = builtins.open
+        monkeypatch.setattr(
+            builtins, "open", lambda *a, **k: opens.append(a[0]) or real_open(*a, **k)
+        )
+        got = led.committed()
+        assert len(got) == 100_000
+        assert len(opens) == 1  # the manifest only
+
+    def test_auto_compaction_threshold(self, tmp_path):
+        import os
+
+        from gumbo_pp_spark.plans.lineage import PartitionLedger
+
+        led = PartitionLedger(str(tmp_path / "auto"), compact_every=16)
+        for s in range(40):
+            led.commit(self._rec(s))
+        tails = [f for f in os.listdir(led.path) if f.startswith("split_")]
+        # two auto-rolls at 16 and 32; 8 commits since the last
+        assert len(tails) == 8
+        assert len(led.committed()) == 40
+
+
 class TestSizeBinsOversized:
     def test_oversized_key_split_across_subbins(self, spark):
         from pyspark.sql import functions as F
