@@ -1911,9 +1911,15 @@ static void chars_html(P *p, int64_t a, int64_t b) {
     }
     if (mode == M_IN_FRAMESET || mode == M_AFTER_FRAMESET) {
         /* keep only the whitespace chars (joined into ONE run); any
-         * dropped char is a parse error */
+         * dropped char is a parse error.  The recorded span is the
+         * SOURCE extent first..last kept char (html5.py r7: start +
+         * decoded length under-covered reference-produced ws; ws-
+         * charref runs bail above via has_ws_charref, so kept chars
+         * here are literal bytes) */
         Py_ssize_t nws = 0;
-        for (int64_t q = a; q < b; q++) if (WS_CHAR(p->s[q])) nws++;
+        int64_t first = -1, last = -1;
+        for (int64_t q = a; q < b; q++)
+            if (WS_CHAR(p->s[q])) { if (first < 0) first = q; last = q + 1; nws++; }
         if (nws != b - a) { err(p, E_TEXT_IN_FRAMESET, a); CHKV(p); }
         if (nws) {
             PyObject *u = PyUnicode_New(nws, 127);
@@ -1921,7 +1927,7 @@ static void chars_html(P *p, int64_t a, int64_t b) {
             Py_UCS1 *dst = PyUnicode_1BYTE_DATA(u);
             for (int64_t q = a; q < b; q++)
                 if (WS_CHAR(p->s[q])) *dst++ = p->s[q];
-            insert_text(p, u, a, a + nws, 0, 0);
+            insert_text(p, u, first, last, 0, 0);
         }
         return;
     }

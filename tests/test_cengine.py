@@ -250,6 +250,13 @@ def test_frameset_and_isindex_identical():
         b'<head></head><frameset><frame></frameset>x',
         b"<isindex action='/s' prompt='Find:' name=q extra=1>",
         b"<form><isindex></form>",
+        # r7: frameset text runs mixing dropped non-ws chars with kept
+        # ws — the recorded span is the SOURCE extent of the kept ws
+        # (first..last), in both engines (the corpus lacked this shape)
+        b"<frameset>x \t<frame></frameset>",
+        b"<frameset> \tx<frame></frameset>",
+        b"<html><frameset>ab  cd \t<frame></frameset>",
+        b"<frameset>\t\tzz <frame>a b</frameset> c",
     ]
     for doc in cases:
         c = cengine.cparse(doc)
@@ -596,13 +603,14 @@ def test_cparse_arity_mismatch_disables_engine(monkeypatch):
         import pytest
 
         pytest.skip("C engine unavailable")
-    saved = cengine._cparse
+    saved = (cengine._cparse, cengine._cextract, cengine._cextract_batch)
     try:
         monkeypatch.setattr(cengine, "_cparse", lambda s: tuple(range(14)))
         assert cengine.cparse("<p>x</p>") is None
         assert cengine._cparse is None  # engine disabled, not retried
     finally:
-        cengine.__dict__["_cparse"] = saved
+        (cengine.__dict__["_cparse"], cengine.__dict__["_cextract"],
+         cengine.__dict__["_cextract_batch"]) = saved
 
 
 # ----------------------------------------------------------------------
