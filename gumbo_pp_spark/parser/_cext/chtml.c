@@ -1310,7 +1310,8 @@ static void reset_mode(P *p) {
 /* ---- "in table text" (html5.py:1591-1633) ------------------------- */
 /* pending runs are raw source spans; a batch with ANY non-space char
  * foster-parents (a parse error) → bail */
-static PyObject *decode_buf(P *p, const unsigned char *buf, Py_ssize_t m);
+static PyObject *decode_buf(P *p, const unsigned char *buf,
+                            const Py_UCS4 *ubuf, Py_ssize_t m);
 static PyObject *buf_slice(const unsigned char *buf, Py_ssize_t a, Py_ssize_t b);
 
 static void flush_tt(P *p) {
@@ -1348,7 +1349,7 @@ static void flush_tt(P *p) {
     for (int i = 0; i < np; i++) {
         PyObject *u = p->pend_txt[i]
             ? decode_buf(p, (const unsigned char *)PyBytes_AS_STRING(p->pend_txt[i]),
-                         PyBytes_GET_SIZE(p->pend_txt[i]))
+                         NULL, PyBytes_GET_SIZE(p->pend_txt[i]))
             : decode_text(p, p->pend[i][0], p->pend[i][1]);
         Py_CLEAR(p->pend_txt[i]);
         insert_text(p, u, p->pend[i][0], p->pend[i][1], 0, 1);
@@ -1616,11 +1617,19 @@ static void chars_in_table(P *p, int64_t a, int64_t b) {
 }
 
 /* decode entities from an arbitrary kind-1 buffer (round-6 NUL path:
- * the compacted run copy; only reachable when src_data == NULL, so
- * byte == codepoint) */
-static PyObject *decode_buf(P *p, const unsigned char *buf, Py_ssize_t m) {
+ * the compacted run copy).  ``ubuf`` (round-7) carries the original
+ * codepoints of a TRANSCODED doc's compacted run — placeholder bytes
+ * in ``buf`` keep the structure scannable (refs are pure ASCII, and a
+ * placeholder terminates a ref match exactly like the non-ASCII char
+ * it stands for), emitted chars read from ``ubuf``.  NULL ubuf =
+ * byte == codepoint (kind-1 input). */
+static PyObject *decode_buf(P *p, const unsigned char *buf,
+                            const Py_UCS4 *ubuf, Py_ssize_t m) {
     const unsigned char *amp = memchr(buf, '&', (size_t)m);
-    if (!amp) return PyUnicode_FromKindAndData(PyUnicode_1BYTE_KIND, buf, m);
+    if (!amp) {
+        if (ubuf) return PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND, ubuf, m);
+        return PyUnicode_FromKindAndData(PyUnicode_1BYTE_KIND, buf, m);
+    }
     if (scratch_ensure(p, m) < 0) return NULL;
     Py_UCS4 *out = p->scratch;
     Py_ssize_t k = 0;
@@ -1629,7 +1638,7 @@ static PyObject *decode_buf(P *p, const unsigned char *buf, Py_ssize_t m) {
             Py_ssize_t used = unescape_ref(p, buf, 0, i, m, out, &k);
             if (used) { i += used; continue; }
         }
-        out[k++] = buf[i];
+        out[k++] = ubuf ? ubuf[i] : buf[i];
         i++;
     }
     return PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND, out, k);
@@ -1642,14 +1651,19 @@ static PyObject *buf_slice(const unsigned char *buf, Py_ssize_t a, Py_ssize_t b)
 /* _chars_html over a NUL-compacted run copy (html5.py:1643-1725):
  * all within-run logic operates on the STRIPPED content; spans are
  * start-based with stripped lengths — matching the reference quirk
- * that dropped NULs shrink the span end.  Table modes bail (their
- * pending-text machinery stores source offsets); the colgroup
- * non-ws re-dispatch bails for the same reason. */
-static void chars_buf(P *p, const unsigned char *buf, Py_ssize_t m, int64_t start) {
+ * that dropped NULs shrink the span end.  ``ubuf`` (round-7): the
+ * compacted ORIGINAL codepoints of a transcoded doc's run (NULL in
+ * byte==codepoint mode); ws/structure checks stay on the placeholder
+ * bytes (ws is ASCII, a placeholder is never ws), emitted text reads
+ * through decode_buf's ubuf leg.  Table modes bail in transcoded mode
+ * (their pending-text machinery stores compacted BYTES); the colgroup
+ * non-ws re-dispatch bails in every mode. */
+static void chars_buf(P *p, const unsigned char *buf, const Py_UCS4 *ubuf,
+                      Py_ssize_t m, int64_t start) {
     int64_t end = start + m;
     int mode = p->mode;
     if (mode == M_IN_BODY || mode == M_IN_CELL || mode == M_IN_TEMPLATE) {
-        insert_text(p, decode_buf(p, buf, m), start, end, 0, 1);
+        insert_text(p, decode_buf(p, buf, ubuf, m), start, end, 0, 1);
         return;
     }
     if (mode == M_INITIAL || mode == M_BEFORE_HTML || mode == M_BEFORE_HEAD) {
@@ -1657,7 +1671,8 @@ static void chars_buf(P *p, const unsigned char *buf, Py_ssize_t m, int64_t star
         while (k < m && WS_CHAR(buf[k])) k++;
         if (k == m) return;
         ensure_body(p, start + k); CHKV(p);
-        insert_text(p, decode_buf(p, buf + k, m - k), start + k, end, 0, 1);
+        insert_text(p, decode_buf(p, buf + k, ubuf ? ubuf + k : NULL, m - k),
+                    start + k, end, 0, 1);
         return;
     }
     if (mode == M_IN_HEAD || mode == M_AFTER_HEAD) {
@@ -1672,14 +1687,17 @@ static void chars_buf(P *p, const unsigned char *buf, Py_ssize_t m, int64_t star
                 close_implied(p, nsid, start + k);
             }
             ensure_body(p, start + k); CHKV(p);
-            insert_text(p, decode_buf(p, buf + k, m - k), start + k, end, 0, 1);
+            insert_text(p, decode_buf(p, buf + k, ubuf ? ubuf + k : NULL, m - k),
+                        start + k, end, 0, 1);
         }
         return;
     }
     if (mode == M_IN_TABLE || mode == M_IN_TABLE_BODY || mode == M_IN_ROW) {
         /* mirror chars_in_table over the stripped run: the pending
          * entry carries the compacted bytes (html5.py pends the
-         * already-stripped raw string; span end = stripped length) */
+         * already-stripped raw string; span end = stripped length).
+         * Transcoded docs bail here: pend_txt is a BYTE store. */
+        if (ubuf) BAILV(p);
         int t = cur_tid(p);
         if (t == TID_TABLE || t == TID_TBODY || t == TID_TFOOT || t == TID_THEAD || t == TID_TR) {
             if (!ensure_pend(p, p->pend_n + 1)) return;
@@ -1694,11 +1712,11 @@ static void chars_buf(P *p, const unsigned char *buf, Py_ssize_t m, int64_t star
         int aw = 1;
         for (Py_ssize_t q = 0; q < m; q++) if (!WS_CHAR(buf[q])) { aw = 0; break; }
         if (aw) insert_text(p, buf_slice(buf, 0, m), start, end, 0, 1);
-        else insert_text(p, decode_buf(p, buf, m), start, end, 0, 1);
+        else insert_text(p, decode_buf(p, buf, NULL, m), start, end, 0, 1);
         return;
     }
     if (mode == M_IN_SELECT) {
-        insert_text(p, decode_buf(p, buf, m), start, end, 0, 0);
+        insert_text(p, decode_buf(p, buf, ubuf, m), start, end, 0, 0);
         return;
     }
     if (mode == M_IN_COLGROUP) {
@@ -1733,10 +1751,10 @@ static void chars_buf(P *p, const unsigned char *buf, Py_ssize_t m, int64_t star
             err(p, E_UNEXPECTED_CHARACTER, start); CHKV(p);
             p->mode = M_IN_BODY;  /* body reopens (parse error) */
         }
-        insert_text(p, decode_buf(p, buf, m), start, end, 0, 1);
+        insert_text(p, decode_buf(p, buf, ubuf, m), start, end, 0, 1);
         return;
     }
-    insert_text(p, decode_buf(p, buf, m), start, end, 0, 1);
+    insert_text(p, decode_buf(p, buf, ubuf, m), start, end, 0, 1);
 }
 
 /* does the run contain a character reference decoding to a WHITESPACE
@@ -1821,10 +1839,20 @@ static void chars_html(P *p, int64_t a, int64_t b) {
             if (i + 1 < b) {
                 unsigned char *tmp = malloc((size_t)(b - i - 1));
                 if (!tmp) BAILV(p);
+                Py_UCS4 *tmp_u = NULL;
+                if (p->src_data) {  /* transcoded: carry real codepoints */
+                    tmp_u = malloc((size_t)(b - i - 1) * sizeof(Py_UCS4));
+                    if (!tmp_u) { free(tmp); BAILV(p); }
+                }
                 Py_ssize_t m = 0;
-                for (int64_t q = i + 1; q < b; q++) if (p->s[q]) tmp[m++] = p->s[q];
-                if (m) chars_buf(p, tmp, m, i + 1);
+                for (int64_t q = i + 1; q < b; q++)
+                    if (p->s[q]) {
+                        if (tmp_u) tmp_u[m] = rd(p, q);
+                        tmp[m++] = p->s[q];
+                    }
+                if (m) chars_buf(p, tmp, tmp_u, m, i + 1);
                 free(tmp);
+                free(tmp_u);
             }
             return;
         }
@@ -1834,21 +1862,32 @@ static void chars_html(P *p, int64_t a, int64_t b) {
         err(p, E_UNEXPECTED_CHARACTER, a); CHKV(p);
         unsigned char *tmp = malloc((size_t)(b - a));
         if (!tmp) BAILV(p);
+        Py_UCS4 *tmp_u = NULL;
+        if (p->src_data) {  /* transcoded: carry real codepoints */
+            tmp_u = malloc((size_t)(b - a) * sizeof(Py_UCS4));
+            if (!tmp_u) { free(tmp); BAILV(p); }
+        }
         Py_ssize_t m = 0;
-        for (int64_t q = a; q < b; q++) if (p->s[q]) tmp[m++] = p->s[q];
+        for (int64_t q = a; q < b; q++)
+            if (p->s[q]) {
+                if (tmp_u) tmp_u[m] = rd(p, q);
+                tmp[m++] = p->s[q];
+            }
         int64_t start = a;
         if (p->s[a] == 0) p->skip_newline = 0;  /* leading NUL intervenes */
-        if (m == 0) { free(tmp); return; }  /* skip_newline handled above */
+        if (m == 0) { free(tmp); free(tmp_u); return; }  /* skip_newline handled above */
         if (p->skip_newline) {
             p->skip_newline = 0;
             if (tmp[0] == '\n') {
                 memmove(tmp, tmp + 1, (size_t)(m - 1));
+                if (tmp_u) memmove(tmp_u, tmp_u + 1, (size_t)(m - 1) * sizeof(Py_UCS4));
                 m--; start++;
-                if (m == 0) { free(tmp); return; }
+                if (m == 0) { free(tmp); free(tmp_u); return; }
             }
         }
-        chars_buf(p, tmp, m, start);
+        chars_buf(p, tmp, tmp_u, m, start);
         free(tmp);
+        free(tmp_u);
         return;
     }
     if (p->skip_newline) {
@@ -4251,10 +4290,12 @@ static PyObject *cextract(PyObject *self, PyObject *args) {
  * DOMINANT shapes on real web corpora — via an in-C strict decode +
  * newline normalization (prep_decode): placeholder parse buffer, str
  * readback, and an exact char→byte offset map feeding the span byte
- * columns.  Documents the engine cannot take (invalid UTF-8, NUL in
- * a non-ASCII doc, any engine bail) get zero-length slots in every
- * per-doc output and their indices are returned; the caller computes
- * exactly those documents on the reference Python path and splices.
+ * columns.  Documents the engine cannot take (its designed bail
+ * classes only, round-7 — e.g. non-ASCII tag/attr names, transcoded
+ * table-text NUL, ws charrefs in classifying modes) get zero-length
+ * slots in every per-doc output and their indices are returned; the
+ * caller computes exactly those documents on the reference Python
+ * path and splices.
  *
  * Arguments: (values_buf, offsets_buf, offsets_are_64: int,
  *             boiler_ids_i16_bytes)
@@ -4307,77 +4348,139 @@ static PyObject *np_copy1d(const void *src, Py_ssize_t n, int typenum, size_t is
 }
 
 /* Input prep for the batch path beyond the pure-ASCII/CR-free fast
- * class (round-6 late): a single strict pass decodes UTF-8, collapses
- * \r\n / \r to \n (WHATWG input-stream preprocessing), and builds
+ * class (round-6 late; round-7: invalid UTF-8 engages too): one pass
+ * decodes UTF-8 exactly as Python's errors='replace' (a byte-at-a-time
+ * simulation of CPython's incremental decoder: maximal-subpart U+FFFD
+ * substitution, pending-prefix reject + same-feed reprocess), then
+ * collapses \r\n / \r to \n at the CHAR level (WHATWG input-stream
+ * preprocessing over the decoded string, = html5.py's str.replace),
+ * and builds
  *   - the parse buffer (1 byte per decoded char; chars > 0x7F become
  *     the 0x80 placeholder, the same transcode convention as cparse's
  *     kind-2/4 str mode),
- *   - the char→raw-byte offset map (char starts at the sequence's
- *     first byte; a collapsed CRLF maps the surviving \n to the CR's
- *     byte — parser/bytemap.py semantics),
+ *   - the char→raw-byte offset map with parser/bytemap.py's EXACT
+ *     attribution contract: when the input's non-continuation-byte
+ *     count equals the decoded length, chars map to char-start bytes
+ *     (build_byte_map's vectorized _char_starts_valid branch — taken
+ *     even for some invalid inputs); otherwise the bytewise
+ *     incremental-decoder attribution (first char of a flush gets
+ *     last_flush, later chars of the same flush get the completing
+ *     byte — reproducing the flush-boundary quirks the bytemap
+ *     docstring documents, e.g. a char after a rejected prefix being
+ *     attributed one byte into itself).  A collapsed CRLF maps the
+ *     surviving \n to the CR's byte.
  *   - for non-ASCII docs, the UCS4 readback codepoints (materialized
  *     into a str for the engine's substring paths).
- * Invalid UTF-8 (Python decodes with errors='replace') and NUL in a
- * non-ASCII doc (the transcoded readback cannot compact, same rule as
- * cparse) return -1 → the caller reparses that doc Python-side.
- * Returns the char count on success. */
+ * Remaining bail (-1): OOM only (round-7: NUL-in-non-ASCII engages —
+ * the engine's transcoded compaction paths carry original codepoints;
+ * table-text NUL in transcoded mode bails inside the engine).
+ * Returns the normalized char count on success.  ``ucs`` and ``c2b``
+ * are used as pre-collapse scratch for ALL classes (caller sizes them
+ * nb+1). */
 static Py_ssize_t prep_decode(const unsigned char *raw, Py_ssize_t nb,
                               unsigned char *pbuf, Py_UCS4 *ucs,
                               int64_t *c2b, int has_hi,
                               int *has_nul_out, PyObject **src_str_out) {
-    Py_ssize_t c = 0, i = 0;
-    int has_nul = 0;
-    while (i < nb) {
-        unsigned char b = raw[i];
-        Py_UCS4 cp;
-        Py_ssize_t adv;
-        if (b == '\r') {
-            cp = '\n';
-            adv = (i + 1 < nb && raw[i + 1] == '\n') ? 2 : 1;
-        } else if (b < 0x80) {
-            cp = b;
-            adv = 1;
-            if (!b) has_nul = 1;
-        } else if (b >= 0xC2 && b <= 0xDF) {
-            if (i + 1 >= nb || (raw[i + 1] & 0xC0) != 0x80) return -1;
-            cp = ((Py_UCS4)(b & 0x1F) << 6) | (raw[i + 1] & 0x3F);
-            adv = 2;
-        } else if (b >= 0xE0 && b <= 0xEF) {
-            if (i + 2 >= nb) return -1;
-            unsigned char b1 = raw[i + 1], b2 = raw[i + 2];
-            if ((b1 & 0xC0) != 0x80 || (b2 & 0xC0) != 0x80) return -1;
-            if (b == 0xE0 && b1 < 0xA0) return -1;   /* overlong */
-            if (b == 0xED && b1 > 0x9F) return -1;   /* surrogate */
-            cp = ((Py_UCS4)(b & 0x0F) << 12) | ((Py_UCS4)(b1 & 0x3F) << 6)
-               | (b2 & 0x3F);
-            adv = 3;
-        } else if (b >= 0xF0 && b <= 0xF4) {
-            if (i + 3 >= nb) return -1;
-            unsigned char b1 = raw[i + 1], b2 = raw[i + 2], b3 = raw[i + 3];
-            if ((b1 & 0xC0) != 0x80 || (b2 & 0xC0) != 0x80 ||
-                (b3 & 0xC0) != 0x80) return -1;
-            if (b == 0xF0 && b1 < 0x90) return -1;   /* overlong */
-            if (b == 0xF4 && b1 > 0x8F) return -1;   /* > U+10FFFF */
-            cp = ((Py_UCS4)(b & 0x07) << 18) | ((Py_UCS4)(b1 & 0x3F) << 12)
-               | ((Py_UCS4)(b2 & 0x3F) << 6) | (b3 & 0x3F);
-            adv = 4;
-        } else {
-            return -1;  /* 0x80-0xC1 / 0xF5-0xFF lead byte */
+    Py_ssize_t c = 0;       /* decoded chars, pre CR-collapse */
+    Py_ssize_t nonc = 0;    /* non-continuation bytes seen */
+    int has_nul = 0, any_invalid = 0;
+    unsigned char pend[4];
+    int pend_n = 0, pend_need = 0;
+    int64_t last_flush = 0;
+    for (Py_ssize_t bi = 0; bi < nb; bi++) {
+        unsigned char b = raw[bi];
+        if ((b & 0xC0) != 0x80) nonc++;
+        int emitted = 0;
+        int again = 1;
+        while (again) {
+            again = 0;
+            if (pend_n == 0) {
+                if (b < 0x80) {
+                    if (!b) has_nul = 1;
+                    ucs[c] = b; c2b[c] = emitted ? bi : last_flush; c++; emitted++;
+                } else if (b >= 0xC2 && b <= 0xDF) {
+                    pend[0] = b; pend_n = 1; pend_need = 2;
+                } else if (b >= 0xE0 && b <= 0xEF) {
+                    pend[0] = b; pend_n = 1; pend_need = 3;
+                } else if (b >= 0xF0 && b <= 0xF4) {
+                    pend[0] = b; pend_n = 1; pend_need = 4;
+                } else {  /* 0x80-0xC1 stray/overlong lead, 0xF5-0xFF */
+                    any_invalid = 1;
+                    ucs[c] = 0xFFFD; c2b[c] = emitted ? bi : last_flush; c++; emitted++;
+                }
+            } else {
+                int ok2;
+                if (pend_n == 1) {
+                    unsigned char lead = pend[0];
+                    unsigned char lo = 0x80, hi2 = 0xBF;
+                    if (lead == 0xE0) lo = 0xA0;        /* overlong */
+                    else if (lead == 0xED) hi2 = 0x9F;  /* surrogate */
+                    else if (lead == 0xF0) lo = 0x90;   /* overlong */
+                    else if (lead == 0xF4) hi2 = 0x8F;  /* >U+10FFFF */
+                    ok2 = b >= lo && b <= hi2;
+                } else {
+                    ok2 = (b & 0xC0) == 0x80;
+                }
+                if (ok2) {
+                    pend[pend_n++] = b;
+                    if (pend_n == pend_need) {
+                        Py_UCS4 cp;
+                        if (pend_need == 2)
+                            cp = ((Py_UCS4)(pend[0] & 0x1F) << 6) | (pend[1] & 0x3F);
+                        else if (pend_need == 3)
+                            cp = ((Py_UCS4)(pend[0] & 0x0F) << 12)
+                               | ((Py_UCS4)(pend[1] & 0x3F) << 6) | (pend[2] & 0x3F);
+                        else
+                            cp = ((Py_UCS4)(pend[0] & 0x07) << 18)
+                               | ((Py_UCS4)(pend[1] & 0x3F) << 12)
+                               | ((Py_UCS4)(pend[2] & 0x3F) << 6) | (pend[3] & 0x3F);
+                        ucs[c] = cp; c2b[c] = emitted ? bi : last_flush; c++; emitted++;
+                        pend_n = 0;
+                    }
+                } else {
+                    /* maximal subpart rejected: U+FFFD for the pending
+                     * prefix, then THIS byte reprocesses clean-state
+                     * in the same flush */
+                    any_invalid = 1;
+                    ucs[c] = 0xFFFD; c2b[c] = emitted ? bi : last_flush; c++; emitted++;
+                    pend_n = 0;
+                    again = 1;
+                }
+            }
         }
-        pbuf[c] = cp > 0x7F ? 0x80 : (unsigned char)cp;
-        if (has_hi) ucs[c] = cp;
-        c2b[c] = i;
-        c++;
-        i += adv;
+        if (emitted) last_flush = bi + 1;
     }
-    c2b[c] = nb;
+    if (pend_n) {  /* truncated sequence at EOF = one subpart */
+        any_invalid = 1;
+        ucs[c] = 0xFFFD; c2b[c] = last_flush; c++;
+    }
+    if (any_invalid && nonc == c) {
+        /* bytemap's vectorized branch wins when counts agree */
+        Py_ssize_t k = 0;
+        for (Py_ssize_t bi = 0; bi < nb; bi++)
+            if ((raw[bi] & 0xC0) != 0x80) c2b[k++] = bi;
+    }
+    /* CR collapse (in place: out index <= in index) + parse buffer */
+    Py_ssize_t o = 0;
+    for (Py_ssize_t i = 0; i < c; i++) {
+        Py_UCS4 cp = ucs[i];
+        int64_t at = c2b[i];
+        if (cp == '\r') {
+            cp = '\n';
+            if (i + 1 < c && ucs[i + 1] == '\n') i++;  /* pair collapse */
+        }
+        pbuf[o] = cp > 0x7F ? 0x80 : (unsigned char)cp;
+        ucs[o] = cp;
+        c2b[o] = at;
+        o++;
+    }
+    c2b[o] = nb;
     if (has_hi) {
-        if (has_nul) return -1;
-        *src_str_out = PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND, ucs, c);
+        *src_str_out = PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND, ucs, o);
         if (!*src_str_out) { PyErr_Clear(); return -1; }
     }
     *has_nul_out = has_nul;
-    return c;
+    return o;
 }
 
 /* the build_extract walk (body window → boilerplate-subtree exclusion
@@ -4527,16 +4630,20 @@ static PyObject *cextract_batch(PyObject *self, PyObject *args) {
                 else if (ch == 0) doc_has_nul = 1;
             }
         }
-        /* three engagement classes (round-6 late):
+        /* three engagement classes (round-6 late; widened round-7):
          *   fast    — pure-ASCII CR-free raw bytes, parsed in place
          *             (identity byte map);
          *   ascii+  — ASCII with CR: normalized into the scratch
          *             parse buffer, byte offsets via the c2b map;
-         *   unicode — valid UTF-8: placeholder parse buffer + str
-         *             readback (cparse's kind-2/4 convention), byte
-         *             offsets via the c2b map.
-         * Invalid UTF-8 and NUL-in-non-ASCII bail to the caller's
-         * Python splice. */
+         *   unicode — ANY other byte sequence, valid UTF-8 or not
+         *             (errors='replace' decode in prep_decode):
+         *             placeholder parse buffer + str readback
+         *             (cparse's kind-2/4 convention), byte offsets
+         *             via the c2b map.
+         * Remaining bails: only the engine's own designed classes
+         * (non-ASCII tag/attr names, transcoded table-text NUL, ws
+         * charrefs in classifying modes) → the caller's Python
+         * splice. */
         const unsigned char *parse_s = data + o0;
         Py_ssize_t parse_n = o1 - o0;
         const int64_t *doc_c2b = NULL;
@@ -4729,10 +4836,12 @@ static PyObject *cparse(PyObject *self, PyObject *arg) {
     int doc_has_nul = 0;
     for (Py_ssize_t i = 0; i < n; i++) {
         unsigned char ch = data[i];
-        if ((ch >= 0x80 && src_str == NULL) || ch == '\r' ||
-            (ch == 0 && src_kind != 0)) {
-            /* NUL is supported for raw bytes / kind-1 strings; the
-             * transcoded (kind-2/4) readback path cannot compact */
+        if ((ch >= 0x80 && src_str == NULL) || ch == '\r') {
+            /* raw bytes must be pure ASCII; CR means the caller has
+             * not run input-stream normalization.  NUL engages in
+             * EVERY string kind (round-7: the transcoded compaction
+             * paths carry original codepoints via chars_buf's ubuf;
+             * table-text NUL in transcoded mode bails there). */
             free(transcoded);
             if (have_view) PyBuffer_Release(&view);
             Py_RETURN_NONE;

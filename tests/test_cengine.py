@@ -129,8 +129,12 @@ def test_bail_conditions():
     assert cengine.cparse(b"<div a='x\x00y'>") is not None  # NUL in attr value
     assert cengine.cparse(b"<!doctype ht\x00ml>") is not None  # NUL in doctype
     assert cengine.cparse(b"<table>\x00x<td>y") is not None  # NUL table text
-    # transcoded (kind-2/4) strings with NUL cannot compact: Python
-    assert cengine.cparse("中\x00文") is None
+    # round-7: transcoded (kind-2/4) strings with NUL engage — the
+    # compaction paths carry original codepoints (chars_buf ubuf);
+    # only TABLE TEXT NUL in transcoded mode still bails (pend_txt is
+    # a byte store)
+    assert cengine.cparse("中\x00文") is not None
+    assert cengine.cparse("<table>中\x00x<td>y</td></table>") is None
     assert cengine.cparse(b"<svg><rect/></svg>") is not None   # foreign: in C
     assert cengine.cparse(b"<template>x</template>") is not None  # templates: in C
     assert cengine.cparse(b"<plaintext>raw") is not None          # plaintext: in C
@@ -827,8 +831,8 @@ _BAIL_MIX = [
     b"<table><tr><td>cell</td></tr></table>",
     "<p>\U0001F600 astral</p>".encode(),                           # astral
     b"<div>" * 600 + b"deep" + b"</div>" * 600,
-    b"\xff\xfe<p>invalid utf8</p>",                                # BAIL: invalid
-    "<p>mix é\x00nul</p>".encode(),                                # BAIL: NUL+non-ASCII
+    b"\xff\xfe<p>invalid utf8</p>",                                # invalid (engages, r7)
+    "<table>中\x00x<td>y</td></table>".encode(),                   # BAIL: transcoded table-text NUL
     b"<html>\r\n<body>\r\n<p>crlf</p>\r\n</body>\r\n</html>",      # CRLF
     "<title>Béta</title>\r\n<body>\r\n<p>é€ x 😀</p>\r\n</body>".encode(),
     "<p>日本語テスト &amp; エンティティ</p>".encode(),             # CJK + entity
@@ -860,10 +864,13 @@ def test_cextract_batch_bail_splice_and_metrics():
     engagement; fused parse_us is populated for every row.
 
     Round-6 late: CRLF / multibyte-UTF-8 / CJK / astral docs ENGAGE
-    (in-C decode + normalization + char→byte map) — the remaining
-    batch bail classes are invalid UTF-8 and NUL in a non-ASCII doc,
-    compared here against the PURE-PYTHON kernel (C dispatch disabled
-    for the reference) so byte columns are verified end to end."""
+    (in-C decode + normalization + char→byte map).  Round-7: INVALID
+    UTF-8 (errors='replace' decode with bytemap-exact attribution in
+    prep_decode) and NUL-in-non-ASCII engage too — the remaining batch
+    bails are the engine's designed classes (here: transcoded
+    table-text NUL), compared against the PURE-PYTHON kernel (C
+    dispatch disabled for the reference) so byte columns are verified
+    end to end."""
     import gumbo_pp_spark.parser.html5 as H
     from gumbo_pp_spark.operators.extract import main_text_program
 
@@ -886,7 +893,8 @@ def test_cextract_batch_bail_splice_and_metrics():
         assert od["parse_errors"][k] == ref["parse_errors"], (k, d[:80])
         assert od["parse_us"][k] >= 0 and od["kernel_us"][k] == 0
     c_flags = od["c_engine"]
-    bail_docs = {0, 10, 11, 15, 16}  # invalid-UTF-8 / NUL+non-ASCII rows
+    bail_docs = {11, 15}  # transcoded table-text NUL rows (r7: invalid
+    #                       UTF-8 and body-text NUL+non-ASCII engage)
     for k in range(len(docs)):
         assert c_flags[k] == (0 if k in bail_docs else 1), (k, c_flags)
 
@@ -1057,3 +1065,112 @@ def test_round6_fuzz_ab_nul_deep_longname():
     assert engaged + dispatched + py_only == len(docs)
     assert engaged > 1000  # the profile engages directly in the main
     assert py_only < len(docs) // 20  # semantic bails stay rare
+
+
+def test_cextract_batch_invalid_utf8_fuzz_ab():
+    """Round-7: invalid UTF-8 ENGAGES the batch path via an in-C
+    errors='replace' decode (CPython incremental-decoder simulation:
+    maximal-subpart U+FFFD, pending-prefix reject + same-feed
+    reprocess) with parser/bytemap.py's exact attribution contract
+    (valid-scan when non-continuation count == decoded length, else
+    bytewise flush-boundary attribution).  Fuzz: random byte junk +
+    targeted truncation/surrogate/overlong shapes, every engaged doc
+    column-identical to the pure-Python kernel including BYTE spans."""
+    import random
+
+    import gumbo_pp_spark.parser.html5 as H
+    from gumbo_pp_spark.operators.extract import main_text_program
+
+    rng = random.Random(7)
+
+    def junk(n):
+        # '<' excluded: random high bytes after '<' form non-ASCII TAG
+        # NAMES — a separate, designed engine bail class; this fuzz
+        # isolates the decode classes (junk stays in text position)
+        return bytes(rng.randrange(256) for _ in range(n)).replace(b"<", b"!")
+
+    words = "alpha beta gamma delta epsilon".split()
+    docs = []
+    for _ in range(400):
+        body = []
+        for _ in range(rng.randrange(1, 8)):
+            k = rng.randrange(7)
+            if k == 0:
+                body.append(b"<p>" + junk(rng.randrange(1, 12)) + b"</p>")
+            elif k == 1:
+                body.append(("<p>%s</p>" % " ".join(rng.choice(words) for _ in range(5))).encode())
+            elif k == 2:
+                body.append("<div>éé中\U0001f600</div>".encode())
+            elif k == 3:
+                # truncated lead / rejected continuation / surrogate /
+                # beyond-U+10FFFF — each a distinct subpart shape
+                body.append(b"<p>a\xc2b \xe0\xa0 \xed\xa0\x80 \xf4\x90\x80</p>")
+            elif k == 4:
+                body.append(b"<p>crlf\r\nlone\rmix\xff\r\n</p>")
+            elif k == 5:
+                body.append(b"<b>" + junk(3) + b"<i>x</b>y</i>")
+            else:
+                body.append("<p>ref&amp;&#233;&Tab;t</p>".encode())
+        doc = b"<html><head><title>t</title></head><body>" + b"".join(body) + b"</body></html>"
+        # NUL in a non-ASCII doc is the one remaining (designed) bail
+        docs.append(doc.replace(b"\x00", b"\x01"))
+    # the quirk shape: rejected prefix followed by a valid multibyte
+    # char — bytewise attribution puts the char one byte into itself
+    docs.append("<p>xéy</p>".encode().replace(b"\xc3", b"\xe0\xc3", 1))
+    out = _batch_extract(docs, stage_metrics=True)
+    od = out.to_pydict()
+    assert sum(1 for f in od["c_engine"] if not f) == 0, "everything engages"
+    saved = H._cparse_fast
+    H._cparse_fast = None
+    try:
+        for k, d in enumerate(docs):
+            ref = main_text_program(H.parse_html(d))
+            assert od["text"][k] == ref["text"], (k, d[:80])
+            assert od["spans"][k] == ref["spans"], (k, d[:80])
+            assert od["n_nodes"][k] == ref["n_nodes"], (k, d[:80])
+            assert od["parse_errors"][k] == ref["parse_errors"], (k, d[:80])
+    finally:
+        H._cparse_fast = saved
+
+
+def test_nul_in_non_ascii_fuzz_ab():
+    """Round-7: NUL in a transcoded (kind-2/4 / non-ASCII) document
+    engages — the NUL-compaction paths carry original codepoints
+    (chars_buf ubuf).  Fuzz NULs into every position class (body text,
+    pre-body, comments, attrs, RCDATA, rawtext, foreign, pre-newline)
+    of non-ASCII docs; every engaged doc must be column-identical, and
+    the only bails are transcoded TABLE-TEXT NULs (designed)."""
+    import random
+
+    import gumbo_pp_spark.parser.html5 as H
+
+    rng = random.Random(11)
+    frags = [
+        "<p>中文 text</p>", "<div>é latte</div>", "<b>😀<i>x</b>y</i>",
+        "<title>Béta</title>", "<!-- com 中 -->", "<div a='v中'>t</div>",
+        "<svg><rect/>中</svg>", "<pre>\nP中</pre>", "<script>s中s</script>",
+        "<ul><li>中<li>b</ul>", "<table><tr><td>中</td></tr></table>",
+    ]
+    bails = 0
+    for trial in range(300):
+        parts = [rng.choice(frags) for _ in range(rng.randrange(1, 6))]
+        doc = "".join(parts)
+        # inject 1-3 NULs at random char positions
+        for _ in range(rng.randrange(1, 4)):
+            k = rng.randrange(len(doc) + 1)
+            doc = doc[:k] + "\x00" + doc[k:]
+        if doc.isascii():
+            continue
+        c = cengine.cparse(doc)
+        if c is None:
+            bails += 1
+            continue
+        saved = H._cparse_fast
+        H._cparse_fast = None
+        try:
+            py = H.parse_html(doc)
+        finally:
+            H._cparse_fast = saved
+        assert_identical(c, py, doc[:120])
+    # table text is common in the fragment pool; everything else engages
+    assert bails < 120, bails
