@@ -121,9 +121,13 @@ typedef struct {
     int frameset_ok;
     /* "in table text" pending runs: (start, end) source spans; a
      * non-NULL pend_txt[i] (owned PyBytes) carries the NUL-stripped
-     * run content — the span end is already stripped-length based */
+     * run content — the span end is already stripped-length based.
+     * pend_ucs[i] (owned PyBytes wrapping a Py_UCS4 array, round-7)
+     * carries the stripped ORIGINAL codepoints of a transcoded doc's
+     * run, so NUL-in-table-text engages in kind-2/4 mode too. */
     int64_t (*pend)[2];        /* growable, cap = pend_cap */
     PyObject **pend_txt;       /* same cap; NULL = read the source */
+    PyObject **pend_ucs;       /* same cap; NULL = byte==codepoint */
     int pend_n, pend_cap;
     /* scratch UCS4 buffer for decoding */
     Py_UCS4 *scratch;
@@ -185,6 +189,10 @@ static int ensure_pend(P *p, int need) {
     if (!t) { p->bail = 1; return 0; }
     for (int k = p->pend_cap; k < nc; k++) t[k] = NULL;
     p->pend_txt = t;
+    PyObject **u = realloc(p->pend_ucs, (size_t)nc * sizeof(PyObject *));
+    if (!u) { p->bail = 1; return 0; }
+    for (int k = p->pend_cap; k < nc; k++) u[k] = NULL;
+    p->pend_ucs = u;
     p->pend_cap = nc;
     return 1;
 }
@@ -1336,6 +1344,7 @@ static void flush_tt(P *p) {
                             0, PyBytes_GET_SIZE(p->pend_txt[i]))
                 : ascii_slice(p, p->pend[i][0], p->pend[i][1]);
             Py_CLEAR(p->pend_txt[i]);
+            Py_CLEAR(p->pend_ucs[i]);
             insert_text(p, u, p->pend[i][0], p->pend[i][1], 0, 0);
             if (p->bail) break;
         }
@@ -1349,13 +1358,17 @@ static void flush_tt(P *p) {
     for (int i = 0; i < np; i++) {
         PyObject *u = p->pend_txt[i]
             ? decode_buf(p, (const unsigned char *)PyBytes_AS_STRING(p->pend_txt[i]),
-                         NULL, PyBytes_GET_SIZE(p->pend_txt[i]))
+                         p->pend_ucs[i]
+                             ? (const Py_UCS4 *)PyBytes_AS_STRING(p->pend_ucs[i])
+                             : NULL,
+                         PyBytes_GET_SIZE(p->pend_txt[i]))
             : decode_text(p, p->pend[i][0], p->pend[i][1]);
         Py_CLEAR(p->pend_txt[i]);
+        Py_CLEAR(p->pend_ucs[i]);
         insert_text(p, u, p->pend[i][0], p->pend[i][1], 0, 1);
         if (p->bail) break;
     }
-    for (int i = 0; i < np; i++) Py_CLEAR(p->pend_txt[i]);
+    for (int i = 0; i < np; i++) { Py_CLEAR(p->pend_txt[i]); Py_CLEAR(p->pend_ucs[i]); }
     p->foster = 0;
 }
 
@@ -1607,6 +1620,7 @@ static void chars_in_table(P *p, int64_t a, int64_t b) {
         p->pend[p->pend_n][0] = a;
         p->pend[p->pend_n][1] = b;
         p->pend_txt[p->pend_n] = NULL;
+        p->pend_ucs[p->pend_n] = NULL;
         p->pend_n++;
         return;
     }
@@ -1695,24 +1709,31 @@ static void chars_buf(P *p, const unsigned char *buf, const Py_UCS4 *ubuf,
     if (mode == M_IN_TABLE || mode == M_IN_TABLE_BODY || mode == M_IN_ROW) {
         /* mirror chars_in_table over the stripped run: the pending
          * entry carries the compacted bytes (html5.py pends the
-         * already-stripped raw string; span end = stripped length).
-         * Transcoded docs bail here: pend_txt is a BYTE store. */
-        if (ubuf) BAILV(p);
+         * already-stripped raw string; span end = stripped length);
+         * transcoded docs additionally pend the stripped original
+         * codepoints (round-7) so flush_tt can decode them. */
         int t = cur_tid(p);
         if (t == TID_TABLE || t == TID_TBODY || t == TID_TFOOT || t == TID_THEAD || t == TID_TR) {
             if (!ensure_pend(p, p->pend_n + 1)) return;
             PyObject *bb = PyBytes_FromStringAndSize((const char *)buf, m);
             if (!bb) { PyErr_Clear(); BAILV(p); }
+            PyObject *uu = NULL;
+            if (ubuf) {
+                uu = PyBytes_FromStringAndSize((const char *)ubuf,
+                                               m * (Py_ssize_t)sizeof(Py_UCS4));
+                if (!uu) { Py_DECREF(bb); PyErr_Clear(); BAILV(p); }
+            }
             p->pend[p->pend_n][0] = start;
             p->pend[p->pend_n][1] = end;
             p->pend_txt[p->pend_n] = bb;
+            p->pend_ucs[p->pend_n] = uu;
             p->pend_n++;
             return;
         }
         int aw = 1;
         for (Py_ssize_t q = 0; q < m; q++) if (!WS_CHAR(buf[q])) { aw = 0; break; }
         if (aw) insert_text(p, buf_slice(buf, 0, m), start, end, 0, 1);
-        else insert_text(p, decode_buf(p, buf, NULL, m), start, end, 0, 1);
+        else insert_text(p, decode_buf(p, buf, ubuf, m), start, end, 0, 1);
         return;
     }
     if (mode == M_IN_SELECT) {
@@ -3882,6 +3903,9 @@ static void p_free(P *p) {
     if (p->pend_txt)
         for (int k = 0; k < p->pend_cap; k++) Py_CLEAR(p->pend_txt[k]);
     free(p->pend_txt);
+    if (p->pend_ucs)
+        for (int k = 0; k < p->pend_cap; k++) Py_CLEAR(p->pend_ucs[k]);
+    free(p->pend_ucs);
     free(p->pend);
     free(p->scratch);
     free(p->err_code);
@@ -4291,8 +4315,8 @@ static PyObject *cextract(PyObject *self, PyObject *args) {
  * newline normalization (prep_decode): placeholder parse buffer, str
  * readback, and an exact char→byte offset map feeding the span byte
  * columns.  Documents the engine cannot take (its designed bail
- * classes only, round-7 — e.g. non-ASCII tag/attr names, transcoded
- * table-text NUL, ws charrefs in classifying modes) get zero-length
+ * classes only, round-7 — e.g. non-ASCII tag/attr names, ws charrefs
+ * in classifying modes, colgroup/frameset-content NUL) get zero-length
  * slots in every per-doc output and their indices are returned; the
  * caller computes exactly those documents on the reference Python
  * path and splices.
@@ -4641,9 +4665,9 @@ static PyObject *cextract_batch(PyObject *self, PyObject *args) {
          *             (cparse's kind-2/4 convention), byte offsets
          *             via the c2b map.
          * Remaining bails: only the engine's own designed classes
-         * (non-ASCII tag/attr names, transcoded table-text NUL, ws
-         * charrefs in classifying modes) → the caller's Python
-         * splice. */
+         * (non-ASCII tag/attr names, ws charrefs in classifying
+         * modes, colgroup/frameset-content NUL) → the caller's
+         * Python splice. */
         const unsigned char *parse_s = data + o0;
         Py_ssize_t parse_n = o1 - o0;
         const int64_t *doc_c2b = NULL;
@@ -4840,8 +4864,8 @@ static PyObject *cparse(PyObject *self, PyObject *arg) {
             /* raw bytes must be pure ASCII; CR means the caller has
              * not run input-stream normalization.  NUL engages in
              * EVERY string kind (round-7: the transcoded compaction
-             * paths carry original codepoints via chars_buf's ubuf;
-             * table-text NUL in transcoded mode bails there). */
+             * paths carry original codepoints via chars_buf's ubuf
+             * and the pend_ucs table-text payload). */
             free(transcoded);
             if (have_view) PyBuffer_Release(&view);
             Py_RETURN_NONE;

@@ -130,11 +130,12 @@ def test_bail_conditions():
     assert cengine.cparse(b"<!doctype ht\x00ml>") is not None  # NUL in doctype
     assert cengine.cparse(b"<table>\x00x<td>y") is not None  # NUL table text
     # round-7: transcoded (kind-2/4) strings with NUL engage — the
-    # compaction paths carry original codepoints (chars_buf ubuf);
-    # only TABLE TEXT NUL in transcoded mode still bails (pend_txt is
-    # a byte store)
+    # compaction paths carry original codepoints (chars_buf ubuf and
+    # the pend_ucs table-text payload); NO transcoded-NUL input class
+    # bails anymore.  Non-ASCII TAG NAMES remain a designed bail.
     assert cengine.cparse("中\x00文") is not None
-    assert cengine.cparse("<table>中\x00x<td>y</td></table>") is None
+    assert cengine.cparse("<table>中\x00x<td>y</td></table>") is not None
+    assert cengine.cparse("<xé>y</xé>") is None  # non-ASCII tag name
     assert cengine.cparse(b"<svg><rect/></svg>") is not None   # foreign: in C
     assert cengine.cparse(b"<template>x</template>") is not None  # templates: in C
     assert cengine.cparse(b"<plaintext>raw") is not None          # plaintext: in C
@@ -832,7 +833,7 @@ _BAIL_MIX = [
     "<p>\U0001F600 astral</p>".encode(),                           # astral
     b"<div>" * 600 + b"deep" + b"</div>" * 600,
     b"\xff\xfe<p>invalid utf8</p>",                                # invalid (engages, r7)
-    "<table>中\x00x<td>y</td></table>".encode(),                   # BAIL: transcoded table-text NUL
+    "<p>x</p><xé>tag</xé>".encode(),                               # BAIL: non-ASCII tag name
     b"<html>\r\n<body>\r\n<p>crlf</p>\r\n</body>\r\n</html>",      # CRLF
     "<title>Béta</title>\r\n<body>\r\n<p>é€ x 😀</p>\r\n</body>".encode(),
     "<p>日本語テスト &amp; エンティティ</p>".encode(),             # CJK + entity
@@ -893,8 +894,8 @@ def test_cextract_batch_bail_splice_and_metrics():
         assert od["parse_errors"][k] == ref["parse_errors"], (k, d[:80])
         assert od["parse_us"][k] >= 0 and od["kernel_us"][k] == 0
     c_flags = od["c_engine"]
-    bail_docs = {11, 15}  # transcoded table-text NUL rows (r7: invalid
-    #                       UTF-8 and body-text NUL+non-ASCII engage)
+    bail_docs = {11, 15}  # non-ASCII-tag-name rows (r7: invalid UTF-8
+    #                       and every NUL+non-ASCII class engage)
     for k in range(len(docs)):
         assert c_flags[k] == (0 if k in bail_docs else 1), (k, c_flags)
 
@@ -1138,8 +1139,9 @@ def test_nul_in_non_ascii_fuzz_ab():
     engages — the NUL-compaction paths carry original codepoints
     (chars_buf ubuf).  Fuzz NULs into every position class (body text,
     pre-body, comments, attrs, RCDATA, rawtext, foreign, pre-newline)
-    of non-ASCII docs; every engaged doc must be column-identical, and
-    the only bails are transcoded TABLE-TEXT NULs (designed)."""
+    of non-ASCII docs; every engaged doc must be column-identical.
+    Round-7 (late): the pend_ucs table-text payload removed the last
+    transcoded-NUL class — NOTHING here may bail."""
     import random
 
     import gumbo_pp_spark.parser.html5 as H
@@ -1172,5 +1174,4 @@ def test_nul_in_non_ascii_fuzz_ab():
         finally:
             H._cparse_fast = saved
         assert_identical(c, py, doc[:120])
-    # table text is common in the fragment pool; everything else engages
-    assert bails < 120, bails
+    assert bails == 0, bails
