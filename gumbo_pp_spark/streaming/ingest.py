@@ -123,13 +123,16 @@ def stream_decontaminate(
     cached ONCE here; every micro-batch broadcast-joins the same
     in-memory relation.
 
-    Sink discipline: parquet append per batch — on micro-batch retry
-    after a crash the batch's rows can be written twice (at-least-once;
-    the file-source checkpoint dedupes INPUT, not output).  On a
-    cluster, point ``out_dir`` at an idempotent/transactional sink
-    (e.g. an Iceberg table with per-batch overwrite keyed on
-    ``batch_id``) for exactly-once — same pattern as the lineage
-    ledger's commit semantics."""
+    Sink discipline — EXACTLY-ONCE effective: each micro-batch writes
+    to its own ``batch=<batch_id>`` subdirectory with mode
+    ``overwrite``.  The file-source checkpoint makes a replayed batch
+    id carry the SAME input files, so a retry after a crash rewrites
+    the same directory with the same rows instead of appending
+    duplicates — the standard idempotent-foreachBatch pattern (and the
+    same commit-by-rename idea as the lineage ledger; an Iceberg table
+    with replace-where on batch_id is the cluster upgrade).  Read the
+    result with ``spark.read.parquet(out_dir)`` — ``batch`` surfaces
+    as a partition column; drop it if unwanted."""
     from ..operators.textstats import eval_ngrams
 
     grams = eval_ngrams(evals, n, text_col).cache()
@@ -137,8 +140,8 @@ def stream_decontaminate(
 
     def _write_clean(batch_df: DataFrame, batch_id: int) -> None:
         decontaminate_batch(batch_df, grams, n, text_col).write.mode(
-            "append"
-        ).parquet(out_dir)
+            "overwrite"
+        ).parquet(f"{out_dir}/batch={batch_id}")
 
     docs = spark.readStream.schema(schema).parquet(input_dir)
     return (

@@ -164,11 +164,22 @@ class TestStreamingDecontamination:
         ckpt = str(tmp_path / "ckpt")
         q = stream_decontaminate(spark, src, self.SCHEMA, evals, out, ckpt, n=13)
         q.awaitTermination(120)
-        got = spark.read.parquet(out)
+        got = spark.read.parquet(out).drop("batch")
         assert [r.doc_id for r in got.collect()] == [2]
         # byte-identical to the batch operator over the same input
         batch = decontaminate(spark.read.parquet(src), evals, n=13)
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+        # exactly-once: rewriting the SAME batch id (simulated retry)
+        # replaces its directory instead of appending duplicates
+        from gumbo_pp_spark.streaming.ingest import decontaminate_batch
+        from gumbo_pp_spark.operators.textstats import eval_ngrams
+
+        grams = eval_ngrams(evals, n=13)
+        decontaminate_batch(spark.read.parquet(src), grams, n=13).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/batch=0")
+        again = spark.read.parquet(out).drop("batch")
+        assert sorted(map(tuple, again.collect())) == sorted(map(tuple, batch.collect()))
 
     def test_per_batch_plan_has_no_python_udf(self, spark):
         # the streaming mirror of the input_hint's "no per-row Python"
