@@ -150,6 +150,27 @@ def synth_bytespan_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr("doc_id", "CAST(encode(html_str, 'UTF-8') AS BINARY) AS html")
 
 
+def synth_mojibake_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invalid-UTF-8 page family (round 7): each page carries a stray
+    0xFF byte (1-byte ill-formed subsequence → one U+FFFD) and a
+    truncated 0xC2 lead rejected by the following ASCII byte (another
+    U+FFFD), beside 2-byte UTF-8 and CRLF newlines — the dirty-CC tail
+    where ``decode(errors='replace')`` and the exact byte map are
+    load-bearing.  Built as BINARY concat (a str column cannot hold
+    invalid bytes); the oracle predicts spans from the same fixed
+    construction."""
+    load_documents(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT doc_id, concat("
+        " encode('<html><body>' || chr(13) || chr(10) || '<p class=\"mix\">', 'utf-8'),"
+        " X'FF',"
+        " encode('é ' || text || ' ', 'utf-8'),"
+        " X'C2',"
+        " encode('tail</p>' || chr(13) || chr(10) || '</body></html>', 'utf-8')"
+        ") AS html FROM documents"
+    )
+
+
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 

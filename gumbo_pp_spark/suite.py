@@ -517,6 +517,39 @@ def q_html_table_scrape(spark, sf_dir):
         .select(F.col("doc_id").cast("bigint").alias("doc_id"), "csv")
 
 
+def q_html_spans_mojibake(spark, sf_dir):
+    # round-7: the INVALID-UTF-8 span/text contract end to end — a
+    # stray 0xFF and a truncated 0xC2 lead inside each page become
+    # U+FFFD exactly as Python's errors='replace', with char offsets
+    # into the normalized decoded string and TRUE byte offsets into
+    # the raw bytes (the C batch path's prep_decode must agree with
+    # parser/bytemap.py; the oracle predicts all four numbers and the
+    # decoded text from the deterministic construction)
+    from .sources.pages import synth_mojibake_pages
+
+    pages = synth_mojibake_pages(spark, sf_dir)
+    prog = select_first_program(
+        m.tag.P & m.class_type.is_("mix"),
+        {
+            "outer_start": "start",
+            "outer_end": "end",
+            "start_byte": "start_byte",
+            "end_byte": "end_byte",
+            "content": "content",
+        },
+    )
+    out = run_program(
+        pages, prog,
+        "outer_start bigint, outer_end bigint, start_byte bigint, "
+        "end_byte bigint, content string",
+        passthrough=("doc_id",),
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "outer_start", "outer_end", "start_byte", "end_byte", "content",
+    )
+
+
 def q_html_tag_histogram(spark, sf_dir):
     # dataset-level node table: parse → explode → SQL aggregation over
     # nodes (the [D] level of SURVEY.md §2 mappings)
@@ -1110,6 +1143,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_class_match": q_html_class_match,
     "html_spans": q_html_spans,
     "html_spans_bytes": q_html_spans_bytes,
+    "html_spans_mojibake": q_html_spans_mojibake,
     "html_dom_stats": q_html_dom_stats,
     "html_tag_histogram": q_html_tag_histogram,
     "html_first_div_content": q_html_first_div_content,
@@ -1199,6 +1233,19 @@ ORACLES: dict[str, str] = {
         f"CAST({_DUCK_PREFIX_LEN} AS BIGINT) AS inner_start, "
         f"CAST({_DUCK_PREFIX_LEN} + length({_DUCK_ESC}) AS BIGINT) AS inner_end, "
         f"CAST({_DUCK_PREFIX_LEN} + length({_DUCK_ESC}) + 4 AS BIGINT) AS outer_end "
+        "FROM documents"
+    ),
+    "html_spans_mojibake": (
+        # fixed construction: normalized prefix '<html><body>\n' = 13
+        # chars / 14 raw bytes; '<p class=\"mix\">' = 15; content =
+        # FFFD + 'é ' + text + ' ' + FFFD + 'tail' (chars 9+len,
+        # bytes 10+len: 0xFF->1, 'é '->3, 0xC2->1); '</p>' = 4
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(13 AS BIGINT) AS outer_start, "
+        "CAST(41 + length(text) AS BIGINT) AS outer_end, "
+        "CAST(14 AS BIGINT) AS start_byte, "
+        "CAST(43 + length(text) AS BIGINT) AS end_byte, "
+        "chr(65533) || 'é ' || text || ' ' || chr(65533) || 'tail' AS content "
         "FROM documents"
     ),
     "html_spans_bytes": (
