@@ -1175,3 +1175,37 @@ def test_nul_in_non_ascii_fuzz_ab():
             H._cparse_fast = saved
         assert_identical(c, py, doc[:120])
     assert bails == 0, bails
+
+
+def test_prep_decode_property_vs_python_replace():
+    """Property pin (round-7): for ARBITRARY byte content in text
+    position, the batch path's extracted text must equal Python's
+    ``bytes.decode('utf-8', 'replace')`` after CRLF normalization, and
+    the span's byte offsets must equal parser/bytemap.py's map — the
+    direct contract prep_decode implements.  hypothesis drives the
+    byte soup; '<' and '&' are excluded so the junk stays one text run
+    (tag/ref structure is covered by the corpus A/B and fuzz tests);
+    NUL is excluded from the RANDOM part (covered separately) so the
+    expected text is the plain decode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    junk_bytes = st.binary(min_size=0, max_size=64).map(
+        lambda b: b.replace(b"<", b"!").replace(b"&", b"!").replace(b"\x00", b"!")
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(junk_bytes, junk_bytes)
+    def check(a, b):
+        doc = b"<html><body><p>" + a + b"\r\n" + b + b"</p></body></html>"
+        out = _batch_extract([doc], stage_metrics=True).to_pydict()
+        inner = (a + b"\r\n" + b).decode("utf-8", "replace")
+        expected = inner.replace("\r\n", "\n").replace("\r", "\n")
+        assert out["text"][0] == expected, (a, b)
+        if out["spans"][0]:
+            sp = out["spans"][0][0]
+            # raw-slice roundtrip: the byte span covers the inner bytes
+            assert sp["start_byte"] == len(b"<html><body><p>")
+            assert sp["end_byte"] == len(doc) - len(b"</p></body></html>")
+
+    check()
