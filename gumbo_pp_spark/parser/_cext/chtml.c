@@ -50,6 +50,7 @@ static PyObject *tag_objs[N_TAGS];   /* interned tag-name strings */
 static PyObject *empty_str;          /* "" */
 static PyObject *nul_str;            /* "\x00" */
 static PyObject *fffd_str;           /* U+FFFD */
+static PyObject *eq_str;             /* "=" (bogus-attr-name prefix) */
 static PyObject *empty_attrs;        /* shared {} (copy-on-write only) */
 
 /* ---- per-node store (struct of arrays) ---------------------------- */
@@ -560,6 +561,20 @@ static PyObject *decode_text(P *p, Py_ssize_t a, Py_ssize_t b) {
 static PyObject *ascii_slice(P *p, Py_ssize_t a, Py_ssize_t b) {
     if (p->src_data) return PyUnicode_Substring(p->src_obj, a, b);
     return PyUnicode_FromKindAndData(PyUnicode_1BYTE_KIND, p->s + a, b - a);
+}
+
+/* Lowercased tag/attr name from the source span [a, b) — the rare
+ * non-ASCII-name path (round-7).  Python's semantics are str.lower()
+ * (FULL Unicode case mapping, incl. 1:N expansions like U+0130), so
+ * delegate to it; known ASCII names never come here.  Sets p->bail on
+ * failure and returns NULL. */
+static PyObject *lowered_name_slice(P *p, Py_ssize_t a, Py_ssize_t b) {
+    PyObject *raw = ascii_slice(p, a, b);
+    if (!raw) { PyErr_Clear(); p->bail = 1; return NULL; }
+    PyObject *low = PyObject_CallMethod(raw, "lower", NULL);
+    Py_DECREF(raw);
+    if (!low) { PyErr_Clear(); p->bail = 1; return NULL; }
+    return low;
 }
 
 /* _decode_attr (html5.py:411-441): _CHARREF_RE =
@@ -3386,12 +3401,14 @@ static Py_ssize_t scan_start_attrs(P *p, Py_ssize_t pos, PyObject *attrs,
         int eq_prefix = (ch == '=');
         if (eq_prefix) { namebuf[bn++] = '='; pos++; }
         Py_ssize_t n0 = pos;
-        int name_nul = 0;
+        int name_nul = 0, name_hi = 0;
         while (pos < n) {
             unsigned char c2 = s[pos];
             if (c2 == ' ' || c2 == '\t' || c2 == '\n' || c2 == '\f' || c2 == '\r' ||
                 c2 == '/' || c2 == '>' || c2 == '=') break;
-            if (c2 >= 0x80) BAILI(p);  /* non-ASCII attr name */
+            /* non-ASCII key char (round-7): engages — the key is the
+             * str.lower()ed source slice (namebuf append skipped) */
+            if (c2 >= 0x80) { name_hi = 1; pos++; continue; }
             if (c2 == 0) name_nul = 1;  /* key gets U+FFFD (html5.py:345) */
             if (bn < 64) namebuf[bn++] = (char)(c2 >= 'A' && c2 <= 'Z' ? c2 + 32 : c2);
             pos++;
@@ -3423,7 +3440,21 @@ static Py_ssize_t scan_start_attrs(P *p, Py_ssize_t pos, PyObject *attrs,
                 vlen = pos - v0;
             }
         }
-        PyObject *key = PyUnicode_New(nb, 127);
+        PyObject *key;
+        if (name_hi) {
+            /* html5.py:320/327: aname = name.lower() (full Unicode),
+             * with the '=' bogus-name prefix prepended un-lowered */
+            PyObject *low = lowered_name_slice(p, n0, name_end);
+            if (!low) return -1;
+            if (eq_prefix) {
+                key = PyUnicode_Concat(eq_str, low);
+                Py_DECREF(low);
+                if (!key) { PyErr_Clear(); BAILI(p); }
+            } else {
+                key = low;
+            }
+        } else {
+        key = PyUnicode_New(nb, 127);
         if (!key) BAILI(p);
         if (nb == bn) {  /* fit in the scan buffer (common case) */
             memcpy(PyUnicode_1BYTE_DATA(key), namebuf, (size_t)nb);
@@ -3435,6 +3466,7 @@ static Py_ssize_t scan_start_attrs(P *p, Py_ssize_t pos, PyObject *attrs,
                 unsigned char c2 = s[q];
                 kd[w++] = (Py_UCS1)(c2 >= 'A' && c2 <= 'Z' ? c2 + 32 : c2);
             }
+        }
         }
         if (name_nul) {  /* NUL → U+FFFD in the key (html5.py:345-346);
                           * replacement happens BEFORE the dup check,
@@ -3565,12 +3597,15 @@ static void run_parse(P *p) {
                  * >255-char-name bail class is removed) */
                 char nbuf[64];
                 Py_ssize_t nb = 0, nm0 = j;
-                int nm_nul = 0;
+                int nm_nul = 0, nm_hi = 0;
                 while (j < n) {
                     unsigned char cc = s[j];
                     if (cc == '\t' || cc == '\n' || cc == '\f' || cc == '\r' ||
                         cc == ' ' || cc == '/' || cc == '>') break;
-                    if (cc >= 0x80) { p->bail = 1; break; }  /* non-ASCII tag name */
+                    /* non-ASCII name char (round-7): engages —
+                     * TID_UNKNOWN + a str.lower()ed source-slice name
+                     * (the nbuf append is skipped so nmlen != nb) */
+                    if (cc >= 0x80) { nm_hi = 1; j++; continue; }
                     /* NUL is a literal name char (html5.py keeps it:
                      * _TAG_NAME_RE excludes only ws//>/) → TID_UNKNOWN;
                      * tag_lookup is strncmp-based so it must not see it */
@@ -3594,9 +3629,13 @@ static void run_parse(P *p) {
                     if (had) { err(p, E_END_TAG_WITH_ATTRIBUTES, lt); if (p->bail) break; }
                     j = endpos;
                 }
-                int tid = (nmlen == nb && !nm_nul) ? tag_lookup(nbuf, nb) : TID_UNKNOWN;
+                int tid = (nmlen == nb && !nm_nul && !nm_hi) ? tag_lookup(nbuf, nb) : TID_UNKNOWN;
                 PyObject *name = NULL;
                 if (tid == TID_UNKNOWN) {
+                    if (nm_hi) {
+                        name = lowered_name_slice(p, nm0, nm0 + nmlen);
+                        if (!name) break;
+                    } else {
                     name = PyUnicode_New(nmlen, 127);
                     if (!name) { p->bail = 1; break; }
                     Py_UCS1 *nd = PyUnicode_1BYTE_DATA(name);
@@ -3604,6 +3643,7 @@ static void run_parse(P *p) {
                     else for (Py_ssize_t q = 0; q < nmlen; q++) {
                         unsigned char cc = s[nm0 + q];
                         nd[q] = (Py_UCS1)(cc >= 'A' && cc <= 'Z' ? cc + 32 : cc);
+                    }
                     }
                 }
                 if (p->has_foreign && use_foreign(p, UF_END, tid, name))
@@ -3748,12 +3788,13 @@ static void run_parse(P *p) {
         Py_ssize_t j = lt + 1;
         char nbuf[64];
         Py_ssize_t nb = 0, nm0 = j;
-        int nm_nul = 0;
+        int nm_nul = 0, nm_hi = 0;
         while (j < n) {
             unsigned char cc = s[j];
             if (cc == '\t' || cc == '\n' || cc == '\f' || cc == '\r' ||
                 cc == ' ' || cc == '/' || cc == '>') break;
-            if (cc >= 0x80) { p->bail = 1; break; }  /* non-ASCII tag name */
+            /* non-ASCII name char engages (round-7, see end-tag scan) */
+            if (cc >= 0x80) { nm_hi = 1; j++; continue; }
             /* NUL stays a literal name char (see the end-tag scanner) */
             if (cc == 0) nm_nul = 1;
             if (nb < 63) nbuf[nb++] = (char)(cc >= 'A' && cc <= 'Z' ? cc + 32 : cc);
@@ -3761,9 +3802,13 @@ static void run_parse(P *p) {
         }
         if (p->bail) break;
         Py_ssize_t nmlen = j - nm0;
-        int tid = (nmlen == nb && !nm_nul) ? tag_lookup(nbuf, nb) : TID_UNKNOWN;
+        int tid = (nmlen == nb && !nm_nul && !nm_hi) ? tag_lookup(nbuf, nb) : TID_UNKNOWN;
         PyObject *name = NULL;
         if (tid == TID_UNKNOWN) {
+            if (nm_hi) {
+                name = lowered_name_slice(p, nm0, nm0 + nmlen);
+                if (!name) break;
+            } else {
             name = PyUnicode_New(nmlen, 127);
             if (!name) { p->bail = 1; break; }
             Py_UCS1 *nd = PyUnicode_1BYTE_DATA(name);
@@ -3771,6 +3816,7 @@ static void run_parse(P *p) {
             else for (Py_ssize_t q = 0; q < nmlen; q++) {
                 unsigned char cc = s[nm0 + q];
                 nd[q] = (Py_UCS1)(cc >= 'A' && cc <= 'Z' ? cc + 32 : cc);
+            }
             }
         }
         PyObject *attrs = PyDict_New();
@@ -4952,6 +4998,7 @@ PyMODINIT_FUNC PyInit__chtml(void) {
         nul_str = PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND, &z, 1);
         fffd_str = PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND, &f, 1);
     }
-    if (!empty_str || !empty_attrs || !nul_str || !fffd_str) return NULL;
+    eq_str = PyUnicode_InternFromString("=");
+    if (!empty_str || !empty_attrs || !nul_str || !fffd_str || !eq_str) return NULL;
     return m;
 }

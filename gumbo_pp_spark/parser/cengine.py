@@ -4,8 +4,8 @@
 the C engine's subset — effectively the whole document-mode surface:
 error recording, adoption agency, foster parenting, foreign content,
 templates, framesets, NUL input (text AND tag machinery, every string
-kind), unbounded depth and name lengths; remaining bails are
-fragments, non-ASCII tag/attr names, ws-decoding charref runs in
+kind), non-ASCII tag/attr names, unbounded depth and name lengths;
+remaining bails are fragments, ws-decoding charref runs in
 classifying modes, and colgroup/frameset-content NUL (see
 _cext/chtml.c) — or
 ``None`` when the pure-Python engine must run.  The Python engine in

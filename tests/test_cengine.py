@@ -135,7 +135,14 @@ def test_bail_conditions():
     # bails anymore.  Non-ASCII TAG NAMES remain a designed bail.
     assert cengine.cparse("中\x00文") is not None
     assert cengine.cparse("<table>中\x00x<td>y</td></table>") is not None
-    assert cengine.cparse("<xé>y</xé>") is None  # non-ASCII tag name
+    # round-7 (late): non-ASCII tag/attr NAMES engage too (TID_UNKNOWN
+    # + full-Unicode str.lower() source-slice names); what remains:
+    # ws-decoding charref runs in classifying modes and
+    # colgroup/frameset-content NUL (designed semantic bails)
+    assert cengine.cparse("<xé>y</xé>") is not None
+    assert cengine.cparse("<div aé=1>x</div>") is not None
+    assert cengine.cparse(b"<table>&Tab;x<td>y</td></table>") is None
+    assert cengine.cparse(b"<table><colgroup>\x00<col></colgroup></table>") is None
     assert cengine.cparse(b"<svg><rect/></svg>") is not None   # foreign: in C
     assert cengine.cparse(b"<template>x</template>") is not None  # templates: in C
     assert cengine.cparse(b"<plaintext>raw") is not None          # plaintext: in C
@@ -833,7 +840,7 @@ _BAIL_MIX = [
     "<p>\U0001F600 astral</p>".encode(),                           # astral
     b"<div>" * 600 + b"deep" + b"</div>" * 600,
     b"\xff\xfe<p>invalid utf8</p>",                                # invalid (engages, r7)
-    "<p>x</p><xé>tag</xé>".encode(),                               # BAIL: non-ASCII tag name
+    b"<table>&Tab;x<td>y</td></table>",                            # BAIL: ws charref in classifying mode
     b"<html>\r\n<body>\r\n<p>crlf</p>\r\n</body>\r\n</html>",      # CRLF
     "<title>Béta</title>\r\n<body>\r\n<p>é€ x 😀</p>\r\n</body>".encode(),
     "<p>日本語テスト &amp; エンティティ</p>".encode(),             # CJK + entity
@@ -894,8 +901,9 @@ def test_cextract_batch_bail_splice_and_metrics():
         assert od["parse_errors"][k] == ref["parse_errors"], (k, d[:80])
         assert od["parse_us"][k] >= 0 and od["kernel_us"][k] == 0
     c_flags = od["c_engine"]
-    bail_docs = {11, 15}  # non-ASCII-tag-name rows (r7: invalid UTF-8
-    #                       and every NUL+non-ASCII class engage)
+    bail_docs = {11, 15}  # ws-charref-classifying rows (r7: invalid
+    #                       UTF-8, NUL+non-ASCII and non-ASCII names
+    #                       all engage)
     for k in range(len(docs)):
         assert c_flags[k] == (0 if k in bail_docs else 1), (k, c_flags)
 
@@ -1209,3 +1217,56 @@ def test_prep_decode_property_vs_python_replace():
             assert sp["end_byte"] == len(doc) - len(b"</p></body></html>")
 
     check()
+
+
+def test_non_ascii_names_fuzz_ab():
+    """Round-7 (late): non-ASCII TAG and ATTR names engage — unknown
+    tid + full-Unicode str.lower() source-slice names (U+0130's 1:2
+    lowering included), byte==codepoint in kind-1/latin-1 mode and
+    readback in transcoded mode.  Fuzz random unicode names/keys in
+    random structure; every doc must engage column-identically."""
+    import random
+
+    import gumbo_pp_spark.parser.html5 as H
+
+    rng = random.Random(23)
+    alpha = "abcdefgh"
+    uni = "éÉГЖ中文𝕏ıİäÄßΣσς"
+
+    def name():
+        # must start with an ASCII letter to tokenize as a tag
+        return rng.choice(alpha) + "".join(
+            rng.choice(alpha + uni) for _ in range(rng.randrange(0, 5))
+        )
+
+    for _ in range(250):
+        parts = []
+        opened = []
+        for _ in range(rng.randrange(1, 7)):
+            k = rng.randrange(5)
+            if k == 0:
+                nm = name()
+                attrs = "".join(
+                    f" {name()}={rng.choice(['1', chr(39) + 'v é' + chr(39)])}"
+                    for _ in range(rng.randrange(0, 3))
+                )
+                parts.append(f"<{nm}{attrs}>")
+                opened.append(nm)
+            elif k == 1 and opened:
+                parts.append(f"</{opened.pop()}>")
+            elif k == 2:
+                parts.append("text é 中 ")
+            elif k == 3:
+                parts.append("<table><td>c</td></table>")
+            else:
+                parts.append(f"<svg><{name()}/></svg>")
+        doc = "".join(parts)
+        c = cengine.cparse(doc)
+        assert c is not None, doc[:120]
+        saved = H._cparse_fast
+        H._cparse_fast = None
+        try:
+            py = H.parse_html(doc)
+        finally:
+            H._cparse_fast = saved
+        assert_identical(c, py, doc[:120])
