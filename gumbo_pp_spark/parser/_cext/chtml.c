@@ -564,17 +564,32 @@ static PyObject *ascii_slice(P *p, Py_ssize_t a, Py_ssize_t b) {
 }
 
 /* Lowercased tag/attr name from the source span [a, b) — the rare
- * non-ASCII-name path (round-7).  Python's semantics are str.lower()
- * (FULL Unicode case mapping, incl. 1:N expansions like U+0130), so
- * delegate to it; known ASCII names never come here.  Sets p->bail on
- * failure and returns NULL. */
+ * non-ASCII-name path (round-7).  WHATWG lowercases ASCII LETTERS
+ * ONLY ("Uppercase ASCII letter: append the lowercase version";
+ * libgumbo's gumbo_tolower is ASCII too, html5.py:_ascii_lower is the
+ * Python mirror) — '<DÉV>' becomes 'dÉv', never 'dév'.  Known ASCII
+ * names never come here.  Sets p->bail on failure, returns NULL. */
 static PyObject *lowered_name_slice(P *p, Py_ssize_t a, Py_ssize_t b) {
-    PyObject *raw = ascii_slice(p, a, b);
-    if (!raw) { PyErr_Clear(); p->bail = 1; return NULL; }
-    PyObject *low = PyObject_CallMethod(raw, "lower", NULL);
-    Py_DECREF(raw);
-    if (!low) { PyErr_Clear(); p->bail = 1; return NULL; }
-    return low;
+    Py_ssize_t L = b - a;
+    if (p->src_data) {
+        if (scratch_ensure(p, L) < 0) { p->bail = 1; return NULL; }
+        Py_UCS4 *out = p->scratch;
+        for (Py_ssize_t q = 0; q < L; q++) {
+            Py_UCS4 c = rd(p, a + q);
+            out[q] = (c >= 'A' && c <= 'Z') ? c + 32 : c;
+        }
+        PyObject *u = PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND, out, L);
+        if (!u) { PyErr_Clear(); p->bail = 1; return NULL; }
+        return u;
+    }
+    PyObject *u = PyUnicode_New(L, 255);  /* latin-1: byte == codepoint */
+    if (!u) { PyErr_Clear(); p->bail = 1; return NULL; }
+    Py_UCS1 *d = PyUnicode_1BYTE_DATA(u);
+    for (Py_ssize_t q = 0; q < L; q++) {
+        unsigned char c = p->s[a + q];
+        d[q] = (Py_UCS1)((c >= 'A' && c <= 'Z') ? c + 32 : c);
+    }
+    return u;
 }
 
 /* _decode_attr (html5.py:411-441): _CHARREF_RE =

@@ -112,6 +112,20 @@ def error_category(code: str) -> str:
     return "tokenizer" if code in TOKENIZER_ERRORS else "tree-construction"
 
 _TAG_NAME_RE = re.compile(r"[a-zA-Z][^\t\n\f\r />]*")
+
+# WHATWG tag/attribute names lowercase ASCII LETTERS ONLY (tokenizer
+# "tag name state": "Uppercase ASCII letter: append the lowercase
+# version"; libgumbo's gumbo_tolower is ASCII too).  str.lower() is
+# the FULL Unicode mapping — '<DÉV>' must become 'dÉv', not 'dév'
+# (html5lib-verified, round-7 fix).  The isascii() fast path keeps the
+# hot path on the C-speed str.lower().
+_ASCII_LOWER_TABLE = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
+def _ascii_lower(s: str) -> str:
+    return s.lower() if s.isascii() else s.translate(_ASCII_LOWER_TABLE)
 _ATTR_NAME_RE = re.compile(r"[^ \t\n\f\r/>=]+")
 _UNQUOTED_VAL_RE = re.compile(r"[^ \t\n\f\r>]*")
 _RAWTEXT_CLOSE_RES: dict[str, re.Pattern] = {}
@@ -317,14 +331,14 @@ def _scan_start_attrs(s: str, pos: int, n: int) -> tuple[dict, bool, int, bool, 
             continue
         am = _ATTR_NAME_RE.match(s, pos)
         if am:
-            aname = am.group(0).lower()
+            aname = _ascii_lower(am.group(0))
             pos = am.end()
         elif ch == "=":
             # spec 'before attribute name' with '=': parse error;
             # the new attribute's NAME starts with the equals sign
             m2 = _ATTR_NAME_RE.match(s, pos + 1)
             if m2:
-                aname = "=" + m2.group(0).lower()
+                aname = "=" + _ascii_lower(m2.group(0))
                 pos = m2.end()
             else:
                 aname = "="
@@ -1674,12 +1688,12 @@ class _TreeBuilder:
     def _foreign_end(self, name, t0, t1) -> None:
         self.skip_newline = False
         stk = self.stack
-        if stk and self.ntag[stk[-1]].lower() != name:
+        if stk and _ascii_lower(self.ntag[stk[-1]]) != name:
             self._err("unexpected-end-tag", t0)
         i = len(stk) - 1
         while i > 0:
             nid = stk[i]
-            if self.ntag[nid].lower() == name:
+            if _ascii_lower(self.ntag[nid]) == name:
                 while len(stk) > i:
                     popped = stk.pop()
                     if popped == nid:
@@ -3404,7 +3418,7 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
         if c == "/":
             fm = end_match(s, lt)
             if fm:
-                name = fm.group(1).lower()
+                name = _ascii_lower(fm.group(1))
                 if tb.has_foreign and tb._use_foreign("end", name):
                     tb._foreign_end(name, lt, fm.end())
                 else:
@@ -3416,7 +3430,7 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
                 # end tag with attributes: tokenize them quote-aware
                 # (and discard, per spec) so '</div a=">">' ends at the
                 # final '>' — a parse error, but the tag still closes
-                name = m.group(0).lower()
+                name = _ascii_lower(m.group(0))
                 endpos, had_attrs = _scan_end_tag_tail(s, m.end(), n)
                 if endpos < 0:
                     tb._err("eof-in-end-tag", lt)
@@ -3533,7 +3547,7 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
                 tb.handle_chars("<", lt)
                 i = lt + 1
                 continue
-            name = m.group(0).lower()
+            name = _ascii_lower(m.group(0))
             attrs, self_closing, pos, found_gt, dups = _scan_start_attrs(s, m.end(), n)
             if dups:
                 for _ in range(dups):

@@ -231,3 +231,95 @@ class TestColgroupNulAnythingElse:
 
     def test_fragment_case_ignores(self):
         assert frag("a\x00 b", "colgroup") == '| " "'
+
+
+class TestNonAsciiNameGoldensR7:
+    """Round-7: WHATWG lowercases ASCII letters ONLY in tag/attr names
+    ('<DÉV>' → 'dÉv'); the engine used full str.lower() ('dév') until
+    an html5lib cross-check caught it.  64 goldens generated from the
+    vendored html5lib oracle (tests/conformance/nonascii_names_r7.goldens,
+    same provenance as generate.py) pin the fixed behavior, tree
+    structure + names + attrs + text."""
+
+    def _ours(self, doc):
+        import gumbo_pp_spark.parser.html5 as H
+
+        saved = H._cparse_fast
+        H._cparse_fast = None
+        try:
+            nt = H.parse_html(doc)
+        finally:
+            H._cparse_fast = saved
+        tag, par, ty = nt.tag_name, nt.parent, nt.type
+        html = next(i for i in range(nt.n) if tag[i] == "html")
+        depth = {html: -1}
+        out = []
+        for i in range(nt.n):
+            if i == html or par[i] < 0:
+                continue
+            if par[i] not in depth:
+                continue
+            depth[i] = depth[par[i]] + 1
+            if ty[i] == 1:
+                out.append("%d<%s>%r" % (depth[i], tag[i], sorted((nt.attrs[i] or {}).items())))
+            elif ty[i] in (2, 3):
+                out.append("%dT%r" % (depth[i], nt.text[i]))
+        return out
+
+    def test_goldens(self):
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "conformance",
+                            "nonascii_names_r7.goldens")
+        doc = None
+        want: list = []
+        checked = 0
+
+        def flush():
+            nonlocal checked
+            if doc is None:
+                return
+            assert self._ours(doc) == want, doc
+            checked += 1
+
+        for ln in open(path, encoding="utf-8").read().split("\n"):
+            if ln.startswith("#doc\t"):
+                flush()
+                doc = ln[5:].replace("\\t", "\t")
+                want = []
+            elif ln.startswith("#n\t"):
+                want.append(ln[3:])
+        flush()
+        assert checked == 64
+
+    def test_c_engine_agrees(self):
+        # the C engine must engage these and match column-for-column
+        import os
+
+        import gumbo_pp_spark.parser.html5 as H
+        from gumbo_pp_spark.parser import cengine
+        from tests.test_cengine import assert_identical
+
+        if not cengine.available():
+            import pytest
+
+            pytest.skip("C engine unavailable")
+        path = os.path.join(os.path.dirname(__file__), "conformance",
+                            "nonascii_names_r7.goldens")
+        docs = [ln[5:].replace("\\t", "\t")
+                for ln in open(path, encoding="utf-8").read().split("\n")
+                if ln.startswith("#doc\t")]
+        engaged = 0
+        for doc in docs:
+            c = cengine.cparse(doc)
+            if c is None:
+                continue  # ws-charref shapes etc. may bail — allowed
+            engaged += 1
+            saved = H._cparse_fast
+            H._cparse_fast = None
+            try:
+                py = H.parse_html(doc)
+            finally:
+                H._cparse_fast = saved
+            assert_identical(c, py, doc[:120])
+        assert engaged >= 60, engaged
