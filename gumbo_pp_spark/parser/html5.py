@@ -619,14 +619,14 @@ def _doctype_quirks(body: str) -> bool:
     j = i
     while j < n and body[j] not in _WS_SET:
         j += 1
-    if body[i:j].lower() != "html":
+    if _ascii_lower(body[i:j]) != "html":
         return True
     i = j
     while i < n and body[i] in _WS_SET:
         i += 1
     if i >= n:
         return False  # bare <!DOCTYPE html>
-    kw = body[i: i + 6].lower()
+    kw = _ascii_lower(body[i: i + 6])
 
     def read_quoted(k):
         # (value | None, next index, malformed)
@@ -663,12 +663,12 @@ def _doctype_quirks(body: str) -> bool:
     if force:
         return True
     if public_id is not None:
-        pid = public_id.lower()
+        pid = _ascii_lower(public_id)
         if pid in _QUIRKS_PUBLIC_EXACT or pid.startswith(_QUIRKS_PUBLIC_PREFIXES):
             return True
         if system_id is None and pid.startswith(_QUIRKS_NO_SYSTEM_PREFIXES):
             return True
-    if system_id is not None and system_id.lower() == _QUIRKS_SYSTEM:
+    if system_id is not None and _ascii_lower(system_id) == _QUIRKS_SYSTEM:
         return True
     return False
 
