@@ -1002,7 +1002,7 @@ class _TreeBuilder:
         if ns == NS_SVG and tag in SVG_HTML_IP:
             return True
         if ns == NS_MATHML and tag == "annotation-xml":
-            enc = (self.nattrs[nid] or {}).get("encoding", "").lower()
+            enc = _ascii_lower((self.nattrs[nid] or {}).get("encoding", ""))
             return enc in ("text/html", "application/xhtml+xml")
         return False
 
@@ -1030,7 +1030,7 @@ class _TreeBuilder:
         if ns == NS_MATHML and tag == "annotation-xml":
             if kind == "start" and name == "svg":
                 return False
-            enc = (attrs or {}).get("encoding", "").lower()
+            enc = _ascii_lower((attrs or {}).get("encoding", ""))
             if enc in ("text/html", "application/xhtml+xml") and kind in ("chars", "start"):
                 return False
         if ns == NS_SVG and tag in SVG_HTML_IP and kind in ("chars", "start"):
@@ -3498,7 +3498,7 @@ def parse_html(source: str | bytes, options: dict | None = None) -> NodeTable:
                     break
                 tb.handle_cdata(s[lt + 9: close], lt, close + 3)
                 i = close + 3
-            elif s[lt + 2: lt + 9].lower() == "doctype":
+            elif _ascii_lower(s[lt + 2: lt + 9]) == "doctype":
                 gt = s.find(">", lt + 2)
                 if gt < 0:
                     break
