@@ -1351,39 +1351,90 @@ static void reset_mode(P *p) {
 static PyObject *decode_buf(P *p, const unsigned char *buf,
                             const Py_UCS4 *ubuf, Py_ssize_t m);
 static PyObject *buf_slice(const unsigned char *buf, Py_ssize_t a, Py_ssize_t b);
+static int has_ws_charref(const unsigned char *s, int64_t a, int64_t b);
+static int ws_all_tokens(P *p, const unsigned char *s, int64_t a, int64_t b,
+                         Py_ssize_t *outn);
+static int mode_classifies_ws(int mode);
 
 static void flush_tt(P *p) {
     int np = p->pend_n;
     p->pend_n = 0;
+    /* round-7: a pended run can carry a ws-DECODING charref ("&#9;"),
+     * which counts as whitespace in the all-space batch test (decoded
+     * character-token classification, html5.py _ws_all); plain
+     * batches keep the byte loops */
+    int tokws = 0;
+    for (int i = 0; i < np && !tokws; i++) {
+        const unsigned char *bb;
+        Py_ssize_t b0, b1;
+        if (p->pend_txt[i]) {
+            bb = (const unsigned char *)PyBytes_AS_STRING(p->pend_txt[i]);
+            b0 = 0;
+            b1 = PyBytes_GET_SIZE(p->pend_txt[i]);
+        } else {
+            bb = p->s;
+            b0 = (Py_ssize_t)p->pend[i][0];
+            b1 = (Py_ssize_t)p->pend[i][1];
+        }
+        if (memchr(bb + b0, '&', (size_t)(b1 - b0)) && has_ws_charref(bb, b0, b1))
+            tokws = 1;
+    }
     int allws = 1;
     for (int i = 0; i < np && allws; i++) {
+        const unsigned char *bb;
+        Py_ssize_t b0, b1;
         if (p->pend_txt[i]) {
-            const unsigned char *bb = (const unsigned char *)PyBytes_AS_STRING(p->pend_txt[i]);
-            Py_ssize_t mlen = PyBytes_GET_SIZE(p->pend_txt[i]);
-            for (Py_ssize_t q = 0; q < mlen; q++)
-                if (!WS_CHAR(bb[q])) { allws = 0; break; }
+            bb = (const unsigned char *)PyBytes_AS_STRING(p->pend_txt[i]);
+            b0 = 0;
+            b1 = PyBytes_GET_SIZE(p->pend_txt[i]);
         } else {
-            for (int64_t q = p->pend[i][0]; q < p->pend[i][1]; q++)
-                if (!WS_CHAR(p->s[q])) { allws = 0; break; }
+            bb = p->s;
+            b0 = (Py_ssize_t)p->pend[i][0];
+            b1 = (Py_ssize_t)p->pend[i][1];
+        }
+        if (tokws) {
+            Py_ssize_t dn;
+            if (scratch_ensure(p, b1 - b0) < 0) { p->bail = 1; goto cleanup; }
+            allws = ws_all_tokens(p, bb, b0, b1, &dn);
+        } else {
+            for (Py_ssize_t q = b0; q < b1; q++)
+                if (!WS_CHAR(bb[q])) { allws = 0; break; }
         }
     }
     if (allws) {
         for (int i = 0; i < np; i++) {
-            PyObject *u = p->pend_txt[i]
-                ? buf_slice((const unsigned char *)PyBytes_AS_STRING(p->pend_txt[i]),
-                            0, PyBytes_GET_SIZE(p->pend_txt[i]))
-                : ascii_slice(p, p->pend[i][0], p->pend[i][1]);
+            PyObject *u;
+            if (tokws) {
+                const unsigned char *bb;
+                Py_ssize_t b0, b1, dn;
+                if (p->pend_txt[i]) {
+                    bb = (const unsigned char *)PyBytes_AS_STRING(p->pend_txt[i]);
+                    b0 = 0;
+                    b1 = PyBytes_GET_SIZE(p->pend_txt[i]);
+                } else {
+                    bb = p->s;
+                    b0 = (Py_ssize_t)p->pend[i][0];
+                    b1 = (Py_ssize_t)p->pend[i][1];
+                }
+                if (scratch_ensure(p, b1 - b0) < 0) { p->bail = 1; goto cleanup; }
+                ws_all_tokens(p, bb, b0, b1, &dn);
+                u = PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND, p->scratch, dn);
+            } else {
+                u = p->pend_txt[i]
+                    ? buf_slice((const unsigned char *)PyBytes_AS_STRING(p->pend_txt[i]),
+                                0, PyBytes_GET_SIZE(p->pend_txt[i]))
+                    : ascii_slice(p, p->pend[i][0], p->pend[i][1]);
+            }
             Py_CLEAR(p->pend_txt[i]);
             Py_CLEAR(p->pend_ucs[i]);
             insert_text(p, u, p->pend[i][0], p->pend[i][1], 0, 0);
             if (p->bail) break;
         }
-        for (int i = 0; i < np; i++) Py_CLEAR(p->pend_txt[i]);
-        return;
+        goto cleanup;
     }
     /* ANY non-space char foster-parents EVERY run (parse error) */
     err(p, E_UNEXPECTED_CHARACTER, p->pend[0][0]);
-    if (p->bail) { for (int i = 0; i < np; i++) Py_CLEAR(p->pend_txt[i]); return; }
+    if (p->bail) goto cleanup;
     p->foster = 1;
     for (int i = 0; i < np; i++) {
         PyObject *u = p->pend_txt[i]
@@ -1398,8 +1449,9 @@ static void flush_tt(P *p) {
         insert_text(p, u, p->pend[i][0], p->pend[i][1], 0, 1);
         if (p->bail) break;
     }
-    for (int i = 0; i < np; i++) { Py_CLEAR(p->pend_txt[i]); Py_CLEAR(p->pend_ucs[i]); }
     p->foster = 0;
+cleanup:
+    for (int i = 0; i < np; i++) { Py_CLEAR(p->pend_txt[i]); Py_CLEAR(p->pend_ucs[i]); }
 }
 
 /* ---- foreign-content dispatch (html5.py:933-959 _use_foreign) ----- */
@@ -1654,9 +1706,22 @@ static void chars_in_table(P *p, int64_t a, int64_t b) {
         p->pend_n++;
         return;
     }
+    int tokws = memchr(p->s + a, '&', (size_t)(b - a)) &&
+                has_ws_charref(p->s, a, b);
     int allws = 1;
-    for (int64_t q = a; q < b; q++) if (!WS_CHAR(p->s[q])) { allws = 0; break; }
-    if (allws) insert_text(p, ascii_slice(p, a, b), a, b, 0, 1);
+    Py_ssize_t dn = 0;
+    if (tokws) {
+        if (scratch_ensure(p, b - a) < 0) BAILV(p);
+        allws = ws_all_tokens(p, p->s, a, b, &dn);
+    } else {
+        for (int64_t q = a; q < b; q++) if (!WS_CHAR(p->s[q])) { allws = 0; break; }
+    }
+    if (allws)
+        insert_text(p,
+                    tokws ? PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND,
+                                                      p->scratch, dn)
+                          : ascii_slice(p, a, b),
+                    a, b, 0, 1);
     else insert_text(p, decode_text(p, a, b), a, b, 0, 1);
 }
 
@@ -1706,6 +1771,12 @@ static void chars_buf(P *p, const unsigned char *buf, const Py_UCS4 *ubuf,
                       Py_ssize_t m, int64_t start) {
     int64_t end = start + m;
     int mode = p->mode;
+    /* a NUL-stripped run that ALSO carries a ws-decoding charref in a
+     * classifying mode stays Python-side (rare intersection; the
+     * stripped-copy offsets make the token spans subtle) */
+    if (mode_classifies_ws(mode) && memchr(buf, '&', (size_t)m) &&
+        has_ws_charref(buf, 0, m))
+        BAILV(p);
     if (mode == M_IN_BODY || mode == M_IN_CELL || mode == M_IN_TEMPLATE) {
         insert_text(p, decode_buf(p, buf, ubuf, m), start, end, 0, 1);
         return;
@@ -1853,6 +1924,74 @@ static int has_ws_charref(const unsigned char *s, int64_t a, int64_t b) {
     }
 }
 
+/* ---- decoded whitespace-token scanning (round-7; html5.py:419-470)
+ * Tree construction classifies the DECODED character token: "&#13;" /
+ * "&Tab;" ARE whitespace tokens wherever a mode rule asks "is this
+ * whitespace?" (reference-produced CR bypasses stream normalization).
+ * Until round 7 such runs bailed to Python (has_ws_charref); now the
+ * classifying sites scan ws TOKENS when a run contains a ws charref
+ * (cold path — the byte loops stay for plain runs). */
+
+/* one ws token at s[i..b): returns consumed SOURCE length (0 = not a
+ * ws token) and the decoded char.  Mirrors _ws_scan's per-token step:
+ * literal ws; &#dec;? / &#xhex;? decoding to ws (huge values -> not
+ * ws, like Python's chr() ValueError); &Tab; / &NewLine; (semicolon
+ * REQUIRED for the named forms). */
+static Py_ssize_t ws_token_at(const unsigned char *s, int64_t i, int64_t b,
+                              Py_UCS4 *cp) {
+    unsigned char c = s[i];
+    if (WS_CHAR(c)) { *cp = c; return 1; }
+    if (c != '&' || i + 1 >= b) return 0;
+    if (s[i + 1] == '#') {
+        int64_t d = i + 2;
+        int hex = 0, any = 0, ovf = 0;
+        long long v = 0;
+        if (d < b && (s[d] == 'x' || s[d] == 'X')) { hex = 1; d++; }
+        while (d < b) {
+            unsigned char cc = s[d];
+            int dv;
+            if (cc >= '0' && cc <= '9') dv = cc - '0';
+            else if (hex && ((cc | 32) >= 'a' && (cc | 32) <= 'f')) dv = (cc | 32) - 'a' + 10;
+            else break;
+            any = 1;
+            if (!ovf) { v = v * (hex ? 16 : 10) + dv; if (v > 0x110000) ovf = 1; }
+            d++;
+        }
+        if (!any || ovf) return 0;
+        if (!(v == '\t' || v == '\n' || v == '\f' || v == '\r' || v == ' ')) return 0;
+        if (d < b && s[d] == ';') d++;
+        *cp = (Py_UCS4)v;
+        return (Py_ssize_t)(d - i);
+    }
+    if (b - i >= 5 && memcmp(s + i, "&Tab;", 5) == 0) { *cp = '\t'; return 5; }
+    if (b - i >= 9 && memcmp(s + i, "&NewLine;", 9) == 0) { *cp = '\n'; return 9; }
+    return 0;
+}
+
+/* leading ws-token run of [a, b): source length consumed; decoded
+ * chars appended to p->scratch (caller must scratch_ensure(b - a));
+ * *outn = decoded length.  Mirrors _ws_prefix / _ws_scan-from-0. */
+static int64_t ws_prefix_tokens(P *p, const unsigned char *s, int64_t a,
+                                int64_t b, Py_ssize_t *outn) {
+    int64_t k = a;
+    Py_ssize_t m = 0;
+    Py_UCS4 cpv;
+    Py_ssize_t adv;
+    while (k < b && (adv = ws_token_at(s, k, b, &cpv)) > 0) {
+        p->scratch[m++] = cpv;
+        k += adv;
+    }
+    *outn = m;
+    return k;
+}
+
+/* is EVERY character token in [a, b) whitespace?  (html5.py _ws_all) */
+static int ws_all_tokens(P *p, const unsigned char *s, int64_t a, int64_t b,
+                         Py_ssize_t *outn) {
+    int64_t k = ws_prefix_tokens(p, s, a, b, outn);
+    return k == b;
+}
+
 /* ws-charref runs only diverge where the mode CLASSIFIES whitespace */
 static int mode_classifies_ws(int mode) {
     return !(mode == M_IN_BODY || mode == M_IN_CELL ||
@@ -1860,9 +1999,13 @@ static int mode_classifies_ws(int mode) {
 }
 
 static void chars_html(P *p, int64_t a, int64_t b) {
-    if (mode_classifies_ws(p->mode) && memchr(p->s + a, '&', (size_t)(b - a)) &&
-        has_ws_charref(p->s, a, b))
-        BAILV(p);
+    /* round-7: runs with ws-DECODING charrefs no longer bail — the
+     * classifying sites below scan decoded ws TOKENS instead (the
+     * byte loops remain the hot path for plain runs) */
+    int tokws = mode_classifies_ws(p->mode) &&
+                memchr(p->s + a, '&', (size_t)(b - a)) &&
+                has_ws_charref(p->s, a, b);
+    if (tokws && scratch_ensure(p, b - a) < 0) BAILV(p);
     if (p->doc_has_nul && memchr(p->s + a, 0, (size_t)(b - a))) {
         int m0 = p->mode;
         /* round-6: colgroup/frameset NUL interactions stay Python */
@@ -1952,17 +2095,26 @@ static void chars_html(P *p, int64_t a, int64_t b) {
         return;
     }
     if (mode == M_INITIAL || mode == M_BEFORE_HTML || mode == M_BEFORE_HEAD) {
-        int64_t k = a;
-        while (k < b && WS_CHAR(p->s[k])) k++;
-        if (k == b) return;  /* all-whitespace: ignored */
+        int64_t k;
+        Py_ssize_t dn;
+        if (tokws) k = ws_prefix_tokens(p, p->s, a, b, &dn);
+        else { k = a; while (k < b && WS_CHAR(p->s[k])) k++; }
+        if (k == b) return;  /* all-whitespace tokens: ignored */
         ensure_body(p, k); CHKV(p);
         insert_text(p, decode_text(p, k, b), k, b, 0, 1);
         return;
     }
     if (mode == M_IN_HEAD || mode == M_AFTER_HEAD) {
-        int64_t k = a;
-        while (k < b && WS_CHAR(p->s[k])) k++;
-        if (k > a) { insert_text(p, ascii_slice(p, a, k), a, k, 0, 1); CHKV(p); }
+        int64_t k;
+        Py_ssize_t dn = 0;
+        if (tokws) k = ws_prefix_tokens(p, p->s, a, b, &dn);
+        else { k = a; while (k < b && WS_CHAR(p->s[k])) k++; }
+        if (k > a) {
+            PyObject *w = tokws
+                ? PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND, p->scratch, dn)
+                : ascii_slice(p, a, k);
+            insert_text(p, w, a, k, 0, 1); CHKV(p);
+        }
         if (k < b) {
             if (mode == M_IN_HEAD && cur_tid(p) == TID_NOSCRIPT) {
                 /* in-head-noscript anything-else: pop the noscript */
@@ -1985,9 +2137,16 @@ static void chars_html(P *p, int64_t a, int64_t b) {
         return;
     }
     if (mode == M_IN_COLGROUP) {
-        int64_t k = a;
-        while (k < b && WS_CHAR(p->s[k])) k++;
-        if (k > a) { insert_text(p, ascii_slice(p, a, k), a, k, 0, 0); CHKV(p); }
+        int64_t k;
+        Py_ssize_t dn = 0;
+        if (tokws) k = ws_prefix_tokens(p, p->s, a, b, &dn);
+        else { k = a; while (k < b && WS_CHAR(p->s[k])) k++; }
+        if (k > a) {
+            PyObject *w = tokws
+                ? PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND, p->scratch, dn)
+                : ascii_slice(p, a, k);
+            insert_text(p, w, a, k, 0, 0); CHKV(p);
+        }
         if (k < b) {
             if (cur_tid(p) == TID_COLGROUP) {
                 int32_t nid = p->stack[p->stack_n - 1];
@@ -2000,31 +2159,47 @@ static void chars_html(P *p, int64_t a, int64_t b) {
         return;
     }
     if (mode == M_IN_FRAMESET || mode == M_AFTER_FRAMESET) {
-        /* keep only the whitespace chars (joined into ONE run); any
-         * dropped char is a parse error.  The recorded span is the
-         * SOURCE extent first..last kept char (html5.py r7: start +
-         * decoded length under-covered reference-produced ws; ws-
-         * charref runs bail above via has_ws_charref, so kept chars
-         * here are literal bytes) */
+        /* keep only the whitespace TOKENS (joined into ONE run,
+         * decoded); any dropped char is a parse error.  The recorded
+         * span is the SOURCE extent first..last kept token (html5.py
+         * r7: start + decoded length under-covered reference-produced
+         * ws).  Plain runs have no ws charrefs, so the token scan
+         * degenerates to the byte scan. */
         Py_ssize_t nws = 0;
         int64_t first = -1, last = -1;
-        for (int64_t q = a; q < b; q++)
-            if (WS_CHAR(p->s[q])) { if (first < 0) first = q; last = q + 1; nws++; }
-        if (nws != b - a) { err(p, E_TEXT_IN_FRAMESET, a); CHKV(p); }
+        int all = 1;
+        if (!tokws && scratch_ensure(p, b - a) < 0) BAILV(p);
+        int64_t q = a;
+        while (q < b) {
+            Py_UCS4 cpv;
+            Py_ssize_t adv = ws_token_at(p->s, q, b, &cpv);
+            if (adv) {
+                if (first < 0) first = q;
+                p->scratch[nws++] = cpv;
+                q += adv;
+                last = q;
+            } else {
+                all = 0;
+                q++;
+            }
+        }
+        if (!all) { err(p, E_TEXT_IN_FRAMESET, a); CHKV(p); }
         if (nws) {
-            PyObject *u = PyUnicode_New(nws, 127);
-            if (!u) BAILV(p);
-            Py_UCS1 *dst = PyUnicode_1BYTE_DATA(u);
-            for (int64_t q = a; q < b; q++)
-                if (WS_CHAR(p->s[q])) *dst++ = p->s[q];
+            PyObject *u = PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND,
+                                                    p->scratch, nws);
             insert_text(p, u, first, last, 0, 0);
         }
         return;
     }
     if (mode == M_AFTER_BODY || mode == M_AFTER_AFTER_BODY) {
         int allws = 1;
-        for (int64_t q = a; q < b; q++)
-            if (!WS_CHAR(p->s[q])) { allws = 0; break; }
+        if (tokws) {
+            Py_ssize_t dn;
+            allws = ws_all_tokens(p, p->s, a, b, &dn);
+        } else {
+            for (int64_t q = a; q < b; q++)
+                if (!WS_CHAR(p->s[q])) { allws = 0; break; }
+        }
         if (!allws) {
             err(p, E_UNEXPECTED_CHARACTER, a); CHKV(p);
             p->mode = M_IN_BODY;  /* body reopens (parse error) */
@@ -4376,8 +4551,8 @@ static PyObject *cextract(PyObject *self, PyObject *args) {
  * newline normalization (prep_decode): placeholder parse buffer, str
  * readback, and an exact char→byte offset map feeding the span byte
  * columns.  Documents the engine cannot take (its designed bail
- * classes only, round-7 — e.g. non-ASCII tag/attr names, ws charrefs
- * in classifying modes, colgroup/frameset-content NUL) get zero-length
+ * classes only, round-7 — colgroup/frameset-content NUL and the
+ * NUL-stripped ws-charref intersection) get zero-length
  * slots in every per-doc output and their indices are returned; the
  * caller computes exactly those documents on the reference Python
  * path and splices.
@@ -4725,10 +4900,9 @@ static PyObject *cextract_batch(PyObject *self, PyObject *args) {
          *             placeholder parse buffer + str readback
          *             (cparse's kind-2/4 convention), byte offsets
          *             via the c2b map.
-         * Remaining bails: only the engine's own designed classes
-         * (non-ASCII tag/attr names, ws charrefs in classifying
-         * modes, colgroup/frameset-content NUL) → the caller's
-         * Python splice. */
+         * Remaining bails: only the engine's designed semantic
+         * classes (colgroup/frameset-content NUL and its ws-charref
+         * intersection) → the caller's Python splice. */
         const unsigned char *parse_s = data + o0;
         Py_ssize_t parse_n = o1 - o0;
         const int64_t *doc_c2b = NULL;

@@ -4,10 +4,9 @@
 the C engine's subset — effectively the whole document-mode surface:
 error recording, adoption agency, foster parenting, foreign content,
 templates, framesets, NUL input (text AND tag machinery, every string
-kind), non-ASCII tag/attr names, unbounded depth and name lengths;
-remaining bails are fragments, ws-decoding charref runs in
-classifying modes, and colgroup/frameset-content NUL (see
-_cext/chtml.c) — or
+kind), non-ASCII tag/attr names, ws-decoding charref classification,
+unbounded depth and name lengths; remaining bails are fragments and
+colgroup/frameset-content NUL (see _cext/chtml.c) — or
 ``None`` when the pure-Python engine must run.  The Python engine in
 ``html5.py`` remains the reference implementation; the C engine is
 required to be column-for-column identical whenever it engages

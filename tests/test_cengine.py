@@ -135,13 +135,15 @@ def test_bail_conditions():
     # bails anymore.  Non-ASCII TAG NAMES remain a designed bail.
     assert cengine.cparse("中\x00文") is not None
     assert cengine.cparse("<table>中\x00x<td>y</td></table>") is not None
-    # round-7 (late): non-ASCII tag/attr NAMES engage too (TID_UNKNOWN
-    # + full-Unicode str.lower() source-slice names); what remains:
-    # ws-decoding charref runs in classifying modes and
-    # colgroup/frameset-content NUL (designed semantic bails)
+    # round-7 (late): non-ASCII tag/attr NAMES engage (TID_UNKNOWN +
+    # ASCII-lowered source-slice names), and ws-DECODING charref runs
+    # in classifying modes engage via decoded-token scanning; the one
+    # remaining semantic bail class is colgroup/frameset-content NUL
+    # (and the NUL-stripped x ws-charref intersection inside chars_buf)
     assert cengine.cparse("<xé>y</xé>") is not None
     assert cengine.cparse("<div aé=1>x</div>") is not None
-    assert cengine.cparse(b"<table>&Tab;x<td>y</td></table>") is None
+    assert cengine.cparse(b"<table>&Tab;x<td>y</td></table>") is not None
+    assert cengine.cparse(b"<head>&#9;x</head>") is not None
     assert cengine.cparse(b"<table><colgroup>\x00<col></colgroup></table>") is None
     assert cengine.cparse(b"<svg><rect/></svg>") is not None   # foreign: in C
     assert cengine.cparse(b"<template>x</template>") is not None  # templates: in C
@@ -840,7 +842,7 @@ _BAIL_MIX = [
     "<p>\U0001F600 astral</p>".encode(),                           # astral
     b"<div>" * 600 + b"deep" + b"</div>" * 600,
     b"\xff\xfe<p>invalid utf8</p>",                                # invalid (engages, r7)
-    b"<table>&Tab;x<td>y</td></table>",                            # BAIL: ws charref in classifying mode
+    b"<table><colgroup>\x00<col></colgroup></table>",              # BAIL: colgroup-content NUL
     b"<html>\r\n<body>\r\n<p>crlf</p>\r\n</body>\r\n</html>",      # CRLF
     "<title>Béta</title>\r\n<body>\r\n<p>é€ x 😀</p>\r\n</body>".encode(),
     "<p>日本語テスト &amp; エンティティ</p>".encode(),             # CJK + entity
@@ -901,9 +903,9 @@ def test_cextract_batch_bail_splice_and_metrics():
         assert od["parse_errors"][k] == ref["parse_errors"], (k, d[:80])
         assert od["parse_us"][k] >= 0 and od["kernel_us"][k] == 0
     c_flags = od["c_engine"]
-    bail_docs = {11, 15}  # ws-charref-classifying rows (r7: invalid
-    #                       UTF-8, NUL+non-ASCII and non-ASCII names
-    #                       all engage)
+    bail_docs = {11, 15}  # colgroup-content-NUL rows (r7: invalid
+    #                       UTF-8, NUL+non-ASCII, non-ASCII names and
+    #                       ws-charref classification all engage)
     for k in range(len(docs)):
         assert c_flags[k] == (0 if k in bail_docs else 1), (k, c_flags)
 
@@ -1270,3 +1272,37 @@ def test_non_ascii_names_fuzz_ab():
         finally:
             H._cparse_fast = saved
         assert_identical(c, py, doc[:120])
+
+
+def test_ws_charref_classifying_fuzz_ab():
+    """Round-7 (late): runs containing ws-DECODING charrefs ("&#9;",
+    "&Tab;") engage in the classifying modes via decoded-token
+    scanning (ws_token_at mirrors html5.py _ws_scan).  Fuzz them into
+    every classifying position; all must engage column-identically."""
+    import random
+
+    import gumbo_pp_spark.parser.html5 as H
+
+    rng = random.Random(31)
+    wsrefs = ["&#9;", "&#10;", "&#13;", "&#32;", "&#x9;", "&#xA;", "&Tab;", "&NewLine;"]
+    frames = [
+        "<head>{W}x</head>", "{W}<p>x</p>", "<table>{W}<td>c</td></table>",
+        "<table>{W}x<td>c</td></table>", "<table>{W}</table>",
+        "<frameset>{W}a{W}<frame></frameset>",
+        "<table><colgroup>{W}<col>x</colgroup></table>",
+        "</body>{W}", "<html></html>{W}", "<table> \t{W}<tr><td>a</td></tr></table>",
+        "<table>{W}&amp;<td>c</td></table>", "{W}{W}{W}",
+    ]
+    for _ in range(300):
+        f = rng.choice(frames)
+        doc = f.replace("{W}", "".join(rng.choice(wsrefs + [" ", "\t", "z"])
+                                       for _ in range(rng.randrange(1, 4))))
+        c = cengine.cparse(doc)
+        assert c is not None, doc
+        saved = H._cparse_fast
+        H._cparse_fast = None
+        try:
+            py = H.parse_html(doc)
+        finally:
+            H._cparse_fast = saved
+        assert_identical(c, py, doc)
