@@ -85,10 +85,12 @@ def test_conformance_corpus_ab():
             H._cparse_fast = saved
         assert_identical(c, py, data[:120])
     # the corpus is deliberately error-heavy fuzz; with the round-5
-    # error recording + full adoption agency + foster parenting plus
-    # the round-6 NUL sinks AND tag-machinery NUL support the C
-    # engine takes ~90% directly and 100% through the dispatch
-    assert engaged >= 31500, engaged
+    # error recording + full adoption agency + foster parenting, the
+    # round-6 NUL machinery, and the round-7 widenings (non-ASCII
+    # names, ws-charref classification) the C engine takes ~90%
+    # directly (the rest is CR-bearing input, by design second-
+    # dispatch) and 100% through the dispatch
+    assert engaged >= 31800, engaged
     assert engaged + dispatched == total, (engaged, dispatched, total)
 
 
