@@ -1286,7 +1286,11 @@ def test_ws_charref_classifying_fuzz_ab():
     import gumbo_pp_spark.parser.html5 as H
 
     rng = random.Random(31)
-    wsrefs = ["&#9;", "&#10;", "&#13;", "&#32;", "&#x9;", "&#xA;", "&Tab;", "&NewLine;"]
+    wsrefs = ["&#9;", "&#10;", "&#13;", "&#32;", "&#x9;", "&#xA;", "&Tab;", "&NewLine;",
+              # boundary shapes: no-semicolon, leading zeros, overflow
+              # (not ws), wrong case (not a named ws ref), non-ws value
+              "&#9", "&#000000009;", "&#x0009;", "&#1114112;",
+              "&#99999999999999999999;", "&TAB;", "&#11;", "&#160;", "&#;"]
     frames = [
         "<head>{W}x</head>", "{W}<p>x</p>", "<table>{W}<td>c</td></table>",
         "<table>{W}x<td>c</td></table>", "<table>{W}</table>",
