@@ -455,7 +455,13 @@ static Py_ssize_t numref_append(Py_UCS4 *out, Py_ssize_t k, long num) {
  *   &(#[0-9]+;?|#[xX][0-9a-fA-F]+;?|[^\t\n\f <&#;]{1,32};?)
  * Writes the replacement to out/k, returns chars consumed from s
  * (0 = no match, '&' is literal). */
-static Py_ssize_t unescape_ref(P *p, const unsigned char *s, Py_ssize_t base,
+/* ``ub`` (round-7): buffer-local original codepoints when ``s`` is a
+ * COMPACTED run copy of a transcoded doc (decode_buf) — the literal
+ * fallback must then read buffer-local chars, never rd(p, base+...)
+ * which indexes the ORIGINAL document (the compaction shifted
+ * offsets).  NULL everywhere s/base address the document itself. */
+static Py_ssize_t unescape_ref(P *p, const unsigned char *s, const Py_UCS4 *ub,
+                               Py_ssize_t base,
                                Py_ssize_t i, Py_ssize_t n,
                                Py_UCS4 *out, Py_ssize_t *k) {
     Py_ssize_t j = i + 1;
@@ -515,13 +521,17 @@ static Py_ssize_t unescape_ref(P *p, const unsigned char *s, Py_ssize_t base,
         if (e >= 0) {
             *k = ucs4_append_utf8(out, *k, ENT_VALUES[e]);
             for (Py_ssize_t q = x; q < mlen; q++)
-                out[(*k)++] = p->src_data ? rd(p, base + j + q) : (Py_UCS4)s[j + q];
+                out[(*k)++] = ub ? ub[j + q]
+                              : p->src_data ? rd(p, base + j + q)
+                                            : (Py_UCS4)s[j + q];
             return 1 + mlen;
         }
     }
     out[(*k)++] = '&';
     for (Py_ssize_t q = 0; q < mlen; q++)
-        out[(*k)++] = p->src_data ? rd(p, base + j + q) : (Py_UCS4)s[j + q];
+        out[(*k)++] = ub ? ub[j + q]
+                      : p->src_data ? rd(p, base + j + q)
+                                    : (Py_UCS4)s[j + q];
     return 1 + mlen;
 }
 
@@ -547,7 +557,7 @@ static PyObject *decode_text(P *p, Py_ssize_t a, Py_ssize_t b) {
     Py_ssize_t k = 0;
     for (Py_ssize_t i = a; i < b; ) {
         if (s[i] == '&') {
-            Py_ssize_t used = unescape_ref(p, s, 0, i, b, out, &k);
+            Py_ssize_t used = unescape_ref(p, s, NULL, 0, i, b, out, &k);
             if (used) { i += used; continue; }
         }
         out[k++] = rd(p, i);
@@ -623,7 +633,7 @@ static PyObject *decode_attr(P *p, Py_ssize_t off, Py_ssize_t len) {
                 if (h == h0) { out[k++] = s[i++]; continue; }  /* '&#': ASCII */
             }
             if (h < len && s[h] == ';') h++;
-            Py_ssize_t used = unescape_ref(p, s, off, i, h, out, &k);
+            Py_ssize_t used = unescape_ref(p, s, NULL, off, i, h, out, &k);
             if (!used) { out[k++] = rd(p, off + i); i++; continue; }
             i += used;
             /* unescape_ref may consume less than the attr-regex match
@@ -644,7 +654,7 @@ static PyObject *decode_attr(P *p, Py_ssize_t off, Py_ssize_t len) {
         if (j + m < len && s[j + m] == ';') {
             /* replay full unescape semantics on "&name;" */
             Py_ssize_t end = j + m + 1;
-            Py_ssize_t used = unescape_ref(p, s, off, i, end, out, &k);
+            Py_ssize_t used = unescape_ref(p, s, NULL, off, i, end, out, &k);
             if (used) i += used;
             /* if unescape consumed less than the whole match (name
              * longer than 32 chars), the remainder is emitted
@@ -1744,7 +1754,7 @@ static PyObject *decode_buf(P *p, const unsigned char *buf,
     Py_ssize_t k = 0;
     for (Py_ssize_t i = 0; i < m; ) {
         if (buf[i] == '&') {
-            Py_ssize_t used = unescape_ref(p, buf, 0, i, m, out, &k);
+            Py_ssize_t used = unescape_ref(p, buf, ubuf, 0, i, m, out, &k);
             if (used) { i += used; continue; }
         }
         out[k++] = ubuf ? ubuf[i] : buf[i];

@@ -1312,3 +1312,85 @@ def test_ws_charref_classifying_fuzz_ab():
         finally:
             H._cparse_fast = saved
         assert_identical(c, py, doc)
+
+
+def test_decode_buf_entity_fallback_in_transcoded_runs():
+    """Round-7 regression pin (combined-surface sweep find): a FAILED
+    entity match inside a NUL-compacted run of a transcoded document
+    must fall back to the BUFFER-LOCAL original codepoints — the old
+    fallback indexed the original document via rd(p, base+j+q), whose
+    offsets the compaction had shifted, splicing unrelated source text
+    into the emitted run."""
+    import gumbo_pp_spark.parser.html5 as H
+
+    cases = [
+        "tex t中 <!-- c\x00é -->&amp;&bogus;&#233;\x00&#9<xmp>r</xmp>",
+        "中a\x00b&bogus;c",
+        "é\x00&nosuch;tail",
+        "<p>中\x00&amp;&unknown;é</p>",
+        "<table>中</table>\x00&bad;x",   # post-table body run
+    ]
+    for doc in cases:
+        c = cengine.cparse(doc)
+        assert c is not None, doc
+        saved = H._cparse_fast
+        H._cparse_fast = None
+        try:
+            py = H.parse_html(doc)
+        finally:
+            H._cparse_fast = saved
+        assert_identical(c, py, doc)
+
+
+def test_combined_surface_fuzz_ab():
+    """Round-7: one sweep over ALL the newly-engaged classes together
+    (ws-charrefs x NUL x non-ASCII names x entities x doctype soup x
+    structure) — 2,000 fresh docs, every engaged one column-identical.
+    The 20k offline version of this sweep caught the decode_buf
+    fallback bug above."""
+    import random
+
+    import gumbo_pp_spark.parser.html5 as H
+
+    rng = random.Random(424242)
+    wsrefs = ["&#9;", "&#10;", "&#13;", "&#32;", "&#x9;", "&Tab;", "&NewLine;"]
+    uni = "éÉГЖ中𝕏ıİßΣ"
+    tags = ["p", "div", "b", "i", "table", "td", "tr", "head", "title",
+            "frameset", "frame", "colgroup", "col", "svg", "math",
+            "template", "select", "option", "pre"]
+
+    def name():
+        return rng.choice("abcdp") + "".join(
+            rng.choice("abcDEF" + uni) for _ in range(rng.randrange(0, 3)))
+
+    def piece():
+        k = rng.randrange(12)
+        if k == 0: return "<%s>" % rng.choice(tags)
+        if k == 1: return "</%s>" % rng.choice(tags)
+        if k == 2: return rng.choice(wsrefs)
+        if k == 3: return "\x00"
+        if k == 4: return "<%s %s=%s>" % (name(), name(), rng.choice(["1", "'v é'", "x\x00y"]))
+        if k == 5: return "</%s>" % name()
+        if k == 6: return "tex t中 "
+        if k == 7: return "&amp;&bogus;&#233;"
+        if k == 8: return "<!-- c\x00é -->"
+        if k == 9: return "<!DOCTYPE %s>" % rng.choice(["html", "htm" + rng.choice(uni)])
+        if k == 10: return " \t\n"
+        return rng.choice(["<isindex>", "<plaintext>", "<xmp>r</xmp>",
+                           "<textarea>\nt</textarea>"])
+
+    bails = 0
+    for _ in range(2000):
+        doc = "".join(piece() for _ in range(rng.randrange(1, 9)))
+        c = cengine.cparse(doc)
+        if c is None:
+            bails += 1  # colgroup/frameset-NUL intersections
+            continue
+        saved = H._cparse_fast
+        H._cparse_fast = None
+        try:
+            py = H.parse_html(doc)
+        finally:
+            H._cparse_fast = saved
+        assert_identical(c, py, doc[:140])
+    assert bails < 40, bails  # ~0.25% designed-bail rate observed
