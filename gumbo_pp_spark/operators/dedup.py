@@ -638,3 +638,74 @@ def canonical_docs(
             (F.col(id_col) == F.col("component")).cast("bigint"),
         )
     )
+
+
+def minhash_contamination(
+    docs: DataFrame,
+    evals: DataFrame,
+    min_equal: int = 4,
+    n_hashes: int = N_MINHASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Near-duplicate benchmark contamination (the fuzzy companion of
+    ``textstats.contamination``): flags corpus documents whose MinHash
+    signature shares ≥ ``min_equal`` of ``n_hashes`` minhashes with ANY
+    eval document, candidates generated by a shared LSH band.  Exact
+    n-gram decontamination misses paraphrased / lightly-edited leaks;
+    this catches anything above the banding knee's jaccard.
+
+    ``evals`` must carry (eval_id, text).  Returns
+    (doc_id, n_eval_matches, max_n_eq).
+
+    Scale shape: the eval side is benchmark-sized → its band table
+    (carrying the full eval signature, n_bands × n_evals rows) is
+    BROADCAST; the corpus side pays exactly one shuffle — the
+    signature aggregate any minhash pass pays — and everything after
+    is map-side: the corpus band explode KEEPS the signature columns
+    so ``n_eq`` is computed on the broadcast join row itself, with no
+    corpus re-join and no corpus self-join anywhere.  A pair matching
+    in several bands is collapsed by the final distinct-count
+    aggregate (its ``n_eq`` is identical on every band hit).  No
+    bucket cap is needed: candidate fan-out per corpus row is bounded
+    by the eval band table, not by corpus hot buckets."""
+    rows = _check_banding(n_hashes, n_bands)
+
+    def _bands_with_sig(sig: DataFrame, prefix: str) -> DataFrame:
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(bd).alias("band"),
+                    F.concat(
+                        *[F.col(f"mh{rows * bd + j}") for j in range(rows)]
+                    ).alias("bkey"),
+                )
+                for bd in range(n_bands)
+            ]
+        )
+        cols = [F.col(f"mh{k}").alias(f"{prefix}mh{k}") for k in range(n_hashes)]
+        return sig.select("doc_id", *cols, F.explode(structs).alias("bb")).select(
+            "doc_id", *[f"{prefix}mh{k}" for k in range(n_hashes)], "bb.band", "bb.bkey"
+        )
+
+    esig = minhash_signatures(
+        evals.select(F.col("eval_id").alias("doc_id"), "text"), n_hashes
+    )
+    ebands = _bands_with_sig(esig, "e").withColumnRenamed("doc_id", "eval_id")
+    cbands = _bands_with_sig(minhash_signatures(docs, n_hashes), "c")
+    eq = sum(
+        (F.col(f"cmh{k}") == F.col(f"emh{k}")).cast("int") for k in range(n_hashes)
+    )
+    return (
+        cbands.join(F.broadcast(ebands), ["band", "bkey"])
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("eval_id").cast("bigint").alias("eval_id"),
+            eq.cast("bigint").alias("n_eq"),
+        )
+        .where(F.col("n_eq") >= min_equal)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("eval_id").cast("bigint").alias("n_eval_matches"),
+            F.max("n_eq").cast("bigint").alias("max_n_eq"),
+        )
+    )

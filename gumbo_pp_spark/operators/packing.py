@@ -1,0 +1,121 @@
+"""Training-data assembly operators: sequence packing and sliding-
+window chunking.
+
+These sit downstream of extraction/filtering in an LLM data pipeline:
+``pack_sequences`` maps each document to the fixed-length training
+sequences it occupies (GPT-style concat-and-split packing), and
+``chunk_tokens`` cuts overlapping token windows for embedding / RAG
+indexing.  Both are pure ``pyspark.sql`` expressions (JVM-side,
+whole-stage codegen; no Python UDFs) so a DuckDB oracle recomputes
+them bit-for-bit.
+
+Scale notes (100 TB design):
+* ``pack_sequences`` — packing needs a running token offset, i.e. an
+  ordered prefix sum.  A GLOBAL order would serialize the corpus
+  through one sort; instead the stream is sharded (``doc_id %
+  n_shards``) and each shard packs independently — the window is
+  shard-partitioned, shards scale out with the cluster, and a killed
+  job re-packs only its shard.  This mirrors how production packers
+  work (per-shard token streams, one output file per shard).
+* ``chunk_tokens`` — map-only explode; output size is input size ×
+  (width / stride), no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    n_shards: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-split sequence packing: within each shard, documents
+    are concatenated in ``doc_id`` order into one token stream that is
+    cut every ``seq_len`` tokens; each document maps to the range of
+    training sequences it lands in.
+
+    Returns (doc_id, shard, n_tokens, start_tok, first_seq, last_seq,
+    n_seqs) — ``start_tok`` is the document's offset in its shard's
+    token stream, ``first_seq``/``last_seq`` the shard-local sequence
+    ids it spans (a document crossing a cut belongs to several).
+
+    Tokens are whitespace words here; swap the ``n_tokens`` expression
+    for a real tokenizer count upstream — the packing math is
+    tokenizer-agnostic.
+    """
+    if seq_len <= 0 or n_shards <= 0:
+        raise ValueError(f"seq_len={seq_len} and n_shards={n_shards} must be positive")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        (F.col("doc_id") % n_shards).cast("bigint").alias("shard"),
+        F.expr(f"CAST(size(split({text_col}, ' ')) AS BIGINT)").alias("n_tokens"),
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    c = t.withColumn("start_tok", start)
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_tok",
+        F.floor(F.col("start_tok") / seq_len).cast("bigint").alias("first_seq"),
+        F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / seq_len)
+        .cast("bigint")
+        .alias("last_seq"),
+        (
+            F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / seq_len)
+            - F.floor(F.col("start_tok") / seq_len)
+            + 1
+        )
+        .cast("bigint")
+        .alias("n_seqs"),
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    width: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding token windows with overlap (embedding / RAG chunking):
+    chunks start at token 0, ``stride``, 2·``stride``, … while the
+    start is inside the document; each chunk holds up to ``width``
+    tokens (the final chunk may be short).  ``stride == width`` is
+    non-overlapping (``textstats.paragraph_chunks``); ``stride <
+    width`` overlaps by ``width - stride`` tokens.
+
+    Returns (doc_id, chunk_id, start_tok, n_chunk_tokens, chunk).
+    Map-only: one projection + explode, no shuffle.
+    """
+    if width <= 0 or stride <= 0:
+        raise ValueError(f"width={width} and stride={stride} must be positive")
+    # project the split once: Spark does not hoist loop-invariant
+    # subexpressions out of higher-order-function lambdas (see
+    # dedup.shingles), so the lambda below must use a bound array col
+    return (
+        df.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.expr(f"split({text_col}, ' ')").alias("ws"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws), {stride}), "
+                    f"(j, i) -> struct(CAST(i AS BIGINT) AS chunk_id, "
+                    f"CAST(j - 1 AS BIGINT) AS start_tok, "
+                    f"CAST(least({width}, size(ws) - j + 1) AS BIGINT) AS n_chunk_tokens, "
+                    f"concat_ws(' ', slice(ws, j, {width})) AS chunk))"
+                )
+            ).alias("c"),
+        )
+        .select("doc_id", "c.chunk_id", "c.start_tok", "c.n_chunk_tokens", "c.chunk")
+    )

@@ -551,3 +551,70 @@ def oov_stats(df: DataFrame, vocab_size: int = 1000, text_col: str = "text") -> 
             .alias("oov_ratio_e4"),
         )
     )
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Per-document top-``k`` salient terms by tf·rarity:
+    (doc_id, word, tf, df, score_e4, rank) where ``score_e4 =
+    round(10000 · tf / df)`` and ``df`` is the number of documents
+    containing the word.  The tf/df ratio is the exact-integer member
+    of the tf-idf family — log-idf ranks identically for a fixed tf
+    but its float log differs in ulps across engines, which would
+    break the bit-for-bit oracle.  Ties break (score desc, word asc)
+    so the top-k set is deterministic.
+
+    Scale shape: term frequencies are one (doc, word)-keyed agg
+    (map-side combined); document frequencies reuse that aggregate
+    (one row per doc-word → count = df) rather than re-scanning the
+    corpus; the tf⋈df join shuffles on the word key with both sides
+    already aggregate-sized; top-k is a doc-partitioned window over
+    k·docs candidate rows, never a global sort."""
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    toks = ensure_min_parallelism(df).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    tf = toks.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfs = tf.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = tf.join(dfs, "word").select(
+        "doc_id",
+        "word",
+        "tf",
+        "df",
+        F.round(F.col("tf") * 10000.0 / F.col("df")).cast("bigint").alias("score_e4"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_e4"), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "word", "tf", "df", "score_e4", "rank")
+    )
+
+
+def importance_sample(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Soft quality-weighted resampling (the deterministic cousin of
+    DCLM-style importance sampling): instead of a hard quality cutoff,
+    each document is kept with probability proportional to its quality
+    proxy — here the alpha ratio already used by ``quality_stats`` —
+    by comparing a reproducible md5-uniform against the weight.  A
+    borderline document is downsampled, not discarded; weights and the
+    keep decision are exact-integer so the oracle matches bit-for-bit.
+
+    keep ⇔ u32(md5(doc_id)) · 10000 < weight_e4 · 2³²
+
+    Map-only (no shuffle, no RNG state): embarrassingly parallel and
+    stable under retries/resume at 10^12 rows.  Returns the kept rows
+    as (doc_id, weight_e4)."""
+    weight = (
+        f"CAST(round(10000.0 * length(regexp_replace({text_col}, '[^a-z]', ''))"
+        f" / length({text_col})) AS BIGINT)"
+    )
+    u32 = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    return df.where(F.expr(f"{u32} * 10000 < {weight} * {1 << 32}")).selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id", f"{weight} AS weight_e4"
+    )

@@ -15,6 +15,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators import dedup as D
+from .operators import packing as P
 from .operators import similarity as S
 from .operators import textstats as T
 from .operators.extract import (
@@ -1131,6 +1132,86 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    # GPT-style concat-and-split packing: seq_len 64 so the synthetic
+    # docs span sequence cuts; 8 shards = 8 independent token streams
+    # (the scale story — no global sort, shard-partitioned prefix sum)
+    return P.pack_sequences(_docs(spark, sf_dir), seq_len=64, n_shards=8)
+
+
+def q_chunk_tokens(spark, sf_dir):
+    # overlapping RAG/embedding chunks: width 12, stride 8 → 4-token
+    # overlap; map-only explode
+    return P.chunk_tokens(_docs(spark, sf_dir), width=12, stride=8)
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    return T.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+def q_importance_sample(spark, sf_dir):
+    return T.importance_sample(_docs(spark, sf_dir))
+
+
+def q_decontaminate_fuzzy(spark, sf_dir):
+    # near-duplicate benchmark decontamination: the same synthetic eval
+    # derivation as q_decontaminate (words 5..40 of every 41st doc —
+    # a paraphrase-like fragment of its source), flagged via shared
+    # MinHash LSH bands instead of exact 13-grams
+    docs = _docs(spark, sf_dir)
+    evals = docs.where(F.col("doc_id") % 41 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 5, 36)).alias("text"),
+    )
+    return D.minhash_contamination(docs, evals, min_equal=4)
+
+
+def _duck_fuzzy_contamination_sql(
+    n_hashes: int = D.N_MINHASHES, n_bands: int = D.N_BANDS, min_equal: int = 4
+) -> str:
+    # mirror of q_decontaminate_fuzzy: eval texts = words 5..40 of
+    # every 41st doc, minhash/banding generated from the same params
+    rows = n_hashes // n_bands
+    mh = ", ".join(f"min(md5('{k}|' || sh)) AS mh{k}" for k in range(n_hashes))
+    cbands = " UNION ALL ".join(
+        f"SELECT doc_id, {bd} AS band, "
+        + " || ".join(f"mh{rows * bd + j}" for j in range(rows))
+        + " AS bkey FROM csig"
+        for bd in range(n_bands)
+    )
+    ebands = " UNION ALL ".join(
+        f"SELECT eval_id, {bd} AS band, "
+        + " || ".join(f"mh{rows * bd + j}" for j in range(rows))
+        + " AS bkey FROM esig"
+        for bd in range(n_bands)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN c.mh{k} = e.mh{k} THEN 1 ELSE 0 END)" for k in range(n_hashes)
+    )
+    return (
+        f"WITH {_DUCK_SHINGLES}, "
+        "ev AS (SELECT doc_id AS eval_id, "
+        "array_to_string(string_split(text, ' ')[5:40], ' ') AS text "
+        "FROM documents WHERE doc_id % 41 = 0), "
+        "esh AS (SELECT eval_id, unnest(list_distinct(list_transform("
+        "generate_series(1, len(string_split(text, ' ')) - 2), "
+        "j -> array_to_string(string_split(text, ' ')[j:j+2], ' ')))) AS sh "
+        "FROM ev WHERE len(string_split(text, ' ')) >= 3), "
+        f"csig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id), "
+        f"esig AS (SELECT eval_id, {mh} FROM esh GROUP BY eval_id), "
+        f"cb AS ({cbands}), eb AS ({ebands}), "
+        "cand AS (SELECT DISTINCT cb.doc_id, eb.eval_id FROM cb "
+        "JOIN eb ON cb.band = eb.band AND cb.bkey = eb.bkey), "
+        f"m AS (SELECT cand.doc_id, cand.eval_id, {eq} AS n_eq FROM cand "
+        "JOIN csig c ON cand.doc_id = c.doc_id "
+        "JOIN esig e ON cand.eval_id = e.eval_id) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(count(*) AS BIGINT) AS n_eval_matches, "
+        "CAST(max(n_eq) AS BIGINT) AS max_n_eq "
+        f"FROM m WHERE n_eq >= {min_equal} GROUP BY doc_id"
+    )
+
+
 # ======================================================================
 # registry
 # ======================================================================
@@ -1197,6 +1278,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "events_props_json": q_events_props_json,
     "events_sessions": q_events_sessions,
+    "pack_sequences": q_pack_sequences,
+    "chunk_tokens": q_chunk_tokens,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "importance_sample": q_importance_sample,
+    "decontaminate_fuzzy": q_decontaminate_fuzzy,
 }
 
 ORACLES: dict[str, str] = {
@@ -1630,4 +1716,52 @@ ORACLES: dict[str, str] = {
         "CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS dur_s "
         "FROM sess GROUP BY user_id, session_id"
     ),
+    "pack_sequences": (
+        # mirror of packing.pack_sequences(seq_len=64, n_shards=8):
+        # shard-partitioned running token offset, floor-mapped to
+        # sequence ids
+        "WITH t AS (SELECT doc_id, doc_id % 8 AS shard, "
+        "len(string_split(text, ' ')) AS n_tokens FROM documents), "
+        "c AS (SELECT doc_id, shard, n_tokens, "
+        "coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM t) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(shard AS BIGINT) AS shard, "
+        "CAST(n_tokens AS BIGINT) AS n_tokens, CAST(start_tok AS BIGINT) AS start_tok, "
+        "CAST(floor(start_tok / 64) AS BIGINT) AS first_seq, "
+        "CAST(floor((start_tok + n_tokens - 1) / 64) AS BIGINT) AS last_seq, "
+        "CAST(floor((start_tok + n_tokens - 1) / 64) - floor(start_tok / 64) + 1 "
+        "AS BIGINT) AS n_seqs FROM c"
+    ),
+    "chunk_tokens": (
+        # mirror of packing.chunk_tokens(width=12, stride=8)
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(floor((j - 1) / 8) AS BIGINT) AS chunk_id, "
+        "CAST(j - 1 AS BIGINT) AS start_tok, "
+        "CAST(least(12, len(ws) - j + 1) AS BIGINT) AS n_chunk_tokens, "
+        "array_to_string(ws[j:j+11], ' ') AS chunk "
+        "FROM w, unnest(generate_series(1, len(ws), 8)) AS t(j)"
+    ),
+    "tfidf_top_terms": (
+        "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), "
+        "tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY doc_id, word), "
+        "dfs AS (SELECT word, count(*) AS df FROM tf GROUP BY word), "
+        "sc AS (SELECT doc_id, tf.word AS word, tf, df, "
+        "CAST(round(10000.0 * tf / df) AS BIGINT) AS score_e4 FROM tf JOIN dfs USING (word)), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY score_e4 DESC, word) AS rank FROM sc) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, word, CAST(tf AS BIGINT) AS tf, "
+        "CAST(df AS BIGINT) AS df, score_e4, CAST(rank AS BIGINT) AS rank "
+        "FROM r WHERE rank <= 3"
+    ),
+    "importance_sample": (
+        # keep ⇔ u32(md5(doc_id)) · 10000 < weight_e4 · 2^32
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(round(10000.0 * length(regexp_replace(text, '[^a-z]', '', 'g')) "
+        "/ length(text)) AS BIGINT) AS weight_e4 FROM documents "
+        "WHERE ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT * 10000 < "
+        "CAST(round(10000.0 * length(regexp_replace(text, '[^a-z]', '', 'g')) "
+        "/ length(text)) AS BIGINT) * 4294967296"
+    ),
+    "decontaminate_fuzzy": _duck_fuzzy_contamination_sql(),
 }

@@ -1,0 +1,227 @@
+"""Training-data assembly operators: sequence packing, overlapping
+token chunking, tf·idf-family salient terms, importance resampling,
+and fuzzy (MinHash) benchmark decontamination."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gumbo_pp_spark.operators import dedup as D
+from gumbo_pp_spark.operators import packing as P
+from gumbo_pp_spark.operators import textstats as T
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _words(n, tag=""):
+    return " ".join(f"w{tag}{i}" for i in range(n))
+
+
+class TestPackSequences:
+    def test_hand_computed_stream(self, spark):
+        # one shard (all doc_id % 1 == 0): docs of 3, 4, 5 tokens,
+        # seq_len 4 -> offsets 0, 3, 7; seq spans [0,0], [0,1], [1,2]
+        docs = _docs(spark, [(0, "a b c"), (1, "a b c d"), (2, "a b c d e")])
+        got = {
+            r["doc_id"]: (r["start_tok"], r["first_seq"], r["last_seq"], r["n_seqs"])
+            for r in P.pack_sequences(docs, seq_len=4, n_shards=1).collect()
+        }
+        assert got == {0: (0, 0, 0, 1), 1: (3, 0, 1, 2), 2: (7, 1, 2, 2)}
+
+    def test_shards_pack_independently(self, spark):
+        # two shards: even/odd doc_ids each start at offset 0
+        docs = _docs(spark, [(0, _words(3)), (1, _words(5)), (2, _words(2)), (3, _words(1))])
+        rows = P.pack_sequences(docs, seq_len=4, n_shards=2).collect()
+        by_id = {r["doc_id"]: r for r in rows}
+        assert by_id[0]["shard"] == 0 and by_id[1]["shard"] == 1
+        assert by_id[0]["start_tok"] == 0 and by_id[1]["start_tok"] == 0
+        assert by_id[2]["start_tok"] == 3 and by_id[3]["start_tok"] == 5
+
+    def test_exact_boundary_doc_stays_in_one_seq(self, spark):
+        # a doc ending exactly at a cut does NOT bleed into the next seq
+        docs = _docs(spark, [(0, _words(4)), (1, _words(4))])
+        got = {
+            r["doc_id"]: (r["first_seq"], r["last_seq"])
+            for r in P.pack_sequences(docs, seq_len=4, n_shards=1).collect()
+        }
+        assert got == {0: (0, 0), 1: (1, 1)}
+
+    def test_token_conservation(self, spark):
+        # sum of n_tokens per shard == final start_tok + last doc's tokens
+        docs = _docs(spark, [(i, _words(1 + i % 7)) for i in range(50)])
+        out = P.pack_sequences(docs, seq_len=8, n_shards=4)
+        per = (
+            out.groupBy("shard")
+            .agg(
+                F.sum("n_tokens").alias("total"),
+                F.max(F.col("start_tok") + F.col("n_tokens")).alias("end"),
+            )
+            .collect()
+        )
+        assert per and all(r["total"] == r["end"] for r in per)
+
+    def test_validation(self, spark):
+        docs = _docs(spark, [(0, "a")])
+        with pytest.raises(ValueError):
+            P.pack_sequences(docs, seq_len=0)
+        with pytest.raises(ValueError):
+            P.pack_sequences(docs, n_shards=0)
+
+
+class TestChunkTokens:
+    def test_overlap_and_short_tail(self, spark):
+        # 10 tokens, width 4, stride 3 -> starts 0,3,6,9; last chunk 1 token
+        docs = _docs(spark, [(0, _words(10))])
+        rows = sorted(
+            P.chunk_tokens(docs, width=4, stride=3).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        assert [(r["chunk_id"], r["start_tok"], r["n_chunk_tokens"]) for r in rows] == [
+            (0, 0, 4),
+            (1, 3, 4),
+            (2, 6, 4),
+            (3, 9, 1),
+        ]
+        assert rows[0]["chunk"] == "w0 w1 w2 w3"
+        assert rows[1]["chunk"] == "w3 w4 w5 w6"  # 1-token overlap
+        assert rows[3]["chunk"] == "w9"
+
+    def test_stride_equals_width_matches_paragraph_chunks(self, spark):
+        # the non-overlapping special case reproduces paragraph_chunks
+        docs = _docs(spark, [(0, _words(23)), (1, _words(7))])
+        a = {
+            (r["doc_id"], r["chunk_id"]): r["chunk"]
+            for r in P.chunk_tokens(docs, width=10, stride=10).collect()
+        }
+        b = {
+            (r["doc_id"], r["chunk_idx"]): r["chunk"]
+            for r in T.paragraph_chunks(docs, stride=10).collect()
+        }
+        assert a == b
+
+    def test_single_token_doc(self, spark):
+        rows = P.chunk_tokens(_docs(spark, [(0, "solo")]), width=4, stride=3).collect()
+        assert len(rows) == 1 and rows[0]["chunk"] == "solo"
+        assert rows[0]["n_chunk_tokens"] == 1
+
+    def test_map_only_plan(self, spark):
+        plan = (
+            P.chunk_tokens(_docs(spark, [(0, "a b c")]), width=2, stride=1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan  # no shuffle: projection + explode
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            P.chunk_tokens(_docs(spark, [(0, "a")]), width=0)
+        with pytest.raises(ValueError):
+            P.chunk_tokens(_docs(spark, [(0, "a")]), stride=0)
+
+
+class TestTfidfTopTerms:
+    def test_rare_term_outranks_common(self, spark):
+        # 'zebra' appears once in one doc (df=1, tf=1 -> 10000);
+        # 'the' is in all three docs (df=3, tf=1 -> 3333)
+        docs = _docs(
+            spark,
+            [(0, "the zebra"), (1, "the cow cow"), (2, "the cow")],
+        )
+        rows = T.tfidf_top_terms(docs, k=1).collect()
+        top = {r["doc_id"]: (r["word"], r["score_e4"]) for r in rows}
+        assert top[0] == ("zebra", 10000)
+        # doc 1: cow tf=2 df=2 -> 10000 beats the (3333)
+        assert top[1] == ("cow", 10000)
+
+    def test_tie_breaks_lexicographic(self, spark):
+        docs = _docs(spark, [(0, "b a"), (1, "x")])
+        rows = [
+            r
+            for r in T.tfidf_top_terms(docs, k=2).collect()
+            if r["doc_id"] == 0
+        ]
+        rows.sort(key=lambda r: r["rank"])
+        # a and b both tf=1 df=1 -> equal score; 'a' ranks first
+        assert [r["word"] for r in rows] == ["a", "b"]
+
+    def test_k_bounds_output(self, spark):
+        docs = _docs(spark, [(0, _words(30))])
+        assert T.tfidf_top_terms(docs, k=5).count() == 5
+
+
+class TestImportanceSample:
+    def test_weight_extremes(self, spark):
+        # all-lowercase-alpha text -> weight 10000 -> always kept;
+        # no lowercase alpha -> weight 0 -> never kept
+        docs = _docs(spark, [(i, "purealpha") for i in range(50)])
+        assert T.importance_sample(docs).count() == 50
+        docs0 = _docs(spark, [(i, "123 456!") for i in range(50)])
+        assert T.importance_sample(docs0).count() == 0
+
+    def test_deterministic_and_weight_monotone(self, spark):
+        # same docs -> identical keep set across runs; kept rows carry
+        # their weight
+        docs = _docs(
+            spark, [(i, "half alpha 123 456" if i % 2 else "alpha only text") for i in range(200)]
+        )
+        a = {r["doc_id"] for r in T.importance_sample(docs).collect()}
+        b = {r["doc_id"] for r in T.importance_sample(docs).collect()}
+        assert a == b and a  # non-empty, reproducible
+
+    def test_map_only_plan(self, spark):
+        plan = (
+            T.importance_sample(_docs(spark, [(0, "abc")]))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestMinhashContamination:
+    def _evals(self, spark, rows):
+        return spark.createDataFrame(rows, "eval_id bigint, text string")
+
+    def test_near_dup_eval_flags_source(self, spark):
+        base = _words(40)
+        docs = _docs(
+            spark,
+            [
+                (1, base + " extra tail words here"),
+                (2, "totally unrelated " + _words(30, tag="u")),
+            ],
+        )
+        # eval = a fragment of doc 1 (paraphrase-like leak)
+        evals = self._evals(spark, [(100, base)])
+        got = {r["doc_id"]: r for r in D.minhash_contamination(docs, evals).collect()}
+        assert 1 in got and 2 not in got
+        assert got[1]["n_eval_matches"] == 1 and got[1]["max_n_eq"] >= 4
+
+    def test_multiple_evals_counted(self, spark):
+        base = _words(40)
+        docs = _docs(spark, [(1, base)])
+        evals = self._evals(spark, [(100, base), (101, base + " x")])
+        (r,) = D.minhash_contamination(docs, evals).collect()
+        assert r["n_eval_matches"] == 2
+
+    def test_eval_side_broadcast(self, spark):
+        docs = _docs(spark, [(1, _words(40))])
+        evals = self._evals(spark, [(100, _words(40))])
+        plan = (
+            D.minhash_contamination(docs, evals)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # ONE broadcast join (corpus bands ⋈ eval bands, n_eq computed
+        # on the join row); the corpus is never re-joined or self-joined
+        assert plan.count("BroadcastHashJoin") == 1
+        assert "SortMergeJoin" not in plan
+
+    def test_banding_params_validated(self, spark):
+        docs = _docs(spark, [(1, "a b c d")])
+        evals = self._evals(spark, [(2, "a b c d")])
+        with pytest.raises(ValueError):
+            D.minhash_contamination(docs, evals, n_hashes=8, n_bands=3)
