@@ -375,3 +375,60 @@ def ivf_recall_vs_exact(
             F.round(F.col("n_hit") * 10000.0 / F.col("n_exact")).cast("bigint").alias("recall_e4"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    pivots: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster every embedding to its nearest pivot
+    (the IVF coarse assignment — broadcast pivots, map-side argmax),
+    compare cosines ONLY within a cluster, and keep each document iff
+    it has no lower-id near-duplicate in its cluster.
+
+    Returns (vec_id, pivot_id, keep) for every nonzero vector.
+
+    Scale shape: the pairwise stage is an equi-join on ``pivot_id`` —
+    never a cross join.  With K pivots sized so clusters hold ~N/K
+    vectors (SemDeDup uses K ≈ sqrt(N)·c), each cluster's quadratic
+    compare is bounded and AQE splits skewed clusters; at 100 TB
+    ``pivot_id`` is the table's bucketing column so the self-join is
+    co-located.  The keep policy (drop the larger id of any
+    over-threshold pair) is the paper's deterministic one-survivor
+    rule restricted to clusters, exactly mirrorable in SQL — no
+    transitive closure needed because every member of a dup group
+    shares the group's minimum id as a lower-id neighbor only through
+    in-cluster pairs, which is the SemDeDup contract (cross-cluster
+    dups are accepted misses, measured separately by the recall
+    queries)."""
+    assigned = ivf_assignments(df, pivots, vec_col, id_col)
+    a = assigned.select(
+        "pivot_id",
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = assigned.select(
+        "pivot_id",
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    dot = DOT_EXPR.format(a="va", b="vb")
+    dropped = (
+        a.join(b, ["pivot_id"])
+        .where(F.col("a") < F.col("b"))
+        .where(F.expr(dot) / (F.col("na") * F.col("nb")) >= threshold)
+        .select(F.col("b").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return assigned.join(dropped, [id_col], "left").select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.col("pivot_id").cast("bigint").alias("pivot_id"),
+        F.col("_dropped").isNull().alias("keep"),
+    )

@@ -164,6 +164,29 @@ def _duck_ivf_recall_sql() -> str:
     )
 
 
+def _duck_semantic_dedup_sql(threshold: float = 0.35) -> str:
+    # mirror of similarity.semantic_dedup: IVF coarse assignment
+    # (pivots = vec_id % 25 = 7, ties to the smaller pivot_id), then
+    # within-cluster pairs only; a doc is dropped iff some lower-id
+    # cluster-mate sits at cosine >= threshold
+    return (
+        "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+        "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm "
+        "FROM embeddings), "
+        "base AS (SELECT * FROM n WHERE norm > 0), "
+        "p AS (SELECT vec_id AS pivot_id, v AS pv, norm AS pnorm FROM base WHERE vec_id % 25 = 7), "
+        "assigned AS (SELECT vec_id, v, norm, pivot_id FROM ("
+        "SELECT b.vec_id, b.v, b.norm, p.pivot_id, row_number() OVER "
+        "(PARTITION BY b.vec_id ORDER BY list_dot_product(b.v, p.pv) / (b.norm * p.pnorm) DESC, p.pivot_id) AS r "
+        "FROM base b CROSS JOIN p) WHERE r = 1), "
+        "dropped AS (SELECT DISTINCT y.vec_id AS b FROM assigned x "
+        "JOIN assigned y USING (pivot_id) WHERE x.vec_id < y.vec_id "
+        f"AND list_dot_product(x.v, y.v) / (x.norm * y.norm) >= {threshold}) "
+        "SELECT CAST(a.vec_id AS BIGINT) AS vec_id, CAST(a.pivot_id AS BIGINT) AS pivot_id, "
+        "(d.b IS NULL) AS keep FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.b"
+    )
+
+
 def _duck_components_cte() -> str:
     # transitive closure over the minhash pair graph (fine at oracle
     # scale; the Spark side uses O(log n) large-star/small-star
@@ -882,6 +905,16 @@ def q_embedding_near_dup(spark, sf_dir):
     return S.cosine_near_dup_pairs(_tbl(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    # SemDeDup-style cluster-then-compare dedup over the embedding
+    # column; same deterministic coarse quantizer as the IVF queries,
+    # threshold tuned to the synthetic corpus (within-cluster max
+    # cosine ≈ 0.49 at sf0.01, 68 over-threshold pairs)
+    emb = _tbl(spark, sf_dir, "embeddings")
+    pivots = emb.where(F.col("vec_id") % 25 == 7)
+    return S.semantic_dedup(emb, pivots, threshold=0.35)
+
+
 def q_quality(spark, sf_dir):
     return T.quality_stats(_docs(spark, sf_dir))
 
@@ -1257,6 +1290,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "ann_cosine_topk": q_ann_cosine,
     "embedding_near_dup": q_embedding_near_dup,
+    "semantic_dedup": q_semantic_dedup,
     "text_quality": q_quality,
     "lang_id": q_lang_id,
     "normalize_text": q_normalize_text,
@@ -1522,6 +1556,7 @@ ORACLES: dict[str, str] = {
     "ann_ivf_recall": _duck_ivf_recall_sql(),
     "multimodal_image_features": _duck_multimodal_sql(),
     "embedding_near_dup": _duck_near_dup_sql(),
+    "semantic_dedup": _duck_semantic_dedup_sql(),
     "text_quality": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "

@@ -216,3 +216,76 @@ class TestMinhashBandingParams:
         )
         rows = D.minhash_lsh_pairs(docs, min_equal=32, n_hashes=32, n_bands=8).collect()
         assert [(r.a, r.b, r.n_eq) for r in rows] == [(1, 2, 32)]
+
+
+class TestSemanticDedup:
+    """SemDeDup cluster-then-compare over embeddings (round 7)."""
+
+    def _emb(self, spark, n=150, dim=16, seed=11, dup_every=10):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        base = rng.normal(size=(n, dim))
+        # plant exact semantic duplicates: every dup_every-th vector is
+        # a positive scaling of its predecessor (cosine exactly 1.0)
+        for i in range(dup_every, n, dup_every):
+            base[i] = base[i - dup_every] * 1.5
+        rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>"
+        ).cache()
+
+    def test_keep_policy_matches_brute_force(self, spark):
+        import numpy as np
+
+        emb = self._emb(spark)
+        pivots = emb.where(F.col("vec_id") % 30 == 1)
+        got = {
+            r["vec_id"]: (r["pivot_id"], r["keep"])
+            for r in S.semantic_dedup(emb, pivots, threshold=0.9).collect()
+        }
+        vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+                for r in emb.collect()}
+        assign = {
+            r["vec_id"]: r["pivot_id"]
+            for r in S.ivf_assignments(emb, pivots).collect()
+        }
+        for vid in vecs:
+            lower_dups = [
+                a for a in vecs
+                if a < vid and assign[a] == assign[vid]
+                and float(vecs[a] @ vecs[vid])
+                / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[vid])) >= 0.9
+            ]
+            assert got[vid] == (assign[vid], not lower_dups), vid
+
+    def test_planted_duplicates_dropped(self, spark):
+        # a scaled copy has cosine 1.0 with its source and lands in the
+        # same cluster (same direction -> same nearest pivot), so the
+        # higher-id copy must always be dropped
+        emb = self._emb(spark)
+        pivots = emb.where(F.col("vec_id") % 30 == 1)
+        kept = {r["vec_id"]: r["keep"]
+                for r in S.semantic_dedup(emb, pivots, threshold=0.99).collect()}
+        for i in range(10, 150, 10):
+            assert kept[i] is False, i
+        # and at least the very first vector always survives
+        assert kept[0] is True
+
+    def test_pairwise_stage_is_equi_join_on_pivot(self, spark):
+        # the within-cluster compare must be a hash/sort-merge equi-join
+        # on pivot_id; the ONLY nested-loop joins allowed in the plan
+        # are the broadcast K-pivot assignment scans
+        emb = self._emb(spark)
+        pivots = emb.where(F.col("vec_id") % 30 == 1)
+        plan = S.semantic_dedup(emb, pivots)._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        nested = [
+            ln for ln in plan.splitlines()
+            if "NestedLoop" in ln or "CartesianProduct" in ln
+        ]
+        # assignment broadcasts appear once per side (a/b) of the pair
+        # join lineage; none may be non-broadcast
+        assert all("Broadcast" in ln for ln in nested), plan
+        assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*pivot_id", plan), plan
