@@ -618,3 +618,48 @@ def importance_sample(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.where(F.expr(f"{u32} * 10000 < {weight} * {1 << 32}")).selectExpr(
         "CAST(doc_id AS BIGINT) AS doc_id", f"{weight} AS weight_e4"
     )
+
+
+def classifier_weights(n_buckets: int = 256) -> list[int]:
+    """Deterministic integer weights of the hashed linear quality
+    classifier: w(b) = u32(md5('w|b')) % 2001 − 1000 ∈ [−1000, 1000].
+    A stand-in for a trained fastText/CCNet-style model's bucket
+    weights — computed ONCE at plan-build time (driver side) so both
+    the Spark expression and the DuckDB oracle embed the identical
+    literal vector."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"w|{b}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+        for b in range(n_buckets)
+    ]
+
+
+def quality_classifier(
+    df: DataFrame, n_buckets: int = 256, text_col: str = "text"
+) -> DataFrame:
+    """fastText/CCNet-style hashed linear quality classifier:
+    score(doc) = Σ_w weights[u32(md5(w)) mod B], label = score > 0.
+    Returns (doc_id, n_tokens, score, label) — all exact integers, so
+    the oracle compares bit-for-bit (a real model's float weights
+    rank identically for a fixed hash family).
+
+    Scale shape: the whole model rides in the plan as a B-element
+    literal array (a trained hash-bucket model is KBs — plan literal /
+    broadcast territory, never a shuffled join side), and the score is
+    one ``aggregate`` over the token array — MAP-ONLY, zero shuffle,
+    zero Python; at 10^12 docs this is embarrassingly parallel and
+    retry-stable, the same plan-literal pattern as
+    :func:`stratified_sample`."""
+    w = classifier_weights(n_buckets)
+    warr = "array(" + ",".join(f"{x}L" for x in w) + ")"
+    u32 = "CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)"
+    score = (
+        f"aggregate(split({text_col}, ' '), 0L, "
+        f"(acc, t) -> acc + element_at({warr}, CAST({u32} % {n_buckets} AS INT) + 1))"
+    )
+    return df.selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        f"CAST(size(split({text_col}, ' ')) AS BIGINT) AS n_tokens",
+        f"{score} AS score",
+    ).selectExpr("doc_id", "n_tokens", "score", "score > 0 AS label")

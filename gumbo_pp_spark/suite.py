@@ -905,6 +905,27 @@ def q_embedding_near_dup(spark, sf_dir):
     return S.cosine_near_dup_pairs(_tbl(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_quality_classifier(spark, sf_dir):
+    # hashed linear (fastText/CCNet-style) quality classifier; the
+    # B-bucket integer model is a plan-time literal in BOTH engines
+    return T.quality_classifier(_docs(spark, sf_dir))
+
+
+def _duck_quality_classifier_sql(n_buckets: int = 256) -> str:
+    w = T.classifier_weights(n_buckets)
+    warr = "[" + ",".join(str(x) for x in w) + "]"
+    score = (
+        f"list_sum(list_transform(string_split(text, ' '), "
+        f"t -> {warr}[CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % {n_buckets} AS INT) + 1]))"
+    )
+    return (
+        "SELECT doc_id, n_tokens, score, score > 0 AS label FROM ("
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+        f"CAST({score} AS BIGINT) AS score FROM documents)"
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     # SemDeDup-style cluster-then-compare dedup over the embedding
     # column; same deterministic coarse quantizer as the IVF queries,
@@ -1291,6 +1312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine,
     "embedding_near_dup": q_embedding_near_dup,
     "semantic_dedup": q_semantic_dedup,
+    "quality_classifier": q_quality_classifier,
     "text_quality": q_quality,
     "lang_id": q_lang_id,
     "normalize_text": q_normalize_text,
@@ -1557,6 +1579,7 @@ ORACLES: dict[str, str] = {
     "multimodal_image_features": _duck_multimodal_sql(),
     "embedding_near_dup": _duck_near_dup_sql(),
     "semantic_dedup": _duck_semantic_dedup_sql(),
+    "quality_classifier": _duck_quality_classifier_sql(),
     "text_quality": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "

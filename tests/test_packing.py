@@ -225,3 +225,39 @@ class TestMinhashContamination:
         evals = self._evals(spark, [(2, "a b c d")])
         with pytest.raises(ValueError):
             D.minhash_contamination(docs, evals, n_hashes=8, n_bands=3)
+
+
+class TestQualityClassifier:
+    def test_matches_python_reference(self, spark):
+        import hashlib
+
+        w = T.classifier_weights()
+        texts = ["alpha beta gamma", "one", "x y z x y z", "", "hello world"]
+        docs = _docs(spark, list(enumerate(texts)))
+        got = {r["doc_id"]: (r["n_tokens"], r["score"], r["label"])
+               for r in T.quality_classifier(docs).collect()}
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            score = sum(
+                w[int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 256]
+                for tok in toks
+            )
+            assert got[i] == (len(toks), score, score > 0), (i, t)
+
+    def test_weights_deterministic_and_bounded(self):
+        w = T.classifier_weights(512)
+        assert w == T.classifier_weights(512)
+        assert all(-1000 <= x <= 1000 for x in w)
+        assert len(set(w)) > 100  # not degenerate
+
+    def test_map_only_plan(self, spark):
+        # the model rides in the plan as a literal array: scoring a
+        # 10^12-row corpus must stay a single map stage
+        plan = (
+            T.quality_classifier(_docs(spark, [(0, "abc")]))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
