@@ -1,0 +1,108 @@
+"""Distributed frequency sketches — Count-Min heavy hitters.
+
+A Count-Min sketch is the classic one-pass, fixed-memory frequency
+summary (Cormode & Muthukrishnan 2005): ``depth`` hash rows of
+``width`` counters; est(word) = min over rows of the counter its hash
+lands in, and est ≥ true count always (collisions only ever inflate).
+
+Scale shape: the build is one map-side-combined groupBy over
+(row, bucket) — the shuffle carries at most depth·width groups per
+partition no matter how many tokens went in, and the finished sketch
+is depth·width rows TOTAL (KBs), independent of corpus size.  Query-
+side estimation therefore broadcasts the sketch and never shuffles
+the candidate stream by word — the whole point versus an exact
+groupBy(word) at 10^12 rows.  Hashing is the repo-standard md5 idiom
+(row-salted: md5('<r>|' || word)) so the DuckDB oracle recomputes the
+identical counters bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+U32 = "CAST(conv(substring(md5({x}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def _bucket_expr(r: int, width: int, word_col: str = "word") -> str:
+    salted = U32.format(x=f"concat('{r}|', {word_col})")
+    return f"CAST({salted} % {width} AS BIGINT)"
+
+
+def cms_sketch(
+    df: DataFrame, width: int = 16, depth: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Build the sketch: (row, bucket, cnt), ≤ depth·width rows total.
+
+    The token stream is exploded once and stacked ``depth`` times
+    (one (row, bucket) key per hash row); partial aggregation
+    collapses each partition's stack to ≤ depth·width rows before the
+    exchange, so the shuffle is constant-size regardless of input."""
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    toks = ensure_min_parallelism(df).select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    stacked = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("bigint").alias("row"),
+                        F.expr(_bucket_expr(r, width)).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return stacked.groupBy("rb.row", "rb.bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    width: int = 16,
+    depth: int = 3,
+    min_count: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Heavy hitters by CMS estimate: (word, est) for every distinct
+    word whose sketch estimate reaches ``min_count``, est = min over
+    the ``depth`` row counters.  est ≥ true count (one-sided error),
+    so no true heavy hitter is ever missed; collision-inflated light
+    words are the documented false-positive mass, bounded by
+    width/depth sizing.
+
+    The candidate side here is the corpus' own distinct words (a
+    monitoring query); in production the sketch is the broadcast
+    artifact and candidates arrive from outside (alert lists, probe
+    vocab) without touching the corpus again."""
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    sketch = cms_sketch(df, width=width, depth=depth, text_col=text_col)
+    words = (
+        ensure_min_parallelism(df)
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .distinct()
+    )
+    probes = words.select(
+        "word",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("bigint").alias("row"),
+                        F.expr(_bucket_expr(r, width)).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("word", "rb.row", "rb.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("word")
+        .agg(F.min("cnt").cast("bigint").alias("est"))
+    )
+    return est.where(F.col("est") >= min_count).select("word", "est")

@@ -905,6 +905,37 @@ def q_embedding_near_dup(spark, sf_dir):
     return S.cosine_near_dup_pairs(_tbl(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    # Count-Min sketch heavy hitters; width 16 over a 31-word synthetic
+    # vocabulary so counter collisions genuinely occur and the
+    # one-sided (est >= true) error is exercised, not just mirrored
+    from .operators import sketches as SK
+
+    return SK.cms_heavy_hitters(_docs(spark, sf_dir))
+
+
+def _duck_cms_sql(width: int = 16, depth: int = 3, min_count: int = 100) -> str:
+    def bucket(r: int) -> str:
+        return f"('0x' || substr(md5('{r}|' || word), 1, 8))::BIGINT % {width}"
+
+    stacked = " UNION ALL ".join(
+        f"SELECT {r} AS row, {bucket(r)} AS bucket FROM toks" for r in range(depth)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT word, {r} AS row, {bucket(r)} AS bucket FROM words"
+        for r in range(depth)
+    )
+    return (
+        "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), "
+        f"stacked AS ({stacked}), "
+        "sketch AS (SELECT row, bucket, count(*) AS cnt FROM stacked GROUP BY row, bucket), "
+        "words AS (SELECT DISTINCT word FROM toks), "
+        f"probes AS ({probes}), "
+        "est AS (SELECT word, min(cnt) AS est FROM probes JOIN sketch USING (row, bucket) GROUP BY word) "
+        f"SELECT word, CAST(est AS BIGINT) AS est FROM est WHERE est >= {min_count}"
+    )
+
+
 def q_quality_classifier(spark, sf_dir):
     # hashed linear (fastText/CCNet-style) quality classifier; the
     # B-bucket integer model is a plan-time literal in BOTH engines
@@ -1313,6 +1344,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "semantic_dedup": q_semantic_dedup,
     "quality_classifier": q_quality_classifier,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "text_quality": q_quality,
     "lang_id": q_lang_id,
     "normalize_text": q_normalize_text,
@@ -1580,6 +1612,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": _duck_near_dup_sql(),
     "semantic_dedup": _duck_semantic_dedup_sql(),
     "quality_classifier": _duck_quality_classifier_sql(),
+    "cms_heavy_hitters": _duck_cms_sql(),
     "text_quality": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "

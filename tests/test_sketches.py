@@ -1,0 +1,65 @@
+"""Count-Min sketch: one-sided error, constant sketch size, plan shape."""
+
+from pyspark.sql import functions as F
+
+from gumbo_pp_spark.operators import sketches as SK
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+class TestCmsSketch:
+    def test_sketch_size_independent_of_corpus(self, spark):
+        small = _docs(spark, [(i, "a b c") for i in range(5)])
+        big = _docs(spark, [(i, "a b c d e f g h") for i in range(500)])
+        ns = SK.cms_sketch(small, width=8, depth=2).count()
+        nb = SK.cms_sketch(big, width=8, depth=2).count()
+        assert ns <= 16 and nb <= 16
+
+    def test_row_totals_equal_token_count(self, spark):
+        docs = _docs(spark, [(i, "a b c d e") for i in range(40)])
+        per_row = (
+            SK.cms_sketch(docs, width=4, depth=3)
+            .groupBy("row").agg(F.sum("cnt").alias("s")).collect()
+        )
+        assert sorted(r["s"] for r in per_row) == [200, 200, 200]
+
+    def test_estimate_one_sided_and_exact_when_wide(self, spark):
+        # narrow sketch: est >= true for every word; wide sketch with a
+        # tiny vocab: no collisions -> est == true
+        docs = _docs(
+            spark,
+            [(i, "hot hot hot cold") for i in range(30)]
+            + [(100 + i, f"rare{i}") for i in range(10)],
+        )
+        true = {
+            r["word"]: r["n"]
+            for r in docs.select(F.explode(F.split("text", " ")).alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        narrow = {
+            r["word"]: r["est"]
+            for r in SK.cms_heavy_hitters(docs, width=2, depth=2, min_count=0).collect()
+        }
+        assert set(narrow) == set(true)
+        assert all(narrow[w] >= true[w] for w in true)
+        wide = {
+            r["word"]: r["est"]
+            for r in SK.cms_heavy_hitters(docs, width=4096, depth=3, min_count=0).collect()
+        }
+        assert wide == true
+
+    def test_no_heavy_hitter_missed(self, spark):
+        docs = _docs(spark, [(i, "alpha beta " + f"tail{i}") for i in range(50)])
+        hh = {r["word"] for r in SK.cms_heavy_hitters(docs, width=4, depth=2, min_count=50).collect()}
+        assert {"alpha", "beta"} <= hh  # est >= true == 50
+
+    def test_estimation_join_is_broadcast(self, spark):
+        docs = _docs(spark, [(i, "a b c") for i in range(20)])
+        plan = (
+            SK.cms_heavy_hitters(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
