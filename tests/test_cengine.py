@@ -1394,3 +1394,101 @@ def test_combined_surface_fuzz_ab():
             H._cparse_fast = saved
         assert_identical(c, py, doc[:140])
     assert bails < 40, bails  # ~0.25% designed-bail rate observed
+
+
+def test_combined_surface_fuzz_ab_wave8():
+    """Round-7 session-2 profile: everything wave 6/7 had PLUS
+    CDATA-in-foreign, nested templates, rawtext-with-charrefs,
+    attr-value charrefs, select-in-table, frameset soup, astral text,
+    malformed comment/bogus shapes, NUL clusters, bare-CR pieces —
+    and CR-bailed docs are REPLAYED through the CR-normalized second
+    dispatch and A/B-checked there (the 40k offline run: 23,684
+    direct + 14,363 second-dispatch identical, 1,953 designed bails,
+    zero divergences)."""
+    import random
+
+    import gumbo_pp_spark.parser.html5 as H
+
+    rng = random.Random(880088)
+    wsrefs = ["&#9;", "&#10;", "&#13;", "&#32;", "&#x9;", "&Tab;",
+              "&NewLine;", "&#x20;", "&#xD;&#xA;"]
+    uni = "éÉГЖ中𝕏ıİßΣø€\xad "
+    astral = "𝔸𝔹𝕏🎈"
+    tags = ["p", "div", "b", "i", "a", "table", "td", "tr", "th", "tbody",
+            "caption", "head", "title", "body", "html", "frameset", "frame",
+            "noframes", "colgroup", "col", "svg", "math", "mi", "mo",
+            "annotation-xml", "foreignObject", "desc", "template", "select",
+            "option", "optgroup", "pre", "listing", "form", "button", "li",
+            "ul", "dd", "dt", "ruby", "rt", "noscript", "script", "style",
+            "textarea", "xmp", "iframe", "noembed", "marquee", "object",
+            "applet", "keygen", "image", "input", "hr", "br", "base",
+            "meta", "link"]
+
+    def name():
+        return rng.choice("abcdp") + "".join(
+            rng.choice("abcDEF-:" + uni) for _ in range(rng.randrange(0, 4)))
+
+    def attrs():
+        out = []
+        for _ in range(rng.randrange(0, 3)):
+            v = rng.choice(["1", "'v é'", '"q&amp;x"', "x\x00y", "&#233;z",
+                            "'&Tab;a'", "", "🎈"])
+            out.append("%s=%s" % (name(), v))
+        return (" " + " ".join(out)) if out else ""
+
+    def piece():
+        k = rng.randrange(24)
+        if k == 0: return "<%s%s>" % (rng.choice(tags), attrs())
+        if k == 1: return "</%s>" % rng.choice(tags)
+        if k == 2: return rng.choice(wsrefs)
+        if k == 3: return "\x00" * rng.randrange(1, 3)
+        if k == 4: return "<%s%s>" % (name(), attrs())
+        if k == 5: return "</%s>" % name()
+        if k == 6: return rng.choice(["tex t中 ", "plain ascii ", astral, "mix é" + astral])
+        if k == 7: return "&amp;&bogus;&#233;&notin;&not;&#x110000;&#xD800;"
+        if k == 8: return rng.choice(["<!-- c\x00é -->", "<!-->", "<!---->",
+                                      "<!-- -- >", "<![CDATA[x\x00é]]>"])
+        if k == 9: return "<!DOCTYPE %s>" % rng.choice(
+            ["html", "htm" + rng.choice(uni), "html PUBLIC 'x'", ""])
+        if k == 10: return " \t\n\f\r"
+        if k == 11: return rng.choice(["<isindex>", "<plaintext>",
+                                       "<xmp>r</xmp>", "<textarea>\nt&amp;</textarea>"])
+        if k == 12: return "<svg><![CDATA[a&amp;\x00é]]></svg>"
+        if k == 13: return "<template><template>x</template>"
+        if k == 14: return rng.choice(["<script>a<b&amp;\x00</script>",
+                                       "<style>s&Tab;\x00é</style>"])
+        if k == 15: return "<table><select><option>o"
+        if k == 16: return "<frameset><frame x=1><noframes>n\x00é</noframes>"
+        if k == 17: return rng.choice(["<?pi junk>", "</>", "<>", "< notag", "<3>"])
+        if k == 18: return "<math><annotation-xml encoding=TEXT/HTML><p>t"
+        if k == 19: return "<a href='&#9;x\x00é'>l</a>"
+        if k == 20: return "<colgroup>\x00<col>"
+        if k == 21: return rng.choice(["\r\n", "\r", "\rx\r\n\x00"])
+        if k == 22: return "<body bgcolor=a><body onload=b x=\x00>"
+        return "<select><table><tr><td>c"
+
+    def py_parse(doc):
+        saved = H._cparse_fast
+        H._cparse_fast = None
+        try:
+            return parse_html(doc)
+        finally:
+            H._cparse_fast = saved
+
+    direct = second = designed = 0
+    for _ in range(2500):
+        doc = "".join(piece() for _ in range(rng.randrange(1, 12)))
+        c = cengine.cparse(doc)
+        if c is not None:
+            direct += 1
+            assert_identical(c, py_parse(doc), doc[:140])
+            continue
+        s2 = doc.replace("\r\n", "\n").replace("\r", "\n")
+        c2 = cengine.cparse(s2)
+        if c2 is None:
+            designed += 1  # colgroup/frameset-content NUL only
+            continue
+        second += 1
+        assert_identical(c2, py_parse(s2), s2[:140])
+    assert direct >= 1200 and second >= 700, (direct, second)
+    assert designed < 250, designed
