@@ -106,3 +106,35 @@ def cms_heavy_hitters(
         .agg(F.min("cnt").cast("bigint").alias("est"))
     )
     return est.where(F.col("est") >= min_count).select("word", "est")
+
+
+def kmv_distinct(df: DataFrame, k: int = 16, text_col: str = "text") -> DataFrame:
+    """KMV / bottom-k distinct-count sketch (Bar-Yossef et al. 2002):
+    keep the ``k`` smallest 32-bit word hashes; if the k-th smallest
+    is h_k, the hashes are ~uniform on [0, 2^32) and
+    est = (k−1)·2^32 / h_k.  One row: (k_used, kth_hash, est_distinct)
+    — exact integers, so the oracle matches bit-for-bit.
+
+    Scale shape: dedup happens by partial aggregation on the hash (the
+    shuffle carries at most |vocab| rows per partition, never the
+    token stream) and the bottom-k is Spark's TakeOrderedAndProject —
+    a per-partition k-heap merged on the driver, the same merge a
+    production KMV union does.  The sketch is k numbers; unions of
+    per-shard sketches merge by re-taking the k smallest."""
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    h = (
+        ensure_min_parallelism(df)
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .select(F.expr(U32.format(x="word")).alias("h"))
+        .distinct()
+    )
+    botk = h.orderBy("h").limit(k)
+    return botk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.max("h").cast("bigint").alias("kth_hash"),
+    ).selectExpr(
+        "k_used",
+        "kth_hash",
+        f"CAST((k_used - 1) * {1 << 32} DIV kth_hash AS BIGINT) AS est_distinct",
+    )

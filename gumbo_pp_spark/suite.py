@@ -905,6 +905,23 @@ def q_embedding_near_dup(spark, sf_dir):
     return S.cosine_near_dup_pairs(_tbl(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_kmv_distinct(spark, sf_dir):
+    # bottom-k distinct-count sketch over the token stream (k=16 of a
+    # 31-word vocabulary: the estimator genuinely extrapolates)
+    from .operators import sketches as SK
+
+    return SK.kmv_distinct(_docs(spark, sf_dir))
+
+
+_DUCK_KMV = (
+    "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), "
+    "h AS (SELECT DISTINCT ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM toks), "
+    "b AS (SELECT h FROM h ORDER BY h LIMIT 16) "
+    "SELECT CAST(count(*) AS BIGINT) AS k_used, CAST(max(h) AS BIGINT) AS kth_hash, "
+    "CAST((count(*) - 1) * 4294967296 // max(h) AS BIGINT) AS est_distinct FROM b"
+)
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     # Count-Min sketch heavy hitters; width 16 over a 31-word synthetic
     # vocabulary so counter collisions genuinely occur and the
@@ -1345,6 +1362,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "quality_classifier": q_quality_classifier,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "kmv_distinct": q_kmv_distinct,
     "text_quality": q_quality,
     "lang_id": q_lang_id,
     "normalize_text": q_normalize_text,
@@ -1613,6 +1631,7 @@ ORACLES: dict[str, str] = {
     "semantic_dedup": _duck_semantic_dedup_sql(),
     "quality_classifier": _duck_quality_classifier_sql(),
     "cms_heavy_hitters": _duck_cms_sql(),
+    "kmv_distinct": _DUCK_KMV,
     "text_quality": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "

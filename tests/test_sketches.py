@@ -63,3 +63,39 @@ class TestCmsSketch:
         )
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+class TestKmvDistinct:
+    def test_exact_when_k_covers_vocab(self, spark):
+        # k >= |vocab|: kth_hash is the max of ALL hashes and k_used is
+        # the exact distinct count
+        docs = _docs(spark, [(i, "a b c d e a b") for i in range(30)])
+        r = SK.kmv_distinct(docs, k=100).first()
+        assert r["k_used"] == 5
+
+    def test_estimate_reasonable_and_deterministic(self, spark):
+        docs = _docs(spark, [(i, " ".join(f"w{j}" for j in range(i % 40, i % 40 + 60)))
+                              for i in range(100)])
+        # vocab = w0..w98 -> 99 distinct
+        a = SK.kmv_distinct(docs, k=24).first()
+        b = SK.kmv_distinct(docs, k=24).first()
+        assert a == b
+        assert a["k_used"] == 24
+        # KMV with k=24 on 99 distinct: within a loose 3x band
+        assert 33 <= a["est_distinct"] <= 300, a
+
+    def test_estimator_formula(self, spark):
+        import hashlib
+
+        docs = _docs(spark, [(0, "x y z q r s t u v w")])
+        r = SK.kmv_distinct(docs, k=4).first()
+        hs = sorted(int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+                    for w in "x y z q r s t u v w".split())
+        assert r["kth_hash"] == hs[3]
+        assert r["est_distinct"] == (4 - 1) * (1 << 32) // hs[3]
+
+    def test_bottomk_is_partial_topk_not_global_sort(self, spark):
+        docs = _docs(spark, [(i, "a b c") for i in range(10)])
+        plan = SK.kmv_distinct(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Sort [h" not in plan  # no full sort stage
