@@ -52,6 +52,7 @@ class PartitionLedger:
         self.path = path
         self.compact_every = compact_every
         self._since_compact = 0
+        self._next_seq: int | None = None  # lazily seeded from the ledger
         os.makedirs(path, exist_ok=True)
 
     def _load(self) -> tuple[dict[int, dict], list[str]]:
@@ -73,10 +74,35 @@ class PartitionLedger:
             out[int(rec["split_id"])] = rec
         return out, tails
 
-    def committed(self) -> dict[int, dict]:
-        return self._load()[0]
+    def committed(self, as_of: int | None = None) -> dict[int, dict]:
+        """Committed split records; ``as_of`` (a commit ``seq``) gives
+        the Iceberg-style snapshot view — only records committed at or
+        before that sequence number.  Pre-``seq`` ledgers (records
+        without the field) read as seq 0: part of every snapshot."""
+        recs = self._load()[0]
+        if as_of is None:
+            return recs
+        return {s: r for s, r in recs.items() if r.get("seq", 0) <= as_of}
+
+    def snapshot_log(self) -> list[dict]:
+        """The snapshot history (Iceberg metadata-table analogue):
+        commit records ordered by ``seq``.  Each record's ``seq`` is a
+        valid ``as_of`` cursor for :meth:`committed` /
+        :func:`read_extracted`."""
+        return sorted(self._load()[0].values(), key=lambda r: r.get("seq", 0))
+
+    def current_snapshot(self) -> int:
+        recs = self._load()[0]
+        return max((r.get("seq", 0) for r in recs.values()), default=0)
 
     def commit(self, rec: dict) -> None:
+        # single-writer commit sequencing (the driver is the only
+        # committer, as with an Iceberg catalog's optimistic lock; a
+        # multi-driver deployment would CAS the counter in the catalog)
+        if self._next_seq is None:
+            self._next_seq = self.current_snapshot() + 1
+        rec.setdefault("seq", self._next_seq)
+        self._next_seq = max(self._next_seq, rec["seq"]) + 1
         final = os.path.join(self.path, f"split_{rec['split_id']}.json")
         tmp = final + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
@@ -219,11 +245,16 @@ def extract_with_resume(
     }
 
 
-def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_extracted(
+    spark: SparkSession, out_dir: str, as_of: int | None = None
+) -> DataFrame:
     """Union of exactly the ledger-committed (split, run) outputs —
-    uncommitted partial runs are invisible."""
+    uncommitted partial runs are invisible.  ``as_of`` time-travels to
+    the table state as of that commit seq (see
+    :meth:`PartitionLedger.snapshot_log`), reading only the data files
+    those commits referenced — the Iceberg snapshot-read analogue."""
     ledger = PartitionLedger(os.path.join(out_dir, "_ledger"))
-    recs = ledger.committed()
+    recs = ledger.committed(as_of=as_of)
     if not recs:
         raise FileNotFoundError(f"no committed splits under {out_dir}")
     paths = sorted(

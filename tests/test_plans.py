@@ -4,7 +4,7 @@ checkpoint/lineage resume (SURVEY.md §7 M3)."""
 import pytest
 from pyspark.sql import functions as F
 
-from gumbo_pp_spark.plans.lineage import extract_with_resume, read_extracted
+from gumbo_pp_spark.plans.lineage import PartitionLedger, extract_with_resume, read_extracted
 from gumbo_pp_spark.plans.partitioning import salt_skewed_keys, size_balanced_bins
 from gumbo_pp_spark.sources.pages import synth_pages, synth_pages_bench
 
@@ -268,3 +268,53 @@ class TestPerSplitWall:
         if busys.count(max(busys)) == 1:
             assert walls.index(max(walls)) == busys.index(max(busys))
         assert len(set(walls)) > 1  # distinct attribution
+
+
+class TestSnapshotTimeTravel:
+    """Iceberg-style snapshot reads over the lineage ledger (r7)."""
+
+    def test_as_of_reads_only_earlier_commits(self, spark, tmp_path):
+        out_dir = str(tmp_path / "tt")
+        pages = synth_pages(spark, SF_SMOKE)
+        extract_with_resume(spark, pages, out_dir, n_splits=8, max_splits_this_run=3)
+        ledger = PartitionLedger(out_dir + "/_ledger")
+        snap1 = ledger.current_snapshot()
+        n1 = read_extracted(spark, out_dir).count()
+        extract_with_resume(spark, pages, out_dir, n_splits=8)
+        snap2 = ledger.current_snapshot()
+        assert snap2 > snap1
+        # current view = everything; as_of snap1 = the first 3 splits
+        assert read_extracted(spark, out_dir).count() == 500
+        tt = read_extracted(spark, out_dir, as_of=snap1)
+        assert tt.count() == n1 < 500
+        # the as_of view equals what the table looked like then: same
+        # split set as the first run's ledger state
+        assert set(ledger.committed(as_of=snap1)) == set(
+            r["split_id"] for r in ledger.snapshot_log()[:3]
+        )
+
+    def test_snapshot_log_is_ordered_history(self, tmp_path):
+        ledger = PartitionLedger(str(tmp_path / "_ledger"))
+        for s in (4, 2, 9):
+            ledger.commit({"split_id": s, "run_id": "r", "rows": 1})
+        log = ledger.snapshot_log()
+        assert [r["split_id"] for r in log] == [4, 2, 9]
+        assert [r["seq"] for r in log] == [1, 2, 3]
+        # a fresh handle (new driver) continues the sequence
+        ledger2 = PartitionLedger(str(tmp_path / "_ledger"))
+        ledger2.commit({"split_id": 5, "run_id": "r2", "rows": 1})
+        assert ledger2.snapshot_log()[-1]["seq"] == 4
+
+    def test_seq_survives_compaction_and_preseq_records_read_as_zero(self, tmp_path):
+        import json as J
+        import os as O
+
+        ledger = PartitionLedger(str(tmp_path / "_ledger"), compact_every=2)
+        ledger.commit({"split_id": 0, "run_id": "r", "rows": 1})
+        ledger.commit({"split_id": 1, "run_id": "r", "rows": 1})  # compacts
+        assert ledger.committed(as_of=1).keys() == {0}
+        # hand-write a pre-seq (legacy) record: visible in EVERY snapshot
+        with open(O.path.join(str(tmp_path / "_ledger"), "split_7.json"), "w") as f:
+            J.dump({"split_id": 7, "run_id": "old", "rows": 1}, f)
+        assert ledger.committed(as_of=0).keys() == {7}
+        assert set(ledger.committed(as_of=1)) == {0, 7}
