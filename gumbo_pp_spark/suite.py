@@ -905,6 +905,42 @@ def q_embedding_near_dup(spark, sf_dir):
     return S.cosine_near_dup_pairs(_tbl(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_pagerank(spark, sf_dir):
+    # integer-exact PageRank over a deterministic doc-link graph
+    # (every doc links to doc (id*17+3) mod 512 — a hub-heavy shape);
+    # 3 rounds, damping 0.85, ranks as 1e9-scaled bigints
+    from .operators import graph as G
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    edges = (
+        docs.selectExpr("doc_id AS src", "(doc_id * 17 + 3) % 512 AS dst_key")
+        .join(docs.selectExpr("doc_id AS dst"), F.col("dst_key") == F.col("dst"))
+        .select("src", "dst")
+    )
+    return G.pagerank(edges, n_iter=3)
+
+
+def _duck_pagerank_sql(n_iter: int = 3, damping_e2: int = 85, scale: int = 10**9) -> str:
+    base = (100 - damping_e2) * scale // 100
+    sql = (
+        "WITH edges AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM documents a "
+        "JOIN documents b ON b.doc_id = (a.doc_id * 17 + 3) % 512), "
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges), "
+        "outdeg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src), "
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)"
+    )
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        sql += (
+            f", c{i} AS (SELECT e.dst, SUM(r.rank // o.deg) AS s FROM edges e "
+            f"JOIN outdeg o ON o.node = e.src JOIN {prev} r ON r.node = e.src GROUP BY e.dst)"
+            f", r{i} AS (SELECT n.node, CAST({base} + ({damping_e2} * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank "
+            f"FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst)"
+        )
+        prev = f"r{i}"
+    return sql + f" SELECT CAST(node AS BIGINT) AS node, rank FROM {prev}"
+
+
 def q_kmv_distinct(spark, sf_dir):
     # bottom-k distinct-count sketch over the token stream (k=16 of a
     # 31-word vocabulary: the estimator genuinely extrapolates)
@@ -1363,6 +1399,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "kmv_distinct": q_kmv_distinct,
+    "pagerank": q_pagerank,
     "text_quality": q_quality,
     "lang_id": q_lang_id,
     "normalize_text": q_normalize_text,
@@ -1632,6 +1669,7 @@ ORACLES: dict[str, str] = {
     "quality_classifier": _duck_quality_classifier_sql(),
     "cms_heavy_hitters": _duck_cms_sql(),
     "kmv_distinct": _DUCK_KMV,
+    "pagerank": _duck_pagerank_sql(),
     "text_quality": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
