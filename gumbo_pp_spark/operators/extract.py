@@ -22,6 +22,7 @@ from typing import Callable, Iterable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..nodetable import CDATA, TEXT, WHITESPACE, NodeTable
 from ..parser.html5 import parse_html
@@ -707,3 +708,59 @@ def count_matches_program(matcher) -> Callable[[NodeTable], dict]:
         return {"n_matches": int(matcher(nt).sum())}
 
     return program
+
+
+def all_matches_program(
+    matcher,
+    attr: str = "href",
+    out_col: str = "hrefs",
+) -> Callable[[NodeTable], dict]:
+    """Collect ``attr`` from EVERY node matching ``matcher`` (document
+    order) — the find_if→find_iterator loop of the reference driver
+    (reference: include/gumbo_pp/gumbo_algorithms.hpp find_iterator)
+    vectorized to one mask + one gather."""
+    import numpy as np
+
+    def program(nt: NodeTable) -> dict:
+        ids = np.nonzero(matcher(nt))[0]
+        vals = []
+        for i in ids:
+            a = nt.attrs[int(i)]
+            v = a.get(attr) if a is not None else None
+            if v is not None:
+                vals.append(v)
+        return {out_col: vals}
+
+    return program
+
+
+def extract_links(df: DataFrame, passthrough=("doc_id", "url")) -> DataFrame:
+    """(passthrough..., href) — one row per anchor with an href, in
+    document order.  Map-only: the per-doc program returns the href
+    ARRAY (no node-table explode), and the only row-multiplying step
+    is the JVM-side explode of that small array."""
+    from .. import matchers as m
+
+    out = run_program(df, all_matches_program(m.tag.A), "hrefs array<string>", passthrough)
+    return out.select(*passthrough, F.explode("hrefs").alias("href"))
+
+
+def link_graph(df: DataFrame) -> DataFrame:
+    """Host-level link graph from parsed anchors:
+    (src_host, dst_host, n_links).  The web-graph construction stage —
+    feeds :func:`gumbo_pp_spark.operators.graph.pagerank`.
+
+    Scale shape: parse+collect is the map-only extraction stage; the
+    single shuffle is the (src_host, dst_host)-keyed count with
+    map-side combine (edge-type cardinality ≪ anchor cardinality, so
+    partials collapse hard); skewed hub hosts are exactly the
+    ``salt_skewed_keys`` case when an edge-level (not host-level)
+    downstream needs balance."""
+    links = extract_links(df)
+    host = "https?://([^/]+)"
+    return (
+        links.withColumn("src_host", F.regexp_extract("url", host, 1))
+        .withColumn("dst_host", F.regexp_extract("href", host, 1))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_links"))
+    )

@@ -905,6 +905,16 @@ def q_embedding_near_dup(spark, sf_dir):
     return S.cosine_near_dup_pairs(_tbl(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_link_graph(spark, sf_dir):
+    # web-graph construction from PARSED anchors (the parser feeds the
+    # graph stage); oracle = ground truth of the synthetic page shape
+    # (one anchor per page, href host site.example, url host
+    # <source>.example.com)
+    from .operators.extract import link_graph
+
+    return link_graph(synth_pages(spark, sf_dir))
+
+
 def q_pagerank(spark, sf_dir):
     # integer-exact PageRank over a deterministic doc-link graph
     # (every doc links to doc (id*17+3) mod 512 — a hub-heavy shape);
@@ -1400,6 +1410,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "kmv_distinct": q_kmv_distinct,
     "pagerank": q_pagerank,
+    "link_graph": q_link_graph,
     "text_quality": q_quality,
     "lang_id": q_lang_id,
     "normalize_text": q_normalize_text,
@@ -1670,6 +1681,11 @@ ORACLES: dict[str, str] = {
     "cms_heavy_hitters": _duck_cms_sql(),
     "kmv_distinct": _DUCK_KMV,
     "pagerank": _duck_pagerank_sql(),
+    "link_graph": (
+        "SELECT source || '.example.com' AS src_host, "
+        "'site.example' AS dst_host, CAST(count(*) AS BIGINT) AS n_links "
+        "FROM documents GROUP BY source"
+    ),
     "text_quality": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "

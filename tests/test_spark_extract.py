@@ -130,3 +130,47 @@ class TestByteSpans:
             # entity-decoded span slices only for entity-free spans —
             # assert the byte/char offsets diverge on this page family
             assert any(sp.start_byte > sp.start for sp in r.spans)
+
+
+class TestLinkExtraction:
+    """all-matches anchor collection + host-level link graph (r7)."""
+
+    def test_multi_anchor_document_order(self, spark):
+        from gumbo_pp_spark.operators.extract import extract_links
+
+        html = (b"<p><a href='https://a.example/1'>x</a>"
+                b"<a name='no-href'>y</a>"
+                b"<a href='https://b.example/2'>z</a></p>")
+        df = spark.createDataFrame(
+            [(1, "https://src.example/p", bytearray(html))],
+            "doc_id long, url string, html binary",
+        )
+        got = [r["href"] for r in extract_links(df).collect()]
+        assert got == ["https://a.example/1", "https://b.example/2"]
+
+    def test_link_graph_counts(self, spark):
+        from gumbo_pp_spark.operators.extract import link_graph
+
+        rows = []
+        for i in range(6):
+            dst = "hub.example" if i % 2 else "tail.example"
+            html = f"<a href='https://{dst}/{i}'>l</a>".encode()
+            rows.append((i, f"https://src{i % 3}.example/p", bytearray(html)))
+        df = spark.createDataFrame(rows, "doc_id long, url string, html binary")
+        got = {(r["src_host"], r["dst_host"]): r["n_links"]
+               for r in link_graph(df).collect()}
+        assert got == {
+            ("src0.example", "tail.example"): 1, ("src0.example", "hub.example"): 1,
+            ("src1.example", "hub.example"): 1, ("src1.example", "tail.example"): 1,
+            ("src2.example", "tail.example"): 1, ("src2.example", "hub.example"): 1,
+        }
+
+    def test_single_shuffle_plan(self, spark):
+        from gumbo_pp_spark.operators.extract import link_graph
+
+        df = spark.createDataFrame(
+            [(1, "https://s.example/p", bytearray(b"<a href='https://d.example/x'>l</a>"))],
+            "doc_id long, url string, html binary",
+        )
+        plan = link_graph(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1  # only the final keyed count
