@@ -635,6 +635,19 @@ def classifier_weights(n_buckets: int = 256) -> list[int]:
     ]
 
 
+def classifier_score_sql(text_col: str = "text", n_buckets: int = 256) -> str:
+    """The classifier score as one SQL expression (shared by
+    :func:`quality_classifier` and map-only pipeline gates — a filter
+    on this expression never shuffles)."""
+    w = classifier_weights(n_buckets)
+    warr = "array(" + ",".join(f"{x}L" for x in w) + ")"
+    u32 = "CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)"
+    return (
+        f"aggregate(split({text_col}, ' '), 0L, "
+        f"(acc, t) -> acc + element_at({warr}, CAST({u32} % {n_buckets} AS INT) + 1))"
+    )
+
+
 def quality_classifier(
     df: DataFrame, n_buckets: int = 256, text_col: str = "text"
 ) -> DataFrame:
@@ -651,13 +664,7 @@ def quality_classifier(
     zero Python; at 10^12 docs this is embarrassingly parallel and
     retry-stable, the same plan-literal pattern as
     :func:`stratified_sample`."""
-    w = classifier_weights(n_buckets)
-    warr = "array(" + ",".join(f"{x}L" for x in w) + ")"
-    u32 = "CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)"
-    score = (
-        f"aggregate(split({text_col}, ' '), 0L, "
-        f"(acc, t) -> acc + element_at({warr}, CAST({u32} % {n_buckets} AS INT) + 1))"
-    )
+    score = classifier_score_sql(text_col, n_buckets)
     return df.selectExpr(
         "CAST(doc_id AS BIGINT) AS doc_id",
         f"CAST(size(split({text_col}, ' ')) AS BIGINT) AS n_tokens",

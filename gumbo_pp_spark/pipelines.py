@@ -31,6 +31,7 @@ def build_training_corpus(
     near_dup_min_equal: int = 7,
     max_top_word_frac_e4: int = 5000,
     near_dup_policy: str = "pairs",
+    classifier_min_score: int | None = None,
 ) -> DataFrame:
     """pages(doc_id,url,html) → deduped, scrubbed, fingerprinted corpus
     (doc_id, url, clean_text, n_tokens, fp_md5).
@@ -63,6 +64,15 @@ def build_training_corpus(
         min_stopword_ratio_e4=0, min_alpha_ratio_e4=min_alpha_ratio_e4,
     ).select("doc_id")
     docs = docs.join(kept, "doc_id")
+
+    # optional model gate: hashed linear classifier score as a plan-
+    # literal expression — a pure map-only filter, no join, no shuffle
+    if classifier_min_score is not None:
+        from .operators.textstats import classifier_score_sql
+
+        docs = docs.where(
+            F.expr(classifier_score_sql("text")) >= classifier_min_score
+        )
 
     # repetition gate: drop degenerate/looping documents (a page whose
     # most frequent word is more than half its tokens)

@@ -188,3 +188,35 @@ def test_run_training_corpus_floor_none_is_report_only(spark, tmp_path):
     )
     assert m["ann_recall_e4"] is not None
     assert m["ann_recall_ok"] is None
+
+
+def test_pipeline_classifier_gate_filters_and_stays_map_only(spark):
+    from gumbo_pp_spark.operators.textstats import quality_classifier
+
+    pages = synth_pages(spark, SF_SMOKE).select("doc_id", "url", "html")
+    base = build_training_corpus(pages)
+    gated = build_training_corpus(pages, classifier_min_score=0)
+    ids_base = {r["doc_id"] for r in base.select("doc_id").collect()}
+    ids_gated = {r["doc_id"] for r in gated.select("doc_id").collect()}
+    # NOT a subset relation: removing a near-dup pair's lower-score
+    # member can let its partner survive where base dropped it — the
+    # gate's contract is the predicate itself:
+    from gumbo_pp_spark.operators.extract import extract_main_text
+
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in quality_classifier(
+            extract_main_text(pages, passthrough=("doc_id",)).select("doc_id", "text")
+        ).collect()
+    }
+    # every gated survivor clears the threshold; every sub-threshold
+    # doc is gone (the synthetic corpus straddles 0 on both sides)
+    assert ids_gated and all(scores[i] >= 0 for i in ids_gated)
+    neg = {i for i, sc in scores.items() if sc < 0}
+    assert neg and not (ids_gated & neg)
+    assert ids_base & neg  # the ungated pipeline kept some of them
+    # plan: the gate is a Filter, not a join — same number of joins as
+    # the ungated pipeline
+    pb = base._jdf.queryExecution().optimizedPlan().toString()
+    pg = gated._jdf.queryExecution().optimizedPlan().toString()
+    assert pg.count("Join") == pb.count("Join")
