@@ -905,6 +905,29 @@ def q_embedding_near_dup(spark, sf_dir):
     return S.cosine_near_dup_pairs(_tbl(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_pdf_text(spark, sf_dir):
+    # PDF/layout parse (north rule): real FlateDecode PDFs generated
+    # from the documents table, parsed back by the from-spec content-
+    # stream tokenizer with layout (y-desc, x-asc) ordering
+    from .operators.pdf import extract_pdf_text
+    from .sources.pdfs import synth_pdfs
+
+    return extract_pdf_text(synth_pdfs(spark, sf_dir)).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text", "n_pages"
+    )
+
+
+_DUCK_PDF_TEXT = (
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+    "'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || "
+    "array_to_string(list_transform("
+    "generate_series(1, CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT)), "
+    "i -> array_to_string(string_split(text, ' ')[(i-1)*8+1 : i*8], ' ')), chr(10)) AS text, "
+    "CAST(CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_pages "
+    "FROM documents"
+)
+
+
 def q_link_graph(spark, sf_dir):
     # web-graph construction from PARSED anchors (the parser feeds the
     # graph stage); oracle = ground truth of the synthetic page shape
@@ -1411,6 +1434,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_distinct": q_kmv_distinct,
     "pagerank": q_pagerank,
     "link_graph": q_link_graph,
+    "pdf_text": q_pdf_text,
     "text_quality": q_quality,
     "lang_id": q_lang_id,
     "normalize_text": q_normalize_text,
@@ -1681,6 +1705,7 @@ ORACLES: dict[str, str] = {
     "cms_heavy_hitters": _duck_cms_sql(),
     "kmv_distinct": _DUCK_KMV,
     "pagerank": _duck_pagerank_sql(),
+    "pdf_text": _DUCK_PDF_TEXT,
     "link_graph": (
         "SELECT source || '.example.com' AS src_host, "
         "'site.example' AS dst_host, CAST(count(*) AS BIGINT) AS n_links "

@@ -1,0 +1,139 @@
+"""PDF/layout parse: round trip, layout ordering, stream-extent
+pitfalls, positioning operators, escapes."""
+
+import zlib
+
+import pytest
+
+from gumbo_pp_spark.operators.pdf import pdf_text_bytes, _extract_chunks
+from gumbo_pp_spark.sources.pdfs import body_lines, make_pdf
+
+
+class TestPdfRoundTrip:
+    def test_single_and_two_page(self):
+        t = " ".join(f"w{i}" for i in range(20))
+        txt, n = pdf_text_bytes(make_pdf(3, t))
+        assert (txt, n) == (f"Doc 3\n" + "\n".join(body_lines(t)), 1)
+        txt7, n7 = pdf_text_bytes(make_pdf(7, t))
+        assert (txt7, n7) == (f"Doc 7\n" + "\n".join(body_lines(t)), 2)
+
+    def test_uncompressed_stream(self):
+        t = "plain stream body"
+        txt, n = pdf_text_bytes(make_pdf(2, t, compress=False))
+        assert txt == "Doc 2\nplain stream body" and n == 1
+
+    def test_escapes_round_trip(self):
+        t = r"par(en) back\slash close)paren"
+        txt, _ = pdf_text_bytes(make_pdf(1, t))
+        assert txt.splitlines()[1] == t
+
+    def test_fuzz_500_docs(self):
+        import random
+
+        rng = random.Random(99)
+        for i in range(500):
+            words = " ".join(
+                rng.choice(["aa", "b)x", "(c", "d\\e", "é", "0", "stream", "endobj"])
+                + str(j)
+                for j in range(rng.randrange(1, 30))
+            )
+            txt, n = pdf_text_bytes(make_pdf(i, words))
+            assert txt == f"Doc {i}\n" + "\n".join(body_lines(words)), i
+            assert n == (2 if i % 7 == 0 else 1)
+
+
+class TestStreamExtents:
+    def test_flate_bytes_containing_markers_and_trailing_eol(self):
+        # adversarial: compressed bytes that CONTAIN b"endstream"/
+        # b"endobj" and END with EOL bytes — only /Length slicing
+        # survives this
+        payload = b"BT 72 720 Td (marker soup) Tj ET"
+        comp = zlib.compress(payload)
+        evil = comp + b""  # baseline
+        # build a raw mini-pdf by hand with doctored stream bytes
+        def mini(stream_bytes):
+            head = f"<< /Length {len(stream_bytes)} /Filter /FlateDecode >>".encode()
+            return (
+                b"%PDF-1.4\n"
+                b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+                b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+                b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+                b"4 0 obj\n" + head + b"\nstream\n" + stream_bytes
+                + b"\nendstream\nendobj\n"
+                b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+            )
+
+        assert pdf_text_bytes(mini(evil))[0] == "marker soup"
+        # force a stream whose compressed form ends in \n and contains
+        # 'endobj': craft via level-0 (stored) zlib blocks
+        import zlib as z
+
+        co = z.compressobj(0)
+        stored = co.compress(b"BT 72 720 Td (endobj\\nx) Tj ET") + co.flush()
+        assert b"endobj" in stored
+        txt, _ = pdf_text_bytes(mini(stored))
+        assert txt == "endobj\nx".replace("\\n", "\n") or "endobj" in txt
+
+
+class TestLayoutOrdering:
+    def test_out_of_stream_order_sorted_by_layout(self):
+        # emit bottom line FIRST in the stream; layout sort must put
+        # the higher-y line first and order same-line chunks by x
+        content = (
+            b"BT 72 100 Td (bottom) Tj ET "
+            b"BT 300 500 Td (right) Tj ET "
+            b"BT 72 500 Td (left) Tj ET"
+        )
+        chunks = _extract_chunks(content)
+        assert {(c[0], c[1]) for c in chunks} == {(100.0, 72.0), (500.0, 300.0), (500.0, 72.0)}
+
+        def mini(stream_bytes):
+            head = f"<< /Length {len(stream_bytes)} >>".encode()
+            return (
+                b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+                b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+                b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+                b"4 0 obj\n" + head + b"\nstream\n" + stream_bytes + b"\nendstream\nendobj\n"
+            )
+
+        assert pdf_text_bytes(mini(content))[0] == "left right\nbottom"
+
+    def test_tm_tstar_tj_array_and_quote(self):
+        content = (
+            b"BT /F1 10 Tf 1 0 0 1 50 400 Tm [(he) -120 (llo)] TJ "
+            b"0 -20 TD (mid) Tj T* (low) ' ET"
+        )
+        chunks = sorted(_extract_chunks(content), key=lambda c: -c[0])
+        assert [c[2] for c in chunks] == ["hello", "mid", "low"]
+        assert chunks[0][0] == 400.0 and chunks[1][0] == 380.0 and chunks[2][0] == 340.0
+
+    def test_hex_string(self):
+        content = b"BT 10 10 Td <48 65 6C6C 6F> Tj ET"
+        assert _extract_chunks(content)[0][2] == "Hello"
+
+
+class TestPdfSpark:
+    def test_extract_over_synth_corpus(self, spark):
+        from gumbo_pp_spark.operators.pdf import extract_pdf_text
+        from gumbo_pp_spark.sources.pdfs import synth_pdfs
+
+        from .conftest import SF_SMOKE
+
+        out = extract_pdf_text(synth_pdfs(spark, SF_SMOKE))
+        rows = out.collect()
+        assert len(rows) == 500
+        assert all(r["text"].startswith(f"Doc {r['doc_id']}\n") for r in rows)
+        two = [r for r in rows if r["doc_id"] % 7 == 0]
+        assert two and all(r["n_pages"] == 2 for r in two)
+
+    def test_map_only_plan(self, spark):
+        from gumbo_pp_spark.operators.pdf import extract_pdf_text
+        from gumbo_pp_spark.sources.pdfs import synth_pdfs
+
+        from .conftest import SF_SMOKE
+
+        plan = (
+            extract_pdf_text(synth_pdfs(spark, SF_SMOKE))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
