@@ -119,3 +119,44 @@ def chunk_tokens(
         )
         .select("doc_id", "c.chunk_id", "c.start_tok", "c.n_chunk_tokens", "c.chunk")
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-export shard manifest: assign every document a
+    deterministic shard (md5-domain uniform on doc_id — retry-stable,
+    no RNG) and emit one integrity row per shard:
+    (shard, n_docs, n_tokens, min_doc, max_doc, checksum).
+
+    ``checksum`` is bit_xor of the 32-bit text hashes — order-
+    independent, so a re-export after resume/retry must reproduce it
+    bit-for-bit; a reader validates a downloaded shard against the
+    manifest without trusting file metadata.
+
+    Scale shape: one map-side-combined groupBy on the shard key
+    (n_shards groups total); the assignment expression is map-only.
+    The manifest (n_shards rows) is the commit artifact an export job
+    writes LAST, after all shard files — the same two-phase pattern as
+    the lineage ledger."""
+    u32 = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    t32 = f"CAST(conv(substring(md5({text_col}), 1, 8), 16, 10) AS BIGINT)"
+    return (
+        df.selectExpr(
+            f"{u32} % {n_shards} AS shard",
+            "doc_id",
+            f"size(split({text_col}, ' ')) AS n_toks",
+            f"{t32} AS th",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+            F.expr("bit_xor(th)").cast("bigint").alias("checksum"),
+        )
+        .select("shard", "n_docs", "n_tokens", "min_doc", "max_doc", "checksum")
+    )

@@ -905,6 +905,23 @@ def q_embedding_near_dup(spark, sf_dir):
     return S.cosine_near_dup_pairs(_tbl(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_shard_manifest(spark, sf_dir):
+    # training-export integrity manifest: md5-uniform shard assignment
+    # + order-independent xor checksum per shard
+    return P.shard_manifest(_docs(spark, sf_dir))
+
+
+_DUCK_SHARD_MANIFEST = (
+    "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_toks) AS BIGINT) AS n_tokens, "
+    "CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc, "
+    "CAST(bit_xor(th) AS BIGINT) AS checksum FROM ("
+    "SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard, "
+    "doc_id, len(string_split(text, ' ')) AS n_toks, "
+    "('0x' || substr(md5(text), 1, 8))::BIGINT AS th FROM documents) GROUP BY shard"
+)
+
+
 def q_pdf_text(spark, sf_dir):
     # PDF/layout parse (north rule): real FlateDecode PDFs generated
     # from the documents table, parsed back by the from-spec content-
@@ -1435,6 +1452,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "link_graph": q_link_graph,
     "pdf_text": q_pdf_text,
+    "shard_manifest": q_shard_manifest,
     "text_quality": q_quality,
     "lang_id": q_lang_id,
     "normalize_text": q_normalize_text,
@@ -1706,6 +1724,7 @@ ORACLES: dict[str, str] = {
     "kmv_distinct": _DUCK_KMV,
     "pagerank": _duck_pagerank_sql(),
     "pdf_text": _DUCK_PDF_TEXT,
+    "shard_manifest": _DUCK_SHARD_MANIFEST,
     "link_graph": (
         "SELECT source || '.example.com' AS src_host, "
         "'site.example' AS dst_host, CAST(count(*) AS BIGINT) AS n_links "

@@ -261,3 +261,44 @@ class TestQualityClassifier:
         )
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+class TestShardManifest:
+    def test_conservation_and_python_parity(self, spark):
+        import hashlib
+
+        texts = [(i, f"doc {i} body words here") for i in range(97)]
+        docs = _docs(spark, texts)
+        rows = {r["shard"]: r for r in P.shard_manifest(docs, n_shards=4).collect()}
+        # python mirror
+        from collections import defaultdict
+
+        agg = defaultdict(lambda: [0, 0, None, None, 0])
+        for i, t in texts:
+            sh = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 4
+            a = agg[sh]
+            a[0] += 1
+            a[1] += len(t.split(" "))
+            a[2] = i if a[2] is None else min(a[2], i)
+            a[3] = i if a[3] is None else max(a[3], i)
+            a[4] ^= int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        assert set(rows) == set(agg)
+        for sh, a in agg.items():
+            r = rows[sh]
+            assert (r["n_docs"], r["n_tokens"], r["min_doc"], r["max_doc"], r["checksum"]) == tuple(a)
+        assert sum(r["n_docs"] for r in rows.values()) == 97
+
+    def test_checksum_order_independent_and_detects_change(self, spark):
+        docs = _docs(spark, [(i, f"t {i}") for i in range(20)])
+        a = {r["shard"]: r["checksum"] for r in P.shard_manifest(docs).collect()}
+        shuffled = docs.orderBy(F.expr("md5(CAST(doc_id AS STRING))"))
+        b = {r["shard"]: r["checksum"] for r in P.shard_manifest(shuffled).collect()}
+        assert a == b
+        mutated = _docs(spark, [(i, f"t {i}" if i else "tampered") for i in range(20)])
+        c = {r["shard"]: r["checksum"] for r in P.shard_manifest(mutated).collect()}
+        assert a != c
+
+    def test_single_exchange_plan(self, spark):
+        docs = _docs(spark, [(0, "a")])
+        plan = P.shard_manifest(docs)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
