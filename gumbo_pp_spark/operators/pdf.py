@@ -233,24 +233,37 @@ def pdf_text_bytes(data: bytes) -> tuple[str, int]:
 def extract_pdf_text(
     df: DataFrame, pdf_col: str = "pdf", passthrough: tuple[str, ...] = ("doc_id", "url")
 ) -> DataFrame:
-    """(passthrough..., text, n_pages) — map-only Arrow-batch stage,
-    the PDF sibling of ``extract_main_text``."""
+    """(passthrough..., text, n_pages, parse_ok) — map-only Arrow-batch
+    stage, the PDF sibling of ``extract_main_text``.
+
+    Resilient per document: a truncated file, corrupt Flate stream, or
+    any other malformed input yields (text='', n_pages=0,
+    parse_ok=false) as an ERROR RECORD instead of poisoning the task —
+    one bad object in 10^12 must not kill a 4-hour job; the parse_ok
+    column is the dirty-tail accounting (no silent drops)."""
     fields = ", ".join(
         f"{c} {t}" for c, t in
         [(f.name, f.dataType.simpleString()) for f in df.schema.fields if f.name in passthrough]
     )
-    schema = f"{fields}, text string, n_pages bigint"
+    schema = f"{fields}, text string, n_pages bigint, parse_ok boolean"
 
     def run(batches):
         import pyarrow as pa
 
         for batch in batches:
             cols = {c: batch.column(c) for c in passthrough}
-            texts, npages = [], []
+            texts, npages, oks = [], [], []
             for raw in batch.column(pdf_col):
-                t, np_ = pdf_text_bytes(raw.as_py())
+                try:
+                    t, np_ = pdf_text_bytes(raw.as_py())
+                    oks.append(True)
+                except Exception:
+                    t, np_ = "", 0
+                    oks.append(False)
                 texts.append(t)
                 npages.append(np_)
-            yield pa.RecordBatch.from_pydict({**cols, "text": texts, "n_pages": npages})
+            yield pa.RecordBatch.from_pydict(
+                {**cols, "text": texts, "n_pages": npages, "parse_ok": oks}
+            )
 
     return df.mapInArrow(run, schema)

@@ -930,7 +930,7 @@ def q_pdf_text(spark, sf_dir):
     from .sources.pdfs import synth_pdfs
 
     return extract_pdf_text(synth_pdfs(spark, sf_dir)).select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), "text", "n_pages"
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text", "n_pages", "parse_ok"
     )
 
 
@@ -940,7 +940,8 @@ _DUCK_PDF_TEXT = (
     "array_to_string(list_transform("
     "generate_series(1, CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT)), "
     "i -> array_to_string(string_split(text, ' ')[(i-1)*8+1 : i*8], ' ')), chr(10)) AS text, "
-    "CAST(CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_pages "
+    "CAST(CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_pages, "
+    "true AS parse_ok "
     "FROM documents"
 )
 

@@ -137,3 +137,35 @@ class TestPdfSpark:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestPdfResilience:
+    def test_malformed_inputs_become_error_records(self, spark):
+        import zlib as z
+
+        from gumbo_pp_spark.operators.pdf import extract_pdf_text
+        from gumbo_pp_spark.sources.pdfs import make_pdf
+
+        good = make_pdf(1, "fine body")
+        corrupt_flate = good.replace(z.compress(b"")[:0] or b"", b"", 1)
+        # corrupt by flipping bytes inside the stream region
+        i = good.find(b"stream\n") + 10
+        corrupt_flate = good[:i] + bytes([good[i] ^ 0xFF]) + good[i + 1 :]
+        rows = spark.createDataFrame(
+            [
+                (1, "u1", bytearray(good)),
+                (2, "u2", bytearray(b"not a pdf at all")),
+                (3, "u3", bytearray(good[: len(good) // 3])),  # truncated
+                (4, "u4", bytearray(corrupt_flate)),
+                (5, "u5", bytearray(b"")),
+            ],
+            "doc_id long, url string, pdf binary",
+        )
+        got = {r["doc_id"]: r for r in extract_pdf_text(rows).collect()}
+        assert got[1]["parse_ok"] and got[1]["text"].startswith("Doc 1")
+        assert len(got) == 5
+        for i in (4,):
+            assert not got[i]["parse_ok"] and got[i]["text"] == "" and got[i]["n_pages"] == 0
+        # not-a-pdf / empty parse to zero pages without error
+        for i in (2, 5):
+            assert got[i]["n_pages"] == 0 and got[i]["text"] == ""
