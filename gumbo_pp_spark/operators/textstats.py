@@ -670,3 +670,45 @@ def quality_classifier(
         f"CAST(size(split({text_col}, ' ')) AS BIGINT) AS n_tokens",
         f"{score} AS score",
     ).selectExpr("doc_id", "n_tokens", "score", "score > 0 AS label")
+
+
+def word_freq_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf-style frequency-of-frequencies: (freq, n_words) — how many
+    distinct words occur exactly ``freq`` times.  The standard corpus
+    health plot (a natural corpus is ~log-linear; dedup failures and
+    boilerplate floods bend it).
+
+    Scale shape: two keyed aggregations, both map-side combined — the
+    first collapses the token stream to |vocab| rows, the second
+    collapses vocab to |distinct freqs| rows; no row ever carries text
+    past the first exchange."""
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    counts = (
+        ensure_min_parallelism(df)
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return counts.groupBy("freq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words")
+    ).select(F.col("freq").cast("bigint"), "n_words")
+
+
+def holdout_split(
+    df: DataFrame, group_col: str = "source", val_pct: int = 10
+) -> DataFrame:
+    """Leakage-free train/validation assignment: the md5-uniform split
+    is keyed on the GROUP (host/source), never the document, so near-
+    duplicate documents sharing a group can never straddle the split —
+    the contamination channel a doc-keyed split leaves open.
+
+    Map-only (plan-literal threshold, no join, no shuffle, no RNG);
+    returns (doc_id, <group_col>, split)."""
+    u32 = f"CAST(conv(substring(md5({group_col}), 1, 8), 16, 10) AS BIGINT)"
+    thr = (val_pct * (1 << 32)) // 100
+    return df.selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        group_col,
+        f"CASE WHEN {u32} < {thr} THEN 'val' ELSE 'train' END AS split",
+    )

@@ -905,6 +905,17 @@ def q_embedding_near_dup(spark, sf_dir):
     return S.cosine_near_dup_pairs(_tbl(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_word_freq_histogram(spark, sf_dir):
+    # Zipf frequency-of-frequencies corpus health check
+    return T.word_freq_histogram(_docs(spark, sf_dir))
+
+
+def q_holdout_split(spark, sf_dir):
+    # leakage-free split keyed on source (the host proxy): documents
+    # sharing a group can never straddle train/val
+    return T.holdout_split(_docs(spark, sf_dir))
+
+
 def q_shard_manifest(spark, sf_dir):
     # training-export integrity manifest: md5-uniform shard assignment
     # + order-independent xor checksum per shard
@@ -1454,6 +1465,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_graph": q_link_graph,
     "pdf_text": q_pdf_text,
     "shard_manifest": q_shard_manifest,
+    "word_freq_histogram": q_word_freq_histogram,
+    "holdout_split": q_holdout_split,
     "text_quality": q_quality,
     "lang_id": q_lang_id,
     "normalize_text": q_normalize_text,
@@ -1726,6 +1739,17 @@ ORACLES: dict[str, str] = {
     "pagerank": _duck_pagerank_sql(),
     "pdf_text": _DUCK_PDF_TEXT,
     "shard_manifest": _DUCK_SHARD_MANIFEST,
+    "word_freq_histogram": (
+        "SELECT CAST(freq AS BIGINT) AS freq, CAST(count(*) AS BIGINT) AS n_words FROM ("
+        "SELECT word, count(*) AS freq FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY word"
+        ") GROUP BY freq"
+    ),
+    "holdout_split": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, source, "
+        f"CASE WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT < {(10 * (1 << 32)) // 100} "
+        "THEN 'val' ELSE 'train' END AS split FROM documents"
+    ),
     "link_graph": (
         "SELECT source || '.example.com' AS src_host, "
         "'site.example' AS dst_host, CAST(count(*) AS BIGINT) AS n_links "

@@ -302,3 +302,31 @@ class TestShardManifest:
         docs = _docs(spark, [(0, "a")])
         plan = P.shard_manifest(docs)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1
+
+
+class TestHoldoutAndHistogram:
+    def test_holdout_no_group_straddle(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"g{i % 13}", "w") for i in range(200)],
+            "doc_id bigint, source string, text string",
+        )
+        rows = T.holdout_split(docs, val_pct=30).collect()
+        by_group = {}
+        for r in rows:
+            by_group.setdefault(r["source"], set()).add(r["split"])
+        assert all(len(v) == 1 for v in by_group.values())
+        splits = {r["split"] for r in rows}
+        assert splits == {"train", "val"}
+
+    def test_holdout_map_only(self, spark):
+        docs = spark.createDataFrame([(0, "s", "t")], "doc_id bigint, source string, text string")
+        plan = T.holdout_split(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_histogram_conservation(self, spark):
+        docs = _docs(spark, [(0, "a a a b b c"), (1, "a d")])
+        rows = {r["freq"]: r["n_words"] for r in T.word_freq_histogram(docs).collect()}
+        # a:4, b:2, c:1, d:1
+        assert rows == {4: 1, 2: 1, 1: 2}
+        # sum(freq * n_words) == total tokens
+        assert sum(f * n for f, n in rows.items()) == 8
