@@ -905,6 +905,42 @@ def q_embedding_near_dup(spark, sf_dir):
     return S.cosine_near_dup_pairs(_tbl(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_multiformat_text(spark, sf_dir):
+    # multi-format ingestion: HTML pages and PDFs of the same corpus
+    # extracted by their format-specific parsers into ONE normalized
+    # (doc_id, fmt, text) table — the union is by construction, each
+    # branch stays its own map-only stage
+    from .operators.extract import extract_main_text
+    from .operators.pdf import extract_pdf_text
+    from .sources.pdfs import synth_pdfs
+
+    html = extract_main_text(synth_pages(spark, sf_dir), passthrough=("doc_id",)).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.lit("html").alias("fmt"),
+        "text",
+    )
+    pdf = extract_pdf_text(synth_pdfs(spark, sf_dir), passthrough=("doc_id",)).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.lit("pdf").alias("fmt"),
+        "text",
+    )
+    return html.unionByName(pdf)
+
+
+_DUCK_MULTIFORMAT = (
+    # html branch: title heading + body; pdf branch: the pdf_text oracle
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, 'html' AS fmt, "
+    "'Heading ' || CAST(doc_id AS VARCHAR) || text AS text FROM documents "
+    "UNION ALL "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, 'pdf' AS fmt, "
+    "'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || "
+    "array_to_string(list_transform("
+    "generate_series(1, CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT)), "
+    "i -> array_to_string(string_split(text, ' ')[(i-1)*8+1 : i*8], ' ')), chr(10)) AS text "
+    "FROM documents"
+)
+
+
 def q_word_freq_histogram(spark, sf_dir):
     # Zipf frequency-of-frequencies corpus health check
     return T.word_freq_histogram(_docs(spark, sf_dir))
@@ -1466,6 +1502,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_text": q_pdf_text,
     "shard_manifest": q_shard_manifest,
     "word_freq_histogram": q_word_freq_histogram,
+    "multiformat_text": q_multiformat_text,
     "holdout_split": q_holdout_split,
     "text_quality": q_quality,
     "lang_id": q_lang_id,
@@ -1739,6 +1776,7 @@ ORACLES: dict[str, str] = {
     "pagerank": _duck_pagerank_sql(),
     "pdf_text": _DUCK_PDF_TEXT,
     "shard_manifest": _DUCK_SHARD_MANIFEST,
+    "multiformat_text": _DUCK_MULTIFORMAT,
     "word_freq_histogram": (
         "SELECT CAST(freq AS BIGINT) AS freq, CAST(count(*) AS BIGINT) AS n_words FROM ("
         "SELECT word, count(*) AS freq FROM ("

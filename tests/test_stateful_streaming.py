@@ -28,3 +28,35 @@ def test_stream_dedup_first_seen_only(spark, tmp_path):
     got = spark.sql("SELECT * FROM deduped_urls")
     assert got.count() == 100
     assert got.select("url").distinct().count() == 100
+
+
+def test_quality_classifier_streams_stateless(spark, tmp_path):
+    """The hashed classifier gate is a pure map stage, so the SAME
+    operator code runs unchanged over readStream — scores byte-equal
+    to the batch run on the same files."""
+    from pyspark.sql import functions as F
+
+    from gumbo_pp_spark.operators.textstats import quality_classifier
+
+    docs = synth_pages(spark, SF_SMOKE).select(
+        "doc_id", F.col("text")
+    ).limit(60)
+    src = str(tmp_path / "qc_in")
+    docs.write.parquet(src)
+
+    batch = {r["doc_id"]: (r["score"], r["label"])
+             for r in quality_classifier(spark.read.parquet(src)).collect()}
+    stream_in = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = (
+        quality_classifier(stream_in)
+        .writeStream.format("memory")
+        .queryName("qc_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "qc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["doc_id"]: (r["score"], r["label"])
+           for r in spark.sql("SELECT * FROM qc_stream").collect()}
+    assert got == batch and len(got) == 60
