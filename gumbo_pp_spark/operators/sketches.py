@@ -138,3 +138,53 @@ def kmv_distinct(df: DataFrame, k: int = 16, text_col: str = "text") -> DataFram
         "kth_hash",
         f"CAST((k_used - 1) * {1 << 32} DIV kth_hash AS BIGINT) AS est_distinct",
     )
+
+
+def length_quantiles(
+    df: DataFrame,
+    probs_e2: tuple[int, ...] = (25, 50, 75, 90, 99),
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact corpus quantiles of document token length WITHOUT a
+    global sort or driver collect: (p_e2, value) where value is the
+    smallest length whose cumulative count covers p% of documents
+    (type-1 quantile).
+
+    Scale shape: the length distribution collapses to one row per
+    DISTINCT length (map-side combined groupBy — thousands of rows at
+    any corpus size, the same trick as the frequency histogram); the
+    cumulative sum and the probe run over that tiny table, so the
+    only corpus-sized stage is the first map+partial-agg.  This is
+    the exact-histogram cousin of a t-digest: for integer-valued
+    statistics the histogram IS the sketch, no approximation needed."""
+    from pyspark.sql import Window
+
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    lens = (
+        ensure_min_parallelism(df)
+        .selectExpr(f"size(split({text_col}, ' ')) AS len")
+        .groupBy("len")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    cum = lens.select(
+        "len",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy("len").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    probs = ", ".join(str(p) for p in probs_e2)
+    probed = cum.crossJoin(
+        F.broadcast(
+            df.sparkSession.range(1).selectExpr(f"explode(array({probs})) AS p_e2")
+        )
+    ).where(F.col("cum") * 100 >= F.col("p_e2") * F.col("total"))
+    return (
+        probed.groupBy("p_e2")
+        .agg(F.min("len").alias("value"))
+        .select(F.col("p_e2").cast("bigint"), F.col("value").cast("bigint"))
+    )

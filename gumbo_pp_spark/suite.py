@@ -905,6 +905,25 @@ def q_embedding_near_dup(spark, sf_dir):
     return S.cosine_near_dup_pairs(_tbl(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_length_quantiles(spark, sf_dir):
+    # exact token-length quantiles from the length histogram - no
+    # global sort, no driver collect
+    from .operators import sketches as SK
+
+    return SK.length_quantiles(_docs(spark, sf_dir))
+
+
+_DUCK_LENGTH_QUANTILES = (
+    "WITH lens AS (SELECT len(string_split(text, ' ')) AS len, count(*) AS cnt "
+    "FROM documents GROUP BY 1), "
+    "cum AS (SELECT len, sum(cnt) OVER (ORDER BY len) AS cum, "
+    "sum(cnt) OVER () AS total FROM lens), "
+    "probs AS (SELECT unnest([25, 50, 75, 90, 99]) AS p_e2) "
+    "SELECT CAST(p_e2 AS BIGINT) AS p_e2, CAST(min(len) AS BIGINT) AS value "
+    "FROM cum CROSS JOIN probs WHERE cum * 100 >= p_e2 * total GROUP BY p_e2"
+)
+
+
 def q_multiformat_text(spark, sf_dir):
     # multi-format ingestion: HTML pages and PDFs of the same corpus
     # extracted by their format-specific parsers into ONE normalized
@@ -1503,6 +1522,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_manifest": q_shard_manifest,
     "word_freq_histogram": q_word_freq_histogram,
     "multiformat_text": q_multiformat_text,
+    "length_quantiles": q_length_quantiles,
     "holdout_split": q_holdout_split,
     "text_quality": q_quality,
     "lang_id": q_lang_id,
@@ -1777,6 +1797,7 @@ ORACLES: dict[str, str] = {
     "pdf_text": _DUCK_PDF_TEXT,
     "shard_manifest": _DUCK_SHARD_MANIFEST,
     "multiformat_text": _DUCK_MULTIFORMAT,
+    "length_quantiles": _DUCK_LENGTH_QUANTILES,
     "word_freq_histogram": (
         "SELECT CAST(freq AS BIGINT) AS freq, CAST(count(*) AS BIGINT) AS n_words FROM ("
         "SELECT word, count(*) AS freq FROM ("

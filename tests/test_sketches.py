@@ -99,3 +99,34 @@ class TestKmvDistinct:
         plan = SK.kmv_distinct(docs)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
         assert "Sort [h" not in plan  # no full sort stage
+
+
+class TestLengthQuantiles:
+    def test_matches_numpy_type1(self, spark):
+        import numpy as np
+
+        texts = [(i, " ".join("w" for _ in range(1 + (i * 7) % 50))) for i in range(200)]
+        docs = _docs(spark, texts)
+        got = {r["p_e2"]: r["value"]
+               for r in SK.length_quantiles(docs).collect()}
+        lens = np.sort([len(t.split(" ")) for _, t in texts])
+        n = len(lens)
+        for p in (25, 50, 75, 90, 99):
+            # smallest value covering >= p% of docs (type-1)
+            import math
+
+            k = math.ceil(p * n / 100)
+            assert got[p] == lens[k - 1], p
+
+    def test_constant_lengths(self, spark):
+        docs = _docs(spark, [(i, "a b c") for i in range(10)])
+        got = {r["p_e2"]: r["value"] for r in SK.length_quantiles(docs).collect()}
+        assert set(got.values()) == {3}
+
+    def test_corpus_stage_is_partial_agg(self, spark):
+        docs = _docs(spark, [(i, "a b") for i in range(10)])
+        plan = SK.length_quantiles(docs)._jdf.queryExecution().executedPlan().toString()
+        # the corpus-sized stage must partial-aggregate before its
+        # exchange; downstream windows run on the collapsed histogram
+        assert "partial_count" in plan or "HashAggregate" in plan
+        assert "CartesianProduct" not in plan
