@@ -48,6 +48,11 @@ HEADLINE_QUERIES = [
     "doc_fingerprints",
     "lineitem_agg",
     "events_sessions",
+    # round-7 families: semantic dedup, model gate, graph, PDF parse
+    "semantic_dedup",
+    "quality_classifier",
+    "pagerank",
+    "pdf_text",
 ]
 
 
