@@ -1012,6 +1012,38 @@ _DUCK_PDF_TEXT = (
 )
 
 
+def q_warc_extract(spark, sf_dir):
+    # WARC crawl-to-text round trip (north rule: "Common-Crawl-style
+    # web pages"): pages → spec-written .warc.gz (one gzip member per
+    # record, CC layout) + CDX sidecar → ranged-read CDX source →
+    # flagship extraction; doc_id recovered from WARC-Target-URI.  The
+    # write happens once per sf_dir (atomic _SUCCESS marker) — re-runs
+    # only exercise the read path, like a real crawl archive.
+    import hashlib
+    import os
+
+    from .sources.warc import read_warc_cdx, write_warc_corpus
+
+    out_dir = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"),
+        "gumbo_pp_spark_warc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        write_warc_corpus(synth_pages(spark, sf_dir), out_dir, n_files=8)
+        with open(marker, "w") as f:
+            f.write("")
+    pages = read_warc_cdx(spark, out_dir).filter("warc_ok")
+    ids = pages.withColumn(
+        "doc_id", F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint")
+    )
+    out = extract_main_text(ids, passthrough=("doc_id",))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("text").alias("main_text"),
+    )
+
+
 def q_link_graph(spark, sf_dir):
     # web-graph construction from PARSED anchors (the parser feeds the
     # graph stage); oracle = ground truth of the synthetic page shape
@@ -1519,6 +1551,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "link_graph": q_link_graph,
     "pdf_text": q_pdf_text,
+    "warc_extract": q_warc_extract,
     "shard_manifest": q_shard_manifest,
     "word_freq_histogram": q_word_freq_histogram,
     "multiformat_text": q_multiformat_text,
@@ -1795,6 +1828,12 @@ ORACLES: dict[str, str] = {
     "kmv_distinct": _DUCK_KMV,
     "pagerank": _duck_pagerank_sql(),
     "pdf_text": _DUCK_PDF_TEXT,
+    # WARC round trip lands on the same extracted text as the direct
+    # html path — the archive adds framing, not content
+    "warc_extract": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "'Heading ' || CAST(doc_id AS STRING) || text AS main_text FROM documents"
+    ),
     "shard_manifest": _DUCK_SHARD_MANIFEST,
     "multiformat_text": _DUCK_MULTIFORMAT,
     "length_quantiles": _DUCK_LENGTH_QUANTILES,
