@@ -41,10 +41,17 @@ def compile_selector(spec) -> m.Matcher:
       ["content_contains"|"content_is"|"content_starts_with"|
         "content_ends_with", text, ...] / ["content_is_empty"]
       ["inner_..."], ["outer_..."]             same four + is_empty
+      ["css", selector_string]                 CSS subset (css.py)
     """
     if not isinstance(spec, (list, tuple)) or not spec:
         raise ValueError(f"invalid selector spec: {spec!r}")
     verb, *args = spec
+    if verb == "css":
+        # CSS selector string (css.py) — selector strings ride the
+        # same serializable IR as the verb forms
+        from .css import css as _css
+
+        return _css(args[0])
     if verb in _COMBINATORS:
         return _COMBINATORS[verb](*[compile_selector(a) for a in args])
     if verb == "not":

@@ -1012,6 +1012,41 @@ _DUCK_PDF_TEXT = (
 )
 
 
+def q_html_css_select(spark, sf_dir):
+    # CSS selector strings compiled onto the matcher algebra (css.py)
+    # — one query exercising all four combinators (descendant, child,
+    # +, ~) plus class-token / attr-prefix simple selectors, against
+    # the deterministic page template
+    from .css import css
+
+    sels = {
+        "h1_text": (css("body > div.doc main > article > h1"), "content"),
+        "body_text": (css("h1 + p.body"), "content"),
+        "fine_text": (css("nav.menu ~ footer p.fine"), "content"),
+        "home_href": (css("nav.menu li > a[href^='https://site.example/']"), "attr:href"),
+    }
+    progs = [
+        select_first_program(mt, {k: spec}) for k, (mt, spec) in sels.items()
+    ]
+
+    def program(nt):
+        out = {}
+        for p in progs:
+            out.update(p(nt))
+        return out
+
+    out = run_program(
+        synth_pages(spark, sf_dir),
+        program,
+        "h1_text string, body_text string, fine_text string, home_href string",
+        passthrough=("doc_id",),
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "h1_text", "body_text", "fine_text", "home_href",
+    )
+
+
 def q_warc_extract(spark, sf_dir):
     # WARC crawl-to-text round trip (north rule: "Common-Crawl-style
     # web pages"): pages → spec-written .warc.gz (one gzip member per
@@ -1552,6 +1587,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_graph": q_link_graph,
     "pdf_text": q_pdf_text,
     "warc_extract": q_warc_extract,
+    "html_css_select": q_html_css_select,
     "shard_manifest": q_shard_manifest,
     "word_freq_histogram": q_word_freq_histogram,
     "multiformat_text": q_multiformat_text,
@@ -1833,6 +1869,14 @@ ORACLES: dict[str, str] = {
     "warc_extract": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
         "'Heading ' || CAST(doc_id AS STRING) || text AS main_text FROM documents"
+    ),
+    "html_css_select": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "'Heading ' || CAST(doc_id AS STRING) AS h1_text, "
+        "text AS body_text, "
+        "'source ' || source AS fine_text, "
+        "'https://site.example/' || CAST(doc_id AS STRING) AS home_href "
+        "FROM documents"
     ),
     "shard_manifest": _DUCK_SHARD_MANIFEST,
     "multiformat_text": _DUCK_MULTIFORMAT,
