@@ -17,6 +17,7 @@ Catalyst prunes the scan to exactly the input columns the stage needs
 
 from __future__ import annotations
 
+import re
 from typing import Callable, Iterable, Iterator
 
 import numpy as np
@@ -24,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..nodetable import CDATA, TEXT, WHITESPACE, NodeTable
+from ..nodetable import CDATA, ELEMENT, TEXT, WHITESPACE, NodeTable
 from ..parser.html5 import parse_html
 from ..parser.tags import TAG_IDS
 
@@ -764,3 +765,110 @@ def link_graph(df: DataFrame) -> DataFrame:
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_links"))
     )
+
+
+# ----------------------------------------------------------------------
+# kernel: density-scored main-block selection (DOM heuristics)
+# ----------------------------------------------------------------------
+# the classic readability negative hints; bare "ad" deliberately needs
+# a token edge ("heading" must not match)
+_NEG_HINT = re.compile(
+    r"nav|menu|footer|header|sidebar|aside|comment|share|promo|related"
+    r"|banner|breadcrumb|(^|[-_ ])ads?([-_ ]|$)",
+    re.I,
+)
+_CANDIDATE_TAGS = frozenset("body div main article section td".split())
+_CAND_LUT = np.zeros(max(TAG_IDS.values()) + 2, dtype=bool)
+_CAND_LUT[[TAG_IDS[t] for t in _CANDIDATE_TAGS]] = True
+_A_ID = TAG_IDS["a"]
+LINK_PENALTY = 5
+
+DENSITY_FIELDS = (
+    "block_tag string, block_text string, text_chars bigint, "
+    "link_chars bigint, score bigint, n_candidates int"
+)
+
+
+def density_extract_program(nt: NodeTable) -> dict:
+    """Readability/boilerpipe-family main-CONTENT-BLOCK selection (the
+    north rule's "DOM heuristics" beside the fixed tag-list strip of
+    ``main_text_program``), as vectorized interval kernels:
+
+    1. EXCLUDE chrome: the flagship boilerplate tags PLUS elements
+       whose class/id matches the classic negative hints
+       (nav|menu|footer|sidebar|…) — subtree-painted out.
+    2. SCORE every candidate block (body/div/main/article/section/td
+       not excluded): ``kept_text_chars − 5 × kept_link_text_chars``
+       — a link farm with much anchor text scores negative, prose
+       scores its length (boilerpipe's link-density signal in integer
+       form).
+    3. PICK the max score; ties go to the SMALLEST subtree, then the
+       latest preorder id — so a wrapper chain (body > div > main >
+       article) resolves to the innermost block holding the text.
+
+    Output text is the kept (chrome-stripped) text of the winning
+    block, content_text semantics (document order, no separators).
+    """
+    t = nt.type
+    tag_id = nt.tag_id
+    textual = _TEXTUAL_LUT[t]
+    text_lens = np.where(textual, nt.text_lengths(), 0)
+
+    bad = np.nonzero(_BOILER_LUT[tag_id])[0]
+    cls = nt.attr_values("class")
+    idv = nt.attr_values("id")
+    hinted = np.nonzero(((cls != None) | (idv != None)) & (t == ELEMENT))[0]  # noqa: E711
+    if len(hinted):
+        hint_bad = [
+            int(i)
+            for i in hinted
+            if _NEG_HINT.search((cls[i] or "") + " " + (idv[i] or ""))
+        ]
+        if hint_bad:
+            bad = np.union1d(bad, np.asarray(hint_bad, dtype=np.int64))
+    excluded = _excluded_mask(nt, bad) if len(bad) else np.zeros(nt.n, dtype=bool)
+
+    kept = np.where(excluded, 0, text_lens)
+    a_roots = np.nonzero((tag_id == _A_ID) & ~excluded)[0]
+    in_a = _excluded_mask(nt, a_roots) if len(a_roots) else np.zeros(nt.n, dtype=bool)
+    link = np.where(in_a, kept, 0)
+
+    ctext = np.empty(nt.n + 1, dtype=np.int64)
+    ctext[0] = 0
+    np.cumsum(kept, out=ctext[1:])
+    clink = np.empty(nt.n + 1, dtype=np.int64)
+    clink[0] = 0
+    np.cumsum(link, out=clink[1:])
+
+    cand = np.nonzero(_CAND_LUT[tag_id] & ~excluded)[0]
+    empty = {
+        "block_tag": None, "block_text": None, "text_chars": None,
+        "link_chars": None, "score": None, "n_candidates": int(len(cand)),
+    }
+    if len(cand) == 0:
+        return empty
+    se = nt.subtree_end[cand]
+    tc = ctext[se] - ctext[cand]
+    lc = clink[se] - clink[cand]
+    score = tc - LINK_PENALTY * lc
+    order = np.lexsort((-cand, se - cand, -score))
+    w = int(cand[order[0]])
+    wi = int(order[0])
+    if tc[wi] == 0:
+        return empty
+    lo, hi = w, int(nt.subtree_end[w])
+    ids = np.nonzero(textual[lo:hi] & ~excluded[lo:hi])[0] + lo
+    return {
+        "block_tag": str(nt.tag_name[w]),
+        "block_text": "".join(nt.text[ids].tolist()),
+        "text_chars": int(tc[wi]),
+        "link_chars": int(lc[wi]),
+        "score": int(score[wi]),
+        "n_candidates": int(len(cand)),
+    }
+
+
+def density_extract(df: DataFrame, passthrough=("doc_id",)) -> DataFrame:
+    """Map-only density-scored block extraction (same execution shape
+    as the flagship: pruned scan → mapInArrow → columns, no shuffle)."""
+    return run_program(df, density_extract_program, DENSITY_FIELDS, passthrough=passthrough)

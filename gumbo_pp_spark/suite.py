@@ -1012,6 +1012,25 @@ _DUCK_PDF_TEXT = (
 )
 
 
+def q_html_density_extract(spark, sf_dir):
+    # DOM-heuristic (readability/boilerpipe-family) main-block
+    # selection: density scoring with link penalty + negative class/id
+    # hints.  On the template the wrapper chain body>div>main>article
+    # resolves to <article> via the smallest-subtree tie-break, with
+    # nav/footer excluded before scoring.
+    from .operators.extract import density_extract
+
+    out = density_extract(synth_pages(spark, sf_dir), passthrough=("doc_id",))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "block_tag",
+        "block_text",
+        F.col("text_chars").cast("bigint").alias("text_chars"),
+        F.col("link_chars").cast("bigint").alias("link_chars"),
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+    )
+
+
 def q_html_css_select(spark, sf_dir):
     # CSS selector strings compiled onto the matcher algebra (css.py)
     # — one query exercising all four combinators (descendant, child,
@@ -1588,6 +1607,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_text": q_pdf_text,
     "warc_extract": q_warc_extract,
     "html_css_select": q_html_css_select,
+    "html_density_extract": q_html_density_extract,
     "shard_manifest": q_shard_manifest,
     "word_freq_histogram": q_word_freq_histogram,
     "multiformat_text": q_multiformat_text,
@@ -1876,6 +1896,18 @@ ORACLES: dict[str, str] = {
         "text AS body_text, "
         "'source ' || source AS fine_text, "
         "'https://site.example/' || CAST(doc_id AS STRING) AS home_href "
+        "FROM documents"
+    ),
+    # density winner = <article> (nav/footer excluded → body/div/main/
+    # article tie on score, smallest subtree wins); candidates left
+    # after exclusion: body, div.doc, main, article
+    "html_density_extract": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "'article' AS block_tag, "
+        "'Heading ' || CAST(doc_id AS STRING) || text AS block_text, "
+        "CAST(length('Heading ' || CAST(doc_id AS STRING) || text) AS BIGINT) AS text_chars, "
+        "CAST(0 AS BIGINT) AS link_chars, "
+        "CAST(4 AS BIGINT) AS n_candidates "
         "FROM documents"
     ),
     "shard_manifest": _DUCK_SHARD_MANIFEST,
