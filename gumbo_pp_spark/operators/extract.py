@@ -872,3 +872,42 @@ def density_extract(df: DataFrame, passthrough=("doc_id",)) -> DataFrame:
     """Map-only density-scored block extraction (same execution shape
     as the flagship: pruned scan → mapInArrow → columns, no shuffle)."""
     return run_program(df, density_extract_program, DENSITY_FIELDS, passthrough=passthrough)
+
+
+# ----------------------------------------------------------------------
+# head metadata: canonical link + robots directives (crawl hygiene)
+# ----------------------------------------------------------------------
+HEAD_META_FIELDS = "title string, canonical string, robots string"
+
+
+def head_meta_program() -> Callable[[NodeTable], dict]:
+    """<head> signals a CC-style pipeline reads before dedup/indexing:
+    rel=canonical (mirror-cluster collapse), meta robots (index
+    gating), title.  Selectors are CSS strings — the css.py front-end
+    feeding a production program."""
+    from ..css import css
+
+    progs = [
+        select_first_program(css("head > title"), {"title": "content"}),
+        select_first_program(css('link[rel=canonical]'), {"canonical": "attr:href"}),
+        select_first_program(css('meta[name=robots]'), {"robots": "attr:content"}),
+    ]
+
+    def program(nt: NodeTable) -> dict:
+        out: dict = {}
+        for p in progs:
+            out.update(p(nt))
+        return out
+
+    return program
+
+
+def extract_head_meta(df: DataFrame, passthrough=("doc_id",)) -> DataFrame:
+    """Map-only head-metadata extraction; adds ``indexable`` (no
+    'noindex' directive — absent robots meta defaults to indexable,
+    per the robots-meta convention)."""
+    out = run_program(df, head_meta_program(), HEAD_META_FIELDS, passthrough=passthrough)
+    return out.withColumn(
+        "indexable",
+        F.coalesce(~F.col("robots").contains("noindex"), F.lit(True)),
+    )

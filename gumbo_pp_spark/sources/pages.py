@@ -231,3 +231,26 @@ def synth_pages_bench(
         LATERAL VIEW explode(sequence(0, {replicate - 1})) t AS rep
         """
     )
+
+
+# head-metadata page family: rel=canonical + meta robots — the crawl
+# frontier / index-gating signals a CC-style pipeline reads before
+# dedup (canonical clusters collapse mirrors; noindex drops pages).
+# Canonical targets doc_id % 100: a deterministic many-to-one cluster
+# structure for the downstream grouping oracle.
+META_HTML_EXPR = (
+    "'<html><head><title>Doc ' || " + _ID + " || '</title>'"
+    " || '<link rel=\"canonical\" href=\"https://' || source || '.example.com/doc/'"
+    " || CAST(doc_id % 100 AS STRING) || '\">'"
+    " || '<meta name=\"robots\" content=\"'"
+    " || CASE WHEN doc_id % 10 = 3 THEN 'noindex,nofollow' ELSE 'index,follow' END"
+    " || '\">'"
+    " || '</head><body><p>' || " + ESC_TEXT + " || '</p></body></html>'"
+)
+
+
+def synth_meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_documents(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT doc_id, " + META_HTML_EXPR + " AS html_str FROM documents"
+    ).selectExpr("doc_id", "CAST(encode(html_str, 'UTF-8') AS BINARY) AS html")

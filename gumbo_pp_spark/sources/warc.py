@@ -40,7 +40,7 @@ from __future__ import annotations
 import gzip
 import os
 import zlib
-from typing import Iterable, Iterator
+from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
@@ -226,32 +226,34 @@ def write_warc_corpus(pages: DataFrame, out_dir: str, n_files: int = 8) -> None:
 # ----------------------------------------------------------------------
 # distributed sources
 # ----------------------------------------------------------------------
+def parse_content_batches(batches):
+    """Arrow kernel shared by the batch and streaming readers: a
+    ``binaryFile`` ``content`` column in, WARC_FIELDS batches out."""
+    import pyarrow as pa
+
+    for batch in batches:
+        for blob in batch.column("content"):
+            rows = list(_iter_file_records(blob.as_py()))
+            if not rows:
+                continue
+            urls, tss, htmls, oks = zip(*rows)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, pa.string()),
+                    pa.array(tss, pa.timestamp("us")),
+                    pa.array(htmls, pa.binary()),
+                    pa.array(oks, pa.bool_()),
+                ],
+                ["url", "warc_ts", "html", "warc_ok"],
+            )
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """File-per-task WARC scan (CC-standard granularity; see module
     docstring).  Output: ``url, warc_ts, html, warc_ok``."""
-    import pyarrow as pa
-
     files = spark.read.format("binaryFile").load(f"{path}/*.warc.gz") \
         .select("content")
-
-    def parse(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for batch in batches:
-            for blob in batch.column("content"):
-                rows = list(_iter_file_records(blob.as_py()))
-                if not rows:
-                    continue
-                urls, tss, htmls, oks = zip(*rows)
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(urls, pa.string()),
-                        pa.array(tss, pa.timestamp("us")),
-                        pa.array(htmls, pa.binary()),
-                        pa.array(oks, pa.bool_()),
-                    ],
-                    ["url", "warc_ts", "html", "warc_ok"],
-                )
-
-    return files.mapInArrow(parse, WARC_FIELDS)
+    return files.mapInArrow(parse_content_batches, WARC_FIELDS)
 
 
 def read_warc_cdx(

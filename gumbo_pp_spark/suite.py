@@ -1012,6 +1012,20 @@ _DUCK_PDF_TEXT = (
 )
 
 
+def q_head_meta(spark, sf_dir):
+    # crawl-hygiene head signals (rel=canonical, meta robots, title)
+    # selected via CSS-string programs; indexable = no noindex
+    # directive (absent meta defaults indexable)
+    from .operators.extract import extract_head_meta
+    from .sources.pages import synth_meta_pages
+
+    out = extract_head_meta(synth_meta_pages(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "title", "canonical", "robots", "indexable",
+    )
+
+
 def q_html_density_extract(spark, sf_dir):
     # DOM-heuristic (readability/boilerpipe-family) main-block
     # selection: density scoring with link penalty + negative class/id
@@ -1608,6 +1622,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_extract": q_warc_extract,
     "html_css_select": q_html_css_select,
     "html_density_extract": q_html_density_extract,
+    "head_meta": q_head_meta,
     "shard_manifest": q_shard_manifest,
     "word_freq_histogram": q_word_freq_histogram,
     "multiformat_text": q_multiformat_text,
@@ -1896,6 +1911,14 @@ ORACLES: dict[str, str] = {
         "text AS body_text, "
         "'source ' || source AS fine_text, "
         "'https://site.example/' || CAST(doc_id AS STRING) AS home_href "
+        "FROM documents"
+    ),
+    "head_meta": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "'Doc ' || CAST(doc_id AS STRING) AS title, "
+        "'https://' || source || '.example.com/doc/' || CAST(doc_id % 100 AS STRING) AS canonical, "
+        "CASE WHEN doc_id % 10 = 3 THEN 'noindex,nofollow' ELSE 'index,follow' END AS robots, "
+        "(doc_id % 10 <> 3) AS indexable "
         "FROM documents"
     ),
     # density winner = <article> (nav/footer excluded → body/div/main/

@@ -1,0 +1,55 @@
+"""Head-metadata extraction (extract.extract_head_meta): canonical /
+robots / title via CSS-string programs — the crawl-hygiene signals
+read before dedup and indexing."""
+
+from gumbo_pp_spark import parse_html
+from gumbo_pp_spark.operators.extract import extract_head_meta, head_meta_program
+
+from .conftest import SF_SMOKE
+
+
+class TestProgram:
+    def test_full_head(self):
+        doc = (
+            "<html><head><title>T</title>"
+            '<link rel="canonical" href="https://a/b">'
+            '<meta name="robots" content="noindex,nofollow">'
+            "</head><body><p>x</p></body></html>"
+        )
+        r = head_meta_program()(parse_html(doc))
+        assert r == {"title": "T", "canonical": "https://a/b", "robots": "noindex,nofollow"}
+
+    def test_absent_signals_are_null(self):
+        r = head_meta_program()(parse_html("<html><head></head><body>x</body></html>"))
+        assert r == {"title": None, "canonical": None, "robots": None}
+
+    def test_other_link_and_meta_do_not_match(self):
+        doc = (
+            '<head><link rel="stylesheet" href="s.css">'
+            '<meta name="viewport" content="width=device-width"></head>'
+        )
+        r = head_meta_program()(parse_html(doc))
+        assert r["canonical"] is None and r["robots"] is None
+
+
+class TestSparkStage:
+    def test_indexable_defaults_true_when_meta_absent(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(b"<head><meta name=robots content=noindex></head>")),
+                (2, bytearray(b"<head><title>t</title></head>")),
+            ],
+            "doc_id long, html binary",
+        )
+        rows = {r.doc_id: r for r in extract_head_meta(df).collect()}
+        assert rows[1].indexable is False
+        assert rows[2].indexable is True and rows[2].robots is None
+
+    def test_meta_pages_family(self, spark):
+        from gumbo_pp_spark.sources.pages import synth_meta_pages
+
+        out = extract_head_meta(synth_meta_pages(spark, SF_SMOKE)).collect()
+        assert len(out) == 500
+        by_id = {r.doc_id: r for r in out}
+        assert by_id[3].indexable is False and by_id[4].indexable is True
+        assert by_id[123].canonical.endswith("/doc/23")
