@@ -709,3 +709,34 @@ def minhash_contamination(
             F.max("n_eq").cast("bigint").alias("max_n_eq"),
         )
     )
+
+
+def canonical_url_collapse(meta: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Mirror-cluster collapse over rel=canonical targets (the
+    crawl-hygiene companion of :func:`canonical_docs`: where near-dup
+    components DISCOVER clusters, the canonical link is the site
+    DECLARING them — CDNs, tracking-parameter variants, mirrors all
+    point at one canonical URL).
+
+    Input is :func:`~gumbo_pp_spark.operators.extract.extract_head_meta`
+    output (``id_col, canonical, indexable``); rows without a canonical
+    link are their own singleton clusters and are excluded here (they
+    need no collapse).  Returns one row per declared cluster:
+    ``canonical, rep_doc_id`` (smallest member id — deterministic,
+    mirrors ``canonical_docs``), ``n_members, n_indexable``.
+
+    Scale shape: ONE hash shuffle on the canonical URL with map-side
+    partial aggregation (min/count/sum all combine); no join, no
+    window, output is cluster-sized (≪ corpus).  Skewed mega-clusters
+    (a whole host declaring one canonical) are safe: partial aggs
+    collapse them map-side before the exchange.
+    """
+    return (
+        meta.filter(F.col("canonical").isNotNull())
+        .groupBy("canonical")
+        .agg(
+            F.min(id_col).cast("bigint").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("indexable").cast("long")).alias("n_indexable"),
+        )
+    )

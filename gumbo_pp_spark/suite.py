@@ -1026,6 +1026,18 @@ def q_head_meta(spark, sf_dir):
     )
 
 
+def q_canonical_collapse(spark, sf_dir):
+    # declared mirror-cluster collapse: head_meta's rel=canonical
+    # targets grouped into clusters (one shuffle, map-side combine);
+    # rep = smallest member id, mirroring canonical_docs
+    from .operators.dedup import canonical_url_collapse
+    from .operators.extract import extract_head_meta
+    from .sources.pages import synth_meta_pages
+
+    meta = extract_head_meta(synth_meta_pages(spark, sf_dir))
+    return canonical_url_collapse(meta)
+
+
 def q_html_density_extract(spark, sf_dir):
     # DOM-heuristic (readability/boilerpipe-family) main-block
     # selection: density scoring with link penalty + negative class/id
@@ -1623,6 +1635,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_css_select": q_html_css_select,
     "html_density_extract": q_html_density_extract,
     "head_meta": q_head_meta,
+    "canonical_collapse": q_canonical_collapse,
     "shard_manifest": q_shard_manifest,
     "word_freq_histogram": q_word_freq_histogram,
     "multiformat_text": q_multiformat_text,
@@ -1920,6 +1933,14 @@ ORACLES: dict[str, str] = {
         "CASE WHEN doc_id % 10 = 3 THEN 'noindex,nofollow' ELSE 'index,follow' END AS robots, "
         "(doc_id % 10 <> 3) AS indexable "
         "FROM documents"
+    ),
+    "canonical_collapse": (
+        "SELECT canonical, MIN(doc_id) AS rep_doc_id, "
+        "COUNT(*) AS n_members, "
+        "CAST(SUM(CASE WHEN doc_id % 10 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_indexable "
+        "FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "'https://' || source || '.example.com/doc/' || CAST(doc_id % 100 AS STRING) AS canonical "
+        "FROM documents) GROUP BY canonical"
     ),
     # density winner = <article> (nav/footer excluded → body/div/main/
     # article tie on score, smallest subtree wins); candidates left

@@ -53,3 +53,28 @@ class TestSparkStage:
         by_id = {r.doc_id: r for r in out}
         assert by_id[3].indexable is False and by_id[4].indexable is True
         assert by_id[123].canonical.endswith("/doc/23")
+
+
+class TestCanonicalCollapse:
+    def test_clusters_and_plan(self, spark):
+        from gumbo_pp_spark.operators.dedup import canonical_url_collapse
+
+        meta = spark.createDataFrame(
+            [
+                (1, "https://c/a", True),
+                (2, "https://c/a", False),
+                (7, "https://c/b", True),
+                (9, None, True),  # no declared canonical → excluded
+            ],
+            "doc_id long, canonical string, indexable boolean",
+        )
+        out = canonical_url_collapse(meta)
+        rows = {r.canonical: r for r in out.collect()}
+        assert set(rows) == {"https://c/a", "https://c/b"}
+        a = rows["https://c/a"]
+        assert (a.rep_doc_id, a.n_members, a.n_indexable) == (1, 2, 1)
+        # ONE shuffle, map-side partial agg (skewed mega-cluster safety)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("Exchange hashpartitioning") == 1
+        assert "partial_min" in plan or "partial_count" in plan
