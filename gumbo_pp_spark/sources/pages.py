@@ -254,3 +254,40 @@ def synth_meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, " + META_HTML_EXPR + " AS html_str FROM documents"
     ).selectExpr("doc_id", "CAST(encode(html_str, 'UTF-8') AS BINARY) AS html")
+
+
+# charset page family: the same logical page serialized in four
+# transfer encodings a real crawl mixes — (doc_id % 4) 0: utf-8 with
+# meta charset; 1: ISO-8859-1 bytes with meta (label → windows-1252
+# per the Encoding Standard); 2: UTF-16LE with BOM (BOM beats meta);
+# 3: ISO-8859-1 bytes with NO declaration (→ the windows-1252
+# default).  Body text carries 0xE9/0xBA bytes ('café nº') so a wrong
+# decode is a loud value mismatch, not a silent pass.
+CHARSET_BODY = "'café nº ' || CAST(doc_id AS STRING)"
+_CHARSET_DOC = (
+    "'<html><head>' || m.meta || '<title>Doc ' || " + _ID + " || '</title>'"
+    " || '</head><body><p>' || " + CHARSET_BODY + " || '</p></body></html>'"
+)
+
+
+def synth_charset_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_documents(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT doc_id,
+          CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN encode(html_str, 'UTF-8')
+            WHEN 1 THEN encode(html_str, 'ISO-8859-1')
+            WHEN 2 THEN X'FFFE' || encode(html_str, 'UTF-16LE')
+            ELSE encode(html_str, 'ISO-8859-1')
+          END AS html
+        FROM (
+          SELECT doc_id, """ + _CHARSET_DOC + """ AS html_str
+          FROM documents,
+          LATERAL (SELECT CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN '<meta charset="utf-8">'
+            WHEN 1 THEN '<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">'
+            ELSE '' END AS meta) m
+        )
+        """
+    )

@@ -1026,6 +1026,37 @@ def q_head_meta(spark, sf_dir):
     )
 
 
+def q_charset_extract(spark, sf_dir):
+    # WHATWG encoding sniff (BOM → meta prescan → windows-1252
+    # default) + transcode ahead of the parse: the same logical page
+    # arrives as utf-8/meta, iso-8859-1/meta, utf-16le/BOM and
+    # undeclared windows-1252 bytes; all four decode to identical text
+    from .css import css
+    from .operators.encoding import sniff_and_transcode
+    from .operators.extract import run_program, select_first_program
+    from .sources.pages import synth_charset_pages
+
+    pages = synth_charset_pages(spark, sf_dir)
+    dec = sniff_and_transcode(pages)
+
+    title_p = select_first_program(css("head > title"), {"title": "content"})
+    body_p = select_first_program(css("body"), {"text": "content"})
+
+    def program(nt):
+        out = title_p(nt)
+        out.update(body_p(nt))
+        return out
+
+    out = run_program(
+        dec, program, "title string, text string",
+        passthrough=("doc_id", "encoding", "enc_src"),
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "encoding", "enc_src", "title", "text",
+    )
+
+
 def q_canonical_collapse(spark, sf_dir):
     # declared mirror-cluster collapse: head_meta's rel=canonical
     # targets grouped into clusters (one shuffle, map-side combine);
@@ -1636,6 +1667,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_density_extract": q_html_density_extract,
     "head_meta": q_head_meta,
     "canonical_collapse": q_canonical_collapse,
+    "charset_extract": q_charset_extract,
     "shard_manifest": q_shard_manifest,
     "word_freq_histogram": q_word_freq_histogram,
     "multiformat_text": q_multiformat_text,
@@ -1941,6 +1973,16 @@ ORACLES: dict[str, str] = {
         "FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
         "'https://' || source || '.example.com/doc/' || CAST(doc_id % 100 AS STRING) AS canonical "
         "FROM documents) GROUP BY canonical"
+    ),
+    "charset_extract": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'utf-8' "
+        "  WHEN 2 THEN 'utf-16le' ELSE 'windows-1252' END AS encoding, "
+        "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'meta' WHEN 1 THEN 'meta' "
+        "  WHEN 2 THEN 'bom' ELSE 'default' END AS enc_src, "
+        "'Doc ' || CAST(doc_id AS STRING) AS title, "
+        "'café nº ' || CAST(doc_id AS STRING) AS text "
+        "FROM documents"
     ),
     # density winner = <article> (nav/footer excluded → body/div/main/
     # article tie on score, smallest subtree wins); candidates left
