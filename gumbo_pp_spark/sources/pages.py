@@ -291,3 +291,27 @@ def synth_charset_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# markdown page family: every structure the markdown serializer
+# renders (heading, inline strong/link, list, fence, blockquote) with
+# a closed-form expected rendering; the paragraph carries the real
+# documents.text through entity escape → parse → whitespace collapse
+MD_HTML_EXPR = (
+    "'<html><head><title>Doc ' || " + _ID + " || '</title></head><body>'"
+    " || '<h1>Title ' || " + _ID + " || '</h1>'"
+    " || '<p>' || " + ESC_TEXT + " || '</p>'"
+    " || '<p>Intro <strong>bold ' || " + _ID + " || '</strong> and "
+    "<a href=\"https://x/' || " + _ID + " || '\">link</a>.</p>'"
+    " || '<ul><li>alpha</li><li>beta ' || " + _ID + " || '</li></ul>'"
+    " || '<pre>code ' || " + _ID + " || '</pre>'"
+    " || '<blockquote><p>quote ' || " + _ID + " || '</p></blockquote>'"
+    " || '</body></html>'"
+)
+
+
+def synth_md_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_documents(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT doc_id, " + MD_HTML_EXPR + " AS html_str FROM documents"
+    ).selectExpr("doc_id", "CAST(encode(html_str, 'UTF-8') AS BINARY) AS html")

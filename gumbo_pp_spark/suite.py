@@ -1057,6 +1057,18 @@ def q_charset_extract(spark, sf_dir):
     )
 
 
+def q_html_markdown(spark, sf_dir):
+    # HTML → Markdown serialization (the training-data interchange
+    # tier): map-only render over the NodeTable, no re-parse; the
+    # paragraph round-trips documents.text through entity escape →
+    # parse → whitespace collapse
+    from .operators.markdown import to_markdown
+    from .sources.pages import synth_md_pages
+
+    out = to_markdown(synth_md_pages(spark, sf_dir))
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "markdown")
+
+
 def q_canonical_collapse(spark, sf_dir):
     # declared mirror-cluster collapse: head_meta's rel=canonical
     # targets grouped into clusters (one shuffle, map-side combine);
@@ -1668,6 +1680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "head_meta": q_head_meta,
     "canonical_collapse": q_canonical_collapse,
     "charset_extract": q_charset_extract,
+    "html_markdown": q_html_markdown,
     "shard_manifest": q_shard_manifest,
     "word_freq_histogram": q_word_freq_histogram,
     "multiformat_text": q_multiformat_text,
@@ -1982,6 +1995,19 @@ ORACLES: dict[str, str] = {
         "  WHEN 2 THEN 'bom' ELSE 'default' END AS enc_src, "
         "'Doc ' || CAST(doc_id AS STRING) AS title, "
         "'café nº ' || CAST(doc_id AS STRING) AS text "
+        "FROM documents"
+    ),
+    # expected markdown is closed-form: blocks joined by blank lines;
+    # the text paragraph mirrors the serializer's whitespace collapse
+    "html_markdown": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "'# Title ' || CAST(doc_id AS STRING) || chr(10) || chr(10) || "
+        "trim(regexp_replace(text, '\\s+', ' ', 'g')) || chr(10) || chr(10) || "
+        "'Intro **bold ' || CAST(doc_id AS STRING) || '** and "
+        "[link](https://x/' || CAST(doc_id AS STRING) || ').' || chr(10) || chr(10) || "
+        "'- alpha' || chr(10) || '- beta ' || CAST(doc_id AS STRING) || chr(10) || chr(10) || "
+        "'```' || chr(10) || 'code ' || CAST(doc_id AS STRING) || chr(10) || '```' || chr(10) || chr(10) || "
+        "'> quote ' || CAST(doc_id AS STRING) AS markdown "
         "FROM documents"
     ),
     # density winner = <article> (nav/footer excluded → body/div/main/
