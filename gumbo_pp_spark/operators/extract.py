@@ -911,3 +911,62 @@ def extract_head_meta(df: DataFrame, passthrough=("doc_id",)) -> DataFrame:
         "indexable",
         F.coalesce(~F.col("robots").contains("noindex"), F.lit(True)),
     )
+
+
+# ----------------------------------------------------------------------
+# structured page metadata: OpenGraph + JSON-LD (the webtext tier's
+# provenance columns: title/type/date for filtering and dating)
+# ----------------------------------------------------------------------
+PAGE_META_FIELDS = (
+    "og_title string, og_type string, published string, jsonld string"
+)
+
+
+def page_meta_program() -> Callable[[NodeTable], dict]:
+    """OpenGraph <meta property=og:*> + the first ld+json script
+    payload.  The JSON-LD body is extracted RAW here — parsing it is
+    JVM-side ``get_json_object`` in :func:`extract_page_meta` (the
+    kernel ships one string per page; Catalyst's JSON path evaluation
+    stays in codegen, not Python)."""
+    from ..css import css
+
+    progs = [
+        select_first_program(
+            css('meta[property="og:title"]'), {"og_title": "attr:content"}
+        ),
+        select_first_program(
+            css('meta[property="og:type"]'), {"og_type": "attr:content"}
+        ),
+        select_first_program(
+            css('meta[property="article:published_time"]'),
+            {"published": "attr:content"},
+        ),
+        select_first_program(
+            css('script[type="application/ld+json"]'), {"jsonld": "content"}
+        ),
+    ]
+
+    def program(nt: NodeTable) -> dict:
+        out: dict = {}
+        for p in progs:
+            out.update(p(nt))
+        return out
+
+    return program
+
+
+def extract_page_meta(df: DataFrame, passthrough=("doc_id",)) -> DataFrame:
+    """Map-only OpenGraph/JSON-LD metadata stage.  JSON-LD fields
+    (`@type`, headline, datePublished) are projected with
+    ``get_json_object`` — whole-stage-codegen JSON path evaluation
+    over the one raw string the kernel extracted."""
+    out = run_program(df, page_meta_program(), PAGE_META_FIELDS, passthrough=passthrough)
+    return out.select(
+        *passthrough,
+        "og_title",
+        "og_type",
+        "published",
+        F.get_json_object("jsonld", "$['@type']").alias("ld_type"),
+        F.get_json_object("jsonld", "$.headline").alias("ld_headline"),
+        F.get_json_object("jsonld", "$.datePublished").alias("ld_published"),
+    )

@@ -315,3 +315,30 @@ def synth_md_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, " + MD_HTML_EXPR + " AS html_str FROM documents"
     ).selectExpr("doc_id", "CAST(encode(html_str, 'UTF-8') AS BINARY) AS html")
+
+
+# OpenGraph/JSON-LD page family: og:* metas on every page, an ld+json
+# payload on even ids only (odd ids exercise the null path)
+_OG_DATE = "'2024-' || lpad(CAST(doc_id % 12 + 1 AS STRING), 2, '0') || '-01'"
+_OG_TYPE = (
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'article' "
+    "WHEN 1 THEN 'website' ELSE 'video.other' END"
+)
+OG_HTML_EXPR = (
+    "'<html><head><meta property=\"og:title\" content=\"OG Doc ' || " + _ID + " || '\">'"
+    " || '<meta property=\"og:type\" content=\"' || " + _OG_TYPE + " || '\">'"
+    " || '<meta property=\"article:published_time\" content=\"' || " + _OG_DATE
+    + " || 'T00:00:00Z\">'"
+    " || CASE WHEN doc_id % 2 = 0 THEN"
+    " '<script type=\"application/ld+json\">{\"@type\":\"NewsArticle\",\"headline\":\"Doc '"
+    " || " + _ID + " || '\",\"datePublished\":\"' || " + _OG_DATE + " || '\"}</script>'"
+    " ELSE '' END"
+    " || '</head><body><p>' || " + ESC_TEXT + " || '</p></body></html>'"
+)
+
+
+def synth_og_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_documents(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT doc_id, " + OG_HTML_EXPR + " AS html_str FROM documents"
+    ).selectExpr("doc_id", "CAST(encode(html_str, 'UTF-8') AS BINARY) AS html")

@@ -1069,6 +1069,21 @@ def q_html_markdown(spark, sf_dir):
     return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "markdown")
 
 
+def q_page_meta(spark, sf_dir):
+    # provenance metadata tier: OpenGraph metas via CSS programs, the
+    # raw ld+json payload shipped once per page, JSON paths evaluated
+    # JVM-side (get_json_object in codegen, not Python)
+    from .operators.extract import extract_page_meta
+    from .sources.pages import synth_og_pages
+
+    out = extract_page_meta(synth_og_pages(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "og_title", "og_type", "published",
+        "ld_type", "ld_headline", "ld_published",
+    )
+
+
 def q_canonical_collapse(spark, sf_dir):
     # declared mirror-cluster collapse: head_meta's rel=canonical
     # targets grouped into clusters (one shuffle, map-side combine);
@@ -1681,6 +1696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "canonical_collapse": q_canonical_collapse,
     "charset_extract": q_charset_extract,
     "html_markdown": q_html_markdown,
+    "page_meta": q_page_meta,
     "shard_manifest": q_shard_manifest,
     "word_freq_histogram": q_word_freq_histogram,
     "multiformat_text": q_multiformat_text,
@@ -2008,6 +2024,20 @@ ORACLES: dict[str, str] = {
         "'- alpha' || chr(10) || '- beta ' || CAST(doc_id AS STRING) || chr(10) || chr(10) || "
         "'```' || chr(10) || 'code ' || CAST(doc_id AS STRING) || chr(10) || '```' || chr(10) || chr(10) || "
         "'> quote ' || CAST(doc_id AS STRING) AS markdown "
+        "FROM documents"
+    ),
+    "page_meta": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "'OG Doc ' || CAST(doc_id AS STRING) AS og_title, "
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'article' "
+        "  WHEN 1 THEN 'website' ELSE 'video.other' END AS og_type, "
+        "'2024-' || lpad(CAST(doc_id % 12 + 1 AS STRING), 2, '0') "
+        "  || '-01T00:00:00Z' AS published, "
+        "CASE WHEN doc_id % 2 = 0 THEN 'NewsArticle' END AS ld_type, "
+        "CASE WHEN doc_id % 2 = 0 THEN 'Doc ' || CAST(doc_id AS STRING) END AS ld_headline, "
+        "CASE WHEN doc_id % 2 = 0 THEN "
+        "  '2024-' || lpad(CAST(doc_id % 12 + 1 AS STRING), 2, '0') || '-01' "
+        "END AS ld_published "
         "FROM documents"
     ),
     # density winner = <article> (nav/footer excluded → body/div/main/

@@ -78,3 +78,50 @@ class TestCanonicalCollapse:
         final = plan.split("== Initial Plan ==")[0]
         assert final.count("Exchange hashpartitioning") == 1
         assert "partial_min" in plan or "partial_count" in plan
+
+
+class TestPageMeta:
+    def test_program_extracts_og_and_jsonld(self):
+        from gumbo_pp_spark.operators.extract import page_meta_program
+
+        doc = (
+            '<head><meta property="og:title" content="T">'
+            '<meta property="og:type" content="article">'
+            '<script type="application/ld+json">'
+            '{"@type":"NewsArticle","headline":"H"}</script></head>'
+        )
+        r = page_meta_program()(parse_html(doc))
+        assert r["og_title"] == "T" and r["og_type"] == "article"
+        assert '"@type":"NewsArticle"' in r["jsonld"]
+
+    def test_non_ld_script_does_not_match(self):
+        from gumbo_pp_spark.operators.extract import page_meta_program
+
+        r = page_meta_program()(parse_html('<script>var x = {"a":1}</script>'))
+        assert r["jsonld"] is None
+
+    def test_spark_stage_json_paths_jvm_side(self, spark):
+        from gumbo_pp_spark.operators.extract import extract_page_meta
+
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(
+                    b'<script type="application/ld+json">'
+                    b'{"@type":"Article","headline":"h1",'
+                    b'"datePublished":"2024-01-02"}</script>'
+                )),
+                (2, bytearray(b"<p>none</p>")),
+                (3, bytearray(b'<script type="application/ld+json">not json</script>')),
+            ],
+            "doc_id long, html binary",
+        )
+        out = extract_page_meta(df)
+        rows = {r.doc_id: r for r in out.collect()}
+        assert rows[1].ld_type == "Article" and rows[1].ld_published == "2024-01-02"
+        assert rows[2].ld_type is None
+        assert rows[3].ld_type is None  # malformed JSON-LD is null, not an error
+        # JSON path evaluation is Catalyst-side: exactly ONE Python
+        # stage (the parse kernel), get_json_object after it
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInArrow") + plan.count("InPandas") == 1
+        assert "get_json_object" in plan
