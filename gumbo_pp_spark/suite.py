@@ -1084,6 +1084,32 @@ def q_page_meta(spark, sf_dir):
     )
 
 
+def q_robots_gate(spark, sf_dir):
+    # RFC 9309 politeness gate: hosts-sized robots table broadcast
+    # onto the corpus, longest-match/allow-wins rule evaluation in an
+    # Arrow kernel with a per-worker compiled-rules cache.  The rule
+    # set disallows /doc/*1$ for gumbobot with a tie-length allow for
+    # /doc/11$ (allow wins ties), everything for other agents.
+    from .operators.robots import robots_filter
+    from .sources.pages import load_documents, synth_pages
+
+    pages = synth_pages(spark, sf_dir).select("doc_id", "url")
+    hosts = (
+        load_documents(spark, sf_dir)
+        .select(F.concat("source", F.lit(".example.com")).alias("host"))
+        .distinct()
+    )
+    txt = (
+        "User-agent: gumbobot\nDisallow: /doc/*1$\nAllow: /doc/11$\n\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    robots = hosts.withColumn("robots_txt", F.lit(txt))
+    out = robots_filter(pages, robots, agent="gumbobot/1.0")
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "url", "crawl_allowed"
+    )
+
+
 def q_canonical_collapse(spark, sf_dir):
     # declared mirror-cluster collapse: head_meta's rel=canonical
     # targets grouped into clusters (one shuffle, map-side combine);
@@ -1697,6 +1723,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "charset_extract": q_charset_extract,
     "html_markdown": q_html_markdown,
     "page_meta": q_page_meta,
+    "robots_gate": q_robots_gate,
     "shard_manifest": q_shard_manifest,
     "word_freq_histogram": q_word_freq_histogram,
     "multiformat_text": q_multiformat_text,
@@ -2038,6 +2065,14 @@ ORACLES: dict[str, str] = {
         "CASE WHEN doc_id % 2 = 0 THEN "
         "  '2024-' || lpad(CAST(doc_id % 12 + 1 AS STRING), 2, '0') || '-01' "
         "END AS ld_published "
+        "FROM documents"
+    ),
+    # gumbobot: Disallow /doc/*1$ with a tie-length Allow /doc/11$
+    # (RFC 9309 allow-wins-ties) → blocked iff id ends in 1, except 11
+    "robots_gate": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "'https://' || source || '.example.com/doc/' || CAST(doc_id AS STRING) AS url, "
+        "(CAST(doc_id AS STRING) NOT LIKE '%1' OR doc_id = 11) AS crawl_allowed "
         "FROM documents"
     ),
     # density winner = <article> (nav/footer excluded → body/div/main/

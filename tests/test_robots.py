@@ -1,0 +1,117 @@
+"""RFC 9309 robots.txt parser (parser/robots.py) and the broadcast
+politeness gate (operators/robots.py)."""
+
+from gumbo_pp_spark.parser.robots import RobotsFile, parse_robots, url_path
+
+
+def allowed(txt: str, path: str, agent: str = "bot") -> bool:
+    return parse_robots(txt).allowed(agent, path)
+
+
+class TestLongestMatch:
+    # the RFC 9309 §2.2.2 example table
+    def test_allow_longer_than_disallow(self):
+        assert allowed("User-agent: *\nAllow: /p\nDisallow: /\n", "/page")
+
+    def test_tie_allow_wins(self):
+        t = "User-agent: *\nAllow: /folder\nDisallow: /folder\n"
+        assert allowed(t, "/folder/page")
+
+    def test_wildcard_vs_literal(self):
+        t = "User-agent: *\nAllow: /page\nDisallow: /*.ph\n"
+        assert allowed(t, "/page.php5")
+        t = "User-agent: *\nAllow: /folder\nDisallow: /folder*\n"
+        assert not allowed(t, "/folder2")
+
+    def test_dollar_anchor(self):
+        t = "User-agent: *\nDisallow: /*.php$\n"
+        assert not allowed(t, "/file.php")
+        assert allowed(t, "/file.php5")
+
+    def test_star_spans_segments(self):
+        assert not allowed("User-agent: *\nDisallow: /a*c\n", "/a/b/c")
+
+
+class TestGroups:
+    T = (
+        "User-agent: googlebot-news\nDisallow: /news\n\n"
+        "User-agent: googlebot\nDisallow: /g\n\n"
+        "User-agent: *\nDisallow: /all\n"
+    )
+
+    def test_longest_agent_token_wins(self):
+        rf = parse_robots(self.T)
+        assert not rf.allowed("googlebot-news/1.0", "/news")
+        assert rf.allowed("googlebot-news/1.0", "/g")  # NOT merged
+        assert not rf.allowed("googlebot-images", "/g")
+
+    def test_star_fallback(self):
+        rf = parse_robots(self.T)
+        assert not rf.allowed("otherbot", "/all")
+        assert rf.allowed("otherbot", "/x")
+
+    def test_stacked_agents_share_group(self):
+        rf = parse_robots("User-agent: a\nUser-agent: b\nDisallow: /x\n")
+        assert not rf.allowed("a", "/x") and not rf.allowed("b", "/x")
+
+    def test_same_agent_groups_merge(self):
+        rf = parse_robots(
+            "User-agent: a\nDisallow: /x\n\nUser-agent: a\nDisallow: /y\n"
+        )
+        assert not rf.allowed("a", "/x") and not rf.allowed("a", "/y")
+
+
+class TestEdges:
+    def test_empty_disallow_allows_all(self):
+        assert allowed("User-agent: *\nDisallow:\n", "/anything")
+
+    def test_missing_or_empty_file_allows_all(self):
+        assert parse_robots(None).allowed("b", "/x")
+        assert parse_robots("").allowed("b", "/x")
+        assert parse_robots(b"").allowed("b", "/x")
+
+    def test_rule_before_any_group_ignored(self):
+        assert allowed("Disallow: /x\nUser-agent: *\nDisallow: /y\n", "/x")
+
+    def test_comments_and_case(self):
+        t = "# hi\nUSER-AGENT: *  \nDisAllow: /a # tail comment\n"
+        assert not allowed(t, "/a/b")
+
+    def test_sitemap_captured_outside_groups(self):
+        rf = parse_robots("Sitemap: https://h/s.xml\nUser-agent: *\nDisallow: /a\n")
+        assert rf.sitemaps == ["https://h/s.xml"]
+
+    def test_path_without_leading_slash_normalized(self):
+        assert not allowed("User-agent: *\nDisallow: /a\n", "a/b")
+
+    def test_empty_rules_object(self):
+        assert RobotsFile().allowed("any", "/x")
+
+    def test_url_path(self):
+        assert url_path("https://h.com/a/b?q=1") == "/a/b?q=1"
+        assert url_path("https://h.com") == "/"
+        assert url_path("h.com/x") == "/x"
+
+
+class TestSparkGate:
+    def test_broadcast_join_and_values(self, spark):
+        from gumbo_pp_spark.operators.robots import robots_filter
+
+        urls = spark.createDataFrame(
+            [
+                (1, "https://a.com/ok"),
+                (2, "https://a.com/private/x"),
+                (3, "https://b.com/private/x"),  # no robots row -> allowed
+            ],
+            "doc_id long, url string",
+        )
+        robots = spark.createDataFrame(
+            [("a.com", "User-agent: *\nDisallow: /private\n")],
+            "host string, robots_txt string",
+        )
+        out = robots_filter(urls, robots)
+        rows = {r.doc_id: r.crawl_allowed for r in out.collect()}
+        assert rows == {1: True, 2: False, 3: True}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan
