@@ -388,6 +388,19 @@ def sniff_encoding(
     p = prescan(data)
     if p is not None:
         return p, "meta"
+    # detection step (HTML Standard step 7 explicitly permits "the
+    # user agent may attempt to autodetect"): an UNDECLARED page whose
+    # bytes are strict valid UTF-8 with at least one non-ASCII byte is
+    # UTF-8 — on a real crawl that is a large share of pages, and the
+    # windows-1252 default would mojibake every one of them.  Pure
+    # ASCII skips the check (identical under both encodings, and the
+    # dominant shape — one C-level scan, no allocation on failure).
+    if not bytes(data).isascii():
+        try:
+            bytes(data).decode("utf-8", "strict")
+            return "utf-8", "detected"
+        except UnicodeDecodeError:
+            pass
     return "windows-1252", "default"
 
 

@@ -32,9 +32,17 @@ def build_training_corpus(
     max_top_word_frac_e4: int = 5000,
     near_dup_policy: str = "pairs",
     classifier_min_score: int | None = None,
+    robots: DataFrame | None = None,
+    robots_agent: str = "gumbobot",
+    transcode: bool = False,
 ) -> DataFrame:
     """pages(doc_id,url,html) → deduped, scrubbed, fingerprinted corpus
     (doc_id, url, clean_text, n_tokens, fp_md5).
+
+    Optional crawl-layer pre-stages: ``robots`` (a hosts-sized
+    ``(host, robots_txt)`` table) applies the RFC 9309 politeness gate
+    before anything else touches the bytes; ``transcode=True`` runs
+    the WHATWG charset sniff so non-UTF-8 crawl pages parse correctly.
 
     Order matters at scale: extraction first (it is the expensive
     map-only stage and reduces bytes ~10x), the cheap quality gate
@@ -56,6 +64,23 @@ def build_training_corpus(
       RUNS Spark jobs at build time (O(log n) star-contraction
       rounds); the returned plan is lazy as usual afterwards.
     """
+    # crawl-layer pre-stages (both optional, both shuffle-free for the
+    # corpus): RFC 9309 politeness gate — hosts-sized robots table
+    # broadcast onto the pages — then WHATWG charset sniff/transcode
+    # (utf-8 pages pass through byte-identical) ahead of the parse
+    if robots is not None:
+        from .operators.robots import robots_filter
+
+        pages = (
+            robots_filter(pages, robots, agent=robots_agent)
+            .where("crawl_allowed")
+            .drop("crawl_allowed")
+        )
+    if transcode:
+        from .operators.encoding import sniff_and_transcode
+
+        pages = sniff_and_transcode(pages, passthrough=("doc_id", "url"))
+
     extracted = extract_main_text(pages, passthrough=("doc_id", "url"))
     docs = extracted.select("doc_id", "url", F.col("text"))
 

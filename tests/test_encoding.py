@@ -160,7 +160,10 @@ class TestSparkStage:
         )
         out = sniff_and_transcode(df)
         rows = {r.doc_id: r for r in out.collect()}
-        assert rows[0].enc_src == "default"
+        # undeclared valid UTF-8 with non-ASCII bytes: the detection
+        # step (not the windows-1252 default) — passthrough
+        assert (rows[0].encoding, rows[0].enc_src) == ("utf-8", "detected")
+        assert bytes(rows[0].html) == "<p>café</p>".encode()
         assert rows[1].encoding == "utf-16le"
         assert bytes(rows[1].html) == "<p>café</p>".encode()
         assert bytes(rows[2].html) == "<meta charset=latin1><p>café</p>".encode()
@@ -181,3 +184,19 @@ class TestSparkStage:
         assert rows[0].enc_src == "transport"
         assert bytes(rows[0].html) == "café".encode()
         assert rows[1].enc_src == "default"
+
+
+class TestDetection:
+    def test_undeclared_valid_utf8_detected(self):
+        assert sniff_encoding("naïve — em".encode()) == ("utf-8", "detected")
+
+    def test_undeclared_invalid_utf8_defaults(self):
+        assert sniff_encoding(b"caf\xe9 n") == ("windows-1252", "default")
+
+    def test_pure_ascii_skips_detection(self):
+        assert sniff_encoding(b"plain") == ("windows-1252", "default")
+
+    def test_declaration_beats_detection(self):
+        # valid utf-8 bytes but a meta says latin-1: declaration wins
+        d = b"<meta charset=iso-8859-1>" + "café".encode()
+        assert sniff_encoding(d) == ("windows-1252", "meta")

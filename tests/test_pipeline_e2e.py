@@ -223,3 +223,33 @@ def test_pipeline_classifier_gate_filters_and_stays_map_only(spark):
     pg = gated._jdf.queryExecution().analyzed().toString()
     assert pg.count("Join") == pb.count("Join")
     assert "aggregate(split(text" in pg and "aggregate(split(text" not in pb
+
+
+def test_pipeline_robots_and_transcode_pre_stages(spark):
+    """Robots-blocked pages never reach extraction; a latin-1 page
+    parses to the same text as its utf-8 twin when transcode=True."""
+    body = ("café words " + "alpha beta gamma delta epsilon zeta " * 8).strip()
+    html = f"<html><body><p>{body}</p></body></html>"
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.com/keep/1", bytearray(html.encode("utf-8"))),
+            (2, "https://a.com/block/2", bytearray(html.encode("utf-8"))),
+            (3, "https://a.com/keep/3", bytearray(html.encode("iso-8859-1"))),
+        ],
+        "doc_id long, url string, html binary",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /block\n")],
+        "host string, robots_txt string",
+    )
+    corpus = build_training_corpus(
+        pages, robots=robots, transcode=True,
+        min_tokens=5, min_alpha_ratio_e4=0, max_top_word_frac_e4=10000,
+    )
+    rows = {r.doc_id: r for r in corpus.collect()}
+    assert 2 not in rows  # politeness gate
+    # doc 3 is an exact dup of doc 1 AFTER transcode -> exact dedup
+    # keeps the min id; its presence in the dup group proves the
+    # latin-1 bytes decoded to the identical text
+    assert set(rows) == {1}
+    assert "café" in rows[1].clean_text
