@@ -53,6 +53,10 @@ HEADLINE_QUERIES = [
     "quality_classifier",
     "pagerank",
     "pdf_text",
+    # round-7 session-3 families: markdown tier, charset sniff, REP gate
+    "html_markdown",
+    "charset_extract",
+    "robots_gate",
 ]
 
 

@@ -1110,6 +1110,25 @@ def q_robots_gate(spark, sf_dir):
     )
 
 
+def q_sitemap_frontier(spark, sf_dir):
+    # crawl frontier = sitemap entries (JVM-side from_xml + explode,
+    # zero Python) gated by RFC 9309 robots rules (broadcast join)
+    from .operators.robots import robots_filter
+    from .sources.sitemaps import parse_sitemaps, synth_sitemaps
+
+    sm = synth_sitemaps(spark, sf_dir)
+    entries = parse_sitemaps(sm)
+    robots = sm.select(
+        "host",
+        F.lit(
+            "User-agent: gumbobot\nDisallow: /doc/*1$\nAllow: /doc/11$\n\n"
+            "User-agent: *\nDisallow: /\n"
+        ).alias("robots_txt"),
+    )
+    out = robots_filter(entries, robots, agent="gumbobot/1.0", url_col="loc")
+    return out.select("host", "loc", "lastmod", "priority", "crawl_allowed")
+
+
 def q_canonical_collapse(spark, sf_dir):
     # declared mirror-cluster collapse: head_meta's rel=canonical
     # targets grouped into clusters (one shuffle, map-side combine);
@@ -1724,6 +1743,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_markdown": q_html_markdown,
     "page_meta": q_page_meta,
     "robots_gate": q_robots_gate,
+    "sitemap_frontier": q_sitemap_frontier,
     "shard_manifest": q_shard_manifest,
     "word_freq_histogram": q_word_freq_histogram,
     "multiformat_text": q_multiformat_text,
@@ -2072,6 +2092,14 @@ ORACLES: dict[str, str] = {
     "robots_gate": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
         "'https://' || source || '.example.com/doc/' || CAST(doc_id AS STRING) AS url, "
+        "(CAST(doc_id AS STRING) NOT LIKE '%1' OR doc_id = 11) AS crawl_allowed "
+        "FROM documents"
+    ),
+    "sitemap_frontier": (
+        "SELECT source || '.example.com' AS host, "
+        "'https://' || source || '.example.com/doc/' || CAST(doc_id AS STRING) AS loc, "
+        "'2024-' || lpad(CAST(doc_id % 12 + 1 AS STRING), 2, '0') || '-01' AS lastmod, "
+        "CAST('0.' || CAST(doc_id % 10 AS STRING) AS DOUBLE) AS priority, "
         "(CAST(doc_id AS STRING) NOT LIKE '%1' OR doc_id = 11) AS crawl_allowed "
         "FROM documents"
     ),
