@@ -712,3 +712,29 @@ def holdout_split(
         group_col,
         f"CASE WHEN {u32} < {thr} THEN 'val' ELSE 'train' END AS split",
     )
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-URL quality/filtering signals (the RefinedWeb/C4-style URL
+    layer: scheme, host shape, path depth, query noise).  Pure JVM SQL
+    — ``parse_url`` + string kernels in whole-stage codegen; map-only.
+
+    Appends: ``host, tld, path_depth, n_params, is_https,
+    has_tracking, url_len``.
+    """
+    host = f"parse_url({url_col}, 'HOST')"
+    path = f"parse_url({url_col}, 'PATH')"
+    query = f"parse_url({url_col}, 'QUERY')"
+    return df.selectExpr(
+        "*",
+        f"{host} AS host",
+        f"substring_index({host}, '.', -1) AS tld",
+        # '/a/b' -> 2; '/' and '' -> 0 (trim edge slashes, count segs)
+        f"CAST(CASE WHEN {path} IS NULL OR trim(BOTH '/' FROM {path}) = '' THEN 0 "
+        f"ELSE size(split(trim(BOTH '/' FROM {path}), '/')) END AS BIGINT) AS path_depth",
+        f"CAST(CASE WHEN {query} IS NULL OR {query} = '' THEN 0 "
+        f"ELSE size(split({query}, '&')) END AS BIGINT) AS n_params",
+        f"{url_col} LIKE 'https://%' AS is_https",
+        f"{url_col} RLIKE '[?&](utm_[a-z]+|fbclid|gclid|mc_eid)=' AS has_tracking",
+        f"CAST(length({url_col}) AS BIGINT) AS url_len",
+    )

@@ -1129,6 +1129,30 @@ def q_sitemap_frontier(spark, sf_dir):
     return out.select("host", "loc", "lastmod", "priority", "crawl_allowed")
 
 
+def q_url_features(spark, sf_dir):
+    # URL-layer quality signals over a three-shape url family
+    # (tracking query / deep path / bare root) — parse_url + string
+    # kernels, all codegen, map-only
+    from .operators.textstats import url_features
+    from .sources.pages import load_documents
+
+    docs = load_documents(spark, sf_dir)
+    urls = docs.selectExpr(
+        "doc_id",
+        "CASE CAST(doc_id % 3 AS INT) "
+        "WHEN 0 THEN 'https://' || source || '.example.com/doc/' || CAST(doc_id AS STRING) "
+        "  || '?utm_source=x&ref=' || CAST(doc_id AS STRING) "
+        "WHEN 1 THEN 'http://' || source || '.example.com/a/b/doc/' || CAST(doc_id AS STRING) "
+        "ELSE 'https://' || source || '.example.com/' END AS url",
+    )
+    out = url_features(urls)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "url", "host", "tld", "path_depth", "n_params",
+        "is_https", "has_tracking", "url_len",
+    )
+
+
 def q_canonical_collapse(spark, sf_dir):
     # declared mirror-cluster collapse: head_meta's rel=canonical
     # targets grouped into clusters (one shuffle, map-side combine);
@@ -1744,6 +1768,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "page_meta": q_page_meta,
     "robots_gate": q_robots_gate,
     "sitemap_frontier": q_sitemap_frontier,
+    "url_features": q_url_features,
     "shard_manifest": q_shard_manifest,
     "word_freq_histogram": q_word_freq_histogram,
     "multiformat_text": q_multiformat_text,
@@ -2094,6 +2119,22 @@ ORACLES: dict[str, str] = {
         "'https://' || source || '.example.com/doc/' || CAST(doc_id AS STRING) AS url, "
         "(CAST(doc_id AS STRING) NOT LIKE '%1' OR doc_id = 11) AS crawl_allowed "
         "FROM documents"
+    ),
+    "url_features": (
+        "WITH u AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source, "
+        "  CASE CAST(doc_id % 3 AS INT) "
+        "  WHEN 0 THEN 'https://' || source || '.example.com/doc/' || CAST(doc_id AS STRING) "
+        "    || '?utm_source=x&ref=' || CAST(doc_id AS STRING) "
+        "  WHEN 1 THEN 'http://' || source || '.example.com/a/b/doc/' || CAST(doc_id AS STRING) "
+        "  ELSE 'https://' || source || '.example.com/' END AS url "
+        "  FROM documents) "
+        "SELECT doc_id, url, source || '.example.com' AS host, 'com' AS tld, "
+        "CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 0 END AS BIGINT) AS path_depth, "
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_params, "
+        "(doc_id % 3 <> 1) AS is_https, "
+        "(doc_id % 3 = 0) AS has_tracking, "
+        "CAST(length(url) AS BIGINT) AS url_len "
+        "FROM u"
     ),
     "sitemap_frontier": (
         "SELECT source || '.example.com' AS host, "

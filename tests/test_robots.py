@@ -115,3 +115,27 @@ class TestSparkGate:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestUrlFeatures:
+    def test_features_and_codegen_plan(self, spark):
+        from gumbo_pp_spark.operators.textstats import url_features
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://a.b.co.uk/x/y?utm_campaign=z&a=1"),
+                (2, "http://h.com/"),
+                (3, "https://h.com/p"),
+            ],
+            "doc_id long, url string",
+        )
+        rows = {r.doc_id: r for r in url_features(df).collect()}
+        r1 = rows[1]
+        assert (r1.host, r1.tld, r1.path_depth, r1.n_params) == ("a.b.co.uk", "uk", 2, 2)
+        assert r1.has_tracking is True and r1.is_https is True
+        assert (rows[2].path_depth, rows[2].n_params, rows[2].is_https) == (0, 0, False)
+        assert rows[3].has_tracking is False
+        plan = url_features(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        for py_node in ("EvalPython", "InPandas", "PythonUDF", "MapInArrow"):
+            assert py_node not in plan
