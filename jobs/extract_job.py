@@ -7,7 +7,7 @@ Packaging (north_rule: "run via spark-submit --py-files"):
         --py-files /tmp/gumbo_pp_spark.zip \
         jobs/extract_job.py \
         --pages <pages parquet dir> --out <output dir> \
-        [--n-splits 256] [--salt] [--size-bins]
+        [--n-splits 256] [--salt] [--size-bins] [--transcode]
 
 Resumable: re-running with the same --out skips ledger-committed
 splits (plans/lineage.py).  The output is readable via
@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--salt", action="store_true", help="salt skewed hosts first")
     ap.add_argument("--size-bins", action="store_true", help="byte-balanced repartition")
     ap.add_argument("--max-splits", type=int, default=None, help="fault-injection/test cap")
+    ap.add_argument(
+        "--transcode", action="store_true",
+        help="WHATWG charset sniff ahead of the parse (non-UTF-8 crawls)",
+    )
     args = ap.parse_args()
 
     # Build the C parse engine ONCE on the driver before the first
@@ -74,6 +78,12 @@ def main() -> None:
         pages = size_balanced_bins(pages)
 
     passthrough = ("doc_id", "url") if "doc_id" in pages.columns else ("url",)
+    if args.transcode:
+        from gumbo_pp_spark.operators.encoding import sniff_and_transcode
+
+        pages = sniff_and_transcode(
+            pages.select(*passthrough, "html"), passthrough=passthrough
+        )
     metrics = extract_with_resume(
         spark,
         pages.select(*passthrough, "html"),

@@ -35,3 +35,30 @@ def test_corpus_job_cli_components_policy(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == metrics["rows"]
     assert {"doc_id", "url", "clean_text", "n_tokens", "fp_md5"} <= set(got.columns)
+
+
+def test_extract_job_cli_transcode(spark, tmp_path):
+    """--transcode: a latin-1 page comes out with the same extracted
+    text as its utf-8 twin (the WHATWG sniff stage ahead of the parse)."""
+    html_u8 = "<html><body><p>café body</p></body></html>".encode("utf-8")
+    html_l1 = "<html><body><p>café body</p></body></html>".encode("iso-8859-1")
+    pages = spark.createDataFrame(
+        [(1, "https://a/1", bytearray(html_u8)), (2, "https://a/2", bytearray(html_l1))],
+        "doc_id long, url string, html binary",
+    )
+    src = str(tmp_path / "pages")
+    pages.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "extracted")
+    proc = subprocess.run(
+        [
+            sys.executable, f"{REPO}/jobs/extract_job.py",
+            "--pages", src, "--out", out, "--n-splits", "2", "--transcode",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    from gumbo_pp_spark.plans.lineage import read_extracted
+
+    got = {r.doc_id: r.text for r in read_extracted(spark, out).collect()}
+    assert got[1] == got[2] == "café body"
