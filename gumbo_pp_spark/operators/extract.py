@@ -970,3 +970,57 @@ def extract_page_meta(df: DataFrame, passthrough=("doc_id",)) -> DataFrame:
         F.get_json_object("jsonld", "$.headline").alias("ld_headline"),
         F.get_json_object("jsonld", "$.datePublished").alias("ld_published"),
     )
+
+
+# ----------------------------------------------------------------------
+# anchor-text aggregation (per-target link text — the classic search/
+# quality signal: what the WEB calls a page, not what the page calls
+# itself)
+# ----------------------------------------------------------------------
+def anchor_texts_program(nt: NodeTable) -> dict:
+    """Parallel (hrefs, texts) arrays for every <a> carrying an href,
+    document order; content text via the vectorized prefix-sum kernel."""
+    from .. import matchers as m
+
+    ids = np.nonzero(m.tag.A(nt))[0]
+    hrefs: list[str] = []
+    keep: list[int] = []
+    for i in ids:
+        a = nt.attrs[i]
+        h = a.get("href") if a else None
+        if h is not None:
+            hrefs.append(h)
+            keep.append(int(i))
+    return {"hrefs": hrefs, "texts": nt.content_text_many(keep)}
+
+
+def extract_anchor_texts(df: DataFrame, passthrough=("doc_id",)) -> DataFrame:
+    """(passthrough..., href, anchor_text) — one row per anchor.  The
+    kernel ships two small parallel arrays per page; the only
+    row-multiplying step is the JVM-side arrays_zip + explode."""
+    out = run_program(
+        df, anchor_texts_program,
+        "hrefs array<string>, texts array<string>", passthrough,
+    )
+    return out.select(
+        *passthrough, F.explode(F.arrays_zip("hrefs", "texts")).alias("z")
+    ).select(
+        *passthrough,
+        F.col("z.hrefs").alias("href"),
+        F.col("z.texts").alias("anchor_text"),
+    )
+
+
+def anchor_text_stats(pairs: DataFrame) -> DataFrame:
+    """Per-target anchor-text profile: ``href, n_refs, n_texts,
+    min_text`` (min = deterministic representative).
+
+    Scale shape: ONE hash shuffle on href with map-side partial
+    count/min; countDistinct rewrites to a two-phase partial under
+    AQE.  Hub targets (every page linking "home") collapse map-side —
+    the same skew argument as canonical_url_collapse."""
+    return pairs.groupBy("href").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_refs"),
+        F.countDistinct("anchor_text").cast("bigint").alias("n_texts"),
+        F.min("anchor_text").alias("min_text"),
+    )

@@ -342,3 +342,24 @@ def synth_og_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, " + OG_HTML_EXPR + " AS html_str FROM documents"
     ).selectExpr("doc_id", "CAST(encode(html_str, 'UTF-8') AS BINARY) AS html")
+
+
+# link page family: two anchors per page — a 'ref N' link into the
+# doc_id%100 cluster and a constant-text 'see also' link into the
+# (doc_id*7)%100 cluster — deterministic fan-in for the per-target
+# anchor-text aggregation oracle
+LINK_HTML_EXPR = (
+    "'<html><body>'"
+    " || '<p><a href=\"https://site.example/doc/' || CAST(doc_id % 100 AS STRING)"
+    " || '\">ref ' || CAST(doc_id % 100 AS STRING) || '</a></p>'"
+    " || '<p><a href=\"https://site.example/doc/' || CAST((doc_id * 7) % 100 AS STRING)"
+    " || '\">see also</a></p>'"
+    " || '</body></html>'"
+)
+
+
+def synth_link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_documents(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT doc_id, " + LINK_HTML_EXPR + " AS html_str FROM documents"
+    ).selectExpr("doc_id", "CAST(encode(html_str, 'UTF-8') AS BINARY) AS html")

@@ -1153,6 +1153,16 @@ def q_url_features(spark, sf_dir):
     )
 
 
+def q_anchor_texts(spark, sf_dir):
+    # per-target anchor-text profile (what the web calls a page): one
+    # href-keyed shuffle with map-side combine over parsed anchors
+    from .operators.extract import anchor_text_stats, extract_anchor_texts
+    from .sources.pages import synth_link_pages
+
+    pairs = extract_anchor_texts(synth_link_pages(spark, sf_dir))
+    return anchor_text_stats(pairs)
+
+
 def q_canonical_collapse(spark, sf_dir):
     # declared mirror-cluster collapse: head_meta's rel=canonical
     # targets grouped into clusters (one shuffle, map-side combine);
@@ -1769,6 +1779,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_gate": q_robots_gate,
     "sitemap_frontier": q_sitemap_frontier,
     "url_features": q_url_features,
+    "anchor_texts": q_anchor_texts,
     "shard_manifest": q_shard_manifest,
     "word_freq_histogram": q_word_freq_histogram,
     "multiformat_text": q_multiformat_text,
@@ -2119,6 +2130,17 @@ ORACLES: dict[str, str] = {
         "'https://' || source || '.example.com/doc/' || CAST(doc_id AS STRING) AS url, "
         "(CAST(doc_id AS STRING) NOT LIKE '%1' OR doc_id = 11) AS crawl_allowed "
         "FROM documents"
+    ),
+    "anchor_texts": (
+        "WITH pairs AS ("
+        "  SELECT 'https://site.example/doc/' || CAST(doc_id % 100 AS STRING) AS href, "
+        "         'ref ' || CAST(doc_id % 100 AS STRING) AS anchor_text FROM documents "
+        "  UNION ALL "
+        "  SELECT 'https://site.example/doc/' || CAST((doc_id * 7) % 100 AS STRING), "
+        "         'see also' FROM documents) "
+        "SELECT href, COUNT(*) AS n_refs, "
+        "CAST(COUNT(DISTINCT anchor_text) AS BIGINT) AS n_texts, "
+        "MIN(anchor_text) AS min_text FROM pairs GROUP BY href"
     ),
     "url_features": (
         "WITH u AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source, "

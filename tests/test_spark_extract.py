@@ -174,3 +174,31 @@ class TestLinkExtraction:
         )
         plan = link_graph(df)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1  # only the final keyed count
+
+
+class TestAnchorTexts:
+    def test_pairs_and_aggregation(self, spark):
+        from gumbo_pp_spark.operators.extract import (
+            anchor_text_stats,
+            extract_anchor_texts,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(b'<p><a href="/t">click <b>here</b></a>'
+                              b'<a>no href</a><a href="/t">here</a></p>')),
+                (2, bytearray(b'<a href="/u">only</a>')),
+            ],
+            "doc_id long, html binary",
+        )
+        pairs = extract_anchor_texts(df)
+        got = sorted(map(tuple, pairs.select("href", "anchor_text").collect()))
+        # href-less anchor dropped; nested markup flattens to content text
+        assert got == [("/t", "click here"), ("/t", "here"), ("/u", "only")]
+        stats = {r.href: r for r in anchor_text_stats(pairs).collect()}
+        assert (stats["/t"].n_refs, stats["/t"].n_texts) == (2, 2)
+        assert stats["/t"].min_text == "click here"
+        # ONE corpus shuffle on href (+ countDistinct's expand is
+        # within the same two-phase agg)
+        plan = anchor_text_stats(pairs)._jdf.queryExecution().executedPlan().toString()
+        assert "partial_count" in plan or "partial_min" in plan
