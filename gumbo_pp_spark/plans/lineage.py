@@ -84,6 +84,20 @@ class PartitionLedger:
             return recs
         return {s: r for s, r in recs.items() if r.get("seq", 0) <= as_of}
 
+    def committed_between(
+        self, since: int, as_of: int | None = None
+    ) -> dict[int, dict]:
+        """Incremental view (the Iceberg incremental-read analogue):
+        records committed AFTER snapshot ``since`` and at-or-before
+        ``as_of`` — the change set a downstream consumer processes to
+        catch up from ``since`` to ``as_of`` without re-reading the
+        whole table."""
+        return {
+            s: r
+            for s, r in self.committed(as_of=as_of).items()
+            if r.get("seq", 0) > since
+        }
+
     def snapshot_log(self) -> list[dict]:
         """The snapshot history (Iceberg metadata-table analogue):
         commit records ordered by ``seq``.  Each record's ``seq`` is a
@@ -246,15 +260,29 @@ def extract_with_resume(
 
 
 def read_extracted(
-    spark: SparkSession, out_dir: str, as_of: int | None = None
+    spark: SparkSession, out_dir: str, as_of: int | None = None,
+    since: int | None = None,
 ) -> DataFrame:
     """Union of exactly the ledger-committed (split, run) outputs —
     uncommitted partial runs are invisible.  ``as_of`` time-travels to
     the table state as of that commit seq (see
     :meth:`PartitionLedger.snapshot_log`), reading only the data files
-    those commits referenced — the Iceberg snapshot-read analogue."""
+    those commits referenced — the Iceberg snapshot-read analogue.
+    ``since`` gives the INCREMENTAL read — only splits committed after
+    that snapshot (Iceberg incremental scan): a downstream consumer
+    stores the last seq it processed and reads ``since=that`` to catch
+    up touching none of the already-processed files.  An empty change
+    set raises ``LookupError`` (check
+    :meth:`PartitionLedger.committed_between` first when empty-is-ok)."""
     ledger = PartitionLedger(os.path.join(out_dir, "_ledger"))
-    recs = ledger.committed(as_of=as_of)
+    if since is not None:
+        recs = ledger.committed_between(since, as_of=as_of)
+        if not recs:
+            raise LookupError(
+                f"no commits in ({since}, {as_of or 'current'}] under {out_dir}"
+            )
+    else:
+        recs = ledger.committed(as_of=as_of)
     if not recs:
         raise FileNotFoundError(f"no committed splits under {out_dir}")
     paths = sorted(

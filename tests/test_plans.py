@@ -318,3 +318,45 @@ class TestSnapshotTimeTravel:
             J.dump({"split_id": 7, "run_id": "old", "rows": 1}, f)
         assert ledger.committed(as_of=0).keys() == {7}
         assert set(ledger.committed(as_of=1)) == {0, 7}
+
+
+class TestIncrementalRead:
+    """Iceberg incremental-scan analogue: read only splits committed
+    after a stored snapshot cursor."""
+
+    def test_since_reads_only_new_commits(self, spark, tmp_path):
+        out_dir = str(tmp_path / "inc")
+        pages = synth_pages(spark, SF_SMOKE)
+        extract_with_resume(spark, pages, out_dir, n_splits=8, max_splits_this_run=3)
+        ledger = PartitionLedger(out_dir + "/_ledger")
+        cursor = ledger.current_snapshot()
+        n1 = read_extracted(spark, out_dir).count()
+        extract_with_resume(spark, pages, out_dir, n_splits=8)
+        inc = read_extracted(spark, out_dir, since=cursor)
+        full = read_extracted(spark, out_dir)
+        # change set + old view partition the full table exactly
+        assert inc.count() == full.count() - n1 > 0
+        old_ids = {r.doc_id for r in read_extracted(
+            spark, out_dir, as_of=cursor).select("doc_id").collect()}
+        inc_ids = {r.doc_id for r in inc.select("doc_id").collect()}
+        assert not (old_ids & inc_ids)
+        assert len(old_ids | inc_ids) == full.count()
+
+    def test_empty_change_set_raises_lookup(self, spark, tmp_path):
+        out_dir = str(tmp_path / "inc2")
+        pages = synth_pages(spark, SF_SMOKE)
+        extract_with_resume(spark, pages, out_dir, n_splits=4)
+        ledger = PartitionLedger(out_dir + "/_ledger")
+        cur = ledger.current_snapshot()
+        assert ledger.committed_between(cur) == {}
+        import pytest as _pt
+
+        with _pt.raises(LookupError):
+            read_extracted(spark, out_dir, since=cur)
+
+    def test_committed_between_window(self, tmp_path):
+        ledger = PartitionLedger(str(tmp_path / "_ledger"))
+        for s in range(5):
+            ledger.commit({"split_id": s, "run_id": "r", "rows": 1})
+        win = ledger.committed_between(2, as_of=4)
+        assert sorted(r["seq"] for r in win.values()) == [3, 4]
