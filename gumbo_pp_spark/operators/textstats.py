@@ -24,12 +24,16 @@ def _in_list(items: tuple[str, ...]) -> str:
     return ", ".join(f"'{w}'" for w in items)
 
 
-def quality_stats(df: DataFrame) -> DataFrame:
+def quality_stats(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """(doc_id, n_tokens, avg_token_len_e4, stopword_ratio_e4,
     alpha_ratio_e4) — length/punctuation/stopword heuristics used for
-    corpus quality filtering."""
+    corpus quality filtering.  ``keep`` prepends passthrough selectExpr
+    entries (e.g. a host column) so a caller rolling the stats up by
+    another key gets it in the same map-only projection instead of
+    joining back to the corpus."""
     stop = _in_list(STOPWORDS)
     return df.selectExpr(
+        *keep,
         "CAST(doc_id AS BIGINT) AS doc_id",
         "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
         # chars-in-words / n_tokens (separators = n_tokens - 1 spaces)
@@ -262,6 +266,74 @@ def cap_per_host(df: DataFrame, cap: int = 3, host_col: str = "host",
     )
 
 
+def host_quality_stats(
+    df: DataFrame,
+    host_col: str = "host",
+    min_tokens: int = 50,
+    min_stopword_ratio_e4: int = 200,
+    min_alpha_ratio_e4: int = 7000,
+) -> DataFrame:
+    """(host, n_docs, n_bad, bad_frac_e4) — per-domain roll-up of the
+    document quality gate: ``n_bad`` counts documents FAILING the same
+    thresholds as :func:`quality_filter`.  Scale shape: the bad flag is
+    computed map-only in the same projection as the stats (``keep``
+    passthrough, no join back to the corpus) and the host aggregate is
+    one map-side-combined shuffle; the output is hosts-sized ≪ corpus."""
+    s = quality_stats(df, keep=(f"{host_col} AS host",))
+    bad = (
+        (F.col("n_tokens") < min_tokens)
+        | (F.col("stopword_ratio_e4") < min_stopword_ratio_e4)
+        | (F.col("alpha_ratio_e4") < min_alpha_ratio_e4)
+    )
+    return (
+        s.select("host", F.when(bad, F.lit(1)).otherwise(F.lit(0)).alias("is_bad"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_bad").cast("bigint").alias("n_bad"),
+            F.expr(
+                "CAST(round(10000.0 * sum(is_bad) / count(1)) AS BIGINT)"
+            ).alias("bad_frac_e4"),
+        )
+    )
+
+
+def host_quality_gate(
+    df: DataFrame,
+    host_col: str = "host",
+    min_docs: int = 5,
+    max_bad_frac_e4: int = 5000,
+    min_tokens: int = 50,
+    min_stopword_ratio_e4: int = 200,
+    min_alpha_ratio_e4: int = 7000,
+) -> DataFrame:
+    """Drop EVERY document from hosts whose measured bad-document
+    fraction exceeds ``max_bad_frac_e4`` — the CCNet/RefinedWeb-style
+    domain blocklist computed from the corpus itself (spam/SEO farms
+    poison even their individually-passing pages).  Hosts with fewer
+    than ``min_docs`` observations are never blocked (too little
+    evidence; their documents still face the doc-level gate downstream).
+
+    The block decision is integer-exact — ``10000·n_bad >
+    max_bad_frac_e4·n_docs`` — no float division to disagree with an
+    oracle.  Scale shape: two passes over the corpus by construction
+    (stats, then gate), but the corpus itself is never shuffled — the
+    host aggregate output and the blocked-host list are hosts-sized,
+    and the gate is a broadcast left-anti join."""
+    stats = host_quality_stats(
+        df, host_col, min_tokens, min_stopword_ratio_e4, min_alpha_ratio_e4
+    )
+    blocked = stats.where(
+        (F.col("n_docs") >= min_docs)
+        & (F.col("n_bad") * 10000 > F.col("n_docs") * max_bad_frac_e4)
+    ).select(F.col("host").alias("_blocked_host"))
+    return df.join(
+        F.broadcast(blocked),
+        F.col(host_col) == F.col("_blocked_host"),
+        "left_anti",
+    )
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, ws_tokens, word_tokens) — whitespace tokenization plus
     a BPE-ish alnum-run count (regexp, JVM-side)."""
@@ -349,6 +421,67 @@ def decontaminate(
     ``grams`` as in :func:`contamination`."""
     bad = contamination(docs, evals, n, text_col, grams=grams).select("doc_id")
     return docs.join(bad, "doc_id", "left_anti")
+
+
+def sentence_contamination(
+    docs: DataFrame,
+    evals: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    grams: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, pos) of every SENTENCE (``'. '``-delimited, 0-indexed)
+    sharing at least one word ``n``-gram with ``evals`` — the surgical
+    sibling of :func:`contamination` for when an eval prompt quotes one
+    sentence embedded in an otherwise-good page.  Scale shape: the
+    sentence+gram explode is map-only, grams join the broadcast eval
+    table, and the output is contaminated-sentences-sized ≪ corpus."""
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    if grams is None:
+        grams = eval_ngrams(evals, n, text_col)
+    sents = (
+        ensure_min_parallelism(docs)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "[.] ")).alias("pos", "sent"),
+        )
+        .select("doc_id", "pos", F.split("sent", " ").alias("ws"))
+        .where(F.expr(f"size(ws) >= {n}"))
+    )
+    sg = sents.select(
+        "doc_id", "pos", F.explode(F.expr(_ngram_expr(n))).alias("gram")
+    )
+    return sg.join(F.broadcast(grams), "gram").select("doc_id", "pos").distinct()
+
+
+def decontaminate_sentences(
+    docs: DataFrame,
+    evals: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    grams: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, clean_text, n_dropped): remove contaminated SENTENCES
+    and keep the document — every document survives (possibly with
+    ``clean_text = ''`` when all its sentences matched).  Scale shape:
+    the corpus is never shuffled — contaminated (doc_id, pos) pairs
+    (≪ corpus) are rolled up per document and joined back (AQE picks
+    broadcast when the set is small, the common case), and the rebuild
+    is a map-side indexed ``filter`` over the re-split sentence array —
+    no explode-regroup of document text through an exchange."""
+    bad = sentence_contamination(docs, evals, n, text_col, grams=grams)
+    bad_per_doc = bad.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("pos")).alias("bad_pos")
+    )
+    return docs.join(bad_per_doc, "doc_id", "left").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.expr(
+            f"concat_ws('. ', filter(split({text_col}, '[.] '), "
+            "(s, i) -> bad_pos IS NULL OR NOT array_contains(bad_pos, i)))"
+        ).alias("clean_text"),
+        F.coalesce(F.size("bad_pos"), F.lit(0)).cast("bigint").alias("n_dropped"),
+    )
 
 
 # ----------------------------------------------------------------------

@@ -98,6 +98,20 @@ class PartitionLedger:
             if r.get("seq", 0) > since
         }
 
+    def snapshot_diff(self, since: int, as_of: int | None = None) -> dict:
+        """Metadata summary of a change set (the Iceberg snapshot-diff
+        analogue): which splits and how many rows a catch-up from
+        ``since`` to ``as_of`` would touch — cheap to inspect before
+        deciding whether an incremental read is worth launching a job."""
+        win = self.committed_between(since, as_of=as_of)
+        return {
+            "since": since,
+            "as_of": as_of if as_of is not None else self.current_snapshot(),
+            "n_commits": len(win),
+            "split_ids": sorted(win),
+            "rows": sum(int(r.get("rows", 0)) for r in win.values()),
+        }
+
     def snapshot_log(self) -> list[dict]:
         """The snapshot history (Iceberg metadata-table analogue):
         commit records ordered by ``seq``.  Each record's ``seq`` is a

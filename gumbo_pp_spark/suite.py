@@ -810,6 +810,29 @@ def q_decontaminate(spark, sf_dir):
     return T.contamination(docs, evals, n=13)
 
 
+# sentence-structured corpus for the sentence-level decontamination
+# family: re-chunk the word-salad text into 8-word '. '-joined
+# sentences (the synthetic tables carry no punctuation of their own)
+_SENT_DOCS_EXPR = (
+    "concat_ws('. ', transform(sequence(1, size(split(text, ' ')), 8), "
+    "j -> concat_ws(' ', slice(split(text, ' '), j, 8))))"
+)
+
+
+def q_decontaminate_sentences(spark, sf_dir):
+    # eval prompts = words 17..24 of every 37th doc — exactly the third
+    # sentence of the re-chunked corpus, so 8-gram sentence-level decon
+    # must drop (at least) that sentence from the source documents
+    # while keeping every document alive
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_SENT_DOCS_EXPR} AS text"
+    )
+    evals = _docs(spark, sf_dir).where(F.col("doc_id") % 37 == 0).select(
+        F.concat_ws(" ", F.slice(F.split("text", " "), 17, 8)).alias("text")
+    )
+    return T.decontaminate_sentences(docs, evals, n=8)
+
+
 def q_repeated_windows(spark, sf_dir):
     # exact-substring repetition (windowed suffix-array approximation,
     # Lee et al. 2022): 20-word windows shared across >= 2 docs
@@ -1496,6 +1519,42 @@ def q_host_stats(spark, sf_dir):
     )
 
 
+# deterministic 100-host synthetic assignment for the domain-gate
+# family: 20 sources × 5 doc_id residues
+_HOSTED_EXPR = "source || '-' || CAST(doc_id % 5 AS STRING) || '.example.com'"
+
+
+def _hosted_docs(spark, sf_dir):
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id", "text", f"{_HOSTED_EXPR} AS host"
+    )
+
+
+def q_host_quality_stats(spark, sf_dir):
+    # per-domain roll-up of the doc-level quality gate (same thresholds
+    # as q_quality_filter so the family is internally consistent)
+    return T.host_quality_stats(
+        _hosted_docs(spark, sf_dir),
+        min_tokens=40,
+        min_stopword_ratio_e4=100,
+        min_alpha_ratio_e4=7000,
+    )
+
+
+def q_host_quality_gate(spark, sf_dir):
+    # domain blocklist gate: drop all docs of hosts with > 35% bad docs
+    # (min 3 observations); survivors keep their original columns
+    out = T.host_quality_gate(
+        _hosted_docs(spark, sf_dir),
+        min_docs=3,
+        max_bad_frac_e4=3500,
+        min_tokens=40,
+        min_stopword_ratio_e4=100,
+        min_alpha_ratio_e4=7000,
+    )
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "host")
+
+
 def q_top_terms(spark, sf_dir):
     # corpus top-20 terms: explode → count → global top-k with
     # deterministic tiebreak (classic shuffle+limit path)
@@ -1752,6 +1811,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": q_dedup_components,
     "dedup_canonical": q_dedup_canonical,
     "decontaminate": q_decontaminate,
+    "decontaminate_sentences": q_decontaminate_sentences,
     "repeated_windows": q_repeated_windows,
     "repeated_spans": q_repeated_spans,
     "repeated_window_stats": q_repeated_window_stats,
@@ -1799,6 +1859,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_paragraphs": q_dedup_paragraphs,
     "canonical_urls": q_canonical_urls,
     "host_stats": q_host_stats,
+    "host_quality_stats": q_host_quality_stats,
+    "host_quality_gate": q_host_quality_gate,
     "top_terms": q_top_terms,
     "lineitem_agg": q_lineitem_agg,
     "top_orders_per_segment": q_top_orders_per_segment,
@@ -1812,6 +1874,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "importance_sample": q_importance_sample,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
 }
+
+# doc-level bad flag shared by the host_quality_* oracles (thresholds
+# 40 / 100 / 7000 — the q_quality_filter family settings)
+_DUCK_IS_BAD = (
+    "(len(string_split(text, ' ')) < 40 "
+    "OR round(10000.0 * len(list_filter(string_split(text, ' '), "
+    "w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for'))) "
+    "/ len(string_split(text, ' '))) < 100 "
+    "OR round(10000.0 * length(regexp_replace(text, '[^a-z]', '', 'g')) "
+    "/ length(text)) < 7000)"
+)
 
 ORACLES: dict[str, str] = {
     "html_main_text": (
@@ -2038,6 +2111,36 @@ ORACLES: dict[str, str] = {
         "SELECT CAST(dg.doc_id AS BIGINT) AS doc_id, "
         "CAST(count(*) AS BIGINT) AS n_contaminated "
         "FROM dg JOIN eg USING (gram) GROUP BY dg.doc_id"
+    ),
+    "decontaminate_sentences": (
+        # 8-gram sentence-level decontamination over the re-chunked
+        # 8-word-sentence corpus; eval = words 17..24 of every 37th doc
+        # (mirror of q_decontaminate_sentences); zipped unnest gives
+        # the 0-based sentence position
+        "WITH sdocs AS (SELECT doc_id, array_to_string(list_transform("
+        "generate_series(1, len(string_split(text, ' ')), 8), "
+        "j -> array_to_string(string_split(text, ' ')[j:j+7], ' ')), '. ') AS text "
+        "FROM documents), "
+        "ev AS (SELECT array_to_string(string_split(text, ' ')[17:24], ' ') AS text "
+        "FROM documents WHERE doc_id % 37 = 0), "
+        "eg AS (SELECT DISTINCT unnest(list_distinct(list_transform("
+        "generate_series(1, len(string_split(text, ' ')) - 7), "
+        "j -> array_to_string(string_split(text, ' ')[j:j+7], ' ')))) AS gram "
+        "FROM ev WHERE len(string_split(text, ' ')) >= 8), "
+        "s AS (SELECT doc_id, unnest(string_split(text, '. ')) AS sent, "
+        "unnest(generate_series(0, len(string_split(text, '. ')) - 1)) AS pos "
+        "FROM sdocs), "
+        "sg AS (SELECT doc_id, pos, unnest(list_distinct(list_transform("
+        "generate_series(1, len(string_split(sent, ' ')) - 7), "
+        "j -> array_to_string(string_split(sent, ' ')[j:j+7], ' ')))) AS gram "
+        "FROM s WHERE len(string_split(sent, ' ')) >= 8), "
+        "bad AS (SELECT DISTINCT doc_id, pos FROM sg JOIN eg USING (gram)) "
+        "SELECT CAST(s.doc_id AS BIGINT) AS doc_id, "
+        "coalesce(string_agg(CASE WHEN bad.doc_id IS NULL THEN s.sent END, "
+        "'. ' ORDER BY s.pos), '') AS clean_text, "
+        "CAST(count(bad.doc_id) AS BIGINT) AS n_dropped "
+        "FROM s LEFT JOIN bad ON s.doc_id = bad.doc_id AND s.pos = bad.pos "
+        "GROUP BY s.doc_id"
     ),
     "lsh_bucket_stats": _duck_lsh_stats_cte(),
     "shingle_df_stats": _DUCK_SHINGLE_STATS,
@@ -2328,6 +2431,28 @@ ORACLES: dict[str, str] = {
         "SELECT host, CAST(count(*) AS BIGINT) AS n_pages, "
         "CAST(sum(html_len) AS BIGINT) AS html_bytes, "
         "CAST(min(doc_id) AS BIGINT) AS first_doc FROM pages GROUP BY host"
+    ),
+    "host_quality_stats": (
+        "WITH d AS (SELECT doc_id, text, "
+        "source || '-' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host "
+        "FROM documents), "
+        "s AS (SELECT host, CASE WHEN " + _DUCK_IS_BAD + " THEN 1 ELSE 0 END AS is_bad "
+        "FROM d) "
+        "SELECT host, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(is_bad) AS BIGINT) AS n_bad, "
+        "CAST(round(10000.0 * sum(is_bad) / count(*)) AS BIGINT) AS bad_frac_e4 "
+        "FROM s GROUP BY host"
+    ),
+    "host_quality_gate": (
+        "WITH d AS (SELECT doc_id, text, "
+        "source || '-' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host "
+        "FROM documents), "
+        "s AS (SELECT host, CASE WHEN " + _DUCK_IS_BAD + " THEN 1 ELSE 0 END AS is_bad "
+        "FROM d), "
+        "h AS (SELECT host, count(*) AS n_docs, sum(is_bad) AS n_bad FROM s GROUP BY host), "
+        "blocked AS (SELECT host FROM h WHERE n_docs >= 3 AND n_bad * 10000 > n_docs * 3500) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, host FROM d "
+        "WHERE host NOT IN (SELECT host FROM blocked)"
     ),
     "top_terms": (
         "WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents) "

@@ -112,3 +112,61 @@ class TestOovStats:
         )
         plan = plan_of(T.oov_stats(docs, vocab_size=2))
         assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def _sent(tag: str) -> str:
+    return " ".join(f"{tag}{i}" for i in range(8))  # one 8-word sentence
+
+
+class TestSentenceDecontamination:
+    """Sentence-level (surgical) decontamination: drop the quoted
+    sentence, keep the document."""
+
+    def test_drops_contaminated_sentence_keeps_order(self, spark):
+        doc = _sent("a") + ". " + _sent("x") + ". " + _sent("b")
+        docs = _docs(spark, [(1, doc)])
+        evals = spark.createDataFrame([(_sent("x"),)], "text string")
+        (r,) = T.decontaminate_sentences(docs, evals, n=8).collect()
+        assert r["clean_text"] == _sent("a") + ". " + _sent("b")
+        assert r["n_dropped"] == 1
+
+    def test_fully_contaminated_doc_survives_empty(self, spark):
+        docs = _docs(spark, [(1, _sent("x") + ". " + _sent("x"))])
+        evals = spark.createDataFrame([(_sent("x"),)], "text string")
+        (r,) = T.decontaminate_sentences(docs, evals, n=8).collect()
+        assert r["clean_text"] == "" and r["n_dropped"] == 2
+
+    def test_untouched_docs_pass_through_verbatim(self, spark):
+        doc = _sent("c") + ". " + _sent("d")
+        docs = _docs(spark, [(1, doc), (2, _sent("x"))])
+        evals = spark.createDataFrame([(_sent("x"),)], "text string")
+        got = {r.doc_id: (r.clean_text, r.n_dropped)
+               for r in T.decontaminate_sentences(docs, evals, n=8).collect()}
+        assert got[1] == (doc, 0)
+        assert got[2] == ("", 1)
+
+    def test_short_sentences_and_short_evals_never_match(self, spark):
+        # both sides below the n-gram width contribute/match nothing
+        docs = _docs(spark, [(1, "tiny words. more tiny words")])
+        evals = spark.createDataFrame([("tiny words",)], "text string")
+        (r,) = T.decontaminate_sentences(docs, evals, n=8).collect()
+        assert r["n_dropped"] == 0
+        assert r["clean_text"] == "tiny words. more tiny words"
+
+    def test_gram_straddling_sentence_boundary_does_not_match(self, spark):
+        # eval gram spans two sentences of the doc -> no single sentence
+        # contains it, so nothing is dropped (sentence-scoped semantics)
+        half_a, half_b = _sent("p"), _sent("q")
+        straddle = " ".join(half_a.split()[4:] + half_b.split()[:4])
+        docs = _docs(spark, [(1, half_a + ". " + half_b)])
+        evals = spark.createDataFrame([(straddle,)], "text string")
+        (r,) = T.decontaminate_sentences(docs, evals, n=8).collect()
+        assert r["n_dropped"] == 0
+
+    def test_eval_grams_are_broadcast(self, spark):
+        from tests.test_physical_plans import plan_of
+
+        docs = _docs(spark, [(1, _sent("a"))])
+        evals = spark.createDataFrame([(_sent("x"),)], "text string")
+        plan = plan_of(T.sentence_contamination(docs, evals, n=8))
+        assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan

@@ -1,0 +1,93 @@
+"""Per-domain quality gate (CCNet/RefinedWeb-style domain blocklist
+computed from the corpus itself); beyond-reference pipeline operator."""
+
+from gumbo_pp_spark.operators import textstats as T
+
+# passes (min_tokens=5, min_stopword_ratio_e4=100, min_alpha_ratio_e4=5000)
+GOOD = "the quick brown fox jumps over the lazy dog today"
+BAD = "xx 11"  # 2 tokens < 5
+
+THRESH = dict(min_tokens=5, min_stopword_ratio_e4=100, min_alpha_ratio_e4=5000)
+
+
+def _hosted(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, host string, text string")
+
+
+def _fixture(spark):
+    return _hosted(
+        spark,
+        # spamy.example: 3/4 bad; clean.example: 0/4 bad;
+        # tiny.example: 1/1 bad but below min_docs
+        [(1, "spamy.example", BAD), (2, "spamy.example", BAD),
+         (3, "spamy.example", BAD), (4, "spamy.example", GOOD),
+         (5, "clean.example", GOOD), (6, "clean.example", GOOD),
+         (7, "clean.example", GOOD), (8, "clean.example", GOOD),
+         (9, "tiny.example", BAD)],
+    )
+
+
+class TestHostQualityStats:
+    def test_per_host_rollup_values(self, spark):
+        got = {
+            r.host: (r.n_docs, r.n_bad, r.bad_frac_e4)
+            for r in T.host_quality_stats(_fixture(spark), **THRESH).collect()
+        }
+        assert got == {
+            "spamy.example": (4, 3, 7500),
+            "clean.example": (4, 0, 0),
+            "tiny.example": (1, 1, 10000),
+        }
+
+    def test_flag_matches_quality_filter_complement(self, spark):
+        # n_bad must be exactly (docs - quality_filter survivors)
+        df = _fixture(spark)
+        survivors = T.quality_filter(df, **{
+            "min_tokens": 5,
+            "min_stopword_ratio_e4": 100,
+            "min_alpha_ratio_e4": 5000,
+        }).count()
+        stats = T.host_quality_stats(df, **THRESH)
+        total_bad = sum(r.n_bad for r in stats.collect())
+        assert total_bad == df.count() - survivors
+
+
+class TestHostQualityGate:
+    def test_blocks_whole_bad_host_keeps_small_and_clean(self, spark):
+        kept = {
+            r.doc_id
+            for r in T.host_quality_gate(
+                _fixture(spark), min_docs=3, max_bad_frac_e4=5000, **THRESH
+            ).collect()
+        }
+        # spamy (75% bad, >= 3 docs) fully dropped INCLUDING its good
+        # doc 4; tiny (100% bad, 1 doc) spared by min_docs
+        assert kept == {5, 6, 7, 8, 9}
+
+    def test_threshold_is_integer_exact_boundary(self, spark):
+        # exactly-at-threshold host is NOT blocked (strict >)
+        df = _hosted(
+            spark,
+            [(1, "h.example", BAD), (2, "h.example", GOOD),
+             (3, "h.example", BAD), (4, "h.example", GOOD)],
+        )
+        assert (
+            T.host_quality_gate(df, min_docs=3, max_bad_frac_e4=5000, **THRESH)
+            .count() == 4
+        )
+        assert (
+            T.host_quality_gate(df, min_docs=3, max_bad_frac_e4=4999, **THRESH)
+            .count() == 0
+        )
+
+    def test_gate_is_broadcast_anti_join(self, spark):
+        from tests.test_physical_plans import plan_of
+
+        plan = plan_of(
+            T.host_quality_gate(_fixture(spark), min_docs=3, **THRESH)
+        )
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    def test_all_columns_pass_through(self, spark):
+        out = T.host_quality_gate(_fixture(spark), min_docs=3, **THRESH)
+        assert out.columns == ["doc_id", "host", "text"]

@@ -360,3 +360,19 @@ class TestIncrementalRead:
             ledger.commit({"split_id": s, "run_id": "r", "rows": 1})
         win = ledger.committed_between(2, as_of=4)
         assert sorted(r["seq"] for r in win.values()) == [3, 4]
+
+    def test_snapshot_diff_summary(self, tmp_path):
+        ledger = PartitionLedger(str(tmp_path / "_ledger"))
+        for s in range(4):
+            ledger.commit({"split_id": s, "run_id": "r", "rows": 10 * (s + 1)})
+        # splits 0..3 get seqs 1..4; since=1 -> seqs 2..4 = splits 1..3
+        d = ledger.snapshot_diff(1)
+        assert d == {
+            "since": 1,
+            "as_of": 4,
+            "n_commits": 3,
+            "split_ids": [1, 2, 3],
+            "rows": 90,
+        }
+        assert ledger.snapshot_diff(4)["n_commits"] == 0
+        assert ledger.snapshot_diff(0, as_of=2)["split_ids"] == [0, 1]
