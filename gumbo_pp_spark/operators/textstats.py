@@ -686,6 +686,145 @@ def oov_stats(df: DataFrame, vocab_size: int = 1000, text_col: str = "text") -> 
     )
 
 
+# word-bigram explode (NOT distinct — a language model counts
+# multiplicity, unlike the shingle/gram dedup expressions)
+_BIGRAM_EXPR = "transform(sequence(1, size(ws) - 1), j -> concat_ws(' ', slice(ws, j, 2)))"
+
+
+def bigram_lm(df: DataFrame, lm_size: int = 4096, text_col: str = "text") -> DataFrame:
+    """(bigram, n): the corpus' top-``lm_size`` word bigrams by
+    frequency — the count-based language model behind
+    :func:`lm_coverage`.  Ties break lexicographically so the model is
+    deterministic.  Same shape as :func:`vocab_topk`: one explode, one
+    map-side-combined keyed agg, one top-k over the AGGREGATED bigram
+    table (model-sized, not corpus-sized)."""
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    counts = (
+        ensure_min_parallelism(df)
+        .select(F.split(F.col(text_col), " ").alias("ws"))
+        .where(F.expr("size(ws) >= 2"))
+        .select(F.explode(F.expr(_BIGRAM_EXPR)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return counts.orderBy(F.desc("n"), "bigram").limit(lm_size)
+
+
+def lm_coverage(
+    df: DataFrame,
+    lm: DataFrame | None = None,
+    lm_size: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, n_known, known_mass, coverage_e4) — the
+    integer-exact stand-in for CCNet's LM-perplexity fluency filter:
+    instead of float log-perplexity (whose cross-engine sum-order / ulp
+    drift would break oracle hashing) a document is scored by how much
+    of it the count LM has seen — the fraction of its bigrams present
+    in the model (``coverage_e4``) and the integer sum of their corpus
+    counts (``known_mass``).  Garbled / boilerplate-shuffled documents
+    score low on coverage exactly as they score high on perplexity.
+    Documents under 2 words have no bigrams and are absent (same
+    convention as :func:`contamination`).
+
+    ``lm`` overrides the model (e.g. one built on a trusted reference
+    corpus — the actual CCNet setup); default is the corpus' own
+    :func:`bigram_lm`.  Scale shape: the model is ``lm_size`` rows →
+    broadcast left join; the corpus side is one explode + one
+    doc-keyed agg (map-side combined) and is never shuffled on a
+    bigram key."""
+    if lm is None:
+        lm = bigram_lm(df, lm_size, text_col)
+    bg = (
+        df.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("ws"),
+        )
+        .where(F.expr("size(ws) >= 2"))
+        .select("doc_id", F.explode(F.expr(_BIGRAM_EXPR)).alias("bigram"))
+    )
+    return (
+        bg.join(F.broadcast(lm), "bigram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.count("n").cast("bigint").alias("n_known"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("known_mass"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_known",
+            "known_mass",
+            F.round(F.col("n_known") * 10000.0 / F.col("n_bigrams"))
+            .cast("bigint")
+            .alias("coverage_e4"),
+        )
+    )
+
+
+def mixture_rates(
+    df: DataFrame,
+    target_shares_e4: dict,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, n_tokens, rate_e4) — the acceptance rates that reshape
+    the corpus into a target token mixture: sources are downsampled so
+    surviving tokens arrive in proportion ``target_shares_e4``, with
+    the binding source (the one that runs out first relative to its
+    target) kept whole at rate 10000.  Feed the result into
+    :func:`stratified_sample` for the actual map-only sampling pass.
+
+    Determinism: the binding source is chosen by ordering on the
+    single-op double ratio n_tokens/share (IEEE division is correctly
+    rounded, so both engines order identically; ties break by source),
+    and each rate is then ONE integer floor division —
+    ``(10000·p_s·T_b) div (p_b·T_s)`` — bit-exact across engines.
+    BIGINT-safe while per-source token counts stay under ~9·10¹⁰; at
+    full 100 TB scale compute the rates over a
+    :func:`sample_by_hash` calibration slice instead (rates are
+    scale-free), which also keeps this aggregate cheap.
+
+    Scale shape: one map-side-combined groupBy(source) over token
+    counts; everything after operates on the sources-sized table (a
+    deliberate 1-row broadcast cross join for the binding constants).
+    Sources absent from ``target_shares_e4`` (or mapped to 0) get no
+    row — their documents are dropped entirely by the downstream
+    sampler, matching ``stratified_sample(default_e4=0)``."""
+    cases = " ".join(
+        "WHEN '{}' THEN {}".format(str(s).replace("'", "''"), int(r))
+        for s, r in sorted(target_shares_e4.items())
+    )
+    share = f"(CASE source {cases} ELSE 0 END)" if cases else "0"
+    tok = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.sum(F.expr(f"size(split({text_col}, ' '))"))
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+        .withColumn("p_e4", F.expr(f"CAST({share} AS BIGINT)"))
+        .where(F.col("p_e4") > 0)
+    )
+    binding = (
+        tok.orderBy(
+            (F.col("n_tokens").cast("double") / F.col("p_e4")).asc(), "source"
+        )
+        .limit(1)
+        .select(F.col("n_tokens").alias("_tb"), F.col("p_e4").alias("_pb"))
+    )
+    return tok.crossJoin(F.broadcast(binding)).select(
+        "source",
+        "n_tokens",
+        F.expr(
+            "least(CAST(10000 AS BIGINT), "
+            "(10000 * p_e4 * _tb) div (_pb * n_tokens))"
+        ).alias("rate_e4"),
+    )
+
+
 def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """Per-document top-``k`` salient terms by tf·rarity:
     (doc_id, word, tf, df, score_e4, rank) where ``score_e4 =

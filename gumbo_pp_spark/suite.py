@@ -855,6 +855,24 @@ def q_oov_stats(spark, sf_dir):
     return T.oov_stats(_docs(spark, sf_dir), vocab_size=16)
 
 
+def q_lm_coverage(spark, sf_dir):
+    # integer-exact CCNet-perplexity stand-in: bigram-LM coverage vs
+    # the corpus' own top-64 bigram model (the ~960-bigram synthetic
+    # vocabulary makes a 64-bigram LM selective; ties at the cut break
+    # lexicographically on both engines)
+    return T.lm_coverage(_docs(spark, sf_dir), lm_size=64)
+
+
+MIXTURE_TARGETS_E4 = {"src0": 5000, "src1": 3000, "src2": 2000}
+
+
+def q_mixture_rates(spark, sf_dir):
+    # mixture calibration: acceptance rates reshaping three sources to
+    # a 50/30/20 token split (others dropped); rates are one integer
+    # floor division each — bit-exact vs the oracle
+    return T.mixture_rates(_docs(spark, sf_dir), MIXTURE_TARGETS_E4)
+
+
 def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
@@ -1816,6 +1834,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeated_spans": q_repeated_spans,
     "repeated_window_stats": q_repeated_window_stats,
     "oov_stats": q_oov_stats,
+    "lm_coverage": q_lm_coverage,
+    "mixture_rates": q_mixture_rates,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "shingle_df_stats": q_shingle_df_stats,
     "simhash": q_simhash,
@@ -2081,6 +2101,37 @@ ORACLES: dict[str, str] = {
         "CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, "
         "CAST(round(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT) "
         "AS oov_ratio_e4 FROM t LEFT JOIN v ON t.word = v.word GROUP BY t.doc_id"
+    ),
+    "lm_coverage": (
+        # top-64 corpus bigram LM; coverage = known-bigram share
+        # (mirror of q_lm_coverage)
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents "
+        "WHERE len(string_split(text, ' ')) >= 2), "
+        "bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1), "
+        "j -> ws[j] || ' ' || ws[j+1])) AS bigram FROM w), "
+        "c AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram), "
+        "lm AS (SELECT bigram, n FROM c ORDER BY n DESC, bigram LIMIT 64), "
+        "j AS (SELECT bg.doc_id, lm.n FROM bg LEFT JOIN lm USING (bigram)) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(count(*) AS BIGINT) AS n_bigrams, "
+        "CAST(count(n) AS BIGINT) AS n_known, "
+        "CAST(coalesce(sum(n), 0) AS BIGINT) AS known_mass, "
+        "CAST(round(count(n) * 10000.0 / count(*)) AS BIGINT) AS coverage_e4 "
+        "FROM j GROUP BY doc_id"
+    ),
+    "mixture_rates": (
+        # 50/30/20 token-mixture calibration (mirror of q_mixture_rates)
+        "WITH tok AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) "
+        "AS n_tokens FROM documents GROUP BY source), "
+        "p AS (SELECT source, n_tokens, CAST(CASE source "
+        "WHEN 'src0' THEN 5000 WHEN 'src1' THEN 3000 WHEN 'src2' THEN 2000 "
+        "ELSE 0 END AS BIGINT) AS p_e4 FROM tok), "
+        "q AS (SELECT * FROM p WHERE p_e4 > 0), "
+        "b AS (SELECT n_tokens AS tb, p_e4 AS pb FROM q "
+        "ORDER BY CAST(n_tokens AS DOUBLE) / p_e4, source LIMIT 1) "
+        "SELECT source, n_tokens, "
+        "CAST(least(10000, (10000 * p_e4 * tb) // (pb * n_tokens)) AS BIGINT) AS rate_e4 "
+        "FROM q, b"
     ),
     "repeated_window_stats": (
         "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents "
