@@ -160,3 +160,58 @@ def shard_manifest(
         )
         .select("shard", "n_docs", "n_tokens", "min_doc", "max_doc", "checksum")
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    score_col: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy corpus assembly under a token budget: keep the
+    highest-scoring documents whose running token total fits in
+    ``budget_tokens``.  Order is (score desc, key asc); a document is
+    kept iff the cumulative token count through it is ≤ the budget
+    (tokens are positive, so the kept set is a clean prefix).
+    Returns (doc_id, score, n_tokens).
+
+    Scale shape — NO global sort: the score axis collapses to a
+    per-distinct-score histogram (map-side combined, scores-sized,
+    the :func:`~gumbo_pp_spark.operators.sketches.length_quantiles`
+    trick); scores whose whole cumulative mass fits are kept via a
+    broadcast semi-join flag, and only the single BOUNDARY score's
+    documents flow through a cumulative window — partitioned AFTER
+    the boundary filter, so the window input is boundary-sized, not
+    corpus-sized.  A corpus where one score value dominates would
+    re-concentrate that window; integer e4 scores make that a
+    measure-zero concern in practice."""
+    base = df.selectExpr(
+        f"CAST({key_col} AS BIGINT) AS doc_id",
+        f"CAST({score_col} AS BIGINT) AS score",
+        f"CAST(size(split({text_col}, ' ')) AS BIGINT) AS n_tokens",
+    )
+    hist = base.groupBy("score").agg(F.sum("n_tokens").alias("tok"))
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "score",
+        F.sum("tok").over(w).alias("cum"),
+        (F.sum("tok").over(w) - F.col("tok")).alias("cum_before"),
+    )
+    full_in = cum.where(F.col("cum") <= budget_tokens).select("score")
+    boundary = cum.where(
+        (F.col("cum") > budget_tokens) & (F.col("cum_before") < budget_tokens)
+    ).select("score", "cum_before")
+    kept_full = base.join(F.broadcast(full_in), "score")
+    wb = Window.partitionBy("score").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    kept_boundary = (
+        base.join(F.broadcast(boundary), "score")
+        .withColumn("c", F.sum("n_tokens").over(wb))
+        .where(F.col("cum_before") + F.col("c") <= budget_tokens)
+    )
+    cols = ["doc_id", "score", "n_tokens"]
+    return kept_full.select(*cols).unionByName(kept_boundary.select(*cols))

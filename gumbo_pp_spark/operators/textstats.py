@@ -471,6 +471,20 @@ def decontaminate_sentences(
     is a map-side indexed ``filter`` over the re-split sentence array —
     no explode-regroup of document text through an exchange."""
     bad = sentence_contamination(docs, evals, n, text_col, grams=grams)
+    return _drop_segment_positions(docs, bad, text_col)
+
+
+def _drop_segment_positions(
+    docs: DataFrame, bad: DataFrame, text_col: str
+) -> DataFrame:
+    """(doc_id, clean_text, n_dropped): rebuild every document without
+    the ``'. '``-delimited segments named by ``bad`` (doc_id, pos) —
+    the shared tail of sentence-level decontamination and boilerplate
+    removal.  The corpus is never shuffled: the bad-position set
+    (≪ corpus) rolls up per document and joins back (AQE picks
+    broadcast when small, the common case), and the rebuild is a
+    map-side indexed ``filter`` over the re-split segment array — no
+    explode-regroup of document text through an exchange."""
     bad_per_doc = bad.groupBy("doc_id").agg(
         F.array_sort(F.collect_list("pos")).alias("bad_pos")
     )
@@ -482,6 +496,53 @@ def decontaminate_sentences(
         ).alias("clean_text"),
         F.coalesce(F.size("bad_pos"), F.lit(0)).cast("bigint").alias("n_dropped"),
     )
+
+
+def boilerplate_segments(
+    df: DataFrame,
+    host_col: str = "host",
+    min_docs: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(host, seg_md5, n_docs): ``'. '``-delimited segments repeated
+    across ≥ ``min_docs`` distinct documents of the SAME host — the
+    per-domain boilerplate table (navigation, footers, cookie banners
+    repeat within a site, not across the web).  Scale shape: the
+    explode carries only (host, doc_id, md5) — document text never
+    leaves its partition — and the (host, seg) aggregate is one
+    map-side-combined shuffle on a high-cardinality composite key."""
+    segs = df.select(
+        F.col(host_col).alias("host"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(F.split(F.col(text_col), "[.] ")).alias("seg"),
+    ).select("host", "doc_id", F.md5("seg").alias("seg_md5"))
+    return (
+        segs.groupBy("host", "seg_md5")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    host_col: str = "host",
+    min_docs: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, clean_text, n_dropped): strip per-host boilerplate
+    segments (see :func:`boilerplate_segments`) from every document —
+    every document survives, shortened.  Scale shape: two hash-keyed
+    exchanges on (host, seg_md5) — one to build the boilerplate
+    table, one to flag positions — both carrying digests, never text;
+    the rebuild is the shared map-side indexed filter."""
+    bp = boilerplate_segments(df, host_col, min_docs, text_col)
+    segs = df.select(
+        F.col(host_col).alias("host"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "[.] ")).alias("pos", "seg"),
+    ).select("host", "doc_id", "pos", F.md5("seg").alias("seg_md5"))
+    bad = segs.join(bp, ["host", "seg_md5"]).select("doc_id", "pos")
+    return _drop_segment_positions(df, bad, text_col)
 
 
 # ----------------------------------------------------------------------

@@ -863,6 +863,30 @@ def q_lm_coverage(spark, sf_dir):
     return T.lm_coverage(_docs(spark, sf_dir), lm_size=64)
 
 
+def q_remove_boilerplate(spark, sf_dir):
+    # per-host boilerplate strip: every document of a host carries the
+    # same footer segment ('. '-delimited), which min_docs=3 flags and
+    # the rebuild removes; organic repeats are handled identically on
+    # both sides
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"{_HOSTED_EXPR} AS host",
+        f"concat({_SENT_DOCS_EXPR}, '. visit ', {_HOSTED_EXPR}, ' for more') AS text",
+    )
+    return T.remove_boilerplate(docs, min_docs=3)
+
+
+def q_select_token_budget(spark, sf_dir):
+    # greedy corpus assembly: highest-LM-coverage docs until a 15k
+    # token budget is exhausted (boundary-score tie handling exercised)
+    docs = _docs(spark, sf_dir)
+    cov = T.lm_coverage(docs, lm_size=64).select(
+        "doc_id", F.col("coverage_e4").alias("score")
+    )
+    scored = docs.join(cov, "doc_id").select("doc_id", "score", "text")
+    return P.select_token_budget(scored, budget_tokens=15000, score_col="score")
+
+
 MIXTURE_TARGETS_E4 = {"src0": 5000, "src1": 3000, "src2": 2000}
 
 
@@ -1836,6 +1860,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "oov_stats": q_oov_stats,
     "lm_coverage": q_lm_coverage,
     "mixture_rates": q_mixture_rates,
+    "remove_boilerplate": q_remove_boilerplate,
+    "select_token_budget": q_select_token_budget,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "shingle_df_stats": q_shingle_df_stats,
     "simhash": q_simhash,
@@ -1894,6 +1920,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "importance_sample": q_importance_sample,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
 }
+
+# DuckDB mirrors of _SENT_DOCS_EXPR / _HOSTED_EXPR (8-word '. '-joined
+# sentences; 100-host synthetic assignment)
+_DUCK_SENT = (
+    "array_to_string(list_transform(generate_series(1, len(string_split(text, ' ')), 8), "
+    "j -> array_to_string(string_split(text, ' ')[j:j+7], ' ')), '. ')"
+)
+_DUCK_HOST = "source || '-' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'"
 
 # doc-level bad flag shared by the host_quality_* oracles (thresholds
 # 40 / 100 / 7000 — the q_quality_filter family settings)
@@ -2132,6 +2166,45 @@ ORACLES: dict[str, str] = {
         "SELECT source, n_tokens, "
         "CAST(least(10000, (10000 * p_e4 * tb) // (pb * n_tokens)) AS BIGINT) AS rate_e4 "
         "FROM q, b"
+    ),
+    "remove_boilerplate": (
+        # per-host footer strip (mirror of q_remove_boilerplate)
+        "WITH d AS (SELECT doc_id, " + _DUCK_HOST + " AS host, "
+        + _DUCK_SENT + " || '. visit ' || " + _DUCK_HOST + " || ' for more' AS text "
+        "FROM documents), "
+        "s AS (SELECT doc_id, host, unnest(string_split(text, '. ')) AS seg, "
+        "unnest(generate_series(0, len(string_split(text, '. ')) - 1)) AS pos FROM d), "
+        "bp AS (SELECT host, md5(seg) AS h FROM s GROUP BY host, md5(seg) "
+        "HAVING count(DISTINCT doc_id) >= 3), "
+        "bad AS (SELECT doc_id, pos FROM s JOIN bp "
+        "ON s.host = bp.host AND md5(s.seg) = bp.h) "
+        "SELECT CAST(s.doc_id AS BIGINT) AS doc_id, "
+        "coalesce(string_agg(CASE WHEN bad.doc_id IS NULL THEN s.seg END, "
+        "'. ' ORDER BY s.pos), '') AS clean_text, "
+        "CAST(count(bad.doc_id) AS BIGINT) AS n_dropped "
+        "FROM s LEFT JOIN bad ON s.doc_id = bad.doc_id AND s.pos = bad.pos "
+        "GROUP BY s.doc_id"
+    ),
+    "select_token_budget": (
+        # greedy budget prefix over LM-coverage scores (mirror of
+        # q_select_token_budget; window cumsum is the oracle-side
+        # formulation of the histogram+boundary plan)
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents "
+        "WHERE len(string_split(text, ' ')) >= 2), "
+        "bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1), "
+        "j -> ws[j] || ' ' || ws[j+1])) AS bigram FROM w), "
+        "c AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram), "
+        "lm AS (SELECT bigram, n FROM c ORDER BY n DESC, bigram LIMIT 64), "
+        "j AS (SELECT bg.doc_id, lm.n FROM bg LEFT JOIN lm USING (bigram)), "
+        "cov AS (SELECT doc_id, CAST(round(count(n) * 10000.0 / count(*)) AS BIGINT) "
+        "AS score FROM j GROUP BY doc_id), "
+        "base AS (SELECT d.doc_id, cov.score, "
+        "CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens "
+        "FROM documents d JOIN cov USING (doc_id)), "
+        "o AS (SELECT doc_id, score, n_tokens, "
+        "sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum FROM base) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, score, n_tokens "
+        "FROM o WHERE cum <= 15000"
     ),
     "repeated_window_stats": (
         "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents "

@@ -91,3 +91,53 @@ class TestHostQualityGate:
     def test_all_columns_pass_through(self, spark):
         out = T.host_quality_gate(_fixture(spark), min_docs=3, **THRESH)
         assert out.columns == ["doc_id", "host", "text"]
+
+
+class TestBoilerplateRemoval:
+    def _hosted(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id bigint, host string, text string"
+        )
+
+    def test_strips_host_footer_keeps_unique_content(self, spark):
+        footer = "visit our shop now"
+        docs = self._hosted(
+            spark,
+            [(i, "a.example", f"unique words number {i}. {footer}")
+             for i in range(3)]
+            + [(9, "b.example", f"other page here. {footer}")],
+        )
+        got = {r.doc_id: (r.clean_text, r.n_dropped)
+               for r in T.remove_boilerplate(docs, min_docs=3).collect()}
+        # footer repeats in 3 docs of a.example -> stripped there only;
+        # b.example saw it once, keeps it (per-host scoping)
+        for i in range(3):
+            assert got[i] == (f"unique words number {i}", 1)
+        assert got[9] == (f"other page here. {footer}", 0)
+
+    def test_repeated_segment_within_one_doc_counts_once(self, spark):
+        # countDistinct(doc_id): twice in the same doc != two docs
+        docs = self._hosted(
+            spark,
+            [(1, "h", "promo line. promo line. body"),
+             (2, "h", "promo line. other body")],
+        )
+        out = {r.doc_id: r.n_dropped
+               for r in T.remove_boilerplate(docs, min_docs=3).collect()}
+        assert out == {1: 0, 2: 0}
+
+    def test_boilerplate_table_is_host_scoped(self, spark):
+        docs = self._hosted(
+            spark,
+            [(1, "x", "same seg. a"), (2, "x", "same seg. b"),
+             (3, "y", "same seg. c")],
+        )
+        bp = T.boilerplate_segments(docs, min_docs=2).collect()
+        assert [(r.host, r.n_docs) for r in bp] == [("x", 2)]
+
+    def test_fully_boilerplate_doc_survives_empty(self, spark):
+        docs = self._hosted(
+            spark, [(i, "h", "only footer text") for i in range(3)]
+        )
+        for r in T.remove_boilerplate(docs, min_docs=3).collect():
+            assert r.clean_text == "" and r.n_dropped == 1

@@ -330,3 +330,68 @@ class TestHoldoutAndHistogram:
         assert rows == {4: 1, 2: 1, 1: 2}
         # sum(freq * n_words) == total tokens
         assert sum(f * n for f, n in rows.items()) == 8
+
+
+class TestSelectTokenBudget:
+    def _scored(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, score bigint, text string")
+
+    def test_greedy_prefix_by_score_then_key(self, spark):
+        docs = self._scored(
+            spark,
+            [(1, 90, _words(4)), (2, 80, _words(4)),
+             (3, 70, _words(4)), (4, 60, _words(4))],
+        )
+        kept = {r.doc_id for r in
+                P.select_token_budget(docs, 10, "score").collect()}
+        # 4+4 fits, third doc would hit 12 > 10
+        assert kept == {1, 2}
+
+    def test_boundary_score_tie_broken_by_doc_id(self, spark):
+        # three docs share the boundary score; only the lowest doc_ids
+        # that still fit survive
+        docs = self._scored(
+            spark,
+            [(9, 90, _words(3)),
+             (2, 50, _words(3)), (5, 50, _words(3)), (7, 50, _words(3))],
+        )
+        kept = {r.doc_id for r in
+                P.select_token_budget(docs, 9, "score").collect()}
+        assert kept == {9, 2, 5}
+
+    def test_doc_straddling_budget_is_dropped_with_suffix(self, spark):
+        # cumsum is monotone: first doc that overflows cuts everything
+        # after it too
+        docs = self._scored(
+            spark, [(1, 90, _words(5)), (2, 80, _words(50)), (3, 70, _words(1))]
+        )
+        kept = {r.doc_id for r in
+                P.select_token_budget(docs, 10, "score").collect()}
+        assert kept == {1}
+
+    def test_budget_larger_than_corpus_keeps_all(self, spark):
+        docs = self._scored(spark, [(1, 5, _words(3)), (2, 4, _words(3))])
+        out = P.select_token_budget(docs, 1000, "score")
+        assert out.count() == 2
+        assert out.columns == ["doc_id", "score", "n_tokens"]
+
+    def test_matches_window_cumsum_formulation(self, spark):
+        # the histogram+boundary plan must equal the naive global
+        # window cumsum on a mixed fixture
+        rows = [(i, (i * 7) % 5, _words(2 + i % 4)) for i in range(40)]
+        docs = self._scored(spark, rows)
+        got = {r.doc_id for r in
+               P.select_token_budget(docs, 60, "score").collect()}
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("score"), "doc_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        naive = (
+            docs.select("doc_id", "score",
+                        F.expr("size(split(text, ' '))").alias("n"))
+            .withColumn("cum", F.sum("n").over(w))
+            .where(F.col("cum") <= 60)
+        )
+        assert got == {r.doc_id for r in naive.collect()}
+        assert len(got) > 0
