@@ -475,16 +475,18 @@ def decontaminate_sentences(
 
 
 def _drop_segment_positions(
-    docs: DataFrame, bad: DataFrame, text_col: str
+    docs: DataFrame, bad: DataFrame, text_col: str, keep: tuple[str, ...] = ()
 ) -> DataFrame:
-    """(doc_id, clean_text, n_dropped): rebuild every document without
-    the ``'. '``-delimited segments named by ``bad`` (doc_id, pos) —
-    the shared tail of sentence-level decontamination and boilerplate
-    removal.  The corpus is never shuffled: the bad-position set
-    (≪ corpus) rolls up per document and joins back (AQE picks
-    broadcast when small, the common case), and the rebuild is a
-    map-side indexed ``filter`` over the re-split segment array — no
-    explode-regroup of document text through an exchange."""
+    """(doc_id, clean_text, n_dropped [, *keep]): rebuild every document
+    without the ``'. '``-delimited segments named by ``bad`` (doc_id,
+    pos) — the shared tail of sentence-level decontamination and
+    boilerplate removal.  ``keep`` passes extra ``docs`` columns
+    through (pipelines keep url/host without a join back).  The corpus
+    is never shuffled: the bad-position set (≪ corpus) rolls up per
+    document and joins back (AQE picks broadcast when small, the
+    common case), and the rebuild is a map-side indexed ``filter``
+    over the re-split segment array — no explode-regroup of document
+    text through an exchange."""
     bad_per_doc = bad.groupBy("doc_id").agg(
         F.array_sort(F.collect_list("pos")).alias("bad_pos")
     )
@@ -495,6 +497,7 @@ def _drop_segment_positions(
             "(s, i) -> bad_pos IS NULL OR NOT array_contains(bad_pos, i)))"
         ).alias("clean_text"),
         F.coalesce(F.size("bad_pos"), F.lit(0)).cast("bigint").alias("n_dropped"),
+        *keep,
     )
 
 
@@ -528,13 +531,17 @@ def remove_boilerplate(
     host_col: str = "host",
     min_docs: int = 3,
     text_col: str = "text",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, clean_text, n_dropped): strip per-host boilerplate
-    segments (see :func:`boilerplate_segments`) from every document —
-    every document survives, shortened.  Scale shape: two hash-keyed
-    exchanges on (host, seg_md5) — one to build the boilerplate
-    table, one to flag positions — both carrying digests, never text;
-    the rebuild is the shared map-side indexed filter."""
+    """(doc_id, clean_text, n_dropped [, *keep]): strip per-host
+    boilerplate segments (see :func:`boilerplate_segments`) from every
+    document — every document survives, shortened.  Scale shape: two
+    hash-keyed exchanges on (host, seg_md5) — one to build the
+    boilerplate table, one to flag positions — both carrying digests,
+    never text; the rebuild is the shared map-side indexed filter.
+    NOTE: ``df`` is referenced by three subplans (boilerplate table,
+    position flags, rebuild) — cache it when it is itself expensive to
+    recompute (the pipeline does)."""
     bp = boilerplate_segments(df, host_col, min_docs, text_col)
     segs = df.select(
         F.col(host_col).alias("host"),
@@ -542,7 +549,7 @@ def remove_boilerplate(
         F.posexplode(F.split(F.col(text_col), "[.] ")).alias("pos", "seg"),
     ).select("host", "doc_id", "pos", F.md5("seg").alias("seg_md5"))
     bad = segs.join(bp, ["host", "seg_md5"]).select("doc_id", "pos")
-    return _drop_segment_positions(df, bad, text_col)
+    return _drop_segment_positions(df, bad, text_col, keep=keep)
 
 
 # ----------------------------------------------------------------------

@@ -35,6 +35,11 @@ def build_training_corpus(
     robots: DataFrame | None = None,
     robots_agent: str = "gumbobot",
     transcode: bool = False,
+    strip_boilerplate: bool = False,
+    boilerplate_min_docs: int = 3,
+    host_gate: bool = False,
+    host_gate_min_docs: int = 5,
+    host_gate_max_bad_frac_e4: int = 5000,
 ) -> DataFrame:
     """pages(doc_id,url,html) → deduped, scrubbed, fingerprinted corpus
     (doc_id, url, clean_text, n_tokens, fp_md5).
@@ -43,6 +48,15 @@ def build_training_corpus(
     ``(host, robots_txt)`` table) applies the RFC 9309 politeness gate
     before anything else touches the bytes; ``transcode=True`` runs
     the WHATWG charset sniff so non-UTF-8 crawl pages parse correctly.
+
+    Optional per-host stages over the extracted text (each documented
+    on its operator): ``strip_boilerplate`` removes segments repeating
+    across ≥ ``boilerplate_min_docs`` documents of the same host
+    (site chrome) before any quality scoring; ``host_gate`` drops
+    every document of hosts whose bad-document fraction exceeds
+    ``host_gate_max_bad_frac_e4`` (the domain blocklist).  Turning
+    either on caches the extraction output — both are two-pass
+    operators and the parse stage must not run per subplan.
 
     Order matters at scale: extraction first (it is the expensive
     map-only stage and reduces bytes ~10x), the cheap quality gate
@@ -83,6 +97,35 @@ def build_training_corpus(
 
     extracted = extract_main_text(pages, passthrough=("doc_id", "url"))
     docs = extracted.select("doc_id", "url", F.col("text"))
+
+    # per-host stages (both optional, both two-pass over the extracted
+    # docs by construction — the stats/boilerplate table is one pass,
+    # applying it is another): cache the extraction output so the
+    # expensive parse stage is not recomputed per subplan.  Boilerplate
+    # strip runs FIRST (site chrome would otherwise inflate the quality
+    # stats the host gate aggregates), host blocklist second.
+    if strip_boilerplate or host_gate:
+        host = F.regexp_extract("url", "https?://([^/]+)", 1)
+        docs = _cache(docs.withColumn("host", host))
+    if strip_boilerplate:
+        from .operators.textstats import remove_boilerplate
+
+        docs = remove_boilerplate(
+            docs, min_docs=boilerplate_min_docs, keep=("url", "host")
+        ).select("doc_id", "url", "host", F.col("clean_text").alias("text"))
+    if host_gate:
+        from .operators.textstats import host_quality_gate
+
+        docs = host_quality_gate(
+            docs,
+            min_docs=host_gate_min_docs,
+            max_bad_frac_e4=host_gate_max_bad_frac_e4,
+            min_tokens=min_tokens,
+            min_stopword_ratio_e4=0,
+            min_alpha_ratio_e4=min_alpha_ratio_e4,
+        )
+    if strip_boilerplate or host_gate:
+        docs = docs.drop("host")
 
     kept = quality_filter(
         docs, min_tokens=min_tokens,
