@@ -334,6 +334,65 @@ def host_quality_gate(
     )
 
 
+def mirror_hosts(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    min_shared: int = 3,
+    fp_cap: int = 64,
+) -> DataFrame:
+    """(host_a, host_b, n_shared, jaccard_e4) — UNDECLARED mirror
+    detection (the complement of rel=canonical collapse): host pairs
+    sharing ≥ ``min_shared`` exact content fingerprints, with the
+    Jaccard of their fingerprint sets.  Mirrors, scraper farms and
+    CDN-duplicated sites surface here without any markup cooperation.
+
+    Scale shape — the LSH bucketing discipline applied to fingerprints:
+    the corpus collapses to DISTINCT (host, fp) rows first (map-side
+    combined), fingerprints on more than ``fp_cap`` hosts are dropped
+    before the self-join (shared templates/empty pages would otherwise
+    quadratically explode a bucket; the cap bounds any fp's pair
+    fan-out at C(fp_cap, 2)), and the pair aggregate joins two
+    hosts-sized count tables (broadcast).  Document text never moves —
+    only 32-char digests shuffle."""
+    fps = df.select(
+        F.col(host_col).alias("host"), F.md5(F.col(text_col)).alias("fp")
+    ).distinct()
+    per_host = fps.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fps")
+    )
+    cool = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("nh")).where(
+        F.col("nh") <= fp_cap
+    ).select("fp")
+    fps = fps.join(cool, "fp")
+    a = fps.select("fp", F.col("host").alias("host_a"))
+    b = fps.select("fp", F.col("host").alias("host_b"))
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    na = per_host.select(F.col("host").alias("host_a"), F.col("n_fps").alias("na"))
+    nb = per_host.select(F.col("host").alias("host_b"), F.col("n_fps").alias("nb"))
+    return (
+        pairs.join(F.broadcast(na), "host_a")
+        .join(F.broadcast(nb), "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") * 10000.0
+                / (F.col("na") + F.col("nb") - F.col("n_shared"))
+            )
+            .cast("bigint")
+            .alias("jaccard_e4"),
+        )
+    )
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, ws_tokens, word_tokens) — whitespace tokenization plus
     a BPE-ish alnum-run count (regexp, JVM-side)."""

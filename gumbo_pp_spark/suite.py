@@ -863,6 +863,18 @@ def q_lm_coverage(spark, sf_dir):
     return T.lm_coverage(_docs(spark, sf_dir), lm_size=64)
 
 
+def q_mirror_hosts(spark, sf_dir):
+    # undeclared mirror detection: 13 distinct synthetic content
+    # classes spread over the 100-host assignment — hosts sharing >= 3
+    # exact fingerprints pair up
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"{_HOSTED_EXPR} AS host",
+        "'shared content block ' || CAST(doc_id % 13 AS STRING) AS text",
+    )
+    return T.mirror_hosts(docs, min_shared=3)
+
+
 def q_remove_boilerplate(spark, sf_dir):
     # per-host boilerplate strip: every document of a host carries the
     # same footer segment ('. '-delimited), which min_docs=3 flags and
@@ -1862,6 +1874,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_rates": q_mixture_rates,
     "remove_boilerplate": q_remove_boilerplate,
     "select_token_budget": q_select_token_budget,
+    "mirror_hosts": q_mirror_hosts,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "shingle_df_stats": q_shingle_df_stats,
     "simhash": q_simhash,
@@ -2166,6 +2179,27 @@ ORACLES: dict[str, str] = {
         "SELECT source, n_tokens, "
         "CAST(least(10000, (10000 * p_e4 * tb) // (pb * n_tokens)) AS BIGINT) AS rate_e4 "
         "FROM q, b"
+    ),
+    "mirror_hosts": (
+        # mirror of q_mirror_hosts: distinct (host, fp), fp_cap=64
+        # hot-fp guard, ordered pair self-join, Jaccard over per-host
+        # fingerprint-set sizes
+        "WITH d AS (SELECT " + _DUCK_HOST + " AS host, "
+        "md5('shared content block ' || CAST(doc_id % 13 AS VARCHAR)) AS fp "
+        "FROM documents), "
+        "fps AS (SELECT DISTINCT host, fp FROM d), "
+        "per_host AS (SELECT host, count(*) AS n_fps FROM fps GROUP BY host), "
+        "cool AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64), "
+        "f2 AS (SELECT fps.host, fps.fp FROM fps JOIN cool USING (fp)), "
+        "pairs AS (SELECT a.host AS host_a, b.host AS host_b, "
+        "CAST(count(*) AS BIGINT) AS n_shared "
+        "FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.host < b.host "
+        "GROUP BY a.host, b.host HAVING count(*) >= 3) "
+        "SELECT host_a, host_b, n_shared, "
+        "CAST(round(n_shared * 10000.0 / (na.n_fps + nb.n_fps - n_shared)) AS BIGINT) "
+        "AS jaccard_e4 "
+        "FROM pairs JOIN per_host na ON pairs.host_a = na.host "
+        "JOIN per_host nb ON pairs.host_b = nb.host"
     ),
     "remove_boilerplate": (
         # per-host footer strip (mirror of q_remove_boilerplate)

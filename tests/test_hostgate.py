@@ -141,3 +141,59 @@ class TestBoilerplateRemoval:
         )
         for r in T.remove_boilerplate(docs, min_docs=3).collect():
             assert r.clean_text == "" and r.n_dropped == 1
+
+
+class TestMirrorHosts:
+    def _hosted(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id bigint, host string, text string"
+        )
+
+    def test_detects_mirror_pair_with_exact_jaccard(self, spark):
+        docs = self._hosted(
+            spark,
+            # a/b share 3 of a's 4 and b's 3 fps -> J = 3/4
+            [(1, "a", "x1"), (2, "a", "x2"), (3, "a", "x3"), (4, "a", "solo"),
+             (5, "b", "x1"), (6, "b", "x2"), (7, "b", "x3"),
+             (8, "c", "unrelated")],
+        )
+        out = T.mirror_hosts(docs, min_shared=3).collect()
+        assert [(r.host_a, r.host_b, r.n_shared, r.jaccard_e4) for r in out] == [
+            ("a", "b", 3, 7500)
+        ]
+
+    def test_min_shared_gates_weak_overlap(self, spark):
+        docs = self._hosted(
+            spark, [(1, "a", "x1"), (2, "a", "x2"), (3, "b", "x1"), (4, "b", "y")]
+        )
+        assert T.mirror_hosts(docs, min_shared=3).count() == 0
+        assert T.mirror_hosts(docs, min_shared=1).count() == 1
+
+    def test_fp_cap_drops_template_content(self, spark):
+        # one fp on 4 hosts is a shared template, not a mirror signal
+        rows = [(i, f"h{i}", "cookie banner") for i in range(4)]
+        rows += [(10, "h0", "real1"), (11, "h0", "real2"),
+                 (12, "h1", "real1"), (13, "h1", "real2")]
+        docs = self._hosted(spark, rows)
+        out = T.mirror_hosts(docs, min_shared=2, fp_cap=3).collect()
+        # without the banner fp, h0/h1 still share the two real pages
+        assert [(r.host_a, r.host_b, r.n_shared) for r in out] == [("h0", "h1", 2)]
+        # raising the cap lets the banner count again
+        out2 = T.mirror_hosts(docs, min_shared=3, fp_cap=64).collect()
+        assert [(r.host_a, r.host_b, r.n_shared) for r in out2] == [("h0", "h1", 3)]
+
+    def test_within_host_duplicates_count_once(self, spark):
+        docs = self._hosted(
+            spark,
+            [(1, "a", "x"), (2, "a", "x"), (3, "b", "x"), (4, "a", "y"), (5, "b", "y")],
+        )
+        (r,) = T.mirror_hosts(docs, min_shared=2).collect()
+        # fp set of a = {x,y}, b = {x,y} -> shared 2, J = 10000
+        assert (r.n_shared, r.jaccard_e4) == (2, 10000)
+
+    def test_host_count_tables_are_broadcast(self, spark):
+        from tests.test_physical_plans import plan_of
+
+        docs = self._hosted(spark, [(1, "a", "x"), (2, "b", "x"), (3, "b", "y")])
+        plan = plan_of(T.mirror_hosts(docs, min_shared=1))
+        assert "BroadcastHashJoin" in plan
