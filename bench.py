@@ -57,6 +57,11 @@ HEADLINE_QUERIES = [
     "html_markdown",
     "charset_extract",
     "robots_gate",
+    # round-7 session-4 families: domain gates, LM scoring, assembly
+    "host_quality_gate",
+    "remove_boilerplate",
+    "lm_coverage",
+    "select_token_budget",
 ]
 
 

@@ -334,6 +334,70 @@ def host_quality_gate(
     )
 
 
+#: Gopher rule constants (Rae et al. 2021 appendix A1.1, as adopted by
+#: the public reproductions): stopword panel and thresholds
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    line_sep_regex: str = "\n",
+    min_words: int = 50,
+    max_words: int = 100000,
+    min_mean_word_len_e4: int = 30000,
+    max_mean_word_len_e4: int = 100000,
+    max_symbol_ratio_e4: int = 1000,
+    max_bullet_frac_e4: int = 9000,
+    max_ellipsis_frac_e4: int = 3000,
+    min_alpha_word_frac_e4: int = 8000,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher quality-rule panel (Rae et al. 2021 §A1.1) as ONE
+    map-only projection: per-document word count, mean word length,
+    symbol-to-word ratio (``#`` and ``...``), bullet-start and
+    ellipsis-end line fractions, alphabetic-word fraction, stopword
+    presence, and the combined ``gopher_pass`` verdict.  All ratios are
+    e4-scaled integers (single division each) so oracles compare
+    bit-for-bit; no UDF, whole-stage codegen end to end.
+    ``line_sep_regex`` adapts the line rules to the corpus' segment
+    convention ('\\n' for real text, '[.] ' for the synthetic tables)."""
+    stop_terms = " + ".join(
+        f"(CASE WHEN array_contains(ws, '{s}') THEN 1 ELSE 0 END)"
+        for s in GOPHER_STOPWORDS
+    )
+    bullet = "l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'"
+    out = df.selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        f"split({text_col}, ' ') AS ws",
+        f"split({text_col}, '{line_sep_regex}') AS ls",
+        f"CAST(regexp_count({text_col}, '#') + regexp_count({text_col}, '[.]{{3}}') AS BIGINT) AS n_symbols",
+    ).selectExpr(
+        "doc_id",
+        "CAST(size(ws) AS BIGINT) AS n_words",
+        "CAST(round(10000.0 * aggregate(ws, 0L, (a, w) -> a + length(w)) / size(ws)) AS BIGINT) AS mean_word_len_e4",
+        "CAST(round(10000.0 * n_symbols / size(ws)) AS BIGINT) AS symbol_ratio_e4",
+        f"CAST(round(10000.0 * size(filter(ls, l -> {bullet})) / size(ls)) AS BIGINT) AS bullet_frac_e4",
+        "CAST(round(10000.0 * size(filter(ls, l -> l LIKE '%...')) / size(ls)) AS BIGINT) AS ellipsis_frac_e4",
+        "CAST(round(10000.0 * size(filter(ws, w -> w RLIKE '[a-zA-Z]')) / size(ws)) AS BIGINT) AS alpha_word_frac_e4",
+        f"CAST({stop_terms} AS BIGINT) AS n_stopwords_present",
+    )
+    checks = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len_e4") >= min_mean_word_len_e4)
+        & (F.col("mean_word_len_e4") <= max_mean_word_len_e4)
+        & (F.col("symbol_ratio_e4") <= max_symbol_ratio_e4)
+        & (F.col("bullet_frac_e4") <= max_bullet_frac_e4)
+        & (F.col("ellipsis_frac_e4") <= max_ellipsis_frac_e4)
+        & (F.col("alpha_word_frac_e4") >= min_alpha_word_frac_e4)
+        & (F.col("n_stopwords_present") >= min_stopwords)
+    )
+    return out.withColumn(
+        "gopher_pass", F.when(checks, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+    )
+
+
 def mirror_hosts(
     df: DataFrame,
     host_col: str = "host",

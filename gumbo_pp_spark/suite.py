@@ -863,6 +863,33 @@ def q_lm_coverage(spark, sf_dir):
     return T.lm_coverage(_docs(spark, sf_dir), lm_size=64)
 
 
+# gopher-rules fixture: the 8-word sentence corpus with deterministic
+# decoration — segments whose md5 starts 0/1 become bullet lines,
+# 2/3 gain a trailing ellipsis (both engines hash identically)
+_SENT_ARRAY_EXPR = (
+    "transform(sequence(1, size(split(text, ' ')), 8), "
+    "j -> concat_ws(' ', slice(split(text, ' '), j, 8)))"
+)
+_GOPHER_TEXT_EXPR = (
+    f"concat_ws('. ', transform({_SENT_ARRAY_EXPR}, "
+    "s -> CASE WHEN substring(md5(s), 1, 1) IN ('0', '1') THEN '- ' || s "
+    "WHEN substring(md5(s), 1, 1) IN ('2', '3') THEN s || '...' "
+    "ELSE s END))"
+)
+
+
+def q_gopher_rules(spark, sf_dir):
+    # the synthetic vocabulary carries only 'the' of the Gopher
+    # stopword panel -> min_stopwords=1 keeps the verdict driven by the
+    # other rules (length / ellipsis fractions vary per doc)
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_GOPHER_TEXT_EXPR} AS text"
+    )
+    return T.gopher_rules(
+        docs, line_sep_regex="[.] ", min_words=40, min_stopwords=1
+    )
+
+
 def q_mirror_hosts(spark, sf_dir):
     # undeclared mirror detection: 13 distinct synthetic content
     # classes spread over the 100-host assignment — hosts sharing >= 3
@@ -1875,6 +1902,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "remove_boilerplate": q_remove_boilerplate,
     "select_token_budget": q_select_token_budget,
     "mirror_hosts": q_mirror_hosts,
+    "gopher_rules": q_gopher_rules,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "shingle_df_stats": q_shingle_df_stats,
     "simhash": q_simhash,
@@ -2179,6 +2207,42 @@ ORACLES: dict[str, str] = {
         "SELECT source, n_tokens, "
         "CAST(least(10000, (10000 * p_e4 * tb) // (pb * n_tokens)) AS BIGINT) AS rate_e4 "
         "FROM q, b"
+    ),
+    "gopher_rules": (
+        # mirror of q_gopher_rules over the md5-decorated sentence
+        # corpus; every ratio is one e4 division of integers
+        "WITH base AS (SELECT doc_id, array_to_string(list_transform("
+        "list_transform(generate_series(1, len(string_split(text, ' ')), 8), "
+        "j -> array_to_string(string_split(text, ' ')[j:j+7], ' ')), "
+        "s -> CASE WHEN substr(md5(s), 1, 1) IN ('0', '1') THEN '- ' || s "
+        "WHEN substr(md5(s), 1, 1) IN ('2', '3') THEN s || '...' "
+        "ELSE s END), '. ') AS text FROM documents), "
+        "m AS (SELECT doc_id, string_split(text, ' ') AS ws, "
+        "string_split(text, '. ') AS ls, "
+        "len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '[.]{3}')) AS n_symbols "
+        "FROM base), "
+        "r AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(len(ws) AS BIGINT) AS n_words, "
+        "CAST(round(10000.0 * list_aggregate(list_transform(ws, w -> length(w)), 'sum') / len(ws)) AS BIGINT) AS mean_word_len_e4, "
+        "CAST(round(10000.0 * n_symbols / len(ws)) AS BIGINT) AS symbol_ratio_e4, "
+        "CAST(round(10000.0 * len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %')) / len(ls)) AS BIGINT) AS bullet_frac_e4, "
+        "CAST(round(10000.0 * len(list_filter(ls, l -> l LIKE '%...')) / len(ls)) AS BIGINT) AS ellipsis_frac_e4, "
+        "CAST(round(10000.0 * len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) / len(ws)) AS BIGINT) AS alpha_word_frac_e4, "
+        "CAST((CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END) + "
+        "(CASE WHEN list_contains(ws, 'be') THEN 1 ELSE 0 END) + "
+        "(CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END) + "
+        "(CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END) + "
+        "(CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END) + "
+        "(CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END) + "
+        "(CASE WHEN list_contains(ws, 'have') THEN 1 ELSE 0 END) + "
+        "(CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords_present "
+        "FROM m) "
+        "SELECT *, CAST(CASE WHEN n_words >= 40 AND n_words <= 100000 "
+        "AND mean_word_len_e4 >= 30000 AND mean_word_len_e4 <= 100000 "
+        "AND symbol_ratio_e4 <= 1000 AND bullet_frac_e4 <= 9000 "
+        "AND ellipsis_frac_e4 <= 3000 AND alpha_word_frac_e4 >= 8000 "
+        "AND n_stopwords_present >= 1 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass "
+        "FROM r"
     ),
     "mirror_hosts": (
         # mirror of q_mirror_hosts: distinct (host, fp), fp_cap=64
