@@ -214,3 +214,49 @@ def test_revenue_by_nation_broadcasts_all_dims(spark):
     plan = plan_of(q_revenue_by_nation(spark, SF_SMOKE))
     assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
     assert "SortMergeJoin" not in plan
+
+
+class TestSessionFourPlans:
+    """Session-4 operators: the 100 TB plan shapes hold."""
+
+    def test_gopher_rules_is_map_only(self, spark, docs):
+        from gumbo_pp_spark.operators.textstats import gopher_rules
+
+        plan = plan_of(gopher_rules(docs))
+        assert "Exchange" not in plan
+        assert "Python" not in plan  # whole-stage codegen, no UDF
+
+    def test_mixture_rates_map_side_combined(self, spark, docs):
+        from gumbo_pp_spark.operators.textstats import mixture_rates
+
+        plan = plan_of(mixture_rates(docs, {"src0": 5000, "src1": 5000}))
+        # token count per source: partial agg before the exchange, and
+        # the 1-row binding constants arrive broadcast
+        assert "partial_sum" in plan
+        assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+    def test_select_token_budget_has_no_global_sort(self, spark, docs):
+        from gumbo_pp_spark.operators.packing import select_token_budget
+        from gumbo_pp_spark.operators.textstats import lm_coverage
+
+        scored = docs.join(
+            lm_coverage(docs, lm_size=16).select(
+                "doc_id", F.col("coverage_e4").alias("score")
+            ),
+            "doc_id",
+        )
+        plan = plan_of(select_token_budget(scored, 5000, "score"))
+        # the corpus is never range-partitioned for a global sort; the
+        # only single-partition work is the scores-sized histogram
+        assert "rangepartitioning" not in plan
+        assert "partial_sum" in plan  # histogram is map-side combined
+
+    def test_lm_coverage_corpus_never_shuffled_on_bigram(self, spark, docs):
+        from gumbo_pp_spark.operators.textstats import lm_coverage
+
+        plan = plan_of(lm_coverage(docs, lm_size=16))
+        final = plan.split("== Initial Plan ==")[0]
+        # model side broadcast; the only hash exchanges are the model
+        # build and the doc-keyed agg — never a bigram-keyed corpus one
+        assert "BroadcastHashJoin" in final
+        assert final.count("hashpartitioning(bigram") <= 1
