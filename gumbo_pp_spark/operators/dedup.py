@@ -327,6 +327,74 @@ def minhash_lsh_pairs(
     )
 
 
+def verify_pairs(df: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(a, b, n_shared, jaccard_e4): EXACT word-3-gram Jaccard for the
+    given candidate pairs — the verify stage of a production LSH
+    pipeline (MinHash ``n_eq`` is an estimate; exact verification cost
+    is bounded by the CANDIDATE set, never the corpus cross product).
+    Candidates sharing zero shingles drop out (an inner join; with a
+    collision-free hash, ≥ 1 equal minhash implies ≥ 1 shared
+    shingle, so LSH candidates always survive to be scored).
+
+    Scale shape: the shingle explode is map-only; the intersection
+    count is two doc-keyed hash joins of the pair list against the
+    shingle table (candidate-bounded fan-out, the second join keyed on
+    (doc, shingle)); per-doc set sizes are one map-side-combined agg
+    joined back on the pair keys."""
+    sh = shingles(df)
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nsh")
+    )
+    a_sh = sh.select(F.col("doc_id").alias("a"), "sh")
+    b_sh = sh.select(F.col("doc_id").alias("b"), "sh")
+    inter = (
+        pairs.select("a", "b")
+        .join(a_sh, "a")
+        .join(b_sh, ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a"), F.col("nsh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b"), F.col("nsh").alias("nb"))
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") * 10000.0
+                / (F.col("na") + F.col("nb") - F.col("n_shared"))
+            )
+            .cast("bigint")
+            .alias("jaccard_e4"),
+        )
+    )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    min_equal: int = 4,
+    min_jaccard_e4: int = 5000,
+    bucket_cap: int = 64,
+    n_hashes: int = N_MINHASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """The full candidate→verify near-dup pipeline: MinHash-LSH
+    candidates (:func:`minhash_lsh_pairs`) re-scored with EXACT
+    shingle Jaccard (:func:`verify_pairs`), keeping pairs at
+    ``jaccard_e4 ≥ min_jaccard_e4`` — the shape a 100 TB dedup run
+    ships, where the sketch only prunes and the exact measure decides."""
+    pairs = minhash_lsh_pairs(
+        df, min_equal=min_equal, bucket_cap=bucket_cap,
+        n_hashes=n_hashes, n_bands=n_bands,
+    )
+    return verify_pairs(df, pairs).where(
+        F.col("jaccard_e4") >= min_jaccard_e4
+    )
+
+
 def lsh_bucket_stats(
     df: DataFrame,
     bucket_cap: int = 64,

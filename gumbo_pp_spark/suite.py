@@ -790,6 +790,14 @@ def q_dedup_minhash32(spark, sf_dir):
     )
 
 
+def q_dedup_verified(spark, sf_dir):
+    # candidate -> exact-verify: LSH prunes, exact shingle Jaccard
+    # decides (the 100 TB dedup decision shape)
+    return D.minhash_verified_pairs(
+        _docs(spark, sf_dir), min_equal=4, min_jaccard_e4=5000
+    )
+
+
 def q_dedup_canonical(spark, sf_dir):
     # the end-to-end dedup DECISION: one kept representative per
     # near-dup cluster, every other member flagged for drop
@@ -1889,6 +1897,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_minhash_lsh32": q_dedup_minhash32,
+    "dedup_verified": q_dedup_verified,
     "dedup_components": q_dedup_components,
     "dedup_canonical": q_dedup_canonical,
     "decontaminate": q_decontaminate,
@@ -2143,6 +2152,22 @@ ORACLES: dict[str, str] = {
     ),
     "dedup_minhash_lsh": _duck_minhash_cte(),
     "dedup_minhash_lsh32": _duck_minhash_cte(n_hashes=32, n_bands=8, min_equal=16),
+    "dedup_verified": (
+        # LSH candidates re-scored with exact shingle Jaccard (mirror
+        # of q_dedup_verified); inner sh CTE of the pairs subquery is
+        # scoped, the outer one feeds the verify stage
+        f"WITH pairs AS ({_duck_minhash_cte()}), "
+        f"{_DUCK_SHINGLES}, "
+        "sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS n_shared "
+        "FROM pairs p JOIN sh sa ON sa.doc_id = p.a "
+        "JOIN sh sb ON sb.doc_id = p.b AND sb.sh = sa.sh GROUP BY p.a, p.b), "
+        "scored AS (SELECT i.a, i.b, i.n_shared, "
+        "CAST(round(10000.0 * i.n_shared / (za.nsh + zb.nsh - i.n_shared)) AS BIGINT) "
+        "AS jaccard_e4 FROM inter i "
+        "JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b) "
+        "SELECT a, b, n_shared, jaccard_e4 FROM scored WHERE jaccard_e4 >= 5000"
+    ),
     "dedup_components": _duck_components_sql(),
     "dedup_canonical": _duck_canonical_sql(),
     "repeated_windows": (

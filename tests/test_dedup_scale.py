@@ -289,3 +289,49 @@ class TestSemanticDedup:
         # join lineage; none may be non-broadcast
         assert all("Broadcast" in ln for ln in nested), plan
         assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*pivot_id", plan), plan
+
+
+class TestVerifyPairs:
+    """Exact-Jaccard verify stage over LSH candidates."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_exact_jaccard_on_given_pairs(self, spark):
+        # doc1/doc2 share exactly the shingles of 'a b c d' (2 of them)
+        docs = self._docs(
+            spark, [(1, "a b c d x y z"), (2, "a b c d q r s"), (3, "u v w")]
+        )
+        pairs = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
+        (r,) = D.verify_pairs(docs, pairs).collect()
+        # shingle sets: 5 each, shared = {'a b c','b c d'} = 2
+        # J = 2 / (5 + 5 - 2) = 0.25
+        assert (r.a, r.b, r.n_shared, r.jaccard_e4) == (1, 2, 2, 2500)
+
+    def test_verification_is_candidate_bounded(self, spark):
+        # identical docs 3/4 are NOT verified unless proposed as a pair
+        docs = self._docs(
+            spark, [(1, "a b c d e"), (2, "a b c d e"), (3, "p q r s t"), (4, "p q r s t")]
+        )
+        pairs = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
+        out = D.verify_pairs(docs, pairs).collect()
+        assert [(r.a, r.b, r.jaccard_e4) for r in out] == [(1, 2, 10000)]
+
+    def test_minhash_verified_rejects_estimate_only_pairs(self, spark):
+        # 30 similar pairs: the full pipeline keeps only those whose
+        # EXACT jaccard clears the floor, regardless of sketch optimism
+        rows = []
+        for i in range(30):
+            base = " ".join(f"w{i}_{j}" for j in range(20))
+            rows.append((2 * i, base))
+            # strong near-dup: one word appended
+            rows.append((2 * i + 1, base + " extra"))
+        docs = self._docs(spark, rows)
+        out = D.minhash_verified_pairs(docs, min_equal=4, min_jaccard_e4=5000)
+        got = {(r.a, r.b) for r in out.collect()}
+        assert got == {(2 * i, 2 * i + 1) for i in range(30)}
+        # raising the exact floor to impossible kills every pair while
+        # the candidate stage alone would still propose them
+        none = D.minhash_verified_pairs(docs, min_equal=4, min_jaccard_e4=9999)
+        assert none.count() == 0
+        assert D.minhash_lsh_pairs(docs, min_equal=4).count() >= 30
