@@ -327,6 +327,80 @@ def minhash_lsh_pairs(
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame, existing_fps: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Drop new documents whose content fingerprint already shipped in
+    a prior corpus — the rolling-crawl shape where each batch dedups
+    against everything committed before, without ever re-reading prior
+    TEXT.  ``existing_fps`` needs only a ``fp_md5`` column (the corpus
+    output's fingerprint column, or ``md5(text)`` over a ledger
+    incremental read) — at 100 TB the prior side is a pruned
+    digest-only scan.  Scale shape: one left-anti hash join keyed on
+    the 32-char digest; AQE broadcasts when the digest set fits."""
+    return new_docs.withColumn("_fp", F.md5(F.col(text_col))).join(
+        existing_fps.select(F.col("fp_md5").alias("_fp")).distinct(),
+        "_fp",
+        "left_anti",
+    ).drop("_fp")
+
+
+def minhash_lsh_pairs_between(
+    new_docs: DataFrame,
+    prior_docs: DataFrame,
+    min_equal: int = 4,
+    bucket_cap: int = 64,
+    n_hashes: int = N_MINHASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """(new_id, prior_id, n_eq): MinHash-LSH candidates BETWEEN two
+    corpora — the near-dup side of incremental extension (a new crawl
+    batch against the shipped corpus), never generating within-side
+    pairs.  Same banding/estimate semantics as
+    :func:`minhash_lsh_pairs`; the join is band-bucket keyed with the
+    per-side bucket membership capped at ``bucket_cap`` (hot template
+    buckets bounded exactly like the self-join case).  At scale the
+    prior side's SIGNATURES are the retained artifact (n_hashes
+    bigints per doc — store them with the corpus; recomputing them
+    means re-reading prior text)."""
+    _check_banding(n_hashes, n_bands)
+    sig_new = _cache(minhash_signatures(new_docs, n_hashes))
+    sig_old = _cache(minhash_signatures(prior_docs, n_hashes))
+    bn = _band_explode(sig_new, n_hashes, n_bands)
+    bo = _band_explode(sig_old, n_hashes, n_bands)
+
+    def _capped(b):
+        w = b.groupBy("band", "bkey").agg(
+            F.count(F.lit(1)).alias("_n")
+        ).where(F.col("_n") <= bucket_cap).select("band", "bkey")
+        return b.join(w, ["band", "bkey"])
+
+    cand = (
+        _capped(bn).select("band", "bkey", F.col("doc_id").alias("new_id"))
+        .join(
+            _capped(bo).select("band", "bkey", F.col("doc_id").alias("prior_id")),
+            ["band", "bkey"],
+        )
+        .select("new_id", "prior_id")
+        .distinct()
+    )
+    sa = sig_new.alias("sa")
+    sb = sig_old.alias("sb")
+    eq = sum(
+        (F.col(f"sa.mh{k}") == F.col(f"sb.mh{k}")).cast("int") for k in range(n_hashes)
+    )
+    return (
+        cand.join(sa, F.col("new_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("prior_id") == F.col("sb.doc_id"))
+        .select(
+            F.col("new_id").cast("bigint").alias("new_id"),
+            F.col("prior_id").cast("bigint").alias("prior_id"),
+            eq.cast("bigint").alias("n_eq"),
+        )
+        .where(F.col("n_eq") >= min_equal)
+    )
+
+
 def verify_pairs(df: DataFrame, pairs: DataFrame) -> DataFrame:
     """(a, b, n_shared, jaccard_e4): EXACT word-3-gram Jaccard for the
     given candidate pairs — the verify stage of a production LSH

@@ -97,6 +97,39 @@ def _duck_mh_bands(n_hashes: int, n_bands: int) -> tuple[str, str]:
     return mh, bands
 
 
+def _duck_minhash_between_cte(
+    split_at: int = 250,
+    n_hashes: int = D.N_MINHASHES,
+    n_bands: int = D.N_BANDS,
+    min_equal: int = 4,
+    bucket_cap: int = 64,
+) -> str:
+    # mirror of dedup.minhash_lsh_pairs_between: per-side bucket caps,
+    # candidates only BETWEEN the two sides
+    mh, bands = _duck_mh_bands(n_hashes, n_bands)
+    eq = " + ".join(
+        f"(CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END)" for k in range(n_hashes)
+    )
+    return (
+        f"WITH {_DUCK_SHINGLES}, "
+        f"sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id), "
+        f"bands AS ({bands}), "
+        f"bn AS (SELECT * FROM bands WHERE doc_id >= {split_at}), "
+        f"bo AS (SELECT * FROM bands WHERE doc_id < {split_at}), "
+        f"smalln AS (SELECT band, bkey FROM bn GROUP BY band, bkey HAVING count(*) <= {bucket_cap}), "
+        f"smallo AS (SELECT band, bkey FROM bo GROUP BY band, bkey HAVING count(*) <= {bucket_cap}), "
+        "bnf AS (SELECT b.* FROM bn b JOIN smalln USING (band, bkey)), "
+        "bof AS (SELECT b.* FROM bo b JOIN smallo USING (band, bkey)), "
+        "cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS prior_id "
+        "FROM bnf n JOIN bof o ON n.band = o.band AND n.bkey = o.bkey) "
+        f"SELECT CAST(new_id AS BIGINT) AS new_id, CAST(prior_id AS BIGINT) AS prior_id, "
+        f"CAST({eq} AS BIGINT) AS n_eq "
+        "FROM cand JOIN sig sa ON cand.new_id = sa.doc_id "
+        "JOIN sig sb ON cand.prior_id = sb.doc_id "
+        f"WHERE {eq} >= {min_equal}"
+    )
+
+
 def _duck_minhash_cte(
     n_hashes: int = D.N_MINHASHES,
     n_bands: int = D.N_BANDS,
@@ -787,6 +820,25 @@ def q_dedup_minhash32(spark, sf_dir):
     # candidate shuffle, 2 joins) at any (n_hashes, n_bands).
     return D.minhash_lsh_pairs(
         _docs(spark, sf_dir), min_equal=16, n_hashes=32, n_bands=8
+    )
+
+
+def q_incremental_dedup(spark, sf_dir):
+    # rolling-crawl exact dedup: docs >= 250 are the "new batch", the
+    # prior corpus contributes only its digest column
+    docs = _docs(spark, sf_dir)
+    prior = docs.where("doc_id < 250").select(F.md5("text").alias("fp_md5"))
+    return D.incremental_dedup(docs.where("doc_id >= 250"), prior).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
+    )
+
+
+def q_dedup_lsh_between(spark, sf_dir):
+    # cross-corpus near-dup candidates: new batch vs shipped corpus,
+    # no within-side pairs
+    docs = _docs(spark, sf_dir)
+    return D.minhash_lsh_pairs_between(
+        docs.where("doc_id >= 250"), docs.where("doc_id < 250"), min_equal=4
     )
 
 
@@ -1898,6 +1950,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_minhash_lsh32": q_dedup_minhash32,
     "dedup_verified": q_dedup_verified,
+    "incremental_dedup": q_incremental_dedup,
+    "dedup_lsh_between": q_dedup_lsh_between,
     "dedup_components": q_dedup_components,
     "dedup_canonical": q_dedup_canonical,
     "decontaminate": q_decontaminate,
@@ -2152,6 +2206,13 @@ ORACLES: dict[str, str] = {
     ),
     "dedup_minhash_lsh": _duck_minhash_cte(),
     "dedup_minhash_lsh32": _duck_minhash_cte(n_hashes=32, n_bands=8, min_equal=16),
+    "incremental_dedup": (
+        "WITH prior AS (SELECT DISTINCT md5(text) AS fp FROM documents "
+        "WHERE doc_id < 250) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents "
+        "WHERE doc_id >= 250 AND md5(text) NOT IN (SELECT fp FROM prior)"
+    ),
+    "dedup_lsh_between": _duck_minhash_between_cte(),
     "dedup_verified": (
         # LSH candidates re-scored with exact shingle Jaccard (mirror
         # of q_dedup_verified); inner sh CTE of the pairs subquery is

@@ -335,3 +335,36 @@ class TestVerifyPairs:
         none = D.minhash_verified_pairs(docs, min_equal=4, min_jaccard_e4=9999)
         assert none.count() == 0
         assert D.minhash_lsh_pairs(docs, min_equal=4).count() >= 30
+
+
+class TestIncrementalDedup:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_drops_already_shipped_content(self, spark):
+        new = self._docs(spark, [(10, "seen before"), (11, "fresh content")])
+        prior = spark.createDataFrame(
+            [("seen before",)], "t string"
+        ).selectExpr("md5(t) AS fp_md5")
+        out = D.incremental_dedup(new, prior)
+        assert [r.doc_id for r in out.collect()] == [11]
+        assert out.columns == ["doc_id", "text"]  # helper column dropped
+
+    def test_empty_prior_keeps_everything(self, spark):
+        new = self._docs(spark, [(1, "a"), (2, "b")])
+        prior = spark.createDataFrame([], "fp_md5 string")
+        assert D.incremental_dedup(new, prior).count() == 2
+
+    def test_lsh_between_finds_cross_side_only(self, spark):
+        base = " ".join(f"w{j}" for j in range(20))
+        prior = self._docs(spark, [(1, base), (2, "unrelated " * 10)])
+        # new batch: a near-dup of prior doc 1 AND two identical new
+        # docs (must NOT pair with each other — between-sides only)
+        new = self._docs(
+            spark,
+            [(10, base + " tail"), (11, "novel thing here today"),
+             (12, "novel thing here today")],
+        )
+        got = {(r.new_id, r.prior_id)
+               for r in D.minhash_lsh_pairs_between(new, prior, min_equal=4).collect()}
+        assert got == {(10, 1)}
