@@ -1016,6 +1016,83 @@ def mixture_rates(
     )
 
 
+def vocab_drift(
+    a: DataFrame, b: DataFrame, vocab_size: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """One row (n_vocab, n_words_a, n_words_b, tv_distance_e4):
+    total-variation distance between two corpora's word distributions
+    over the UNION of their top-``vocab_size`` vocabularies, with each
+    side's remaining words lumped into an OOV bucket — the drift
+    monitor between crawl batches (a distribution shift here means the
+    new batch needs re-calibrated quality/mixture settings before it
+    joins the corpus).
+
+    Integer-exact: per-word drift terms are ``|ca·Tb − cb·Ta|``
+    (BIGINT products), summed exactly, with ONE final division
+    ``round(10000·Σ / (2·Ta·Tb))`` — no float crosses an aggregation.
+    BIGINT-safe while ``max_word_count · total_words`` stays under
+    2⁶³; at full scale run it over a :func:`sample_by_hash`
+    calibration slice (the distance is scale-free), as with
+    :func:`mixture_rates`.
+
+    Scale shape: two map-side-combined word aggs (corpus-sized
+    stages); everything downstream operates on the ≤ 2·vocab_size
+    union vocabulary with 1-row total tables broadcast."""
+    def _counts(df):
+        return (
+            df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+
+    wa = _counts(a)
+    wb = _counts(b)
+    uni = (
+        wa.orderBy(F.desc("c"), "word").limit(vocab_size).select("word")
+        .union(wb.orderBy(F.desc("c"), "word").limit(vocab_size).select("word"))
+        .distinct()
+    )
+    j = (
+        uni.join(wa.withColumnRenamed("c", "ca"), "word", "left")
+        .join(wb.withColumnRenamed("c", "cb"), "word", "left")
+        .select(
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    tot = wa.agg(F.sum("c").cast("bigint").alias("ta")).crossJoin(
+        wb.agg(F.sum("c").cast("bigint").alias("tb"))
+    )
+    core = j.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+        F.first("ta").alias("ta"),
+        F.first("tb").alias("tb"),
+        F.sum(F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta")))
+        .cast("bigint")
+        .alias("s_in"),
+        F.sum("ca").cast("bigint").alias("ia"),
+        F.sum("cb").cast("bigint").alias("ib"),
+    )
+    return core.select(
+        "n_vocab",
+        F.col("ta").alias("n_words_a"),
+        F.col("tb").alias("n_words_b"),
+        F.round(
+            (
+                F.col("s_in")
+                + F.abs(
+                    (F.col("ta") - F.col("ia")) * F.col("tb")
+                    - (F.col("tb") - F.col("ib")) * F.col("ta")
+                )
+            )
+            * 10000.0
+            / (2 * F.col("ta") * F.col("tb"))
+        )
+        .cast("bigint")
+        .alias("tv_distance_e4"),
+    )
+
+
 def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """Per-document top-``k`` salient terms by tf·rarity:
     (doc_id, word, tf, df, score_e4, rank) where ``score_e4 =

@@ -996,6 +996,15 @@ def q_mixture_rates(spark, sf_dir):
     return T.mixture_rates(_docs(spark, sf_dir), MIXTURE_TARGETS_E4)
 
 
+def q_vocab_drift(spark, sf_dir):
+    # drift monitor between the two halves of the corpus (top-16 union
+    # vocabulary + per-side OOV bucket; TV distance integer-exact)
+    docs = _docs(spark, sf_dir)
+    return T.vocab_drift(
+        docs.where("doc_id < 250"), docs.where("doc_id >= 250"), vocab_size=16
+    )
+
+
 def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
@@ -1962,6 +1971,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "oov_stats": q_oov_stats,
     "lm_coverage": q_lm_coverage,
     "mixture_rates": q_mixture_rates,
+    "vocab_drift": q_vocab_drift,
     "remove_boilerplate": q_remove_boilerplate,
     "select_token_budget": q_select_token_budget,
     "mirror_hosts": q_mirror_hosts,
@@ -2389,6 +2399,30 @@ ORACLES: dict[str, str] = {
         "sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum FROM base) "
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, score, n_tokens "
         "FROM o WHERE cum <= 15000"
+    ),
+    "vocab_drift": (
+        # mirror of q_vocab_drift: TV distance over the union top-16
+        # vocabulary + OOV buckets, one final division
+        "WITH wa AS (SELECT w AS word, count(*) AS c FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id < 250) "
+        "GROUP BY w), "
+        "wb AS (SELECT w AS word, count(*) AS c FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id >= 250) "
+        "GROUP BY w), "
+        "va AS (SELECT word FROM wa ORDER BY c DESC, word LIMIT 16), "
+        "vb AS (SELECT word FROM wb ORDER BY c DESC, word LIMIT 16), "
+        "uni AS (SELECT DISTINCT word FROM "
+        "(SELECT word FROM va UNION ALL SELECT word FROM vb)), "
+        "j AS (SELECT coalesce(wa.c, 0) AS ca, coalesce(wb.c, 0) AS cb "
+        "FROM uni LEFT JOIN wa USING (word) LEFT JOIN wb USING (word)), "
+        "tot AS (SELECT (SELECT sum(c) FROM wa) AS ta, (SELECT sum(c) FROM wb) AS tb), "
+        "core AS (SELECT count(*) AS n_vocab, sum(abs(ca * tb - cb * ta)) AS s_in, "
+        "sum(ca) AS ia, sum(cb) AS ib, any_value(ta) AS ta, any_value(tb) AS tb "
+        "FROM j, tot) "
+        "SELECT CAST(n_vocab AS BIGINT) AS n_vocab, "
+        "CAST(ta AS BIGINT) AS n_words_a, CAST(tb AS BIGINT) AS n_words_b, "
+        "CAST(round((s_in + abs((ta - ia) * tb - (tb - ib) * ta)) * 10000.0 "
+        "/ (2 * ta * tb)) AS BIGINT) AS tv_distance_e4 FROM core"
     ),
     "repeated_window_stats": (
         "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents "

@@ -118,3 +118,37 @@ class TestMixtureRates:
         # every 'small' doc survives; 'big' is thinned toward parity
         assert by_src["small"] == 10
         assert 0 < by_src["big"] < 40
+
+
+class TestVocabDrift:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_identical_corpora_have_zero_distance(self, spark):
+        a = self._docs(spark, [(1, "x y z x"), (2, "y z")])
+        (r,) = T.vocab_drift(a, a, vocab_size=10).collect()
+        assert r.tv_distance_e4 == 0
+        assert r.n_words_a == r.n_words_b == 6
+
+    def test_disjoint_corpora_have_max_distance(self, spark):
+        a = self._docs(spark, [(1, "aa bb cc")])
+        b = self._docs(spark, [(2, "xx yy zz")])
+        (r,) = T.vocab_drift(a, b, vocab_size=10).collect()
+        assert r.tv_distance_e4 == 10000
+        assert r.n_vocab == 6
+
+    def test_hand_computed_partial_drift(self, spark):
+        # a: x3 y1; b: x1 y3 -> TV = (|3-1| + |1-3|) / (2*4) = 0.5
+        a = self._docs(spark, [(1, "x x x y")])
+        b = self._docs(spark, [(2, "x y y y")])
+        (r,) = T.vocab_drift(a, b, vocab_size=10).collect()
+        assert r.tv_distance_e4 == 5000
+
+    def test_oov_bucket_counts_tail_mass(self, spark):
+        # vocab_size=1: universe = {x} (top of both); remaining words
+        # are each side's OOV bucket: a = x2,oov2; b = x2,oov2 -> TV 0
+        a = self._docs(spark, [(1, "x x p q")])
+        b = self._docs(spark, [(2, "x x r s")])
+        (r,) = T.vocab_drift(a, b, vocab_size=1).collect()
+        assert r.n_vocab == 1
+        assert r.tv_distance_e4 == 0
