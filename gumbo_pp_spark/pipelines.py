@@ -188,6 +188,40 @@ def build_training_corpus(
     )
 
 
+def extend_training_corpus(
+    new_pages: DataFrame,
+    prior_corpus: DataFrame,
+    near_dup_min_equal: int = 7,
+    **corpus_kwargs,
+) -> DataFrame:
+    """The rolling-crawl extension: build the full corpus pipeline over
+    a NEW page batch, then drop everything the shipped corpus already
+    carries — exact dups via the digest anti-join (the prior side
+    contributes only its ``fp_md5`` column: a pruned scan, prior text
+    bytes never reread) and near-dups via cross-corpus MinHash-LSH
+    (:func:`~.operators.dedup.minhash_lsh_pairs_between`; at 100 TB
+    retain the prior SIGNATURES with the corpus instead of recomputing
+    them from ``clean_text``).  Returns the rows to APPEND; union with
+    the prior corpus (or commit through the lineage ledger and read
+    back incrementally with ``read_extracted(since=...)``) for the
+    extended table."""
+    from .operators.dedup import incremental_dedup, minhash_lsh_pairs_between
+
+    batch = build_training_corpus(new_pages, **corpus_kwargs)
+    batch = _cache(
+        incremental_dedup(
+            batch, prior_corpus.select("fp_md5"), text_col="clean_text"
+        )
+    )
+    pairs = minhash_lsh_pairs_between(
+        batch.select("doc_id", F.col("clean_text").alias("text")),
+        prior_corpus.select("doc_id", F.col("clean_text").alias("text")),
+        min_equal=near_dup_min_equal,
+    )
+    losers = pairs.select(F.col("new_id").alias("doc_id")).distinct()
+    return batch.join(losers, "doc_id", "left_anti")
+
+
 #: default ANN-recall floor (×1e-4): hyperplane LSH with multi-probe
 #: should hold recall@k ≥ 0.90 at the shipped dim/n_planes; below that
 #: the bucketing configuration has drifted and neighbors are not

@@ -286,3 +286,26 @@ def test_pipeline_host_stages_compose(spark):
     assert joined.count() >= n - 3
     base.unpersist()
     corpus.unpersist()
+
+
+def test_extend_training_corpus_appends_only_new_content(spark):
+    # rolling-crawl extension: the new batch overlaps the shipped
+    # corpus on doc_ids 200..299 (identical pages -> identical
+    # clean_text through the deterministic pipeline); only genuinely
+    # new content may append
+    from gumbo_pp_spark.operators.dedup import cache_scope
+    from gumbo_pp_spark.pipelines import extend_training_corpus
+
+    pages = synth_pages(spark, SF_SMOKE).select("doc_id", "url", "html")
+    with cache_scope():
+        prior = build_training_corpus(pages.where("doc_id < 300")).cache()
+        ext = extend_training_corpus(
+            pages.where("doc_id >= 200"), prior
+        ).cache()
+        ids = {r.doc_id for r in ext.select("doc_id").collect()}
+        assert ids and min(ids) >= 300
+        # nothing appended shares a fingerprint with the shipped corpus
+        assert ext.join(prior, "fp_md5").count() == 0
+        assert ext.columns == prior.columns
+        prior.unpersist()
+        ext.unpersist()
