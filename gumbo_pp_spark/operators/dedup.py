@@ -327,6 +327,23 @@ def minhash_lsh_pairs(
     )
 
 
+def component_stats(pairs: DataFrame) -> DataFrame:
+    """(size, n_components): near-dup cluster-size histogram — the
+    monitoring view of component resolution (a sudden mass of huge
+    clusters means template/boilerplate contamination got past the
+    upstream caps; healthy corpora are dominated by 2-3-doc clusters).
+    Runs the eager O(log n) :func:`connected_components`; the
+    histogram itself is two map-side-combined aggs over the
+    components map (clusters-sized, then sizes-sized)."""
+    comps = connected_components(pairs)
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_components")
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame, existing_fps: DataFrame, text_col: str = "text"
 ) -> DataFrame:

@@ -812,6 +812,13 @@ def q_dedup_components(spark, sf_dir):
     return D.connected_components(D.minhash_lsh_pairs(docs, min_equal=4))
 
 
+def q_component_stats(spark, sf_dir):
+    # near-dup cluster-size histogram (monitoring view of component
+    # resolution)
+    docs = _docs(spark, sf_dir)
+    return D.component_stats(D.minhash_lsh_pairs(docs, min_equal=4))
+
+
 def q_dedup_minhash32(spark, sf_dir):
     # production-realism config (VERDICT r6 #2): 32 permutations in 8
     # bands of 4 rows — candidate knee ≈ 0.6 jaccard with far lower
@@ -1962,6 +1969,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "dedup_lsh_between": q_dedup_lsh_between,
     "dedup_components": q_dedup_components,
+    "component_stats": q_component_stats,
     "dedup_canonical": q_dedup_canonical,
     "decontaminate": q_decontaminate,
     "decontaminate_sentences": q_decontaminate_sentences,
@@ -2240,6 +2248,13 @@ ORACLES: dict[str, str] = {
         "SELECT a, b, n_shared, jaccard_e4 FROM scored WHERE jaccard_e4 >= 5000"
     ),
     "dedup_components": _duck_components_sql(),
+    "component_stats": (
+        _duck_components_cte()
+        + "SELECT CAST(size AS BIGINT) AS size, "
+        "CAST(count(*) AS BIGINT) AS n_components FROM "
+        "(SELECT component, count(*) AS size FROM comp GROUP BY component) "
+        "GROUP BY size"
+    ),
     "dedup_canonical": _duck_canonical_sql(),
     "repeated_windows": (
         "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents "

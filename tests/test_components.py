@@ -193,3 +193,13 @@ def test_non_convergence_raises_not_silent(spark):
     df = spark.createDataFrame(edges, "a bigint, b bigint")
     with pytest.raises(RuntimeError, match="did not converge"):
         D.connected_components(df, max_rounds=1)
+
+
+def test_component_stats_histogram(spark):
+    # chain 1-2-3 (one 3-cluster) + pair 10-11 + pair 20-21 -> one
+    # size-3 component, two size-2 components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "a bigint, b bigint"
+    )
+    got = {r.size: r.n_components for r in D.component_stats(pairs).collect()}
+    assert got == {3: 1, 2: 2}
