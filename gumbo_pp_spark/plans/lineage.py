@@ -273,6 +273,47 @@ def extract_with_resume(
     }
 
 
+def vacuum_uncommitted(out_dir: str) -> dict:
+    """Remove data leaf directories not referenced by any committed
+    ledger record — crashed/abandoned run leftovers (the Iceberg
+    remove-orphan-files analogue; without it a table that survives
+    many partial runs slowly accretes dead bytes no read will ever
+    touch).  The ledger and every committed ``run=…/split_id=…`` leaf
+    are untouched; a run directory left with no leaves is removed
+    whole (including its ``_SUCCESS`` marker).  Safe to run any time:
+    :func:`read_extracted` (incl. ``as_of``/``since``) only ever
+    resolves paths through committed records, which vacuum keeps by
+    construction.  Returns ``{"removed": [...], "kept": n}``."""
+    import shutil
+
+    ledger = PartitionLedger(os.path.join(out_dir, "_ledger"))
+    keep = {
+        (r["run_id"], str(s)) for s, r in ledger.committed().items()
+    }
+    data = os.path.join(out_dir, "data")
+    removed: list[str] = []
+    kept = 0
+    if not os.path.isdir(data):
+        return {"removed": removed, "kept": kept}
+    for run_dir in sorted(os.listdir(data)):
+        if not run_dir.startswith("run="):
+            continue
+        run_id = run_dir[len("run="):]
+        rpath = os.path.join(data, run_dir)
+        for leaf in sorted(os.listdir(rpath)):
+            if not leaf.startswith("split_id="):
+                continue
+            sid = leaf.split("=", 1)[1]
+            if (run_id, sid) in keep:
+                kept += 1
+            else:
+                shutil.rmtree(os.path.join(rpath, leaf))
+                removed.append(f"{run_dir}/{leaf}")
+        if not any(d.startswith("split_id=") for d in os.listdir(rpath)):
+            shutil.rmtree(rpath)
+    return {"removed": removed, "kept": kept}
+
+
 def read_extracted(
     spark: SparkSession, out_dir: str, as_of: int | None = None,
     since: int | None = None,

@@ -376,3 +376,41 @@ class TestIncrementalRead:
         }
         assert ledger.snapshot_diff(4)["n_commits"] == 0
         assert ledger.snapshot_diff(0, as_of=2)["split_ids"] == [0, 1]
+
+
+class TestVacuum:
+    """Orphan-leaf cleanup: committed data and the ledger survive,
+    uncommitted leftovers go."""
+
+    def test_removes_only_uncommitted_leaves(self, spark, tmp_path):
+        import os
+
+        from gumbo_pp_spark.plans.lineage import vacuum_uncommitted
+
+        out_dir = str(tmp_path / "vac")
+        pages = synth_pages(spark, SF_SMOKE)
+        extract_with_resume(spark, pages, out_dir, n_splits=4)
+        before = read_extracted(spark, out_dir).count()
+
+        # a crashed run that wrote data but never committed
+        orphan = os.path.join(out_dir, "data", "run=deadbeef", "split_id=99")
+        os.makedirs(orphan)
+        with open(os.path.join(orphan, "part-00000.parquet"), "w") as f:
+            f.write("junk")
+
+        res = vacuum_uncommitted(out_dir)
+        assert res["removed"] == ["run=deadbeef/split_id=99"]
+        assert res["kept"] > 0
+        assert not os.path.exists(os.path.join(out_dir, "data", "run=deadbeef"))
+        # committed table unchanged, resume state intact
+        assert read_extracted(spark, out_dir).count() == before
+        ledger = PartitionLedger(out_dir + "/_ledger")
+        assert set(ledger.committed()) == {0, 1, 2, 3}
+
+    def test_vacuum_on_empty_table_is_noop(self, tmp_path):
+        from gumbo_pp_spark.plans.lineage import vacuum_uncommitted
+
+        assert vacuum_uncommitted(str(tmp_path / "nothing")) == {
+            "removed": [],
+            "kept": 0,
+        }
