@@ -13,6 +13,8 @@ Packaging (same as jobs/extract_job.py):
         [--embeddings <embeddings parquet dir>] \
         [--ann-recall-floor-e4 9000 | --ann-report-only] \
         [--min-tokens 20] [--near-dup-min-equal 7]
+        [--strip-boilerplate] [--host-gate]
+        [--extend-from <prior corpus parquet dir>]
 
 Prints one JSON line of run metrics (rows, caches_released,
 ann_recall_e4/ok when the audit is enabled).
@@ -43,6 +45,20 @@ def main() -> None:
     )
     ap.add_argument("--ann-recall-floor-e4", type=int, default=None)
     ap.add_argument(
+        "--strip-boilerplate", action="store_true",
+        help="strip per-host repeated segments before quality scoring",
+    )
+    ap.add_argument(
+        "--host-gate", action="store_true",
+        help="drop whole hosts whose bad-document fraction exceeds the default threshold",
+    )
+    ap.add_argument(
+        "--extend-from", default=None,
+        help="prior corpus parquet dir — incremental mode: build over "
+        "--pages, drop content the prior corpus already carries (exact "
+        "digest anti-join + cross-corpus LSH), write only the append set",
+    )
+    ap.add_argument(
         "--ann-report-only", action="store_true",
         help="run the recall audit without a pass/fail floor",
     )
@@ -50,6 +66,9 @@ def main() -> None:
     if (args.ann_recall_floor_e4 is not None or args.ann_report_only) and not args.embeddings:
         ap.error("--ann-recall-floor-e4 / --ann-report-only require --embeddings "
                  "(without it no recall audit runs at all)")
+    if args.extend_from and args.embeddings:
+        ap.error("--extend-from writes an append set; the ANN recall audit "
+                 "belongs to full-corpus builds (drop --embeddings)")
 
     # driver-side C engine prebuild — same rationale as extract_job.py
     from gumbo_pp_spark.parser import cengine
@@ -73,7 +92,29 @@ def main() -> None:
         min_tokens=args.min_tokens,
         near_dup_min_equal=args.near_dup_min_equal,
         near_dup_policy=args.near_dup_policy,
+        strip_boilerplate=args.strip_boilerplate,
+        host_gate=args.host_gate,
     )
+
+    if args.extend_from:
+        from pyspark.sql import Observation, functions as F
+
+        from gumbo_pp_spark.operators.dedup import cache_scope
+        from gumbo_pp_spark.pipelines import extend_training_corpus
+
+        prior = spark.read.parquet(args.extend_from)
+        with cache_scope() as scope:
+            ext = extend_training_corpus(pages, prior, **kwargs)
+            obs = Observation("append_rows")
+            ext = ext.observe(obs, F.count(F.lit(1)).alias("rows"))
+            ext.write.mode("overwrite").parquet(args.out)
+            n = int(obs.get["rows"])
+        print(json.dumps({
+            "mode": "extend", "rows": n, "out_dir": args.out,
+            "prior": args.extend_from, "caches_released": scope.released,
+        }))
+        spark.stop()
+        return
     if args.embeddings:
         kwargs["embeddings"] = spark.read.parquet(args.embeddings)
         if args.ann_report_only:

@@ -62,3 +62,42 @@ def test_extract_job_cli_transcode(spark, tmp_path):
 
     got = {r.doc_id: r.text for r in read_extracted(spark, out).collect()}
     assert got[1] == got[2] == "café body"
+
+
+def test_corpus_job_cli_extend_mode(spark, tmp_path):
+    """--extend-from: the append set contains only content the prior
+    corpus does not already carry."""
+    from gumbo_pp_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, SF_SMOKE).select("doc_id", "url", "html")
+    src_a = str(tmp_path / "pages_a")
+    src_b = str(tmp_path / "pages_b")
+    pages.where("doc_id < 60").write.parquet(src_a)
+    # new batch overlaps the prior build on 40..59
+    pages.where("doc_id >= 40 AND doc_id < 100").write.parquet(src_b)
+    prior_out = str(tmp_path / "prior")
+    ext_out = str(tmp_path / "append")
+    env = {**os.environ, "PYTHONPATH": REPO}
+
+    p1 = subprocess.run(
+        [sys.executable, f"{REPO}/jobs/corpus_job.py",
+         "--pages", src_a, "--out", prior_out],
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
+    )
+    assert p1.returncode == 0, p1.stderr[-2000:]
+
+    p2 = subprocess.run(
+        [sys.executable, f"{REPO}/jobs/corpus_job.py",
+         "--pages", src_b, "--out", ext_out, "--extend-from", prior_out],
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
+    )
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    metrics = json.loads(p2.stdout.strip().splitlines()[-1])
+    assert metrics["mode"] == "extend" and metrics["rows"] > 0
+
+    prior = spark.read.parquet(prior_out)
+    ext = spark.read.parquet(ext_out)
+    assert ext.count() == metrics["rows"]
+    # overlap content (40..59) never re-appends
+    assert ext.join(prior, "fp_md5").count() == 0
+    assert ext.agg({"doc_id": "min"}).first()[0] >= 60
