@@ -188,3 +188,53 @@ def length_quantiles(
         .agg(F.min("len").alias("value"))
         .select(F.col("p_e2").cast("bigint"), F.col("value").cast("bigint"))
     )
+
+
+def grouped_length_quantiles(
+    df: DataFrame,
+    group_col: str = "source",
+    probs_e2: tuple[int, ...] = (25, 50, 75, 90, 99),
+    text_col: str = "text",
+) -> DataFrame:
+    """(grp, p_e2, value): exact per-group token-length quantiles —
+    :func:`length_quantiles` generalized to a grouping key (per-source
+    length profiles are how mixture policies get calibrated).  Same
+    scale shape: the corpus-sized stage is ONE map-side-combined
+    groupBy collapsing to a row per (group, distinct length); the
+    cumulative windows and the probe run per group over that tiny
+    table (window partitioned by group — no single-partition stage at
+    any group count, unlike the ungrouped form's one-row-total
+    window)."""
+    from pyspark.sql import Window
+
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    lens = (
+        ensure_min_parallelism(df)
+        .selectExpr(
+            f"{group_col} AS grp", f"size(split({text_col}, ' ')) AS len"
+        )
+        .groupBy("grp", "len")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("grp").orderBy("len").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("grp")
+    cum = lens.select(
+        "grp",
+        "len",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    probs = ", ".join(str(p) for p in probs_e2)
+    probed = cum.crossJoin(
+        F.broadcast(
+            df.sparkSession.range(1).selectExpr(f"explode(array({probs})) AS p_e2")
+        )
+    ).where(F.col("cum") * 100 >= F.col("p_e2") * F.col("total"))
+    return (
+        probed.groupBy("grp", "p_e2")
+        .agg(F.min("len").alias("value"))
+        .select("grp", F.col("p_e2").cast("bigint"), F.col("value").cast("bigint"))
+    )

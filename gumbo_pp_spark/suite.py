@@ -1104,6 +1104,28 @@ _DUCK_LENGTH_QUANTILES = (
 )
 
 
+def q_grouped_quantiles(spark, sf_dir):
+    # per-source length profiles (mixture-calibration input); window
+    # partitioned by group — no single-partition stage at any group
+    # count
+    from .operators import sketches as SK
+
+    return SK.grouped_length_quantiles(
+        _docs(spark, sf_dir), group_col="source", probs_e2=(50, 90)
+    )
+
+
+_DUCK_GROUPED_QUANTILES = (
+    "WITH lens AS (SELECT source AS grp, len(string_split(text, ' ')) AS len, "
+    "count(*) AS cnt FROM documents GROUP BY 1, 2), "
+    "cum AS (SELECT grp, len, sum(cnt) OVER (PARTITION BY grp ORDER BY len) AS cum, "
+    "sum(cnt) OVER (PARTITION BY grp) AS total FROM lens), "
+    "probs AS (SELECT unnest([50, 90]) AS p_e2) "
+    "SELECT grp, CAST(p_e2 AS BIGINT) AS p_e2, CAST(min(len) AS BIGINT) AS value "
+    "FROM cum CROSS JOIN probs WHERE cum * 100 >= p_e2 * total GROUP BY grp, p_e2"
+)
+
+
 def q_multiformat_text(spark, sf_dir):
     # multi-format ingestion: HTML pages and PDFs of the same corpus
     # extracted by their format-specific parsers into ONE normalized
@@ -2012,6 +2034,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "word_freq_histogram": q_word_freq_histogram,
     "multiformat_text": q_multiformat_text,
     "length_quantiles": q_length_quantiles,
+    "grouped_quantiles": q_grouped_quantiles,
     "holdout_split": q_holdout_split,
     "text_quality": q_quality,
     "lang_id": q_lang_id,
@@ -2641,6 +2664,7 @@ ORACLES: dict[str, str] = {
     "shard_manifest": _DUCK_SHARD_MANIFEST,
     "multiformat_text": _DUCK_MULTIFORMAT,
     "length_quantiles": _DUCK_LENGTH_QUANTILES,
+    "grouped_quantiles": _DUCK_GROUPED_QUANTILES,
     "word_freq_histogram": (
         "SELECT CAST(freq AS BIGINT) AS freq, CAST(count(*) AS BIGINT) AS n_words FROM ("
         "SELECT word, count(*) AS freq FROM ("

@@ -130,3 +130,35 @@ class TestLengthQuantiles:
         # exchange; downstream windows run on the collapsed histogram
         assert "partial_count" in plan or "HashAggregate" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestGroupedQuantiles:
+    def test_per_group_values_match_numpy(self, spark):
+        import numpy as np
+
+        rows = []
+        for g, lens in (("a", [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]),
+                        ("b", [5, 5, 5, 20])):
+            for i, n in enumerate(lens):
+                rows.append((len(rows), g, " ".join(["w"] * n)))
+        docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+        got = {(r.grp, r.p_e2): r.value
+               for r in SK.grouped_length_quantiles(
+                   docs, probs_e2=(50, 90, 100)).collect()}
+        # type-1 quantile: smallest len whose cumulative count covers p%
+        for g, lens in (("a", list(range(1, 11))), ("b", [5, 5, 5, 20])):
+            arr = np.sort(np.array(lens))
+            n = len(arr)
+            for p in (50, 90, 100):
+                import math
+                k = math.ceil(p * n / 100)
+                assert got[(g, p)] == arr[k - 1], (g, p)
+
+    def test_groups_do_not_leak_into_each_other(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x", "w"), (2, "y", " ".join(["w"] * 100))],
+            "doc_id bigint, source string, text string",
+        )
+        got = {(r.grp, r.p_e2): r.value
+               for r in SK.grouped_length_quantiles(docs, probs_e2=(99,)).collect()}
+        assert got == {("x", 99): 1, ("y", 99): 100}
