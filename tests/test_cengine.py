@@ -1405,11 +1405,23 @@ def test_combined_surface_fuzz_ab_wave8():
     dispatch and A/B-checked there (the 40k offline run: 23,684
     direct + 14,363 second-dispatch identical, 1,953 designed bails,
     zero divergences)."""
+    _wave8_profile_sweep(seed=880088)
+
+
+def test_combined_surface_fuzz_ab_wave10():
+    """Round-7 session-4: the same wide profile under a fourth
+    independent seed (the 40k offline run: 23,516 direct + 14,505
+    second-dispatch identical, 1,979 designed bails, zero
+    divergences)."""
+    _wave8_profile_sweep(seed=101010)
+
+
+def _wave8_profile_sweep(seed):
     import random
 
     import gumbo_pp_spark.parser.html5 as H
 
-    rng = random.Random(880088)
+    rng = random.Random(seed)
     wsrefs = ["&#9;", "&#10;", "&#13;", "&#32;", "&#x9;", "&Tab;",
               "&NewLine;", "&#x20;", "&#xD;&#xA;"]
     uni = "éÉГЖ中𝕏ıİßΣø€\xad "
