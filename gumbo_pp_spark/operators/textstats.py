@@ -46,23 +46,32 @@ def quality_stats(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-marker language ID (n-gram-heuristic family): score per
-    language = marker-word hits; argmax with deterministic tie order
-    en > es > de > fr.  Heuristic operator — the correctness gate is
-    formula parity with the oracle, not real-world accuracy."""
+def _lang_case(text_col: str) -> str:
+    """The lang-ID argmax CASE (deterministic tie order en > es > de >
+    fr) as a SQL string — shared by :func:`lang_id` and
+    :func:`corpus_report`."""
     scores = {
         lang: f"size(filter(split({text_col}, ' '), w -> w IN ({_in_list(ws)})))"
         for lang, ws in LANG_MARKERS.items()
     }
-    case = (
+    return (
         f"CASE WHEN {scores['en']} >= {scores['es']} AND {scores['en']} >= {scores['de']}"
         f" AND {scores['en']} >= {scores['fr']} THEN 'en'"
         f" WHEN {scores['es']} >= {scores['de']} AND {scores['es']} >= {scores['fr']} THEN 'es'"
         f" WHEN {scores['de']} >= {scores['fr']} THEN 'de'"
         f" ELSE 'fr' END"
     )
-    return df.selectExpr("CAST(doc_id AS BIGINT) AS doc_id", f"{case} AS pred_lang")
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID (n-gram-heuristic family): score per
+    language = marker-word hits; argmax with deterministic tie order
+    en > es > de > fr.  Heuristic operator — the correctness gate is
+    formula parity with the oracle, not real-world accuracy."""
+    return df.selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        f"{_lang_case(text_col)} AS pred_lang",
+    )
 
 
 def fingerprints(df: DataFrame) -> DataFrame:
@@ -1013,6 +1022,83 @@ def mixture_rates(
             "least(CAST(10000 AS BIGINT), "
             "(10000 * p_e4 * _tb) div (_pb * n_tokens))"
         ).alias("rate_e4"),
+    )
+
+
+def _quality_fail_expr(
+    text_col: str,
+    min_tokens: int,
+    min_stopword_ratio_e4: int,
+    min_alpha_ratio_e4: int,
+) -> str:
+    """SQL predicate: document FAILS the quality thresholds — the
+    inline form of ``NOT quality_filter``, for operators computing the
+    flag inside a larger single projection (same e4-rounded formulas
+    as :func:`quality_stats`, so verdicts agree bit-for-bit)."""
+    stop = _in_list(STOPWORDS)
+    return (
+        f"(size(split({text_col}, ' ')) < {min_tokens}"
+        f" OR CAST(round(10000.0 * size(filter(split({text_col}, ' '), w -> w IN ({stop})))"
+        f" / size(split({text_col}, ' '))) AS BIGINT) < {min_stopword_ratio_e4}"
+        f" OR CAST(round(10000.0 * length(regexp_replace({text_col}, '[^a-z]', ''))"
+        f" / length({text_col})) AS BIGINT) < {min_alpha_ratio_e4})"
+    )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 40,
+    min_stopword_ratio_e4: int = 100,
+    min_alpha_ratio_e4: int = 7000,
+) -> DataFrame:
+    """The one-row dataset card: (n_docs, n_tokens, n_chars,
+    mean_doc_tokens_e4, n_distinct_md5, n_exact_dup_docs,
+    n_quality_pass, n_en, n_es, n_de, n_fr) — the summary a corpus
+    release datasheet opens with, computed in ONE pass: every signal
+    lives in the same map-only projection and rolls up in one
+    map-side-combined aggregate (the distinct-digest count adds
+    Spark's standard two-phase distinct expansion, over 32-char
+    digests only — never text)."""
+    fail = _quality_fail_expr(
+        text_col, min_tokens, min_stopword_ratio_e4, min_alpha_ratio_e4
+    )
+    proj = df.selectExpr(
+        f"md5({text_col}) AS fp",
+        f"CAST(size(split({text_col}, ' ')) AS BIGINT) AS n_toks",
+        f"CAST(length({text_col}) AS BIGINT) AS nc",
+        f"CAST(CASE WHEN {fail} THEN 0 ELSE 1 END AS BIGINT) AS ok",
+        f"{_lang_case(text_col)} AS lang",
+    )
+    agg = proj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.sum("nc").cast("bigint").alias("n_chars"),
+        F.countDistinct("fp").cast("bigint").alias("n_distinct_md5"),
+        F.sum("ok").cast("bigint").alias("n_quality_pass"),
+        *[
+            F.sum(F.when(F.col("lang") == lg, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{lg}")
+            for lg in ("en", "es", "de", "fr")
+        ],
+    )
+    return agg.select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.round(F.col("n_tokens") * 10000.0 / F.col("n_docs"))
+        .cast("bigint")
+        .alias("mean_doc_tokens_e4"),
+        "n_distinct_md5",
+        (F.col("n_docs") - F.col("n_distinct_md5"))
+        .cast("bigint")
+        .alias("n_exact_dup_docs"),
+        "n_quality_pass",
+        "n_en",
+        "n_es",
+        "n_de",
+        "n_fr",
     )
 
 

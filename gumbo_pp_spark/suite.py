@@ -1003,6 +1003,11 @@ def q_mixture_rates(spark, sf_dir):
     return T.mixture_rates(_docs(spark, sf_dir), MIXTURE_TARGETS_E4)
 
 
+def q_corpus_report(spark, sf_dir):
+    # the one-row dataset card (release datasheet summary)
+    return T.corpus_report(_docs(spark, sf_dir))
+
+
 def q_vocab_drift(spark, sf_dir):
     # drift monitor between the two halves of the corpus (top-16 union
     # vocabulary + per-side OOV bucket; TV distance integer-exact)
@@ -2002,6 +2007,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_coverage": q_lm_coverage,
     "mixture_rates": q_mixture_rates,
     "vocab_drift": q_vocab_drift,
+    "corpus_report": q_corpus_report,
     "remove_boilerplate": q_remove_boilerplate,
     "select_token_budget": q_select_token_budget,
     "mirror_hosts": q_mirror_hosts,
@@ -2073,6 +2079,19 @@ _DUCK_SENT = (
     "j -> array_to_string(string_split(text, ' ')[j:j+7], ' ')), '. ')"
 )
 _DUCK_HOST = "source || '-' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'"
+
+# lang-ID argmax CASE (mirror of textstats._lang_case), shared by the
+# lang_id and corpus_report oracles
+_DUCK_LANG_CASE = (
+    "CASE "
+    "WHEN len(list_filter(string_split(text, ' '), w -> w IN ('the','is','and','of'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','que'))) "
+    "AND len(list_filter(string_split(text, ' '), w -> w IN ('the','is','and','of'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('der','die','und','das'))) "
+    "AND len(list_filter(string_split(text, ' '), w -> w IN ('the','is','and','of'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('le','la','de','les'))) THEN 'en' "
+    "WHEN len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','que'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('der','die','und','das'))) "
+    "AND len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','que'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('le','la','de','les'))) THEN 'es' "
+    "WHEN len(list_filter(string_split(text, ' '), w -> w IN ('der','die','und','das'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('le','la','de','les'))) THEN 'de' "
+    "ELSE 'fr' END"
+)
 
 # doc-level bad flag shared by the host_quality_* oracles (thresholds
 # 40 / 100 / 7000 — the q_quality_filter family settings)
@@ -2437,6 +2456,30 @@ ORACLES: dict[str, str] = {
         "sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum FROM base) "
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, score, n_tokens "
         "FROM o WHERE cum <= 15000"
+    ),
+    "corpus_report": (
+        # mirror of q_corpus_report (thresholds = the quality_filter
+        # family settings 40/100/7000)
+        "WITH p AS (SELECT md5(text) AS fp, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, "
+        "CAST(length(text) AS BIGINT) AS nc, "
+        "CASE WHEN " + _DUCK_IS_BAD + " THEN 0 ELSE 1 END AS ok, "
+        + _DUCK_LANG_CASE + " AS lang FROM documents), "
+        "a AS (SELECT count(*) AS n_docs, sum(n_toks) AS n_tokens, "
+        "sum(nc) AS n_chars, count(DISTINCT fp) AS nd, sum(ok) AS nq, "
+        "sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en, "
+        "sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS n_es, "
+        "sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS n_de, "
+        "sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS n_fr FROM p) "
+        "SELECT CAST(n_docs AS BIGINT) AS n_docs, "
+        "CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "CAST(n_chars AS BIGINT) AS n_chars, "
+        "CAST(round(n_tokens * 10000.0 / n_docs) AS BIGINT) AS mean_doc_tokens_e4, "
+        "CAST(nd AS BIGINT) AS n_distinct_md5, "
+        "CAST(n_docs - nd AS BIGINT) AS n_exact_dup_docs, "
+        "CAST(nq AS BIGINT) AS n_quality_pass, "
+        "CAST(n_en AS BIGINT) AS n_en, CAST(n_es AS BIGINT) AS n_es, "
+        "CAST(n_de AS BIGINT) AS n_de, CAST(n_fr AS BIGINT) AS n_fr FROM a"
     ),
     "vocab_drift": (
         # mirror of q_vocab_drift: TV distance over the union top-16

@@ -60,3 +60,37 @@ class TestGopherRules:
         )
         assert r.bullet_frac_e4 == 3333
         assert r.ellipsis_frac_e4 == 3333
+
+
+class TestCorpusReport:
+    def test_one_row_card_values(self, spark):
+        good = "the quick brown fox jumps over the lazy dog today"
+        docs = _docs(
+            spark,
+            [(1, good), (2, good), (3, "el la de que xx"), (4, "zz 11")],
+        )
+        (r,) = T.corpus_report(
+            docs, min_tokens=5, min_stopword_ratio_e4=100,
+            min_alpha_ratio_e4=5000,
+        ).collect()
+        assert r.n_docs == 4
+        assert r.n_distinct_md5 == 3 and r.n_exact_dup_docs == 1
+        assert r.n_quality_pass == 2  # the two 'good' copies
+        # doc 4 has zero marker hits in every language -> the argmax
+        # tie resolves to 'en' (deterministic tie order), joining the
+        # two genuinely-English docs
+        assert (r.n_en, r.n_es) == (3, 1)
+        assert r.n_en + r.n_es + r.n_de + r.n_fr == 4
+        assert r.n_tokens == 10 + 10 + 5 + 2
+        assert r.mean_doc_tokens_e4 == 67500  # 27/4 = 6.75 tokens
+
+    def test_single_pass_no_text_shuffle(self, spark):
+        from tests.test_physical_plans import plan_of
+
+        docs = _docs(spark, [(1, "a b"), (2, "c d")])
+        plan = plan_of(T.corpus_report(docs))
+        final = plan.split("== Initial Plan ==")[0]
+        # the only exchanges carry the aggregation state / fp digests —
+        # the text column never appears in an exchange key
+        assert "hashpartitioning(text" not in final
+        assert "partial_count" in plan or "partial_sum" in plan
