@@ -75,3 +75,51 @@ def robots_filter(
             )
 
     return j.mapInArrow(fn, out_schema)
+
+
+def crawl_schedule(
+    robots: DataFrame,
+    agent: str = "gumbobot",
+    window_sec: int = 60,
+    default_delay_ms: int = 1000,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, crawl_delay_ms, fetch_budget): per-host politeness
+    schedule from the de-facto ``Crawl-delay`` extension — the frontier
+    shard sizer (a host's shard should hold at most ``fetch_budget``
+    URLs per ``window_sec`` scheduling window).  Hosts whose selected
+    agent group declares no delay get ``default_delay_ms``;
+    ``fetch_budget = window_sec·1000 div crawl_delay_ms`` is one
+    integer floor division (oracle-exact).  Scale shape: the input is
+    the hosts-sized robots table — one Arrow map over it, no join, no
+    shuffle; delays are plan constants downstream (broadcast the
+    result onto the frontier)."""
+    import pyarrow as pa
+
+    from ..parser.robots import parse_robots
+
+    def fn(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            hosts = batch.column(host_col).to_pylist()
+            txts = batch.column(txt_col).to_pylist()
+            delays = []
+            for t in txts:
+                d = parse_robots(t or "").crawl_delay(agent)
+                delays.append(
+                    default_delay_ms if d is None else int(round(d * 1000))
+                )
+            budgets = [
+                (window_sec * 1000) // d if d > 0 else window_sec * 1000
+                for d in delays
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(hosts, pa.string()),
+                 pa.array(delays, pa.int64()),
+                 pa.array(budgets, pa.int64())],
+                ["host", "crawl_delay_ms", "fetch_budget"],
+            )
+
+    return robots.select(
+        F.col(host_col).cast("string").alias(host_col), txt_col
+    ).mapInArrow(fn, "host string, crawl_delay_ms bigint, fetch_budget bigint")

@@ -49,6 +49,9 @@ class RobotsRules:
     # (pattern_length, allow?, compiled) — length first for the
     # longest-match scan; allow breaks ties (sort key below)
     rules: list[tuple[int, bool, re.Pattern]] = field(default_factory=list)
+    # de-facto Crawl-delay extension (RFC 9309 §2.2.4 leaves other
+    # records as MAY; crawlers widely honor this one), seconds
+    crawl_delay: float | None = None
 
     def allowed(self, path: str) -> bool:
         if not path.startswith("/"):
@@ -83,6 +86,11 @@ class RobotsFile:
 
     def allowed(self, agent: str, path: str) -> bool:
         return self.rules_for(agent).allowed(path)
+
+    def crawl_delay(self, agent: str) -> float | None:
+        """Crawl-delay of the agent's selected group (de-facto
+        extension; None when the group declares none)."""
+        return self.rules_for(agent).crawl_delay
 
 
 def parse_robots(text: str | bytes | None) -> RobotsFile:
@@ -125,7 +133,18 @@ def parse_robots(text: str | bytes | None) -> RobotsFile:
                 rf.groups[t].rules.append(entry)
         elif key == "sitemap":
             rf.sitemaps.append(val)
-        # crawl-delay & unknown keys: ignored per spec (MAY support)
+        elif key == "crawl-delay":
+            # de-facto extension (spec: other records MAY be supported);
+            # malformed values are ignored, later declarations win
+            if current:
+                try:
+                    delay = float(val)
+                except ValueError:
+                    continue
+                if delay >= 0:
+                    for t in current:
+                        rf.groups[t].crawl_delay = delay
+        # unknown keys: ignored per spec
     return rf
 
 

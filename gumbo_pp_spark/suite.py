@@ -1317,6 +1317,29 @@ def q_robots_gate(spark, sf_dir):
     )
 
 
+def q_crawl_schedule(spark, sf_dir):
+    # per-host politeness schedule from the Crawl-delay extension:
+    # delay = 1 + length(host) % 3 seconds for gumbobot, other agents
+    # fall through to the delay-less * group (default applies)
+    from .operators.robots import crawl_schedule
+    from .sources.pages import load_documents
+
+    hosts = (
+        load_documents(spark, sf_dir)
+        .select(F.concat("source", F.lit(".example.com")).alias("host"))
+        .distinct()
+    )
+    robots = hosts.withColumn(
+        "robots_txt",
+        F.expr(
+            "concat('User-agent: gumbobot\\nCrawl-delay: ', "
+            "CAST(1 + length(host) % 3 AS STRING), "
+            "'\\nDisallow: /private\\n\\nUser-agent: *\\nDisallow: /\\n')"
+        ),
+    )
+    return crawl_schedule(robots, agent="gumbobot/1.0", window_sec=60)
+
+
 def q_sitemap_frontier(spark, sf_dir):
     # crawl frontier = sitemap entries (JVM-side from_xml + explode,
     # zero Python) gated by RFC 9309 robots rules (broadcast join)
@@ -2008,6 +2031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_rates": q_mixture_rates,
     "vocab_drift": q_vocab_drift,
     "corpus_report": q_corpus_report,
+    "crawl_schedule": q_crawl_schedule,
     "remove_boilerplate": q_remove_boilerplate,
     "select_token_budget": q_select_token_budget,
     "mirror_hosts": q_mirror_hosts,
@@ -2456,6 +2480,15 @@ ORACLES: dict[str, str] = {
         "sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum FROM base) "
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, score, n_tokens "
         "FROM o WHERE cum <= 15000"
+    ),
+    "crawl_schedule": (
+        # mirror of q_crawl_schedule: delay = (1 + length(host) % 3) s
+        "WITH hosts AS (SELECT DISTINCT source || '.example.com' AS host "
+        "FROM documents), "
+        "d AS (SELECT host, (1 + length(host) % 3) * 1000 AS crawl_delay_ms "
+        "FROM hosts) "
+        "SELECT host, CAST(crawl_delay_ms AS BIGINT) AS crawl_delay_ms, "
+        "CAST(60000 // crawl_delay_ms AS BIGINT) AS fetch_budget FROM d"
     ),
     "corpus_report": (
         # mirror of q_corpus_report (thresholds = the quality_filter

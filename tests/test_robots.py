@@ -139,3 +139,59 @@ class TestUrlFeatures:
         assert "Exchange" not in plan
         for py_node in ("EvalPython", "InPandas", "PythonUDF", "MapInArrow"):
             assert py_node not in plan
+
+
+class TestCrawlDelay:
+    """De-facto Crawl-delay extension + the per-host schedule table."""
+
+    def test_parse_and_group_selection(self):
+        from gumbo_pp_spark.parser.robots import parse_robots
+
+        rf = parse_robots(
+            "User-agent: gumbobot\nCrawl-delay: 2.5\nDisallow: /x\n\n"
+            "User-agent: *\nCrawl-delay: 10\n"
+        )
+        assert rf.crawl_delay("gumbobot/1.0") == 2.5
+        assert rf.crawl_delay("otherbot") == 10.0
+
+    def test_malformed_and_missing_delays(self):
+        from gumbo_pp_spark.parser.robots import parse_robots
+
+        rf = parse_robots(
+            "User-agent: a\nCrawl-delay: fast\n\n"
+            "User-agent: b\nCrawl-delay: -3\n\nUser-agent: c\nDisallow: /\n"
+        )
+        assert rf.crawl_delay("a") is None  # malformed ignored
+        assert rf.crawl_delay("b") is None  # negative ignored
+        assert rf.crawl_delay("c") is None  # none declared
+        # delay before any user-agent line is ignored too
+        assert parse_robots("Crawl-delay: 5\n").crawl_delay("x") is None
+
+    def test_schedule_table_values(self, spark):
+        from gumbo_pp_spark.operators.robots import crawl_schedule
+
+        robots = spark.createDataFrame(
+            [("slow.example", "User-agent: *\nCrawl-delay: 30\n"),
+             ("fast.example", "User-agent: *\nCrawl-delay: 0.5\n"),
+             ("plain.example", "User-agent: *\nDisallow: /x\n"),
+             ("empty.example", None)],
+            "host string, robots_txt string",
+        )
+        got = {r.host: (r.crawl_delay_ms, r.fetch_budget)
+               for r in crawl_schedule(robots, window_sec=60).collect()}
+        assert got == {
+            "slow.example": (30000, 2),
+            "fast.example": (500, 120),
+            "plain.example": (1000, 60),   # default delay
+            "empty.example": (1000, 60),   # missing robots = default
+        }
+
+    def test_zero_delay_means_unthrottled_window(self, spark):
+        from gumbo_pp_spark.operators.robots import crawl_schedule
+
+        robots = spark.createDataFrame(
+            [("h", "User-agent: *\nCrawl-delay: 0\n")],
+            "host string, robots_txt string",
+        )
+        (r,) = crawl_schedule(robots, window_sec=60).collect()
+        assert (r.crawl_delay_ms, r.fetch_budget) == (0, 60000)
