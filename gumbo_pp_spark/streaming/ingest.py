@@ -194,3 +194,21 @@ def stream_warc_extract(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_host_blocklist(
+    stream: DataFrame, blocked_hosts: DataFrame, host_col: str = "host"
+) -> DataFrame:
+    """Apply a precomputed domain blocklist (e.g.
+    :func:`~gumbo_pp_spark.operators.textstats.host_quality_gate`'s
+    blocked set, refreshed by a periodic batch job) to a document
+    stream — the streaming-sane split of the two-pass host gate: the
+    aggregate lives in batch, the stream pays only a stateless
+    stream-static LEFT ANTI join against the hosts-sized static side
+    (broadcast; no state store, no watermark)."""
+    blocked = F.broadcast(
+        blocked_hosts.select(F.col("host").alias("_blocked_host")).distinct()
+    )
+    return stream.join(
+        blocked, F.col(host_col) == F.col("_blocked_host"), "left_anti"
+    )

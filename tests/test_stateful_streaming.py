@@ -92,3 +92,33 @@ def test_gopher_rules_stream_stateless(spark, tmp_path):
     got = {r["doc_id"]: (r["n_words"], r["gopher_pass"])
            for r in spark.sql("SELECT * FROM gr_stream").collect()}
     assert got == batch and len(got) == 60
+
+
+def test_stream_host_blocklist_stateless(spark, tmp_path):
+    """Stream-static anti join: blocked hosts vanish from the stream,
+    output equals the batch anti join on the same files."""
+    from gumbo_pp_spark.streaming.ingest import stream_host_blocklist
+
+    rows = [(i, f"h{i % 4}.example", f"doc {i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, host string, text string")
+    src = str(tmp_path / "bl_in")
+    docs.write.parquet(src)
+    blocked = spark.createDataFrame(
+        [("h1.example",), ("h3.example",)], "host string"
+    )
+
+    stream_in = spark.readStream.schema(
+        "doc_id bigint, host string, text string"
+    ).parquet(src)
+    q = (
+        stream_host_blocklist(stream_in, blocked)
+        .writeStream.format("memory")
+        .queryName("bl_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "bl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id for r in spark.sql("SELECT * FROM bl_stream").collect()}
+    assert got == {i for i in range(40) if i % 4 in (0, 2)}
