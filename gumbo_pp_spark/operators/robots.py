@@ -123,3 +123,57 @@ def crawl_schedule(
     return robots.select(
         F.col(host_col).cast("string").alias(host_col), txt_col
     ).mapInArrow(fn, "host string, crawl_delay_ms bigint, fetch_budget bigint")
+
+
+def shard_frontier(
+    frontier: DataFrame,
+    schedule: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """(host, url, fetch_rank, fetch_window): assign every frontier URL
+    to a politeness window — the k-th URL of a host (deterministic
+    md5(url) order, url tie-break) fetches in window
+    ``(k−1) div fetch_budget``, with budgets from
+    :func:`crawl_schedule`.  Hosts absent from the schedule are
+    unthrottled (window 0).
+
+    Exact per-host rank WITHOUT one task per host: the first hex digit
+    of md5(url) RANGE-buckets the sort key — the bucket is a PREFIX of
+    the ordering, so ``global rank = per-(host, bucket) offset + rank
+    within (host, bucket)`` holds exactly.  A crawl-heavy host spreads
+    over 16 independent window tasks; the offset table is
+    (hosts × 16)-sized and broadcast, as is the schedule."""
+    from pyspark.sql import Window
+
+    base = frontier.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        F.substring(F.md5(F.col(url_col)), 1, 1).alias("_bkt"),
+    )
+    w1 = Window.partitionBy("host", "_bkt").orderBy(F.md5("url"), "url")
+    ranked = base.withColumn("_r", F.row_number().over(w1))
+    wo = Window.partitionBy("host").orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    offs = (
+        base.groupBy("host", "_bkt")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "host", "_bkt", (F.sum("_n").over(wo) - F.col("_n")).alias("_off")
+        )
+    )
+    sched = schedule.select(F.col("host").alias("host"), "fetch_budget")
+    return (
+        ranked.join(F.broadcast(offs), ["host", "_bkt"])
+        .join(F.broadcast(sched), "host", "left")
+        .select(
+            "host",
+            "url",
+            (F.col("_off") + F.col("_r")).cast("bigint").alias("fetch_rank"),
+            F.expr(
+                "CAST(CASE WHEN fetch_budget IS NULL THEN 0 "
+                "ELSE (_off + _r - 1) div fetch_budget END AS BIGINT)"
+            ).alias("fetch_window"),
+        )
+    )

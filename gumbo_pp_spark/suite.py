@@ -1340,6 +1340,34 @@ def q_crawl_schedule(spark, sf_dir):
     return crawl_schedule(robots, agent="gumbobot/1.0", window_sec=60)
 
 
+def q_shard_frontier(spark, sf_dir):
+    # frontier → politeness windows: per-host md5-ordered rank (exact
+    # via prefix-bucket offsets, never one task per host) divided into
+    # fetch windows by the crawl_schedule budget
+    from .operators.robots import crawl_schedule, shard_frontier
+    from .sources.pages import load_documents, synth_pages
+
+    pages = synth_pages(spark, sf_dir).select(
+        F.expr("regexp_extract(url, 'https?://([^/]+)', 1)").alias("host"),
+        "url",
+    )
+    hosts = (
+        load_documents(spark, sf_dir)
+        .select(F.concat("source", F.lit(".example.com")).alias("host"))
+        .distinct()
+    )
+    robots = hosts.withColumn(
+        "robots_txt",
+        F.expr(
+            "concat('User-agent: gumbobot\\nCrawl-delay: ', "
+            "CAST(1 + length(host) % 3 AS STRING), "
+            "'\\nDisallow: /private\\n\\nUser-agent: *\\nDisallow: /\\n')"
+        ),
+    )
+    sched = crawl_schedule(robots, agent="gumbobot/1.0", window_sec=60)
+    return shard_frontier(pages, sched)
+
+
 def q_sitemap_frontier(spark, sf_dir):
     # crawl frontier = sitemap entries (JVM-side from_xml + explode,
     # zero Python) gated by RFC 9309 robots rules (broadcast join)
@@ -2032,6 +2060,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_drift": q_vocab_drift,
     "corpus_report": q_corpus_report,
     "crawl_schedule": q_crawl_schedule,
+    "shard_frontier": q_shard_frontier,
     "remove_boilerplate": q_remove_boilerplate,
     "select_token_budget": q_select_token_budget,
     "mirror_hosts": q_mirror_hosts,
@@ -2480,6 +2509,20 @@ ORACLES: dict[str, str] = {
         "sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum FROM base) "
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, score, n_tokens "
         "FROM o WHERE cum <= 15000"
+    ),
+    "shard_frontier": (
+        # mirror of q_shard_frontier: window cumdiv over the md5-ordered
+        # per-host rank, budget = 60000 // ((1 + len(host) % 3) * 1000)
+        "WITH f AS (SELECT source || '.example.com' AS host, "
+        "'https://' || source || '.example.com/doc/' || CAST(doc_id AS STRING) AS url "
+        "FROM documents), "
+        "r AS (SELECT host, url, row_number() OVER "
+        "(PARTITION BY host ORDER BY md5(url), url) AS fetch_rank FROM f), "
+        "d AS (SELECT DISTINCT host, 60000 // ((1 + length(host) % 3) * 1000) "
+        "AS fetch_budget FROM f) "
+        "SELECT r.host, r.url, CAST(fetch_rank AS BIGINT) AS fetch_rank, "
+        "CAST((fetch_rank - 1) // fetch_budget AS BIGINT) AS fetch_window "
+        "FROM r JOIN d ON r.host = d.host"
     ),
     "crawl_schedule": (
         # mirror of q_crawl_schedule: delay = (1 + length(host) % 3) s

@@ -195,3 +195,60 @@ class TestCrawlDelay:
         )
         (r,) = crawl_schedule(robots, window_sec=60).collect()
         assert (r.crawl_delay_ms, r.fetch_budget) == (0, 60000)
+
+
+class TestShardFrontier:
+    def _sched(self, spark, rows):
+        return spark.createDataFrame(rows, "host string, fetch_budget bigint")
+
+    def test_windows_follow_md5_rank_and_budget(self, spark):
+        from pyspark.sql import Window, functions as F
+
+        from gumbo_pp_spark.operators.robots import shard_frontier
+
+        rows = [("h.example", f"https://h.example/p{i}") for i in range(10)]
+        rows += [("o.example", f"https://o.example/p{i}") for i in range(4)]
+        frontier = spark.createDataFrame(rows, "host string, url string")
+        sched = self._sched(spark, [("h.example", 3), ("o.example", 2)])
+        got = shard_frontier(frontier, sched)
+        # exact parity with the naive single-window formulation
+        naive = frontier.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("host").orderBy(F.md5("url"), "url")
+            ),
+        )
+        j = got.join(naive, ["host", "url"]).collect()
+        assert len(j) == 14
+        for r in j:
+            assert r.fetch_rank == r.rk
+            budget = 3 if r.host == "h.example" else 2
+            assert r.fetch_window == (r.fetch_rank - 1) // budget
+        # budget 3 over 10 urls -> windows 0..3 with sizes 3,3,3,1
+        wins = sorted(
+            r.fetch_window for r in j if r.host == "h.example"
+        )
+        assert wins == [0, 0, 0, 1, 1, 1, 2, 2, 2, 3]
+
+    def test_unscheduled_host_is_unthrottled(self, spark):
+        from gumbo_pp_spark.operators.robots import shard_frontier
+
+        frontier = spark.createDataFrame(
+            [("x.example", f"https://x.example/{i}") for i in range(5)],
+            "host string, url string",
+        )
+        got = shard_frontier(frontier, self._sched(spark, [])).collect()
+        assert {r.fetch_window for r in got} == {0}
+        assert sorted(r.fetch_rank for r in got) == [1, 2, 3, 4, 5]
+
+    def test_offset_and_schedule_sides_broadcast(self, spark):
+        from tests.test_physical_plans import plan_of
+
+        from gumbo_pp_spark.operators.robots import shard_frontier
+
+        frontier = spark.createDataFrame(
+            [("h", "https://h/1"), ("h", "https://h/2")],
+            "host string, url string",
+        )
+        plan = plan_of(shard_frontier(frontier, self._sched(spark, [("h", 1)])))
+        assert plan.count("BroadcastHashJoin") >= 2
