@@ -65,3 +65,78 @@ def pagerank(
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(F.col("node").cast("bigint"), F.col("rank").cast("bigint"))
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 3,
+    scale: int = 10**6,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Integer-exact HITS (Kleinberg): per round the authority pass
+    ``a'(v) = Σ_{u→v} h(u)`` then the hub pass ``h'(u) = Σ_{u→v}
+    a(v)``, each MAX-normalized — ``x·scale DIV max(x')`` — instead of
+    the float L2 norm, so every value stays a bigint, the fixed point
+    is bit-exact (oracle-checkable), and rankings are unchanged
+    (normalization is monotone).  Returns (node, hub, authority) as
+    ``scale``-scaled bigints in [0, scale].
+
+    Bounds: the normalization product ``s·scale`` must fit int64 —
+    with the default 1e6 scale that allows hub/authority in-degrees up
+    to ~9·10⁶ (document-graph hubs at web scale sit well under this at
+    host granularity; raise ``n_iter``/precision only with the bound
+    in mind — the DuckDB oracle errors loudly on overflow while Spark
+    would wrap, so the suite family also guards the bound).
+
+    Scale shape per round: two edge⋈rank joins (rank tables
+    node-sized) + two map-side-combined aggs; each max is a 1-row
+    broadcast cross join; ``localCheckpoint`` caps lineage growth like
+    :func:`pagerank` / ``connected_components``."""
+    e = edges.select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = nodes.withColumn("h", F.lit(scale).cast("bigint"))
+
+    def _norm(raw, key, val):
+        m = raw.agg(F.coalesce(F.max(val), F.lit(1)).alias("_m"))
+        return (
+            nodes.join(raw, nodes["node"] == raw[key], "left")
+            .crossJoin(F.broadcast(m))
+            .selectExpr(
+                "node",
+                f"CAST(coalesce({val}, 0) * {scale} DIV _m AS BIGINT) AS {val}",
+            )
+        )
+
+    a = None
+    for _ in range(n_iter):
+        a_raw = (
+            e.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+        )
+        a = _norm(a_raw, "dst", "a")
+        h_raw = (
+            e.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+        )
+        h = _norm(h_raw, "src", "h")
+        if checkpoint:
+            a = a.localCheckpoint(eager=False)
+            h = h.localCheckpoint(eager=False)
+    return (
+        nodes.join(h, "node")
+        .join(a, "node")
+        .select(
+            F.col("node").cast("bigint"),
+            F.col("h").cast("bigint").alias("hub"),
+            F.col("a").cast("bigint").alias("authority"),
+        )
+    )

@@ -1565,6 +1565,50 @@ def _duck_pagerank_sql(n_iter: int = 3, damping_e2: int = 85, scale: int = 10**9
     return sql + f" SELECT CAST(node AS BIGINT) AS node, rank FROM {prev}"
 
 
+def q_hits(spark, sf_dir):
+    # integer-exact HITS over the same deterministic doc-link family as
+    # pagerank; max-normalized per pass, 1e6-scaled bigints
+    from .operators import graph as G
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    edges = (
+        docs.selectExpr("doc_id AS src", "(doc_id * 17 + 3) % 512 AS dst_key")
+        .join(docs.selectExpr("doc_id AS dst"), F.col("dst_key") == F.col("dst"))
+        .select("src", "dst")
+    )
+    return G.hits(edges, n_iter=3)
+
+
+def _duck_hits_sql(n_iter: int = 3, scale: int = 10**6) -> str:
+    sql = (
+        "WITH edges AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM documents a "
+        "JOIN documents b ON b.doc_id = (a.doc_id * 17 + 3) % 512), "
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges), "
+        f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS h FROM nodes)"
+    )
+    ph = "h0"
+    for i in range(1, n_iter + 1):
+        sql += (
+            f", ar{i} AS (SELECT e.dst AS node, CAST(SUM(x.h) AS BIGINT) AS a "
+            f"FROM edges e JOIN {ph} x ON x.node = e.src GROUP BY e.dst)"
+            f", am{i} AS (SELECT COALESCE(MAX(a), 1) AS m FROM ar{i})"
+            f", a{i} AS (SELECT n.node, CAST(COALESCE(r.a, 0) * {scale} // m AS BIGINT) AS a "
+            f"FROM nodes n LEFT JOIN ar{i} r ON n.node = r.node, am{i})"
+            f", hr{i} AS (SELECT e.src AS node, CAST(SUM(x.a) AS BIGINT) AS h "
+            f"FROM edges e JOIN a{i} x ON x.node = e.dst GROUP BY e.src)"
+            f", hm{i} AS (SELECT COALESCE(MAX(h), 1) AS m FROM hr{i})"
+            f", h{i} AS (SELECT n.node, CAST(COALESCE(r.h, 0) * {scale} // m AS BIGINT) AS h "
+            f"FROM nodes n LEFT JOIN hr{i} r ON n.node = r.node, hm{i})"
+        )
+        ph = f"h{i}"
+    return sql + (
+        f" SELECT CAST(n.node AS BIGINT) AS node, h{n_iter}.h AS hub, "
+        f"a{n_iter}.a AS authority FROM nodes n "
+        f"JOIN h{n_iter} ON n.node = h{n_iter}.node "
+        f"JOIN a{n_iter} ON n.node = a{n_iter}.node"
+    )
+
+
 def q_kmv_distinct(spark, sf_dir):
     # bottom-k distinct-count sketch over the token stream (k=16 of a
     # 31-word vocabulary: the estimator genuinely extrapolates)
@@ -2075,6 +2119,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "kmv_distinct": q_kmv_distinct,
     "pagerank": q_pagerank,
+    "hits": q_hits,
     "link_graph": q_link_graph,
     "pdf_text": q_pdf_text,
     "warc_extract": q_warc_extract,
@@ -2657,6 +2702,7 @@ ORACLES: dict[str, str] = {
     "cms_heavy_hitters": _duck_cms_sql(),
     "kmv_distinct": _DUCK_KMV,
     "pagerank": _duck_pagerank_sql(),
+    "hits": _duck_hits_sql(),
     "pdf_text": _DUCK_PDF_TEXT,
     # WARC round trip lands on the same extracted text as the direct
     # html path — the archive adds framing, not content

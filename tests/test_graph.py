@@ -57,3 +57,37 @@ class TestPagerank:
         plan = (G.pagerank(edges, n_iter=2, checkpoint=False)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "CartesianProduct" not in plan
+
+
+class TestHits:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+    def test_star_graph_hub_and_authority(self, spark):
+        # 1,2,3 all point at 9; 1 also points at 8
+        e = self._edges(spark, [(1, 9), (2, 9), (3, 9), (1, 8)])
+        got = {r.node: (r.hub, r.authority) for r in
+               G.hits(e, n_iter=2, scale=1000).collect()}
+        # 9 is the unique best authority, 1 the unique best hub
+        assert got[9][1] == 1000
+        assert got[1][0] == 1000
+        assert got[8][1] < 1000 and got[2][0] < 1000
+        # pure sinks have hub 0, pure sources authority 0
+        assert got[9][0] == 0 and got[1][1] == 0
+
+    def test_hand_computed_single_iteration(self, spark):
+        e = self._edges(spark, [(1, 9), (2, 9), (1, 8)])
+        got = {r.node: (r.hub, r.authority) for r in
+               G.hits(e, n_iter=1, scale=100).collect()}
+        # a'(9)=2s, a'(8)=s -> a(9)=100, a(8)=50
+        # h'(1)=a(9)+a(8)=150, h'(2)=a(9)=100 -> h(1)=100, h(2)=66
+        assert got[9] == (0, 100)
+        assert got[8] == (0, 50)
+        assert got[1] == (100, 0)
+        assert got[2] == (66, 0)
+
+    def test_values_stay_bounded_by_scale(self, spark):
+        e = self._edges(spark, [(i, (i * 3 + 1) % 7) for i in range(20)])
+        out = G.hits(e, n_iter=4, scale=10**6).collect()
+        for r in out:
+            assert 0 <= r.hub <= 10**6 and 0 <= r.authority <= 10**6
