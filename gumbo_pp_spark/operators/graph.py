@@ -140,3 +140,21 @@ def hits(
             F.col("a").cast("bigint").alias("authority"),
         )
     )
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """(direction, degree, n_nodes): in/out-degree histogram of the
+    link graph — the monitoring view for crawl-graph health (a fat
+    out-degree tail is link farms, a fat in-degree tail is hubs to cap
+    before ranking).  Two map-side-combined aggs per direction over
+    the edge table, then node-sized histogram rollups."""
+    def hist(col, label):
+        deg = edges.groupBy(F.col(col).cast("bigint").alias("node")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        return deg.groupBy("degree").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+        ).select(F.lit(label).alias("direction"),
+                 F.col("degree").cast("bigint"), "n_nodes")
+
+    return hist("src", "out").unionByName(hist("dst", "in"))

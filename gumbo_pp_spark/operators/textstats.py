@@ -1364,3 +1364,35 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
         f"{url_col} RLIKE '[?&](utm_[a-z]+|fbclid|gclid|mc_eid)=' AS has_tracking",
         f"CAST(length({url_col}) AS BIGINT) AS url_len",
     )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    order_expr: str,
+    key_col: str = "doc_id",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Keep the top ``k`` rows of every group under ``(order_expr asc,
+    key asc)`` — :func:`cap_per_host` generalized to an arbitrary
+    deterministic ordering (best-N-docs-per-source selection, error
+    triage, per-host sampling).  Same two-phase skew safety: phase 1
+    ranks within ``(group, hash-salt)`` keeping ≤ k per salted bucket
+    (a hot group spreads over ``salt_buckets`` bounded tasks), phase 2
+    re-ranks the ≤ k·salt_buckets survivors exactly — every member of
+    the true top-k is in its own bucket's top-k, so the result is
+    IDENTICAL to the single-window form."""
+    from pyspark.sql.window import Window
+
+    order = (F.expr(order_expr), F.col(key_col))
+    salt = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(salt_buckets))
+    w1 = Window.partitionBy(F.col(group_col), salt).orderBy(*order)
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("_sr", F.row_number().over(w1))
+        .where(F.col("_sr") <= k)
+        .withColumn("_gr", F.row_number().over(w2))
+        .where(F.col("_gr") <= k)
+        .drop("_sr", "_gr")
+    )

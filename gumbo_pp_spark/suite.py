@@ -1609,6 +1609,35 @@ def _duck_hits_sql(n_iter: int = 3, scale: int = 10**6) -> str:
     )
 
 
+def q_degree_stats(spark, sf_dir):
+    # link-graph degree histogram over the deterministic doc-link family
+    from .operators import graph as G
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    edges = (
+        docs.selectExpr("doc_id AS src", "(doc_id * 17 + 3) % 512 AS dst_key")
+        .join(docs.selectExpr("doc_id AS dst"), F.col("dst_key") == F.col("dst"))
+        .select("src", "dst")
+    )
+    return G.degree_stats(edges)
+
+
+def q_top_docs_per_source(spark, sf_dir):
+    # best-5 longest docs per source (ties by doc_id) — cap_per_host's
+    # salted two-phase rank generalized to a score ordering
+    out = T.top_k_per_group(
+        _docs(spark, sf_dir),
+        k=5,
+        group_col="source",
+        order_expr="-n_chars",
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
 def q_kmv_distinct(spark, sf_dir):
     # bottom-k distinct-count sketch over the token stream (k=16 of a
     # 31-word vocabulary: the estimator genuinely extrapolates)
@@ -2120,6 +2149,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_distinct": q_kmv_distinct,
     "pagerank": q_pagerank,
     "hits": q_hits,
+    "degree_stats": q_degree_stats,
+    "top_docs_per_source": q_top_docs_per_source,
     "link_graph": q_link_graph,
     "pdf_text": q_pdf_text,
     "warc_extract": q_warc_extract,
@@ -2703,6 +2734,23 @@ ORACLES: dict[str, str] = {
     "kmv_distinct": _DUCK_KMV,
     "pagerank": _duck_pagerank_sql(),
     "hits": _duck_hits_sql(),
+    "degree_stats": (
+        "WITH edges AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM documents a "
+        "JOIN documents b ON b.doc_id = (a.doc_id * 17 + 3) % 512), "
+        "o AS (SELECT src AS node, count(*) AS degree FROM edges GROUP BY src), "
+        "i AS (SELECT dst AS node, count(*) AS degree FROM edges GROUP BY dst) "
+        "SELECT 'out' AS direction, CAST(degree AS BIGINT) AS degree, "
+        "CAST(count(*) AS BIGINT) AS n_nodes FROM o GROUP BY degree "
+        "UNION ALL "
+        "SELECT 'in' AS direction, CAST(degree AS BIGINT) AS degree, "
+        "CAST(count(*) AS BIGINT) AS n_nodes FROM i GROUP BY degree"
+    ),
+    "top_docs_per_source": (
+        "WITH r AS (SELECT doc_id, source, n_chars, row_number() OVER "
+        "(PARTITION BY source ORDER BY -n_chars, doc_id) AS rk FROM documents) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, source, "
+        "CAST(n_chars AS BIGINT) AS n_chars FROM r WHERE rk <= 5"
+    ),
     "pdf_text": _DUCK_PDF_TEXT,
     # WARC round trip lands on the same extracted text as the direct
     # html path — the archive adds framing, not content

@@ -91,3 +91,15 @@ class TestHits:
         out = G.hits(e, n_iter=4, scale=10**6).collect()
         for r in out:
             assert 0 <= r.hub <= 10**6 and 0 <= r.authority <= 10**6
+
+
+class TestDegreeStats:
+    def test_histograms_both_directions(self, spark):
+        # 1 -> {8,9,10}; 2 -> {9}; in-degrees: 9:2, 8:1, 10:1
+        e = _edges(spark, [(1, 8), (1, 9), (1, 10), (2, 9)])
+        got = {(r.direction, r.degree): r.n_nodes
+               for r in G.degree_stats(e).collect()}
+        assert got == {
+            ("out", 3): 1, ("out", 1): 1,
+            ("in", 2): 1, ("in", 1): 2,
+        }

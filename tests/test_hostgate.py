@@ -197,3 +197,28 @@ class TestMirrorHosts:
         docs = self._hosted(spark, [(1, "a", "x"), (2, "b", "x"), (3, "b", "y")])
         plan = plan_of(T.mirror_hosts(docs, min_shared=1))
         assert "BroadcastHashJoin" in plan
+
+
+class TestTopKPerGroup:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, grp string, score bigint")
+
+    def test_matches_single_window_form(self, spark):
+        from pyspark.sql import Window, functions as F
+
+        rows = [(i, f"g{i % 3}", (i * 13) % 50) for i in range(60)]
+        docs = self._docs(spark, rows)
+        got = {(r.grp, r.doc_id) for r in T.top_k_per_group(
+            docs, k=4, group_col="grp", order_expr="-score").collect()}
+        naive = docs.withColumn(
+            "rk", F.row_number().over(
+                Window.partitionBy("grp").orderBy(F.expr("-score"), "doc_id"))
+        ).where("rk <= 4")
+        assert got == {(r.grp, r.doc_id) for r in naive.collect()}
+        assert len(got) == 12
+
+    def test_all_columns_pass_through(self, spark):
+        docs = self._docs(spark, [(1, "g", 5), (2, "g", 9)])
+        out = T.top_k_per_group(docs, k=1, group_col="grp", order_expr="-score")
+        assert out.columns == ["doc_id", "grp", "score"]
+        assert [r.doc_id for r in out.collect()] == [2]
