@@ -1981,6 +1981,29 @@ def q_events_props_json(spark, sf_dir):
     )
 
 
+def q_events_retention(spark, sf_dir):
+    # cohort retention: users grouped by first-seen day, counted at
+    # each later active day.  Scale shape: distinct (user, day) and
+    # the cohort min are both user-keyed map-side-combined aggs, so
+    # the join arrives co-partitioned (no extra exchange); the final
+    # rollup is cohort×age-sized.
+    ev = _tbl(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr("CAST(date_trunc('DAY', ts) AS DATE)").alias("day")
+    ).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.expr("CAST(datediff(day, cohort_day) AS BIGINT)").alias("age_days"),
+        )
+        .groupBy("cohort_day", "age_days")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
 def q_events_sessions(spark, sf_dir):
     from pyspark.sql.window import Window
 
@@ -2194,6 +2217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "events_props_json": q_events_props_json,
     "events_sessions": q_events_sessions,
+    "events_retention": q_events_retention,
     "pack_sequences": q_pack_sequences,
     "chunk_tokens": q_chunk_tokens,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -3095,6 +3119,14 @@ ORACLES: dict[str, str] = {
         "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
         "CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k, "
         "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type"
+    ),
+    "events_retention": (
+        "WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day "
+        "FROM events), "
+        "c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id) "
+        "SELECT c.cohort_day, CAST(date_diff('day', c.cohort_day, d.day) AS BIGINT) "
+        "AS age_days, CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users "
+        "FROM d JOIN c ON d.user_id = c.user_id GROUP BY 1, 2"
     ),
     "events_sessions": (
         "WITH flagged AS (SELECT user_id, event_id, ts, "
