@@ -226,13 +226,34 @@ def _check_banding(n_hashes: int, n_bands: int) -> int:
 def minhash_signatures(df: DataFrame, n_hashes: int = N_MINHASHES) -> DataFrame:
     """(doc_id, mh0..mh{n-1}) — k-th minhash = lexicographic min of
     md5('<k>|' || shingle).  md5-on-string is identical in Spark and
-    DuckDB, which makes the whole LSH pipeline oracle-checkable."""
-    sh = shingles(df)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"mh{k}")
+    DuckDB, which makes the whole LSH pipeline oracle-checkable.
+
+    Round-8 shape: MAP-ONLY.  The k-th minhash is
+    ``array_min(transform(shingles, s -> md5(k| || s)))`` over the
+    per-document shingle array — bit-identical to the round-7
+    explode → groupBy(doc_id) form (array_min on strings is the same
+    lexicographic min), but with no exchange at all.  The grouped form
+    was also quietly expensive per row: ``min`` over a STRING column
+    cannot use a hash aggregate (variable-width buffer), so Spark
+    planned a SortAggregate — a full sort of the exploded shingle
+    stream by doc_id on both sides of the shuffle.  Docs with <3 words
+    keep contributing no row (explicit filter, matching the oracle's
+    shingle CTE guard)."""
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    t = (
+        ensure_min_parallelism(df)
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .where(F.expr("size(ws) >= 3"))
+        .select("doc_id", F.expr(_WS_SHINGLE_EXPR).alias("sha"))
+    )
+    mins = [
+        F.expr(
+            f"array_min(transform(sha, s -> md5(concat('{k}|', s))))"
+        ).alias(f"mh{k}")
         for k in range(n_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return t.select("doc_id", *mins)
 
 
 def _band_explode(

@@ -18,10 +18,9 @@ Catalyst prunes the scan to exactly the input columns the stage needs
 from __future__ import annotations
 
 import re
-from typing import Callable, Iterable, Iterator
+from typing import Callable, Iterator
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -86,21 +85,37 @@ def run_program(
         schema += ", parse_us bigint, kernel_us bigint"
     # real DDL parse (a naive ', ' split breaks on nested struct/decimal
     # types like 'array<struct<a: int, b: int>>')
+    from pyspark.sql.pandas.types import to_arrow_type
     from pyspark.sql.types import StructType
 
-    out_names = StructType.fromDDL(out_fields).fieldNames()
+    out_struct = StructType.fromDDL(out_fields)
+    out_names = out_struct.fieldNames()
+    # explicit Arrow types per output column: pa.array inference would
+    # e.g. build int64 for an `int` (int32) field and fail the
+    # mapInArrow schema check
+    out_pa_types = [to_arrow_type(f.dataType) for f in out_struct.fields]
+    n_pt = len(passthrough)
 
-    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # ROUND-8: mapInArrow instead of mapInPandas (guide §4.1/§4.2).
+    # The pandas path copied every html payload into a per-row bytes
+    # object during Arrow→pandas conversion and round-tripped the
+    # passthrough columns through Python lists; here the html column
+    # is iterated as zero-copy memoryview slices of the Arrow buffer
+    # (the same _iter_html fast path the flagship uses) and the
+    # passthrough columns pass through as untouched Arrow arrays.
+    def fn(batches) -> "Iterator":
         import time as _time
 
+        import pyarrow as pa
+
         clk = _time.perf_counter
-        for pdf in batches:
-            cols: dict[str, list] = {c: pdf[c].tolist() for c in passthrough}
-            outs: dict[str, list] = {c: [] for c in out_names}
+        for rb in batches:
+            htmls = rb.column(n_pt)
+            outs: list[list] = [[] for _ in out_names]
             parse_us: list[int] = []
             kernel_us: list[int] = []
             if stage_metrics:
-                for raw in pdf[html_col]:
+                for raw in _iter_html(htmls):
                     t0 = clk()
                     nt = parse_html(raw, parse_options)
                     t1 = clk()
@@ -108,21 +123,31 @@ def run_program(
                     t2 = clk()
                     parse_us.append(int((t1 - t0) * 1e6))
                     kernel_us.append(int((t2 - t1) * 1e6))
-                    for c in out_names:
-                        outs[c].append(res[c])
+                    for j, c in enumerate(out_names):
+                        outs[j].append(res[c])
             else:
-                for raw in pdf[html_col]:
+                for raw in _iter_html(htmls):
                     res = program(parse_html(raw, parse_options))
-                    for c in out_names:
-                        outs[c].append(res[c])
-            cols.update(outs)
+                    for j, c in enumerate(out_names):
+                        outs[j].append(res[c])
+            cols = [rb.column(i) for i in range(n_pt)]
+            cols += [
+                pa.array(vals, type=t) for vals, t in zip(outs, out_pa_types)
+            ]
+            names = [*passthrough, *out_names]
             if stage_metrics:
-                cols["parse_us"] = parse_us
-                cols["kernel_us"] = kernel_us
-            yield pd.DataFrame(cols)
+                cols += [pa.array(parse_us, pa.int64()),
+                         pa.array(kernel_us, pa.int64())]
+                names += ["parse_us", "kernel_us"]
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
-    pruned = df.select(*passthrough, html_col)
-    return pruned.mapInPandas(fn, schema)
+    # small/unsplittable inputs (the documents table is one parquet
+    # row group) otherwise pin the whole per-document Python stage to
+    # a single task — guarded no-op when the scan is already parallel
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    pruned = ensure_min_parallelism(df.select(*passthrough, html_col))
+    return pruned.mapInArrow(fn, schema)
 
 
 def _passthrough_types(df: DataFrame, passthrough) -> list[tuple[str, str]]:
@@ -491,7 +516,9 @@ def extract_main_text(
                 names += ["parse_us", "kernel_us", "c_engine"]
             yield pa.RecordBatch.from_arrays(cols, names=names)
 
-    pruned = df.select(*passthrough, "html")
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    pruned = ensure_min_parallelism(df.select(*passthrough, "html"))
     return pruned.mapInArrow(fn, schema)
 
 
@@ -501,23 +528,33 @@ def extract_main_text(
 def table_scrape_program(div_id: str) -> Callable[[NodeTable], dict]:
     """tests/src/table_scrape.cpp:43-71 semantics: find
     div#<id> → first tbody from there (anchored DFS, not subtree
-    bounded) → per-<tr> per-<td> content_text, comma-joined lines."""
+    bounded) → per-<tr> per-<td> content_text, comma-joined lines.
+
+    Round-8 kernel shape: the anchor div is found through the flat
+    attribute index (|attrs|-sized vectorized compares — the round-7
+    per-node Python genexpr walked every node), and tbody/tr/td masks
+    are int16 ``tag_id`` compares instead of object-string equality."""
+    _div = TAG_IDS["div"]
+    _tbody = TAG_IDS["tbody"]
+    _tr = TAG_IDS["tr"]
+    _td = TAG_IDS["td"]
 
     def program(nt: NodeTable) -> dict:
-        ids = nt.id_values()
-        div_mask = (nt.tag_name == "div") & np.fromiter(
-            (v == div_id for v in ids), dtype=bool, count=nt.n
-        )
-        div = nt.first_match(div_mask)
-        if div < 0:
+        nt._ensure_attr_index()
+        m = (nt._attr_names == "id") & (nt._attr_vals == div_id)
+        owners = nt._attr_owner[m]
+        tag_id = nt.tag_id
+        divs = owners[tag_id[owners] == _div]
+        if len(divs) == 0:
             return {"csv": None}
-        tbody = nt.first_match(nt.tag_name == "tbody", start=div)
+        div = int(divs[0])  # owners ascend in preorder → first match
+        tbody = nt.first_match(tag_id == _tbody, start=div)
         if tbody < 0:
             return {"csv": None}
         lines = []
         lo, hi = nt.child_range_dfs(tbody)
-        tr_mask = nt.tag_name == "tr"
-        td_mask = nt.tag_name == "td"
+        tr_mask = tag_id == _tr
+        td_mask = tag_id == _td
         for tr in nt.matches_in(tr_mask, lo, hi):
             tlo, thi = nt.child_range_dfs(int(tr))
             cells = nt.matches_in(td_mask, tlo, thi)
@@ -650,7 +687,9 @@ def explode_nodes(df: DataFrame, passthrough: tuple[str, ...] = ("doc_id",)) -> 
                      "src_start", "src_end", "src_start_byte", "src_end_byte"]
             yield pa.RecordBatch.from_arrays(cols, names=names)
 
-    pruned = df.select(*passthrough, "html")
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    pruned = ensure_min_parallelism(df.select(*passthrough, "html"))
     return pruned.mapInArrow(fn, schema)
 
 

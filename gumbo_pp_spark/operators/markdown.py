@@ -60,14 +60,14 @@ def _inline_join(parts: list[str]) -> str:
 
 
 class _Frame:
-    __slots__ = ("i", "tag", "child", "parts", "pre")
+    __slots__ = ("i", "tag", "parts", "pre", "end")
 
-    def __init__(self, i, tag, child_iter, pre):
+    def __init__(self, i, tag, pre, end):
         self.i = i
         self.tag = tag
-        self.child = child_iter
         self.parts: list[str] = []
         self.pre = pre
+        self.end = end
 
 
 def _wrap(nt: NodeTable, f: _Frame) -> str:
@@ -156,45 +156,57 @@ def _finalize(md: str) -> str:
 
 def render_markdown(nt: NodeTable, skip_tags: frozenset = SKIP_TAGS) -> str:
     """Render one parsed document to Markdown (explicit-stack walk —
-    no recursion, depth-proof)."""
-    root = 0
-    stack = [
-        _Frame(root, "", iter(nt.children_ids(root).tolist()), False)
-    ]
-    result = ""
-    types = nt.type
-    tags = nt.tag_name
-    texts = nt.text
-    while stack:
-        f = stack[-1]
-        nxt = next(f.child, None)
-        if nxt is None:
+    no recursion, depth-proof).
+
+    Round-8 shape: one LINEAR pass over the preorder arrays.  The
+    round-7 walker called ``children_ids`` per element — an O(subtree)
+    numpy scan each, O(n·depth) total with ~µs numpy call overhead per
+    node — and indexed numpy scalars per child.  Here the arrays are
+    converted to Python lists once per document and the walk advances
+    a single preorder cursor, skipping pruned subtrees via
+    ``subtree_end`` in O(1); frames finalize (postorder) exactly when
+    the cursor leaves their interval, so the emitted Markdown is
+    byte-identical to the recursive-order walk."""
+    n = nt.n
+    types = nt.type.tolist()
+    tags = nt.tag_name.tolist()
+    texts = nt.text.tolist()
+    se = nt.subtree_end.tolist()
+    ns = nt.ns.tolist() if nt.ns is not None else None
+    _TEXT, _WS, _EL = TEXT, WHITESPACE, ELEMENT
+    _sub = _WS_RUN.sub
+    root = _Frame(0, "", False, n)
+    stack = [root]
+    top = root
+    i = 1
+    while i < n:
+        while i >= top.end:
             stack.pop()
-            out = _wrap(nt, f) if f.tag else "".join(f.parts)
-            if stack:
-                stack[-1].parts.append(out)
+            f = top
+            top = stack[-1]
+            top.parts.append(_wrap(nt, f) if f.tag else "".join(f.parts))
+        t = types[i]
+        if t == _TEXT or t == _WS:
+            raw = texts[i] or ""
+            top.parts.append(raw if top.pre else _sub(" ", raw))
+            i += 1
+        elif t == _EL:
+            tag = tags[i]
+            if tag in skip_tags or (ns is not None and ns[i] != 0):
+                i = se[i]  # foreign content (svg/math) is not Markdown
             else:
-                result = out
-            continue
-        t = types[nxt]
-        if t in (TEXT, WHITESPACE):
-            raw = texts[nxt] or ""
-            f.parts.append(raw if f.pre else _WS_RUN.sub(" ", raw))
-        elif t == COMMENT or t == DOCUMENT:
-            continue
-        elif t == ELEMENT:
-            tag = tags[nxt]
-            if tag in skip_tags or (nt.ns is not None and nt.ns[nxt] != 0):
-                continue  # foreign content (svg/math) is not Markdown
-            stack.append(
-                _Frame(
-                    nxt,
-                    tag,
-                    iter(nt.children_ids(nxt).tolist()),
-                    f.pre or tag == "pre",
-                )
-            )
-    return _finalize(result)
+                f = _Frame(i, tag, top.pre or tag == "pre", se[i])
+                stack.append(f)
+                top = f
+                i += 1
+        else:  # COMMENT / DOCUMENT / CDATA: subtree never rendered
+            i = se[i]
+    while len(stack) > 1:
+        stack.pop()
+        f = top
+        top = stack[-1]
+        top.parts.append(_wrap(nt, f) if f.tag else "".join(f.parts))
+    return _finalize("".join(root.parts))
 
 
 def markdown_program(nt: NodeTable) -> dict:

@@ -58,7 +58,11 @@ def decode_audio(payload: bytes, sample_rate: int, duration_ms: int) -> np.ndarr
 def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media table derived from documents (payload =
     UTF-8 text bytes; metadata derived from doc fields)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..plans.partitioning import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), waves=1
+    )
     return docs.selectExpr(
         "CAST(doc_id AS BIGINT) AS media_id",
         "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind",
@@ -71,6 +75,14 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(200 + (n_chars % 10) * 100 AS INT) AS duration_ms",
         "'fake' AS codec",
     )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Guarded spread before a per-row Python decode stage (the media
+    table derives from the one-row-group documents scan)."""
+    from ..plans.partitioning import ensure_min_parallelism
+
+    return ensure_min_parallelism(df)
 
 
 def image_features(df: DataFrame) -> DataFrame:
@@ -117,7 +129,7 @@ def image_features(df: DataFrame) -> DataFrame:
                 }
             )
 
-    src = df.where("kind = 'image'").select("media_id", "payload", "width", "height")
+    src = _spread(df.where("kind = 'image'").select("media_id", "payload", "width", "height"))
     return src.mapInPandas(
         fn,
         "media_id bigint, sum_r bigint, sum_g bigint, sum_b bigint, n_px bigint, phash bigint",
@@ -144,7 +156,7 @@ def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
                 blobs.append(small.tobytes())
             yield pd.DataFrame({"media_id": ids, "thumb": blobs})
 
-    src = df.where("kind = 'image'").select("media_id", "payload", "width", "height")
+    src = _spread(df.where("kind = 'image'").select("media_id", "payload", "width", "height"))
     return src.mapInPandas(fn, "media_id bigint, thumb binary")
 
 
@@ -169,9 +181,9 @@ def sample_frames(df: DataFrame, every_ms: int = 250) -> DataFrame:
                 {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
             )
 
-    src = df.where("kind = 'video'").select(
+    src = _spread(df.where("kind = 'video'").select(
         "media_id", "payload", "width", "height", "duration_ms"
-    )
+    ))
     return src.mapInPandas(fn, "media_id bigint, frame_idx int, ts_ms int, frame binary")
 
 
@@ -190,5 +202,5 @@ def audio_features(df: DataFrame) -> DataFrame:
                 zcr.append(float((np.diff(np.signbit(pcm)) != 0).mean()))
             yield pd.DataFrame({"media_id": ids, "rms": rms, "zcr": zcr})
 
-    src = df.where("kind = 'audio'").select("media_id", "payload", "sample_rate", "duration_ms")
+    src = _spread(df.where("kind = 'audio'").select("media_id", "payload", "sample_rate", "duration_ms"))
     return src.mapInPandas(fn, "media_id bigint, rms double, zcr double")

@@ -1034,14 +1034,58 @@ def _quality_fail_expr(
     """SQL predicate: document FAILS the quality thresholds — the
     inline form of ``NOT quality_filter``, for operators computing the
     flag inside a larger single projection (same e4-rounded formulas
-    as :func:`quality_stats`, so verdicts agree bit-for-bit)."""
+    as :func:`quality_stats`, so verdicts agree bit-for-bit).
+
+    The stopword disjunct is omitted when its threshold is ≤ 0: the
+    ratio is never NULL (``size(split(..))`` ≥ 1) and never negative,
+    so ``ratio < 0`` is statically false — skipping it saves a
+    per-word stopword scan per row with an identical verdict (the
+    other two disjuncts keep their NULL semantics and always stay)."""
     stop = _in_list(STOPWORDS)
-    return (
-        f"(size(split({text_col}, ' ')) < {min_tokens}"
+    stop_term = (
         f" OR CAST(round(10000.0 * size(filter(split({text_col}, ' '), w -> w IN ({stop})))"
         f" / size(split({text_col}, ' '))) AS BIGINT) < {min_stopword_ratio_e4}"
+        if min_stopword_ratio_e4 > 0
+        else ""
+    )
+    return (
+        f"(size(split({text_col}, ' ')) < {min_tokens}"
+        f"{stop_term}"
         f" OR CAST(round(10000.0 * length(regexp_replace({text_col}, '[^a-z]', ''))"
         f" / length({text_col})) AS BIGINT) < {min_alpha_ratio_e4})"
+    )
+
+
+def top_word_frac_e4_expr(text_col: str = "text") -> str:
+    """Row-local SQL for ``repetition_stats``' ``top_word_frac_e4``
+    (most-frequent-word share, e4-rounded BIGINT): sort the word array,
+    take the longest equal-run.  Identical integer math to the
+    explode→groupBy path — ``round(top_count * 10000.0 / n_words)`` —
+    but map-only: no (doc, word) shuffle, so a pipeline gating on this
+    signal stays in the same narrow stage as the projection it sits in
+    (the 100 TB shape; the full :func:`repetition_stats` view keeps the
+    grouped form for its other columns).
+
+    Spark does not hoist loop-invariant subexpressions out of
+    higher-order-function lambdas (see ``chunk_tokens``), so the
+    sorted array and the run-start index list are each bound ONCE as
+    a lambda variable via the ``transform(array(x), v -> ..)[1]``
+    idiom instead of being textually repeated."""
+    sw_val = f"array_sort(split({text_col}, ' '))"
+    starts_val = (
+        "filter(sequence(1, size(sw)), "
+        "j -> j = 1 OR element_at(sw, j) != element_at(sw, j - 1))"
+    )
+    top = (
+        "array_max(transform(sequence(1, size(st)), "
+        "i -> if(i < size(st), element_at(st, i + 1), "
+        "size(sw) + 1) - element_at(st, i)))"
+    )
+    frac = f"CAST(round({top} * 10000.0 / size(sw)) AS BIGINT)"
+    return (
+        f"element_at(transform(array({sw_val}), sw -> "
+        f"element_at(transform(array({starts_val}), st -> {frac}), 1)"
+        f"), 1)"
     )
 
 

@@ -17,11 +17,10 @@ from .operators.dedup import (
     _cache,
     cache_scope,
     canonical_docs,
-    exact_dedup,
     minhash_lsh_pairs,
 )
 from .operators.extract import extract_main_text
-from .operators.textstats import quality_filter, repetition_stats, scrub_pii
+from .operators.textstats import _quality_fail_expr, top_word_frac_e4_expr
 
 
 def build_training_corpus(
@@ -127,11 +126,21 @@ def build_training_corpus(
     if strip_boilerplate or host_gate:
         docs = docs.drop("host")
 
-    kept = quality_filter(
-        docs, min_tokens=min_tokens,
-        min_stopword_ratio_e4=0, min_alpha_ratio_e4=min_alpha_ratio_e4,
-    ).select("doc_id")
-    docs = docs.join(kept, "doc_id")
+    # quality gate — ROW-LOCAL filter (round-8): the round-7 shape
+    # computed survivors as a derived table and joined it back on
+    # doc_id, which (a) shuffled the corpus for a predicate every row
+    # can answer itself and (b) duplicated the expensive parse subtree
+    # on both sides of the join (the un-cached plan held 132 copies of
+    # the extraction stage; guide §2.4 "remove shuffles outright").
+    # ``NOT _quality_fail_expr`` is bit-identical to ``quality_filter``
+    # including NULL semantics (a NULL ratio fails both forms).
+    docs = docs.where(
+        ~F.expr(
+            _quality_fail_expr(
+                "text", min_tokens, 0, min_alpha_ratio_e4
+            )
+        )
+    )
 
     # optional model gate: hashed linear classifier score as a plan-
     # literal expression — a pure map-only filter, no join, no shuffle
@@ -143,26 +152,35 @@ def build_training_corpus(
         )
 
     # repetition gate: drop degenerate/looping documents (a page whose
-    # most frequent word is more than half its tokens)
-    rep_ok = repetition_stats(docs).where(
-        F.col("top_word_frac_e4") <= max_top_word_frac_e4
-    ).select("doc_id")
-    docs = docs.join(rep_ok, "doc_id")
-
-    # exact dedup: keep the minimum doc_id of each content group
-    keepers = exact_dedup(docs, key_expr="md5(text)").select(
-        F.col("keep_id").alias("doc_id")
+    # most frequent word is more than half its tokens).  Row-local
+    # longest-equal-run form — same integer math as repetition_stats'
+    # explode→groupBy, zero shuffle (guide §2.3 "aggregate before you
+    # shuffle" taken to its limit: no shuffle at all).
+    docs = docs.where(
+        F.expr(top_word_frac_e4_expr("text")) <= max_top_word_frac_e4
     )
-    docs = docs.join(keepers, "doc_id")
+
+    # exact dedup: keep the minimum doc_id of each content group.
+    # One digest-keyed window exchange replaces the round-7
+    # groupBy+self-join (two exchanges + another duplicated parse
+    # subtree); survivors are identical (min doc_id per md5 group).
+    from pyspark.sql.window import Window
+
+    wd = Window.partitionBy(F.md5("text"))
+    docs = (
+        docs.withColumn("_keep", F.min("doc_id").over(wd))
+        .where(F.col("doc_id") == F.col("_keep"))
+        .drop("_keep")
+    )
+
+    # cache the gated/deduped docs: the near-dup stage reads them once
+    # to build signatures and the final corpus projection reads them
+    # again — without this barrier the map-only parse stage runs once
+    # per reference (guide §5; released at the caller's cache_scope
+    # barrier like the signature caches).
+    docs = _cache(docs)
 
     # near-dup drop (policy documented in the docstring)
-    if near_dup_policy == "components":
-        # component resolution runs eager jobs over `pairs` NOW, and
-        # the final corpus write evaluates `docs` again later — cache
-        # the gated/extracted docs across the two executions (released
-        # at the caller's cache_scope barrier like the signature
-        # caches) or the expensive extraction stage runs twice.
-        docs = _cache(docs)
     pairs = minhash_lsh_pairs(docs, min_equal=near_dup_min_equal)
     if near_dup_policy == "components":
         flagged = canonical_docs(docs.select("doc_id"), pairs)
@@ -175,14 +193,30 @@ def build_training_corpus(
     else:
         raise ValueError(f"unknown near_dup_policy: {near_dup_policy!r}")
 
-    scrubbed = scrub_pii(docs).select("doc_id", "clean_text")
+    # PII scrub + fingerprint — map-only projection (round-8): the
+    # scrub is a row-local regexp over the doc's own text, so the
+    # round-7 ``docs.join(scrub_pii(docs))`` self-join (one more
+    # doc_id shuffle + another duplicated subtree) collapses into a
+    # withColumn.  n_tokens = spaces+1 is the exact value of
+    # ``size(split(clean_text, ' '))`` without allocating the word
+    # array (guide §2.3 narrower per-row work).
+    from .operators.textstats import PII_EMAIL, PII_PHONE
+
+    clean = (
+        f"regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>'), "
+        f"'{PII_PHONE}', '<PHONE>')"
+    )
     return (
-        docs.join(scrubbed, "doc_id")
+        docs.withColumn("clean_text", F.expr(clean))
         .select(
             "doc_id",
             "url",
             "clean_text",
-            F.size(F.split("clean_text", " ")).cast("bigint").alias("n_tokens"),
+            (
+                F.length("clean_text")
+                - F.length(F.replace(F.col("clean_text"), F.lit(" "), F.lit("")))
+                + 1
+            ).cast("bigint").alias("n_tokens"),
             F.md5("clean_text").alias("fp_md5"),
         )
     )

@@ -150,7 +150,7 @@ def ensure_min_parallelism(df: DataFrame, waves: int = 2) -> DataFrame:
     target = max(1, sc.defaultParallelism)
     if df.rdd.getNumPartitions() >= target:
         return df
-    return df.repartition(target * waves)
+    return df.repartition(max(target, target * waves))
 
 
 def input_stats(spark, input_dir: str) -> tuple[int, int]:

@@ -172,7 +172,23 @@ def synth_mojibake_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """Documents scan, spread across cores BEFORE any derived page
+    synthesis: the table is one small parquet row group, so without
+    this every page family built from it (and the per-document Python
+    stage downstream) planned into a single task.  Spreading the
+    NARROW scan here means the exchange carries the raw text column
+    once, not the ~10× larger synthesized html (which made a
+    post-synthesis repartition a net loss); the downstream
+    ensure_min_parallelism guards then see an already-parallel input
+    and no-op."""
+    from ..plans.partitioning import ensure_min_parallelism
+
+    # waves=1: these rows are uniform and small, so one task wave per
+    # core minimizes task-launch overhead (waves>1 only pays off for
+    # skewed / long-tailed per-row work)
+    return ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), waves=1
+    )
 
 
 def synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,6 +33,13 @@ from . import matchers as m
 # helpers
 # ----------------------------------------------------------------------
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT spread here: the textstats/dedup/packing consumers are
+    # JVM-expression queries whose heavy spots (per-word explodes,
+    # signature aggregates) already apply ensure_min_parallelism
+    # themselves; an unconditional exchange would tax the cheap
+    # map-only queries (lang_id, quality_stats, classifier) with a
+    # shuffle they never need.  The page-synthesis families spread at
+    # sources.pages.load_documents instead.
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
