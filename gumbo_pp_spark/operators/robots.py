@@ -109,8 +109,14 @@ def crawl_schedule(
                 delays.append(
                     default_delay_ms if d is None else int(round(d * 1000))
                 )
+            # floor at 1 fetch per window: a Crawl-delay longer than
+            # the window (e.g. 120 s against the 60 s default — common
+            # in real robots.txt) would otherwise yield budget 0 and
+            # shard_frontier's `div fetch_budget` divides by zero
+            # (NULL windows in non-ANSI Spark, a runtime error under
+            # ANSI) — ADVICE r7
             budgets = [
-                (window_sec * 1000) // d if d > 0 else window_sec * 1000
+                max(1, (window_sec * 1000) // d) if d > 0 else window_sec * 1000
                 for d in delays
             ]
             yield pa.RecordBatch.from_arrays(

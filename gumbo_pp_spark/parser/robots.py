@@ -26,6 +26,7 @@ broadcast, evaluation is Arrow-batched in the Spark stage).
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 
@@ -141,6 +142,14 @@ def parse_robots(text: str | bytes | None) -> RobotsFile:
                     delay = float(val)
                 except ValueError:
                     continue
+                # hostile inputs (ADVICE r7): 'inf'/'nan'/'1e308' pass
+                # float() but overflow the int ms conversion in
+                # crawl_schedule, killing the Arrow task on
+                # attacker-controlled web bytes — require finite and
+                # clamp to a sane ceiling (11.5 days between fetches)
+                if not math.isfinite(delay):
+                    continue
+                delay = min(delay, 1e6)
                 if delay >= 0:
                     for t in current:
                         rf.groups[t].crawl_delay = delay

@@ -241,7 +241,12 @@ def extend_training_corpus(
     extended table."""
     from .operators.dedup import incremental_dedup, minhash_lsh_pairs_between
 
-    batch = build_training_corpus(new_pages, **corpus_kwargs)
+    # near_dup_min_equal governs BOTH dedup stages (ADVICE r7: it
+    # previously bound only to the cross-corpus parameter, so a CLI
+    # --near-dup-min-equal silently did not apply within-batch)
+    batch = build_training_corpus(
+        new_pages, near_dup_min_equal=near_dup_min_equal, **corpus_kwargs
+    )
     batch = _cache(
         incremental_dedup(
             batch, prior_corpus.select("fp_md5"), text_col="clean_text"

@@ -273,17 +273,26 @@ def extract_with_resume(
     }
 
 
-def vacuum_uncommitted(out_dir: str) -> dict:
+def vacuum_uncommitted(out_dir: str, min_age_sec: float = 24 * 3600.0) -> dict:
     """Remove data leaf directories not referenced by any committed
     ledger record — crashed/abandoned run leftovers (the Iceberg
     remove-orphan-files analogue; without it a table that survives
     many partial runs slowly accretes dead bytes no read will ever
     touch).  The ledger and every committed ``run=…/split_id=…`` leaf
     are untouched; a run directory left with no leaves is removed
-    whole (including its ``_SUCCESS`` marker).  Safe to run any time:
-    :func:`read_extracted` (incl. ``as_of``/``since``) only ever
-    resolves paths through committed records, which vacuum keeps by
-    construction.  Returns ``{"removed": [...], "kept": n}``."""
+    whole (including its ``_SUCCESS`` marker).
+
+    CONCURRENCY (ADVICE r7): ``extract_with_resume`` writes data
+    files BEFORE committing their ledger records, so an uncommitted
+    leaf may belong to an in-flight run — deleting it would let that
+    run commit records pointing at vanished paths (splits marked
+    committed forever but unreadable).  Leaves younger than
+    ``min_age_sec`` (default 24 h — Iceberg's remove-orphan-files
+    default) are therefore kept; pass ``min_age_sec=0`` only when no
+    writer can be running.  ``read_extracted`` (incl.
+    ``as_of``/``since``) only resolves paths through committed
+    records, which vacuum keeps by construction.  Returns
+    ``{"removed": [...], "kept": n, "skipped_recent": m}``."""
     import shutil
 
     ledger = PartitionLedger(os.path.join(out_dir, "_ledger"))
@@ -293,8 +302,10 @@ def vacuum_uncommitted(out_dir: str) -> dict:
     data = os.path.join(out_dir, "data")
     removed: list[str] = []
     kept = 0
+    skipped_recent = 0
+    now = time.time()
     if not os.path.isdir(data):
-        return {"removed": removed, "kept": kept}
+        return {"removed": removed, "kept": kept, "skipped_recent": 0}
     for run_dir in sorted(os.listdir(data)):
         if not run_dir.startswith("run="):
             continue
@@ -306,12 +317,20 @@ def vacuum_uncommitted(out_dir: str) -> dict:
             sid = leaf.split("=", 1)[1]
             if (run_id, sid) in keep:
                 kept += 1
-            else:
-                shutil.rmtree(os.path.join(rpath, leaf))
-                removed.append(f"{run_dir}/{leaf}")
+                continue
+            lpath = os.path.join(rpath, leaf)
+            try:
+                age = now - os.path.getmtime(lpath)
+            except OSError:
+                age = 0.0  # freshly gone / racing writer: leave it
+            if age < min_age_sec:
+                skipped_recent += 1
+                continue
+            shutil.rmtree(lpath)
+            removed.append(f"{run_dir}/{leaf}")
         if not any(d.startswith("split_id=") for d in os.listdir(rpath)):
             shutil.rmtree(rpath)
-    return {"removed": removed, "kept": kept}
+    return {"removed": removed, "kept": kept, "skipped_recent": skipped_recent}
 
 
 def read_extracted(

@@ -398,7 +398,16 @@ class TestVacuum:
         with open(os.path.join(orphan, "part-00000.parquet"), "w") as f:
             f.write("junk")
 
+        # default grace period (ADVICE r7): a freshly-written orphan
+        # may belong to an IN-FLIGHT run (data lands before the ledger
+        # commit) — vacuum must leave it alone
         res = vacuum_uncommitted(out_dir)
+        assert res["removed"] == []
+        assert res["skipped_recent"] == 1
+        assert os.path.exists(orphan)
+
+        # past the age threshold (simulated) the orphan goes
+        res = vacuum_uncommitted(out_dir, min_age_sec=0)
         assert res["removed"] == ["run=deadbeef/split_id=99"]
         assert res["kept"] > 0
         assert not os.path.exists(os.path.join(out_dir, "data", "run=deadbeef"))
@@ -413,4 +422,5 @@ class TestVacuum:
         assert vacuum_uncommitted(str(tmp_path / "nothing")) == {
             "removed": [],
             "kept": 0,
+            "skipped_recent": 0,
         }

@@ -186,6 +186,54 @@ class TestCrawlDelay:
             "empty.example": (1000, 60),   # missing robots = default
         }
 
+    def test_delay_longer_than_window_floors_budget_at_one(self, spark):
+        # ADVICE r7: Crawl-delay 120 against a 60 s window must yield
+        # budget 1 (one fetch per window), never 0 — shard_frontier
+        # divides by fetch_budget and a 0 silently NULLs every window
+        from gumbo_pp_spark.operators.robots import crawl_schedule, shard_frontier
+
+        robots = spark.createDataFrame(
+            [("verystrict.example", "User-agent: *\nCrawl-delay: 120\n")],
+            "host string, robots_txt string",
+        )
+        sched = crawl_schedule(robots, window_sec=60)
+        (r,) = sched.collect()
+        assert (r.crawl_delay_ms, r.fetch_budget) == (120000, 1)
+        frontier = spark.createDataFrame(
+            [("verystrict.example", f"https://verystrict.example/{i}")
+             for i in range(4)],
+            "host string, url string",
+        )
+        rows = shard_frontier(frontier, sched).collect()
+        # every URL scheduled (no NULL windows), one per window
+        assert sorted(r.fetch_window for r in rows) == [0, 1, 2, 3]
+
+    def test_hostile_delay_values_rejected_or_clamped(self, spark):
+        # ADVICE r7: 'inf' / '1e308' pass float() but overflowed the
+        # int ms conversion inside the Arrow task
+        from gumbo_pp_spark.operators.robots import crawl_schedule
+        from gumbo_pp_spark.parser.robots import parse_robots
+
+        rf = parse_robots(
+            "User-agent: a\nCrawl-delay: inf\n\n"
+            "User-agent: b\nCrawl-delay: nan\n\n"
+            "User-agent: c\nCrawl-delay: 1e308\n"
+        )
+        assert rf.crawl_delay("a") is None
+        assert rf.crawl_delay("b") is None
+        assert rf.crawl_delay("c") == 1e6  # clamped to the ceiling
+        robots = spark.createDataFrame(
+            [("inf.example", "User-agent: *\nCrawl-delay: inf\n"),
+             ("big.example", "User-agent: *\nCrawl-delay: 1e308\n")],
+            "host string, robots_txt string",
+        )
+        got = {r.host: (r.crawl_delay_ms, r.fetch_budget)
+               for r in crawl_schedule(robots, window_sec=60).collect()}
+        assert got == {
+            "inf.example": (1000, 60),        # non-finite → default
+            "big.example": (10 ** 9, 1),      # clamped, floor budget
+        }
+
     def test_zero_delay_means_unthrottled_window(self, spark):
         from gumbo_pp_spark.operators.robots import crawl_schedule
 
