@@ -281,8 +281,12 @@ def select_token_budget(
     wib = Window.partitionBy("score", "blk").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # boffs is bounded by |boundary rows| / block_size (≤ corpus/2^16:
+    # ~24 B/row, comfortably under the broadcast cap even for a
+    # pathological corpus-sized boundary score) — broadcasting it
+    # keeps the boundary rows' only exchange the window clustering
     kept_boundary = (
-        bnd.join(boffs, ["score", "blk"])
+        bnd.join(F.broadcast(boffs), ["score", "blk"])
         .withColumn("c", F.col("boff") + F.sum("n_tokens").over(wib))
         .where(F.col("cum_before") + F.col("c") <= budget_tokens)
     )

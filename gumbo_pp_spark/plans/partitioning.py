@@ -146,6 +146,10 @@ def ensure_min_parallelism(df: DataFrame, waves: int = 2) -> DataFrame:
     Call this with scan-stage inputs (the partition-count probe builds
     the physical RDD; on a map-only plan that runs no jobs).
     """
+    if df.isStreaming:
+        # streaming plans cannot be probed via .rdd (and micro-batch
+        # parallelism is the source's concern) — pass through
+        return df
     sc = df.sparkSession.sparkContext
     target = max(1, sc.defaultParallelism)
     if df.rdd.getNumPartitions() >= target:

@@ -1305,11 +1305,11 @@ def q_robots_gate(spark, sf_dir):
     # set disallows /doc/*1$ for gumbobot with a tie-length allow for
     # /doc/11$ (allow wins ties), everything for other agents.
     from .operators.robots import robots_filter
-    from .sources.pages import load_documents, synth_pages
+    from .sources.pages import synth_pages
 
     pages = synth_pages(spark, sf_dir).select("doc_id", "url")
     hosts = (
-        load_documents(spark, sf_dir)
+        _docs(spark, sf_dir)
         .select(F.concat("source", F.lit(".example.com")).alias("host"))
         .distinct()
     )
@@ -1329,10 +1329,9 @@ def q_crawl_schedule(spark, sf_dir):
     # delay = 1 + length(host) % 3 seconds for gumbobot, other agents
     # fall through to the delay-less * group (default applies)
     from .operators.robots import crawl_schedule
-    from .sources.pages import load_documents
 
     hosts = (
-        load_documents(spark, sf_dir)
+        _docs(spark, sf_dir)
         .select(F.concat("source", F.lit(".example.com")).alias("host"))
         .distinct()
     )
@@ -1352,14 +1351,14 @@ def q_shard_frontier(spark, sf_dir):
     # via prefix-bucket offsets, never one task per host) divided into
     # fetch windows by the crawl_schedule budget
     from .operators.robots import crawl_schedule, shard_frontier
-    from .sources.pages import load_documents, synth_pages
+    from .sources.pages import synth_pages
 
     pages = synth_pages(spark, sf_dir).select(
         F.expr("regexp_extract(url, 'https?://([^/]+)', 1)").alias("host"),
         "url",
     )
     hosts = (
-        load_documents(spark, sf_dir)
+        _docs(spark, sf_dir)
         .select(F.concat("source", F.lit(".example.com")).alias("host"))
         .distinct()
     )
@@ -1399,9 +1398,8 @@ def q_url_features(spark, sf_dir):
     # (tracking query / deep path / bare root) — parse_url + string
     # kernels, all codegen, map-only
     from .operators.textstats import url_features
-    from .sources.pages import load_documents
 
-    docs = load_documents(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
     urls = docs.selectExpr(
         "doc_id",
         "CASE CAST(doc_id % 3 AS INT) "
