@@ -144,7 +144,9 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     word pass yields n_words (sum of counts), n_distinct (group count)
     and the top count in ONE grouped aggregation — no caching of the
     corpus, no per-document quadratic lambdas."""
-    words = df.select(
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    words = ensure_min_parallelism(df).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.split(F.col(text_col), " ").alias("w"),
     )
@@ -861,8 +863,13 @@ def oov_stats(df: DataFrame, vocab_size: int = 1000, text_col: str = "text") -> 
     → broadcast; the corpus side is one explode + broadcast left join
     + one doc-keyed agg (map-side combined).  The corpus is never
     shuffled on a word key."""
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
     vocab = vocab_topk(df, vocab_size, text_col).select("word")
-    toks = df.select(
+    # the corpus-side explode needs the same under-parallel-input
+    # guard as the vocab build — a one-row-group scan otherwise runs
+    # the whole per-word pass in a single task
+    toks = ensure_min_parallelism(df).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("word"),
     )
@@ -934,10 +941,16 @@ def lm_coverage(
     broadcast left join; the corpus side is one explode + one
     doc-keyed agg (map-side combined) and is never shuffled on a
     bigram key."""
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
     if lm is None:
         lm = bigram_lm(df, lm_size, text_col)
+    # corpus-side explode guarded like the model build's: without it
+    # the whole bigram → broadcast-probe → doc-agg pass pinned to one
+    # task on a one-row-group scan (the driver-measured 2.98 s at sf1
+    # was this single task)
     bg = (
-        df.select(
+        ensure_min_parallelism(df).select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
             F.split(F.col(text_col), " ").alias("ws"),
         )
@@ -1169,8 +1182,11 @@ def vocab_drift(
     stages); everything downstream operates on the ≤ 2·vocab_size
     union vocabulary with 1-row total tables broadcast."""
     def _counts(df):
+        from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
         return (
-            df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+            ensure_min_parallelism(df)
+            .select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
             .groupBy("word")
             .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         )
