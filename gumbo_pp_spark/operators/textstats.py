@@ -181,17 +181,38 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 def paragraph_chunks(df: DataFrame, text_col: str = "text", stride: int = 10) -> DataFrame:
     """(doc_id, chunk_idx, chunk) — consecutive ``stride``-word windows
     (the 'paragraph' unit for sub-document dedup; real pipelines use
-    newline paragraphs, the synthetic corpus is single-line)."""
-    return df.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(split({text_col}, ' ')), {stride}), "
-                f"j -> struct(CAST((j - 1) / {stride} AS BIGINT) AS chunk_idx, "
-                f"concat_ws(' ', slice(split({text_col}, ' '), j, {stride})) AS chunk))"
-            )
-        ).alias("c"),
-    ).select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk").alias("chunk"))
+    newline paragraphs, the synthetic corpus is single-line).
+
+    The split is projected ONCE before the chunk lambda (round 8):
+    Spark does not hoist loop-invariant subexpressions out of
+    higher-order-function lambdas (see ``chunk_tokens``), so the
+    one-expression form re-tokenized the document for every chunk —
+    O(words²/stride) characters per document.  Input spread is guarded
+    like every per-word pass."""
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    return (
+        ensure_min_parallelism(df)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.expr(f"split({text_col}, ' ')").alias("ws"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws), {stride}), "
+                    f"j -> struct(CAST((j - 1) / {stride} AS BIGINT) AS chunk_idx, "
+                    f"concat_ws(' ', slice(ws, j, {stride})) AS chunk))"
+                )
+            ).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk").alias("chunk"),
+        )
+    )
 
 
 def dedup_paragraphs(df: DataFrame, text_col: str = "text", stride: int = 10) -> DataFrame:
