@@ -310,8 +310,13 @@ def host_quality_stats(
     thresholds as :func:`quality_filter`.  Scale shape: the bad flag is
     computed map-only in the same projection as the stats (``keep``
     passthrough, no join back to the corpus) and the host aggregate is
-    one map-side-combined shuffle; the output is hosts-sized ≪ corpus."""
-    s = quality_stats(df, keep=(f"{host_col} AS host",))
+    one map-side-combined shuffle; the output is hosts-sized ≪ corpus.
+    The per-document stat projection (split/filter/regexp per row) is
+    the heavy map work here — guarded against under-parallel scans
+    like every other per-row pass."""
+    from gumbo_pp_spark.plans.partitioning import ensure_min_parallelism
+
+    s = quality_stats(ensure_min_parallelism(df), keep=(f"{host_col} AS host",))
     bad = (
         (F.col("n_tokens") < min_tokens)
         | (F.col("stopword_ratio_e4") < min_stopword_ratio_e4)
