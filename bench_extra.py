@@ -107,8 +107,12 @@ def main():
     )
     t0 = time.time()
     times = run(names, args.mode, args.passes, args.explain, args.suffix)
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
+    except ValueError:
+        sf = os.path.basename(SF_DIR.rstrip("/"))  # ad-hoc corpora keep the name
     out = {
-        "sf": float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0),
+        "sf": sf,
         "mode": args.mode,
         "passes": args.passes,
         "total": round(sum(times.values()), 2),
